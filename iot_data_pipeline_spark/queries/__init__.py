@@ -1,0 +1,12 @@
+"""Declared-query registry (SURVEY.md section 2.3): importing this package
+populates REGISTRY with every oracle-checked query."""
+
+from iot_data_pipeline_spark.queries import (  # noqa: F401
+    llm,
+    pipeline_q,
+    relational,
+    windows,
+)
+from iot_data_pipeline_spark.queries.registry import REGISTRY, DeclaredQuery
+
+__all__ = ["REGISTRY", "DeclaredQuery"]

@@ -1,0 +1,73 @@
+"""Shared derivations used by the declared queries.
+
+The reference's input is an IoT sensor stream (FIXTURES.md section 1), but the
+driver's oracle can only see the ten pre-registered parquet views. So the
+sensor-shaped queries derive a deterministic ``sensor`` relation from the
+``events`` table with IEEE-exact arithmetic that both engines compute
+identically, and the enrichment dim from a ``range()`` -- the same rows on
+both sides, no fixture files needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from iot_data_pipeline_spark.sources.readers import read_table
+
+#: DuckDB CTE text mirrored by :func:`sensor_frame`. temperature spans
+#: about -5..44 degC (events.value is 0.01..490.02) so the README's ">10"
+#: threshold (reference README.md:40) filters a meaningful fraction; every
+#: 17th record gets a NULL temperature to exercise the missing-field path
+#: (reference app/app.py:51, 108).
+SENSOR_CTE = """
+sensor AS (
+  SELECT 'device-' || CAST(user_id % 25 AS VARCHAR) AS device_id,
+         CASE WHEN event_id % 17 = 0 THEN NULL ELSE value / 10 - 5 END AS temperature,
+         value AS humidity,
+         CAST(ts AS TIMESTAMP) AS ts
+  FROM events
+)
+"""
+
+DIM_CTE = """
+dim_device_location AS (
+  SELECT 'device-' || CAST(r AS VARCHAR) AS device_id,
+         'loc-' || CAST(r % 7 AS VARCHAR) AS location_id
+  FROM range(15) t(r)
+)
+"""
+
+
+def sensor_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark mirror of SENSOR_CTE."""
+    ev = read_table(spark, sf_dir, "events")
+    return ev.select(
+        F.concat(F.lit("device-"), (F.col("user_id") % 25).cast("string")).alias(
+            "device_id"
+        ),
+        F.when(F.col("event_id") % 17 != 0, F.col("value") / 10 - 5).alias(
+            "temperature"
+        ),
+        F.col("value").alias("humidity"),
+        F.col("ts"),
+    )
+
+
+def dim_device_location(spark: SparkSession) -> DataFrame:
+    """Spark mirror of DIM_CTE: 15 devices (sensor has 25 -> left-join NULL
+    path exercised, FIXTURES.md section 2)."""
+    return spark.range(15).select(
+        F.concat(F.lit("device-"), F.col("id").cast("string")).alias("device_id"),
+        F.concat(F.lit("loc-"), (F.col("id") % 7).cast("string")).alias("location_id"),
+    )
+
+
+def fmt_ts(col: str | F.Column) -> F.Column:
+    """Timestamp -> canonical comparison string (oracle side: strftime)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.date_format(c, "yyyy-MM-dd HH:mm:ss")
+
+
+#: DuckDB twin of fmt_ts -- use as ORACLE_FMT.format(expr)
+ORACLE_FMT = "strftime({}, '%Y-%m-%d %H:%M:%S')"

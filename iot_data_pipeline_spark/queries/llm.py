@@ -1,0 +1,678 @@
+"""LLM-data-pipeline operators as declared queries (north-star mandate):
+exact/near dedup (MinHash-LSH, SimHash, n-gram Jaccard, embedding cosine),
+text analysis (tokens, language-ID, quality, fingerprint), multimodal
+metadata plumbing, and IVF-style ANN. All run on documents/embeddings.
+
+Cross-engine determinism trick: a *portable hash*
+    H(s) = int(md5(s)[:15 hex], 16) % 1_000_000_007
+is computable bit-identically in Spark (conv+md5) and DuckDB ('0x' cast),
+so MinHash signatures, SimHash fingerprints, and rolling-hash fingerprints
+hash-match the oracle exactly -- no approximate comparison needed.
+
+Since the driver corpus has no literal duplicates, dedup queries build a
+deterministic augmented corpus (every 10th doc re-inserted, exact copy for
+exact-dedup / token-truncated copy for near-dup) with identical expressions
+in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from iot_data_pipeline_spark.queries.registry import declared
+from iot_data_pipeline_spark.sources.readers import read_table
+
+MOD = 1_000_000_007
+N_MINHASH = 16
+N_BANDS = 4  # 4 bands x 4 rows
+
+
+def portable_hash(c: Column) -> Column:
+    """md5-derived 60-bit int mod 1e9+7; DuckDB twin: ORACLE_HASH."""
+    return (
+        F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long") % MOD
+    )
+
+
+ORACLE_HASH = "(CAST(('0x' || substr(md5({0}), 1, 15)) AS BIGINT) % 1000000007)"
+
+#: Deterministic dup-augmented corpus. Exact copies for exact-dedup.
+CORPUS_EXACT_CTE = """
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+)
+"""
+
+#: Near-dup corpus: every 10th doc re-inserted with its last 3 tokens dropped.
+CORPUS_NEAR_CTE = """
+corpus AS (
+  SELECT doc_id, text, lang FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id,
+         array_to_string(
+           (string_split(text, ' '))[1:greatest(len(string_split(text, ' ')) - 3, 0)],
+           ' ') AS text,
+         lang
+  FROM documents WHERE doc_id % 10 = 0
+)
+"""
+
+#: 3-token shingles (distinct) per corpus doc -- DuckDB side.
+SHINGLES_CTE = """
+shingled AS (
+  SELECT doc_id, lang, unnest(
+    list_transform(
+      range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+      i -> string_split(text, ' ')[i] || ' ' ||
+           string_split(text, ' ')[i+1] || ' ' ||
+           string_split(text, ' ')[i+2])) AS shingle
+  FROM corpus
+),
+shingles AS (SELECT DISTINCT doc_id, lang, shingle FROM shingled)
+"""
+
+
+def _corpus_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dup = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    return docs.unionByName(dup)
+
+
+def _corpus_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    toks = F.split("text", " ")
+    trunc = F.concat_ws(
+        " ", F.slice(toks, 1, F.greatest(F.size(toks) - 3, F.lit(0)))
+    )
+    dup = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        trunc.alias("text"),
+        "lang",
+    )
+    return docs.unionByName(dup)
+
+
+def _shingles(corpus: DataFrame) -> DataFrame:
+    """Distinct 3-token shingles per doc (Spark side of SHINGLES_CTE)."""
+    toks = F.split("text", " ")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - 2, F.lit(0)))
+    shingle_list = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(toks, i),
+            F.element_at(toks, i + 1),
+            F.element_at(toks, i + 2),
+        ),
+    )
+    return (
+        corpus.select("doc_id", "lang", F.explode(shingle_list).alias("shingle"))
+        .distinct()
+    )
+
+
+@declared(
+    "q17b_token_counts",
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    counted AS (SELECT token, COUNT(*) AS n FROM tok GROUP BY token)
+    SELECT token, n FROM (
+      SELECT token, n, ROW_NUMBER() OVER (ORDER BY n DESC, token) AS rn
+      FROM counted
+    ) WHERE rn <= 20 ORDER BY n DESC, token
+    """,
+)
+def q17b_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 tokens by frequency (B47): split+explode+count, the word-count
+    shape -- partial aggregation keeps the shuffle tiny at any scale."""
+    docs = read_table(spark, sf_dir, "documents")
+    counted = (
+        docs.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.orderBy(F.desc("n"), "token")
+    return (
+        counted.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select("token", "n")
+        .orderBy(F.desc("n"), "token")
+    )
+
+
+@declared(
+    "q22_exact_dedup",
+    oracle=f"""
+    WITH {CORPUS_EXACT_CTE.strip()}
+    SELECT MIN(doc_id) AS rep_doc, COUNT(*) AS n_copies
+    FROM corpus GROUP BY md5(text) HAVING COUNT(*) > 1
+    ORDER BY rep_doc
+    """,
+)
+def q22_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate groups by content hash (B44): group on sha2(text) --
+    at 100 TB you group on the 32-byte digest, never the document body,
+    so the shuffle carries hashes instead of text. Output is hash-free
+    (representative id + group size), so Spark's sha2 and the oracle's md5
+    grouping agree."""
+    corpus = _corpus_exact(spark, sf_dir)
+    return (
+        corpus.groupBy(F.sha2(F.col("text"), 256).alias("h"))
+        .agg(F.min("doc_id").alias("rep_doc"), F.count(F.lit(1)).alias("n_copies"))
+        .filter(F.col("n_copies") > 1)
+        .select("rep_doc", "n_copies")
+        .orderBy("rep_doc")
+    )
+
+
+def _minhash_sig_sql() -> str:
+    terms = ",\n           ".join(
+        f"MIN(({37 + 61 * i} * h + {91 + 17 * i}) % {MOD}) AS sig_{i}"
+        for i in range(N_MINHASH)
+    )
+    return terms
+
+
+def _minhash_band_keys_sql() -> str:
+    rows = []
+    per_band = N_MINHASH // N_BANDS
+    for b in range(N_BANDS):
+        cols = ", ".join(f"sig_{b * per_band + j}" for j in range(per_band))
+        rows.append(
+            f"SELECT doc_id, {b} AS band, concat_ws(',', {cols}) AS key FROM sigs"
+        )
+    return "\n      UNION ALL\n      ".join(rows)
+
+
+@declared(
+    "q23_minhash_lsh",
+    oracle=f"""
+    WITH {CORPUS_NEAR_CTE.strip()},
+    {SHINGLES_CTE.strip()},
+    hashed AS (
+      SELECT doc_id, {ORACLE_HASH.format("shingle")} AS h FROM shingles
+    ),
+    sigs AS (
+      SELECT doc_id,
+           {_minhash_sig_sql()}
+      FROM hashed GROUP BY doc_id
+    ),
+    bands AS (
+      {_minhash_band_keys_sql()}
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+                             AND a.doc_id < b.doc_id
+    ORDER BY doc_a, doc_b
+    """,
+)
+def q23_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH banding near-dup candidates (shingle -> 16 minhashes ->
+    4 bands -> bucket self-join). The portable hash makes signatures
+    bit-identical to the oracle.
+
+    Scale shape: the only shuffles are the groupBy(doc_id) for signatures
+    and the band-key self-join -- both linear in corpus size; no all-pairs
+    comparison ever happens (that's the point of LSH at 100 TB).
+    """
+    shingles = _shingles(_corpus_near(spark, sf_dir))
+    hashed = shingles.select(
+        "doc_id", portable_hash(F.col("shingle")).alias("h")
+    )
+    per_band = N_MINHASH // N_BANDS
+    sigs = hashed.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(37 + 61 * i) * F.col("h") + F.lit(91 + 17 * i)) % MOD).alias(
+                f"sig_{i}"
+            )
+            for i in range(N_MINHASH)
+        ]
+    )
+    bands = None
+    for b in range(N_BANDS):
+        cols = [f"sig_{b * per_band + j}" for j in range(per_band)]
+        part = sigs.select(
+            "doc_id",
+            F.lit(b).alias("band"),
+            F.concat_ws(",", *cols).alias("key"),
+        )
+        bands = part if bands is None else bands.unionByName(part)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _simhash_bits_sql(hcol: str) -> str:
+    terms = [
+        f"SUM(CASE WHEN ({hcol} >> {j}) & 1 = 1 THEN 1 ELSE -1 END)"
+        f" AS bit_{j}" for j in range(30)
+    ]
+    return ",\n             ".join(terms)
+
+
+@declared(
+    "q24_simhash_pairs",
+    oracle=f"""
+    WITH {CORPUS_NEAR_CTE.strip()},
+    tok AS (
+      SELECT DISTINCT doc_id, lang, unnest(string_split(text, ' ')) AS token
+      FROM corpus
+    ),
+    hashed AS (
+      SELECT doc_id, lang, {ORACLE_HASH.format("token")} AS h FROM tok
+    ),
+    bits AS (
+      SELECT doc_id, lang,
+             {_simhash_bits_sql("h")}
+      FROM hashed GROUP BY doc_id, lang
+    ),
+    fp AS (
+      SELECT doc_id, lang,
+             {" + ".join(f"(CASE WHEN bit_{j} > 0 THEN 1::BIGINT ELSE 0 END << {j})" for j in range(30))}
+             AS simhash
+      FROM bits
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+    FROM fp a JOIN fp b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 4
+    ORDER BY doc_a, doc_b
+    """,
+)
+def q24_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: 30-bit simhash over distinct tokens, pairs
+    within the same lang block at Hamming distance <= 4. Blocking by lang
+    bounds the self-join; at 100 TB you'd further block on simhash
+    prefix-bands (same rotation trick as MinHash-LSH)."""
+    corpus = _corpus_near(spark, sf_dir)
+    tok = corpus.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("token")
+    ).distinct()
+    hashed = tok.select("doc_id", "lang", portable_hash(F.col("token")).alias("h"))
+    bit_sums = [
+        F.sum(
+            F.when(F.expr(f"(h >> {j}) & 1 = 1"), 1).otherwise(-1)
+        ).alias(f"bit_{j}")
+        for j in range(30)
+    ]
+    bits = hashed.groupBy("doc_id", "lang").agg(*bit_sums)
+    fp_expr = " + ".join(
+        f"(CASE WHEN bit_{j} > 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END << {j})"
+        for j in range(30)
+    )
+    fp = bits.select("doc_id", "lang", F.expr(fp_expr).alias("simhash"))
+    a = fp.alias("a")
+    b = fp.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(ham <= 4)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.cast("int").alias("hamming"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@declared(
+    "q25_ngram_jaccard",
+    oracle=f"""
+    WITH {CORPUS_NEAR_CTE.strip()},
+    {SHINGLES_CTE.strip()},
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+      FROM shingles a JOIN shingles b
+        ON a.shingle = b.shingle AND a.lang = b.lang AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           ROUND(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 4)
+             AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE ROUND(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 4) >= 0.5
+    ORDER BY doc_a, doc_b
+    """,
+)
+def q25_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard similarity >= 0.5 within lang blocks (B45):
+    shingle self-join counts intersections (linear in shared-shingle pairs,
+    never all-pairs); exact integer-ratio arithmetic -> deterministic."""
+    shingles = _shingles(_corpus_near(spark, sf_dir))
+    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = shingles.alias("a")
+    b = shingles.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.round(
+        F.col("n_inter").cast("double")
+        / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_inter")),
+        4,
+    )
+    return (
+        inter.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
+        .filter(jac >= 0.5)
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@declared(
+    "q26_embedding_neardup",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS emb,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      FROM embeddings
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm), 4) AS sim
+    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE ROUND(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm), 4) >= 0.75
+    ORDER BY vec_a, vec_b
+    """,
+)
+def q26_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs within label blocks (B45/B46):
+    the label is the blocking key -- the join is per-block all-pairs, which
+    is the correct scale shape when blocks are bounded (at 100 TB, block =
+    LSH bucket or IVF cell, not a semantic label)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    as_double = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    dot = lambda x, y: F.aggregate(  # noqa: E731
+        F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0), lambda s, v: s + v
+    )
+    e = emb.select(
+        "vec_id",
+        "label",
+        as_double.alias("emb"),
+        F.sqrt(dot(as_double, as_double)).alias("nrm"),
+    )
+    a = e.alias("a")
+    b = e.alias("b")
+    sim = F.round(
+        dot(F.col("a.emb"), F.col("b.emb")) / (F.col("a.nrm") * F.col("b.nrm")), 4
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(sim >= 0.75)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            sim.alias("sim"),
+        )
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+#: tiny deterministic lexicons over the corpus vocabulary -- the *plumbing*
+#: of n-gram language-ID (real lexicons would be table-backed the same way).
+LEXICON = [
+    ("table", "en"), ("row", "en"), ("value", "en"), ("query", "en"),
+    ("scan", "de"), ("fast", "de"), ("slow", "de"), ("merge", "de"),
+    ("join", "fr"), ("hash", "fr"), ("part", "fr"), ("line", "fr"),
+    ("window", "es"), ("batch", "es"), ("order", "es"), ("column", "es"),
+]
+
+_LEX_VALUES = ", ".join(f"('{t}', '{lg}')" for t, lg in LEXICON)
+
+
+@declared(
+    "q27_langid",
+    oracle=f"""
+    WITH lex(token, cand_lang) AS (VALUES {_LEX_VALUES}),
+    tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    votes AS (
+      SELECT doc_id, cand_lang, COUNT(*) AS n_hits
+      FROM tok JOIN lex USING (token)
+      GROUP BY doc_id, cand_lang
+    )
+    SELECT doc_id, cand_lang AS pred_lang, n_hits FROM (
+      SELECT doc_id, cand_lang, n_hits,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY n_hits DESC, cand_lang) AS rn
+      FROM votes
+    ) WHERE rn = 1 ORDER BY doc_id
+    """,
+)
+def q27_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexicon-vote language ID (text-analysis op): tokens join a broadcast
+    lexicon, majority vote per doc with deterministic tie-break. The
+    lexicon join is the scale-correct shape for any dictionary feature:
+    broadcast the dictionary, never shuffle the corpus."""
+    docs = read_table(spark, sf_dir, "documents")
+    lex = spark.createDataFrame(LEXICON, ["token", "cand_lang"])
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    votes = (
+        tok.join(F.broadcast(lex), "token")
+        .groupBy("doc_id", "cand_lang")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("n_hits"), "cand_lang")
+    return (
+        votes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("cand_lang").alias("pred_lang"), "n_hits")
+        .orderBy("doc_id")
+    )
+
+
+@declared(
+    "q28_quality_score",
+    oracle="""
+    WITH stats AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_tokens,
+             len(list_distinct(string_split(text, ' '))) AS n_distinct,
+             length(text) AS n_chars
+      FROM documents
+    )
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(n_distinct AS BIGINT) AS n_distinct,
+           ROUND(CAST(n_distinct AS DOUBLE) / n_tokens, 4) AS ttr,
+           ROUND(CAST(n_chars - n_tokens + 1 AS DOUBLE) / n_tokens, 4)
+             AS avg_token_len,
+           ROUND(0.5 * (CAST(n_distinct AS DOUBLE) / n_tokens)
+                 + 0.3 * least(CAST(n_tokens AS DOUBLE) / 100, 1.0)
+                 + 0.2 * least((CAST(n_chars - n_tokens + 1 AS DOUBLE) / n_tokens) / 8, 1.0),
+                 4) AS quality
+    FROM stats ORDER BY doc_id
+    """,
+)
+def q28_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality scoring (text-analysis op): type-token ratio,
+    average token length, length saturation -- one weighted score, pure
+    column arithmetic (per-row, embarrassingly parallel at any scale)."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_tokens = F.size(toks).cast("long")
+    n_distinct = F.size(F.array_distinct(toks)).cast("long")
+    n_chars = F.length("text")
+    ttr = n_distinct.cast("double") / n_tokens
+    avg_len = (n_chars - n_tokens + 1).cast("double") / n_tokens
+    quality = (
+        0.5 * ttr
+        + 0.3 * F.least(n_tokens.cast("double") / 100, F.lit(1.0))
+        + 0.2 * F.least(avg_len / 8, F.lit(1.0))
+    )
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        n_distinct.alias("n_distinct"),
+        F.round(ttr, 4).alias("ttr"),
+        F.round(avg_len, 4).alias("avg_token_len"),
+        F.round(quality, 4).alias("quality"),
+    ).orderBy("doc_id")
+
+
+@declared(
+    "q29_doc_fingerprint",
+    oracle=f"""
+    WITH hashed AS (
+      SELECT doc_id,
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split(text, ' '),
+                              t -> {ORACLE_HASH.format("t")})) AS hs
+      FROM documents
+    )
+    SELECT doc_id,
+           list_reduce(hs, (acc, x) -> (acc * 31 + x) % 1000000007)
+             AS fingerprint
+    FROM hashed ORDER BY doc_id
+    """,
+)
+def q29_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive document fingerprint (text-analysis op): polynomial
+    rolling hash over token hashes, folded sequentially -- the same int64
+    arithmetic in both engines (mod keeps every intermediate < 2^35, ANSI
+    overflow-safe)."""
+    docs = read_table(spark, sf_dir, "documents")
+    token_hashes = F.transform(F.split("text", " "), lambda t: portable_hash(t))
+    fingerprint = F.aggregate(
+        token_hashes,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * 31 + x) % MOD,
+    )
+    return docs.select("doc_id", fingerprint.alias("fingerprint")).orderBy("doc_id")
+
+
+@declared(
+    "q30_multimodal_meta",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+           substr(sha256(text), 1, 16) AS digest16,
+           CAST(octet_length(encode(text)) // 1024 + 1 AS BIGINT) AS n_chunks
+    FROM documents ORDER BY doc_id
+    """,
+)
+def q30_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal-column plumbing (B48): treat content as an opaque binary
+    payload with typed metadata (byte length, digest, chunk count). The
+    decode/feature-extract stage lives in operators.multimodal (stubbed --
+    no codecs in this container); this query proves the binary schema,
+    hashing, and chunk accounting survive Spark<->oracle round trips."""
+    docs = read_table(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "utf-8")
+    return docs.select(
+        "doc_id",
+        F.octet_length(payload).cast("long").alias("byte_len"),
+        F.substring(F.sha2(payload, 256), 1, 16).alias("digest16"),
+        (F.floor(F.octet_length(payload) / 1024) + 1)
+        .cast("long")
+        .alias("n_chunks"),
+    ).orderBy("doc_id")
+
+
+@declared(
+    "q31_ann_ivf",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS emb,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm,
+             (CASE WHEN embedding[1] > 0 THEN 4 ELSE 0 END
+              + CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END
+              + CASE WHEN embedding[3] > 0 THEN 1 ELSE 0 END) AS cell
+      FROM embeddings
+    ),
+    queries AS (SELECT * FROM e WHERE vec_id < 5),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id,
+             ROUND(list_dot_product(q.emb, c.emb) / (q.nrm * c.nrm), 4) AS sim
+      FROM queries q JOIN e c ON q.cell = c.cell AND q.vec_id <> c.vec_id
+    )
+    SELECT query_id, vec_id, sim FROM (
+      SELECT query_id, vec_id, sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, vec_id) AS rn
+      FROM scored
+    ) WHERE rn <= 3 ORDER BY query_id, rn
+    """,
+)
+def q31_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN (the scale path next to q12's brute force): vectors are
+    assigned to one of 8 cells by sign-quantizing the first 3 components
+    (a stand-in for trained centroids); each query probes only its own cell.
+    The join is equi on cell -- a hash shuffle, not a cross join; recall is
+    traded for a ~8x candidate reduction, the IVF contract."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    as_double = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    dot = lambda x, y: F.aggregate(  # noqa: E731
+        F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0), lambda s, v: s + v
+    )
+    cell = (
+        F.when(F.element_at("embedding", 1) > 0, 4).otherwise(0)
+        + F.when(F.element_at("embedding", 2) > 0, 2).otherwise(0)
+        + F.when(F.element_at("embedding", 3) > 0, 1).otherwise(0)
+    )
+    e = emb.select(
+        "vec_id",
+        as_double.alias("emb"),
+        F.sqrt(dot(as_double, as_double)).alias("nrm"),
+        cell.alias("cell"),
+    )
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("qemb"),
+        F.col("nrm").alias("qnrm"),
+        F.col("cell").alias("qcell"),
+    )
+    sim = F.round(
+        dot(F.col("qemb"), F.col("emb")) / (F.col("qnrm") * F.col("nrm")), 4
+    )
+    scored = (
+        e.join(F.broadcast(q), (F.col("qcell") == F.col("cell")))
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select("query_id", "vec_id", sim.alias("sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), "vec_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("query_id", "vec_id", "sim")
+        .orderBy("query_id", F.desc("sim"), "vec_id")
+    )

@@ -1,0 +1,90 @@
+"""Declared-query registry: the t2 correctness contract (SURVEY.md section 2.3).
+
+Each entry pairs a PySpark implementation with the equivalent DuckDB oracle
+SQL. The driver runs both at sf0.01 and hash-matches row-count + schema +
+order-insensitive values, sorting columns by NAME -- so every computed column
+is aliased identically on both sides.
+
+Determinism rules applied throughout (SURVEY.md section 2.3):
+- floating aggregates rounded AFTER aggregation;
+- timestamps compared as strings of date_trunc'd values, UTC both sides;
+- no nondeterministic or approximate functions;
+- ties broken by explicit keys wherever a ranking cuts off.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+SparkQuery = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class DeclaredQuery:
+    name: str
+    fn: SparkQuery
+    oracle: str | None  # DuckDB SQL; None -> driver does a rows-only check
+    doc: str
+
+
+REGISTRY: dict[str, DeclaredQuery] = {}
+
+
+def portable_round_sql(sql: str) -> str:
+    """Rewrite every ``ROUND(expr, n)`` in DuckDB oracle SQL to match Spark's
+    rounding semantics exactly.
+
+    Spark's ``round`` on DOUBLE applies HALF_UP to the double's *shortest
+    decimal representation* (java BigDecimal.valueOf); DuckDB's native
+    ``round`` works on the binary value, so half-way-looking inputs like
+    64.445 diverge (Spark 64.45, DuckDB 64.44). DuckDB's VARCHAR cast emits
+    the same shortest representation, so
+    ``CAST(ROUND(CAST(CAST(x AS VARCHAR) AS DECIMAL(38,18)), n) AS DOUBLE)``
+    reproduces Spark bit-for-bit (verified over clean-decimal, full-precision,
+    negative, and subnormal inputs).
+    """
+    out = []
+    i = 0
+    token = "ROUND("
+    while True:
+        j = sql.find(token, i)
+        if j < 0:
+            out.append(sql[i:])
+            break
+        out.append(sql[i:j])
+        depth = 1
+        k = j + len(token)
+        args_start = k
+        top_comma = -1
+        while depth > 0:
+            c = sql[k]
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+            elif c == "," and depth == 1 and top_comma < 0:
+                top_comma = k
+            k += 1
+        expr = portable_round_sql(sql[args_start:top_comma].strip())
+        ndig = sql[top_comma + 1 : k - 1].strip()
+        out.append(
+            f"CAST(ROUND(CAST(CAST({expr} AS VARCHAR) AS DECIMAL(38,18)), {ndig}) AS DOUBLE)"
+        )
+        i = k
+    return "".join(out)
+
+
+def declared(name: str, oracle: str | None = None) -> Callable[[SparkQuery], SparkQuery]:
+    """Register a declared query. ``oracle`` is DuckDB SQL over the
+    pre-registered testdata views (region nation customer supplier part
+    orders lineitem events documents embeddings)."""
+
+    def deco(fn: SparkQuery) -> SparkQuery:
+        sql = portable_round_sql(oracle) if oracle else oracle
+        REGISTRY[name] = DeclaredQuery(name, fn, sql, (fn.__doc__ or "").strip())
+        return fn
+
+    return deco

@@ -1,0 +1,20 @@
+from iot_data_pipeline_spark.sources.readers import (
+    TABLES,
+    load_tables,
+    read_csv,
+    read_jsonl,
+    read_table,
+    register_views,
+)
+from iot_data_pipeline_spark.sources.sinks import write_jsonl, write_parquet
+
+__all__ = [
+    "TABLES",
+    "load_tables",
+    "read_csv",
+    "read_jsonl",
+    "read_table",
+    "register_views",
+    "write_jsonl",
+    "write_parquet",
+]

@@ -1,0 +1,144 @@
+"""Batch sources: parquet testdata tables, JSONL (the reference's format), CSV.
+
+Scale notes (100 TB design point):
+- Parquet scans rely on Catalyst pushdown: express filters/projections on the
+  DataFrame *before* any action so ``PushedFilters``/``ReadSchema`` reach the
+  scan; never materialize then filter.
+- JSONL ingest declares an explicit schema (no inference pass over the data --
+  at 100 TB a schema-inference pre-scan doubles the read) and uses PERMISSIVE
+  mode with a corrupt-record column so one dirty line never fails a 1000-task
+  stage (reference semantics: log-and-drop, app/app.py:62-65).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: Driver testdata tables (TESTDATA.md / FIXTURES.md section 3).
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+#: Canonical sensor-record schema (FIXTURES.md section 1; union of the
+#: reference's README sample and its embedded dummy data). All nullable:
+#: schema-on-read semantics, missing field -> NULL (replaces the reference's
+#: ``'temperature' in record`` probe, app/app.py:51).
+SENSOR_SCHEMA = T.StructType(
+    [
+        T.StructField("device_id", T.StringType()),
+        T.StructField("location", T.StringType()),
+        T.StructField("temperature", T.DoubleType()),
+        T.StructField("humidity", T.DoubleType()),
+        T.StructField("pressure", T.DoubleType()),
+        T.StructField("timestamp", T.TimestampType()),
+    ]
+)
+
+CORRUPT_COL = "_corrupt_record"
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one driver testdata table, normalizing types.
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS); with
+    ``spark.sql.legacy.parquet.nanosAsLong=true`` it arrives as LONG
+    nanos-since-epoch. Convert via integer division (``div`` -- a double
+    division would lose precision above 2**53 ns ~ 1970+104 days).
+    """
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES
+) -> dict[str, DataFrame]:
+    return {name: read_table(spark, sf_dir, name) for name in names}
+
+
+def register_views(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES
+) -> dict[str, DataFrame]:
+    """Register each testdata table as a temp view for ``spark.sql`` entry."""
+    dfs = load_tables(spark, sf_dir, names)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs
+
+
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType = SENSOR_SCHEMA,
+    keep_corrupt: bool = True,
+) -> DataFrame:
+    """JSONL scan with corrupt-record routing (reference A1/A4/A5/A13).
+
+    Returns a frame with the declared columns plus ``_corrupt_record``
+    (non-NULL for lines that failed to parse as a JSON object). Callers
+    split good/bad with :func:`split_corrupt`. Mirrors the reference's
+    behavior: malformed lines are captured, never fail the job
+    (app/app.py:62-65); non-object top-level values are rejected
+    (app/app.py:43-45) -- Spark's JSON reader routes those to the corrupt
+    column under PERMISSIVE mode.
+    """
+    full = schema
+    if keep_corrupt and CORRUPT_COL not in schema.fieldNames():
+        full = T.StructType(schema.fields + [T.StructField(CORRUPT_COL, T.StringType())])
+    return (
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .json(path)
+    )
+
+
+def split_corrupt(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Split a PERMISSIVE-read frame into (good, bad) frames.
+
+    ``bad`` carries only the raw line (dead-letter channel, the engine
+    realization of the reference's planned DLQ, reference README.md:215).
+    A blank line yields an all-NULL row (including the corrupt column);
+    the reference skips blank lines silently (app/app.py:35-37), so rows
+    that are entirely NULL are dropped from both sides.
+
+    The parsed frame is cached: Spark refuses to answer queries that
+    reference only the internal corrupt-record column of a raw JSON scan
+    (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN), and the cache
+    also makes the one-pass parse serve both output frames.
+    """
+    df = df.cache()
+    data_cols = [c for c in df.columns if c != CORRUPT_COL]
+    all_null = F.lit(True)
+    for c in data_cols:
+        all_null = all_null & F.col(c).isNull()
+    bad = df.filter(F.col(CORRUPT_COL).isNotNull()).select(
+        F.col(CORRUPT_COL).alias("raw_line")
+    )
+    good = df.filter(F.col(CORRUPT_COL).isNull() & ~all_null).select(*data_cols)
+    return good, bad
+
+
+def read_csv(
+    spark: SparkSession, path: str, schema: T.StructType, header: bool = True
+) -> DataFrame:
+    """CSV scan with a declared schema (B2). No inference: at scale an
+    inference pass is a second full read of the input."""
+    return (
+        spark.read.option("header", str(header).lower())
+        .schema(schema)
+        .option("mode", "PERMISSIVE")
+        .csv(path)
+    )

@@ -1,0 +1,53 @@
+"""Sinks: JSONL (reference parity) and partitioned Parquet (processed zone).
+
+The reference writes one JSON object per line and allows an empty output
+(app/app.py:68-80); its README names Parquet as the intended processed-zone
+format (README.md:217). At 100 TB the parquet sink should be partitioned on a
+low-cardinality routing column (e.g. date) so downstream scans prune.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def write_jsonl(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    timestamp_format: str = "yyyy-MM-dd'T'HH:mm:ssXXX",
+    coalesce: int | None = None,
+) -> None:
+    """One JSON object per line, ISO-8601 UTC timestamps (reference A11).
+
+    ``coalesce=1`` reproduces the reference's one-file-out contract for
+    small micro-batches; leave None for scale (one file per partition).
+    """
+    out = df.coalesce(coalesce) if coalesce else df
+    out.write.mode(mode).option("timestampFormat", timestamp_format).json(path)
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: tuple[str, ...] = (),
+) -> None:
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def write_dead_letter(bad: DataFrame, path: str, mode: str = "append") -> None:
+    """Dead-letter sink for corrupt records (realizes reference README.md:215).
+
+    Keeps the raw line plus capture metadata; parquet so the DLQ is itself
+    queryable (count by error day, replay a range, ...).
+    """
+    (
+        bad.withColumn("_ingest_ts", F.current_timestamp())
+        .write.mode(mode)
+        .parquet(path)
+    )
