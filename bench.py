@@ -1,0 +1,66 @@
+"""Benchmark runner: every declared query at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+
+    {"metric": "total_declared_query_wall", "value": N, "unit": "sec",
+     "queries": {"q01_...": sec, ...}, "sf": 0.1}
+
+Each query is timed as: build the DataFrame (plan) + execute to a count/
+collect sink. A warm-up pass (q05) absorbs JVM/codegen startup so per-query
+numbers reflect steady-state execution, matching how a long-lived cluster
+session behaves.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def infer_sf(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    if base.startswith("sf"):
+        try:
+            return float(base[2:])
+        except ValueError:
+            pass
+    return -1.0
+
+
+def main() -> int:
+    from iot_data_pipeline_spark.queries import REGISTRY
+    from iot_data_pipeline_spark.session import build_session
+
+    spark = build_session("bench")
+    # Warm-up: JVM + whole-stage-codegen compile + parquet footer caching.
+    REGISTRY["q05_revenue_per_nation"].fn(spark, SF_DIR).count()
+
+    per_query: dict[str, float] = {}
+    total = 0.0
+    for name, dq in REGISTRY.items():
+        t0 = time.perf_counter()
+        df = dq.fn(spark, SF_DIR)
+        n = df.count()
+        dt = time.perf_counter() - t0
+        per_query[name] = round(dt, 3)
+        total += dt
+        print(f"# {name}: {dt:.3f}s ({n} rows)", flush=True)
+
+    print(
+        json.dumps(
+            {
+                "metric": "total_declared_query_wall",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": per_query,
+                "sf": infer_sf(SF_DIR),
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
