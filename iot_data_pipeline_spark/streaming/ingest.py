@@ -1,0 +1,133 @@
+"""Event-driven per-file micro-batch ingest (reference A15/A16 -> B37).
+
+The reference wires S3 ``ObjectCreated`` notifications with a ``.jsonl``
+suffix filter to a Lambda that launches one Fargate task per file
+(reference lambda/s3_event_handler.py:21-70, terraform/main.tf:463-468).
+Spark's file-source Structured Streaming subsumes that whole control plane:
+the checkpointed file listing is the notification + dedup, micro-batches are
+the per-arrival tasks, and ``Trigger.AvailableNow`` gives "process what has
+arrived, then stop" (one driver invocation per burst -- the same operational
+contract, minus two process boundaries).
+
+Scale notes:
+- ``maxFilesPerTrigger`` bounds micro-batch size so a 10k-file backlog does
+  not become one giant batch (at 100 TB the raw zone arrives in bursts).
+- ``pathGlobFilter='*.jsonl'`` reproduces the suffix filter at the source.
+- output is partitioned by source file basename, reproducing the
+  ``processed/<basename>`` routing rule (lambda/s3_event_handler.py:65)
+  while keeping one parquet dir per input file for downstream pruning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming import StreamingQuery
+
+from iot_data_pipeline_spark.pipeline import PipelineConfig, transform_sensor
+from iot_data_pipeline_spark.sources.readers import (
+    CORRUPT_COL,
+    SENSOR_SCHEMA,
+    split_corrupt,
+)
+
+
+def read_sensor_stream(
+    spark: SparkSession,
+    raw_dir: str,
+    schema: T.StructType = SENSOR_SCHEMA,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming JSONL scan over a raw directory with corrupt capture."""
+    full = T.StructType(
+        schema.fields + [T.StructField(CORRUPT_COL, T.StringType())]
+    )
+    reader = (
+        spark.readStream.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .option("pathGlobFilter", "*.jsonl")
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.json(raw_dir).withColumn(
+        "_source_file",
+        F.element_at(F.split(F.input_file_name(), "/"), -1),
+    )
+
+
+def start_sensor_ingest(
+    spark: SparkSession,
+    raw_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    config: PipelineConfig = PipelineConfig(),
+    dim_location: DataFrame | None = None,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Start the streaming sensor pipeline; returns the StreamingQuery.
+
+    Each micro-batch applies the exact batch transform (same code path as
+    ``run_batch_pipeline`` -- streaming/batch parity by construction) and
+    writes parquet partitioned by source file; corrupt rows go to
+    ``<out_dir>/_dead_letter`` keyed the same way.
+    """
+    stream = read_sensor_stream(spark, raw_dir)
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # Like sources.readers.split_corrupt, but keeping the per-file
+        # routing column on both channels.
+        source = F.col("_source_file")
+        parent = batch_df.cache()
+        data_cols = [c for c in parent.columns if c not in (CORRUPT_COL, "_source_file")]
+        all_null = F.lit(True)
+        for c in data_cols:
+            all_null = all_null & F.col(c).isNull()
+        good = parent.filter(F.col(CORRUPT_COL).isNull() & ~all_null).select(
+            *data_cols, source.alias("source_file")
+        )
+        bad = parent.filter(F.col(CORRUPT_COL).isNotNull()).select(
+            F.col(CORRUPT_COL).alias("raw_line"), source.alias("source_file")
+        )
+        processed = transform_sensor(good, config, dim_location)
+        (
+            processed.write.mode("append")
+            .partitionBy("source_file")
+            .parquet(out_dir)
+        )
+        if bad.limit(1).count() > 0:
+            (
+                bad.withColumn("_ingest_ts", F.current_timestamp())
+                .write.mode("append")
+                .partitionBy("source_file")
+                .parquet(f"{out_dir}/_dead_letter")
+            )
+        parent.unpersist()
+
+    writer = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def run_ingest_available_now(
+    spark: SparkSession,
+    raw_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    config: PipelineConfig = PipelineConfig(),
+    timeout_s: int = 300,
+) -> None:
+    """Process-everything-then-stop convenience (the per-burst batch mode)."""
+    q = start_sensor_ingest(
+        spark, raw_dir, out_dir, checkpoint_dir, config, available_now=True
+    )
+    q.awaitTermination(timeout_s)
+    if q.isActive:
+        q.stop()
+        raise TimeoutError(f"ingest did not drain within {timeout_s}s")

@@ -1,0 +1,136 @@
+"""Streaming ingest tests: Q14 semantics (SURVEY.md section 2.3).
+
+Contract under test (reference A15/A16 -> B37):
+- ``Trigger.AvailableNow`` over a raw dir == batch read of the same dir
+  (streaming/batch parity, the Q14 oracle rule);
+- checkpointed file tracking: re-running after new files arrive processes
+  ONLY the new files (the S3-notification dedup the reference gets from
+  one-event-per-object, lambda/s3_event_handler.py:44-48);
+- per-file routing: output partitioned by source file basename
+  (``processed/<basename>`` rule, lambda/s3_event_handler.py:65);
+- corrupt lines land in the dead-letter channel, never fail the stream.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from iot_data_pipeline_spark.pipeline import PipelineConfig, transform_sensor
+from iot_data_pipeline_spark.sources.readers import read_jsonl, split_corrupt
+from iot_data_pipeline_spark.streaming.ingest import run_ingest_available_now
+
+CLOCK = "2026-01-01 00:00:00"
+
+
+def _write_file(raw_dir, name: str, records: list) -> None:
+    path = raw_dir / name
+    with open(path, "w") as f:
+        for r in records:
+            f.write((r if isinstance(r, str) else json.dumps(r)) + "\n")
+
+
+def _records(device: int, n: int, base_temp: float) -> list:
+    return [
+        {
+            "device_id": f"device-{device}",
+            "temperature": base_temp + i,
+            "humidity": 40.0 + i,
+            "timestamp": f"2026-01-01T0{i}:00:00Z",
+        }
+        for i in range(n)
+    ]
+
+
+@pytest.fixture()
+def raw_dir(tmp_path):
+    d = tmp_path / "raw"
+    d.mkdir()
+    _write_file(d, "a.jsonl", _records(1, 3, 10.0))
+    _write_file(
+        d, "b.jsonl", _records(2, 2, 20.0) + ["this is a bad line"]
+    )
+    return d
+
+
+def _run(spark, raw_dir, tmp_path):
+    out = tmp_path / "out"
+    ckpt = tmp_path / "ckpt"
+    run_ingest_available_now(
+        spark,
+        str(raw_dir),
+        str(out),
+        str(ckpt),
+        config=PipelineConfig(fixed_clock=CLOCK),
+        timeout_s=120,
+    )
+    return out, ckpt
+
+
+def test_streaming_equals_batch(spark, raw_dir, tmp_path):
+    out, _ = _run(spark, raw_dir, tmp_path)
+    got = (
+        spark.read.parquet(str(out))
+        .select("device_id", "temperature", "temp_fahrenheit")
+        .orderBy("device_id", "temperature")
+        .collect()
+    )
+    batch_good, _ = split_corrupt(read_jsonl(spark, str(raw_dir)))
+    want = (
+        transform_sensor(batch_good, PipelineConfig(fixed_clock=CLOCK))
+        .select("device_id", "temperature", "temp_fahrenheit")
+        .orderBy("device_id", "temperature")
+        .collect()
+    )
+    assert got == want
+    assert len(got) == 5
+
+
+def test_per_file_routing_and_dead_letter(spark, raw_dir, tmp_path):
+    out, _ = _run(spark, raw_dir, tmp_path)
+    routed = (
+        spark.read.parquet(str(out))
+        .groupBy("source_file")
+        .count()
+        .orderBy("source_file")
+        .collect()
+    )
+    assert [(r["source_file"], r["count"]) for r in routed] == [
+        ("a.jsonl", 3),
+        ("b.jsonl", 2),
+    ]
+    dead = spark.read.parquet(str(out / "_dead_letter"))
+    rows = dead.select("raw_line", "source_file").collect()
+    assert len(rows) == 1
+    assert rows[0]["raw_line"] == "this is a bad line"
+    assert rows[0]["source_file"] == "b.jsonl"
+
+
+def test_checkpoint_processes_only_new_files(spark, raw_dir, tmp_path):
+    out, ckpt = _run(spark, raw_dir, tmp_path)
+    first = spark.read.parquet(str(out)).count()
+    assert first == 5
+
+    _write_file(raw_dir, "c.jsonl", _records(3, 4, 30.0))
+    run_ingest_available_now(
+        spark,
+        str(raw_dir),
+        str(out),
+        str(ckpt),
+        config=PipelineConfig(fixed_clock=CLOCK),
+        timeout_s=120,
+    )
+    df = spark.read.parquet(str(out))
+    # a/b NOT reprocessed (no duplicates), c picked up.
+    assert df.count() == 9
+    assert df.filter(F.col("source_file") == "c.jsonl").count() == 4
+
+
+def test_suffix_filter_ignores_non_jsonl(spark, raw_dir, tmp_path):
+    _write_file(raw_dir, "ignore.txt", _records(9, 5, 0.0))
+    out, _ = _run(spark, raw_dir, tmp_path)
+    df = spark.read.parquet(str(out))
+    assert df.filter(F.col("device_id") == "device-9").count() == 0
+    assert df.count() == 5
