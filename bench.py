@@ -4,10 +4,12 @@ sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
     {"metric": "total_declared_query_wall", "value": N, "unit": "sec",
      "queries": {"q01_...": sec, ...}, "sf": 0.1}
 
-Each query is timed as: build the DataFrame (plan) + execute to a count/
-collect sink. A warm-up pass (q05) absorbs JVM/codegen startup so per-query
-numbers reflect steady-state execution, matching how a long-lived cluster
-session behaves.
+Each query is timed as: build the DataFrame (plan) + execute to the ``noop``
+sink. The noop sink materializes every row JVM-side without writing, so the
+timing covers the full plan -- a ``count()`` sink would let Catalyst prune
+the very projections under measurement. A warm-up pass (q05) absorbs
+JVM/codegen startup so per-query numbers reflect steady-state execution,
+matching how a long-lived cluster session behaves.
 """
 
 from __future__ import annotations
@@ -34,19 +36,22 @@ def main() -> int:
     from iot_data_pipeline_spark.session import build_session
 
     spark = build_session("bench")
+
+    def run_to_noop(df) -> None:
+        df.write.format("noop").mode("overwrite").save()
+
     # Warm-up: JVM + whole-stage-codegen compile + parquet footer caching.
-    REGISTRY["q05_revenue_per_nation"].fn(spark, SF_DIR).count()
+    run_to_noop(REGISTRY["q05_revenue_per_nation"].fn(spark, SF_DIR))
 
     per_query: dict[str, float] = {}
     total = 0.0
     for name, dq in REGISTRY.items():
         t0 = time.perf_counter()
-        df = dq.fn(spark, SF_DIR)
-        n = df.count()
+        run_to_noop(dq.fn(spark, SF_DIR))
         dt = time.perf_counter() - t0
         per_query[name] = round(dt, 3)
         total += dt
-        print(f"# {name}: {dt:.3f}s ({n} rows)", flush=True)
+        print(f"# {name}: {dt:.3f}s", flush=True)
 
     print(
         json.dumps(
