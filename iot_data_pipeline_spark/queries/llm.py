@@ -97,23 +97,35 @@ def _corpus_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.unionByName(dup)
 
 
-def _shingles(corpus: DataFrame) -> DataFrame:
-    """Distinct 3-token shingles per doc (Spark side of SHINGLES_CTE)."""
-    toks = F.split("text", " ")
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - 2, F.lit(0)))
+def _shingle_hashes(corpus: DataFrame, distinct: bool = True) -> DataFrame:
+    """(doc_id, lang, h) with h = portable hash of each 3-token shingle.
+
+    Two deliberate plan shapes:
+    - ``split(text)`` is hoisted into its own projected column before the
+      shingle lambda runs. Higher-order-function lambdas are interpreted
+      (not codegen'd) and do NOT share subexpressions, so an inlined split
+      re-tokenizes the document once per element_at -- measured 4x slower
+      at sf0.1.
+    - the hash is applied *before* any shuffle so downstream distinct/joins
+      move 8-byte ints, never shingle text -- at 100 TB the shuffle volume
+      drops ~10x versus shuffling the strings. ``distinct=False`` callers
+      (MinHash) skip the dedup shuffle entirely: min() is multiset-invariant.
+    """
+    toked = corpus.select("doc_id", "lang", F.split("text", " ").alias("toks"))
+    idx = F.sequence(F.lit(1), F.greatest(F.size("toks") - 2, F.lit(0)))
     shingle_list = F.transform(
         idx,
         lambda i: F.concat_ws(
             " ",
-            F.element_at(toks, i),
-            F.element_at(toks, i + 1),
-            F.element_at(toks, i + 2),
+            F.element_at("toks", i),
+            F.element_at("toks", i + 1),
+            F.element_at("toks", i + 2),
         ),
     )
-    return (
-        corpus.select("doc_id", "lang", F.explode(shingle_list).alias("shingle"))
-        .distinct()
-    )
+    hashed = toked.select(
+        "doc_id", "lang", F.explode(shingle_list).alias("shingle")
+    ).select("doc_id", "lang", portable_hash(F.col("shingle")).alias("h"))
+    return hashed.distinct() if distinct else hashed
 
 
 @declared(
@@ -220,11 +232,13 @@ def q23_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the only shuffles are the groupBy(doc_id) for signatures
     and the band-key self-join -- both linear in corpus size; no all-pairs
-    comparison ever happens (that's the point of LSH at 100 TB).
+    comparison ever happens (that's the point of LSH at 100 TB). Shingles
+    are hashed before the first shuffle and never deduplicated: MIN over a
+    multiset equals MIN over its set, so the distinct pass the oracle runs
+    for clarity is pure cost here.
     """
-    shingles = _shingles(_corpus_near(spark, sf_dir))
-    hashed = shingles.select(
-        "doc_id", portable_hash(F.col("shingle")).alias("h")
+    hashed = _shingle_hashes(_corpus_near(spark, sf_dir), distinct=False).select(
+        "doc_id", "h"
     )
     per_band = N_MINHASH // N_BANDS
     sigs = hashed.groupBy("doc_id").agg(
@@ -235,15 +249,22 @@ def q23_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(N_MINHASH)
         ]
     )
-    bands = None
-    for b in range(N_BANDS):
-        cols = [f"sig_{b * per_band + j}" for j in range(per_band)]
-        part = sigs.select(
-            "doc_id",
-            F.lit(b).alias("band"),
-            F.concat_ws(",", *cols).alias("key"),
-        )
-        bands = part if bands is None else bands.unionByName(part)
+    # One explode, not an N_BANDS-way union: a union would replicate the
+    # signature aggregation subtree per band (and again per self-join side).
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    ",", *[f"sig_{b * per_band + j}" for j in range(per_band)]
+                ).alias("key"),
+            )
+            for b in range(N_BANDS)
+        ]
+    )
+    bands = sigs.select("doc_id", F.explode(band_structs).alias("bk")).select(
+        "doc_id", "bk.band", "bk.key"
+    )
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -298,9 +319,18 @@ def _simhash_bits_sql(hcol: str) -> str:
 )
 def q24_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: 30-bit simhash over distinct tokens, pairs
-    within the same lang block at Hamming distance <= 4. Blocking by lang
-    bounds the self-join; at 100 TB you'd further block on simhash
-    prefix-bands (same rotation trick as MinHash-LSH)."""
+    within the same lang block at Hamming distance <= 4.
+
+    Candidate generation is the per-lang-block pair join. An exact
+    prefix-band LSH variant (5 bands of 6 bits; pigeonhole guarantees a
+    full-band match at distance <= 4) was measured and *rejected for this
+    corpus*: the result set is itself quadratic (~1.5M qualifying pairs at
+    sf0.1 -- the synthetic docs share a 31-token vocabulary, so most pairs
+    really are near-dups) and the biased simhash bits put most docs in one
+    band bucket, making banding pure overhead. At 100 TB with realistic
+    (sparse) fingerprints, banding is the right shape -- it is exactly the
+    q23 MinHash-LSH band join with (simhash >> 6k) & 63 as the band key.
+    """
     corpus = _corpus_near(spark, sf_dir)
     tok = corpus.select(
         "doc_id", "lang", F.explode(F.split("text", " ")).alias("token")
@@ -341,12 +371,24 @@ def q24_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q25_ngram_jaccard",
     oracle=f"""
     WITH {CORPUS_NEAR_CTE.strip()},
-    {SHINGLES_CTE.strip()},
-    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id),
+    shingled AS (
+      SELECT doc_id, lang, unnest(
+        list_transform(
+          range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+          i -> string_split(text, ' ')[i] || ' ' ||
+               string_split(text, ' ')[i+1] || ' ' ||
+               string_split(text, ' ')[i+2])) AS shingle
+      FROM corpus
+    ),
+    shashes AS (
+      SELECT DISTINCT doc_id, lang, {ORACLE_HASH.format("shingle")} AS h
+      FROM shingled
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shashes GROUP BY doc_id),
     inter AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
-      FROM shingles a JOIN shingles b
-        ON a.shingle = b.shingle AND a.lang = b.lang AND a.doc_id < b.doc_id
+      FROM shashes a JOIN shashes b
+        ON a.h = b.h AND a.lang = b.lang AND a.doc_id < b.doc_id
       GROUP BY a.doc_id, b.doc_id
     )
     SELECT doc_a, doc_b,
@@ -360,17 +402,19 @@ def q24_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q25_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 3-gram Jaccard similarity >= 0.5 within lang blocks (B45):
-    shingle self-join counts intersections (linear in shared-shingle pairs,
-    never all-pairs); exact integer-ratio arithmetic -> deterministic."""
-    shingles = _shingles(_corpus_near(spark, sf_dir))
+    """3-gram Jaccard similarity >= 0.5 within lang blocks (B45): the
+    self-join runs over 60-bit shingle *hashes*, not shingle text -- same
+    semantics in both engines, ~10x less shuffle volume, and the scale-
+    correct design (at 100 TB the intersection join moves fixed-width ints).
+    """
+    shingles = _shingle_hashes(_corpus_near(spark, sf_dir), distinct=True)
     sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = shingles.alias("a")
     b = shingles.alias("b")
     inter = (
         a.join(
             b,
-            (F.col("a.shingle") == F.col("b.shingle"))
+            (F.col("a.h") == F.col("b.h"))
             & (F.col("a.lang") == F.col("b.lang"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
@@ -480,15 +524,20 @@ _LEX_VALUES = ", ".join(f"('{t}', '{lg}')" for t, lg in LEXICON)
     """,
 )
 def q27_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Lexicon-vote language ID (text-analysis op): tokens join a broadcast
-    lexicon, majority vote per doc with deterministic tie-break. The
-    lexicon join is the scale-correct shape for any dictionary feature:
-    broadcast the dictionary, never shuffle the corpus."""
+    """Lexicon-vote language ID (text-analysis op): majority vote per doc
+    with deterministic tie-break. The lexicon is compiled into a literal
+    MAP expression, so the lookup is a codegen'd hash probe inside the scan
+    stage -- no join, no shuffle of the corpus, no broadcast wait. (A
+    table-backed lexicon would use a broadcast join; below ~1k entries the
+    literal map wins and keeps the stage fully fused.)"""
     docs = read_table(spark, sf_dir, "documents")
-    lex = spark.createDataFrame(LEXICON, ["token", "cand_lang"])
+    lex_map = F.create_map(
+        *[F.lit(x) for pair in LEXICON for x in pair]
+    )
     tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
     votes = (
-        tok.join(F.broadcast(lex), "token")
+        tok.select("doc_id", F.element_at(lex_map, F.col("token")).alias("cand_lang"))
+        .filter(F.col("cand_lang").isNotNull())
         .groupBy("doc_id", "cand_lang")
         .agg(F.count(F.lit(1)).alias("n_hits"))
     )
