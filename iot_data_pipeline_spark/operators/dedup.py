@@ -1,0 +1,183 @@
+"""Deduplication operator family (north-star mandate; SURVEY.md B44/B45).
+
+Generic, column-parameterized versions of what the declared queries
+q22-q26 instantiate. All shapes are shuffle-minimal by construction:
+
+- exact: group on a 32-byte digest, never the content;
+- minhash/LSH: content -> 8-byte shingle hashes -> fixed-width signature
+  -> band-bucket equi-join; nothing quadratic ever materializes;
+- simhash: fixed-width fingerprint per doc; candidate pairing either by
+  blocking key (dense corpora) or prefix bands (sparse fingerprints).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from iot_data_pipeline_spark.functions.hashing import PORTABLE_MOD, portable_hash
+
+
+def exact_dedup(df: DataFrame, content_cols: list[str], id_col: str) -> DataFrame:
+    """Keep one representative row (min ``id_col``) per exact content match.
+
+    Grouping key is ``sha2`` over the concatenated content -- at 100 TB the
+    shuffle carries 32-byte digests, not documents. NULL-safe: concat_ws
+    treats NULL as '', with a unit separator to prevent field-boundary
+    collisions ('ab','c' vs 'a','bc').
+    """
+    digest = F.sha2(F.concat_ws("\x1f", *content_cols), 256)
+    w = Window.partitionBy(digest).orderBy(F.col(id_col))
+    return df.withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") == 1
+    ).drop("__rn")
+
+
+def shingle_hashes(
+    df: DataFrame, text_col: str, id_col: str, k: int = 3
+) -> DataFrame:
+    """(id, h) rows: portable 60-bit hash per k-token shingle.
+
+    ``split`` is hoisted into a column before the shingle lambda -- HOF
+    lambdas are interpreted and re-evaluate inlined subtrees per element
+    (measured 4x at sf0.1), so the hoist matters.
+    """
+    toked = df.select(F.col(id_col).alias("id"), F.split(text_col, " ").alias("toks"))
+    idx = F.sequence(F.lit(1), F.greatest(F.size("toks") - (k - 1), F.lit(0)))
+    shingles = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at("toks", i + j) for j in range(k)]
+        ),
+    )
+    return toked.select("id", F.explode(shingles).alias("shingle")).select(
+        "id", portable_hash(F.col("shingle")).alias("h")
+    )
+
+
+def minhash_signatures(
+    hashed: DataFrame, n_hashes: int = 16
+) -> DataFrame:
+    """MinHash signature columns sig_0..sig_{n-1} from (id, h) rows.
+
+    One groupBy with n min-aggregates (map-side partial aggregation makes
+    the shuffle one row per id regardless of document length). The hash
+    family is affine: ``(a_i * h + b_i) mod P`` -- min over a multiset
+    equals min over its set, so callers need NOT de-duplicate shingles.
+    """
+    return hashed.groupBy("id").agg(
+        *[
+            F.min(
+                (F.lit(37 + 61 * i) * F.col("h") + F.lit(91 + 17 * i)) % PORTABLE_MOD
+            ).alias(f"sig_{i}")
+            for i in range(n_hashes)
+        ]
+    )
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, n_bands: int = 4
+) -> DataFrame:
+    """Distinct candidate pairs (id_a < id_b) sharing >= 1 LSH band.
+
+    Bands derive from the signature via one explode (never a per-band
+    union: that would replicate the signature aggregation subtree per band
+    and again per self-join side). The pairing is an equi-join on
+    (band, key): linear in bucket sizes, the non-negotiable property at
+    100 TB -- no all-pairs comparison exists anywhere in the plan.
+    """
+    sig_cols = [c for c in sigs.columns if c.startswith("sig_")]
+    per_band = len(sig_cols) // n_bands
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    ",", *sig_cols[b * per_band : (b + 1) * per_band]
+                ).alias("key"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    bands = sigs.select("id", F.explode(band_structs).alias("bk")).select(
+        "id", "bk.band", "bk.key"
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_dedup_candidates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    n_hashes: int = 16,
+    n_bands: int = 4,
+) -> DataFrame:
+    """End-to-end MinHash-LSH near-dup candidates (q23's general form)."""
+    return lsh_candidate_pairs(
+        minhash_signatures(shingle_hashes(df, text_col, id_col, k), n_hashes),
+        n_bands,
+    )
+
+
+def simhash_fingerprints(
+    df: DataFrame, text_col: str, id_col: str, n_bits: int = 30
+) -> DataFrame:
+    """(id, simhash): n_bits-bit SimHash over the document's distinct tokens.
+
+    Bit j of the fingerprint is the sign of sum(+/-1) over token-hash bit j
+    -- one groupBy with n_bits conditional sums; fingerprints are
+    fixed-width however long the documents are.
+    """
+    tok = (
+        df.select(F.col(id_col).alias("id"), F.explode(F.split(text_col, " ")).alias("token"))
+        .distinct()
+        .select("id", portable_hash(F.col("token")).alias("h"))
+    )
+    bit_sums = [
+        F.sum(F.when(F.expr(f"(h >> {j}) & 1 = 1"), 1).otherwise(-1)).alias(f"b{j}")
+        for j in range(n_bits)
+    ]
+    fp = " + ".join(
+        f"(CASE WHEN b{j} > 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END << {j})"
+        for j in range(n_bits)
+    )
+    return tok.groupBy("id").agg(*bit_sums).select("id", F.expr(fp).alias("simhash"))
+
+
+def hamming_pairs(
+    fp: DataFrame, max_distance: int, block_col: str | None = None
+) -> DataFrame:
+    """Pairs of fingerprints within ``max_distance``, joined within
+    ``block_col`` blocks (or globally when None -- bounded inputs only).
+
+    For sparse fingerprint spaces, prefer prefix-band blocking instead:
+    split n_bits into (max_distance + 1) bands and use
+    :func:`lsh_candidate_pairs` on the band keys -- pigeonhole makes it
+    recall-lossless. On dense corpora (most pairs qualify) banding is pure
+    overhead, which is why it is a separate composition, not the default.
+    """
+    a, b = fp.alias("a"), fp.alias("b")
+    cond = F.col("a.id") < F.col("b.id")
+    if block_col is not None:
+        cond = (F.col(f"a.{block_col}") == F.col(f"b.{block_col}")) & cond
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(b, cond)
+        .filter(ham <= max_distance)
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            ham.cast("int").alias("hamming"),
+        )
+    )

@@ -1,0 +1,147 @@
+"""Multimodal column plumbing (north-star mandate; SURVEY.md B48).
+
+Design: image/audio/video content is an opaque ``binary`` column plus
+typed metadata; every media transform is ``mapInPandas`` over Arrow
+batches so bytes never round-trip through Python row objects.
+
+The actual codecs are NOT in this container, so the decode kernels are
+stubbed two ways, both clearly marked:
+
+- ``mode='strict'`` raises NotImplementedError at evaluation time (the
+  honest production posture until a codec dependency is vendored);
+- ``mode='fake'`` produces a deterministic digest-derived feature vector,
+  which keeps the Spark-side contract -- schema, batch shape, partitioning,
+  null handling -- real and testable end to end.
+
+Everything around the kernel (schema, chunking, batch iteration) is
+production plumbing, not stub.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: Canonical multimodal record: opaque payload + typed metadata.
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("mime", T.StringType()),
+        T.StructField("content", T.BinaryType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("duration_ms", T.LongType()),
+    ]
+)
+
+
+def with_media_metadata(df: DataFrame, content_col: str = "content") -> DataFrame:
+    """Attach storage metadata computed JVM-side (no Python in the loop):
+    byte length, content digest, 1 KiB chunk count."""
+    payload = F.col(content_col)
+    return df.withColumns(
+        {
+            "byte_len": F.octet_length(payload).cast("long"),
+            "digest": F.sha2(payload, 256),
+            "n_chunks": (F.floor(F.octet_length(payload) / 1024) + 1).cast("long"),
+        }
+    )
+
+
+def _fake_features(payload: bytes, dim: int) -> list[float]:
+    """Deterministic digest-derived pseudo-embedding (test stand-in).
+
+    NOT a real feature extractor -- it exists so the distributed plumbing
+    can be asserted (stable across partitionings and batch sizes because
+    it depends only on the bytes).
+    """
+    out: list[float] = []
+    counter = 0
+    while len(out) < dim:
+        h = hashlib.sha256(payload + counter.to_bytes(4, "big")).digest()
+        out.extend(b / 255.0 for b in h)
+        counter += 1
+    return out[:dim]
+
+
+def extract_features(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "media_id",
+    dim: int = 16,
+    mode: str = "strict",
+) -> DataFrame:
+    """Decode + feature-extract each payload -> ``array<float>`` of ``dim``.
+
+    ``mapInPandas`` streams Arrow record batches through one Python worker
+    per partition -- the media bytes are never pickled row-at-a-time. NULL
+    payloads yield NULL features (dirty-data tolerance, same posture as the
+    corrupt-record channel).
+
+    mode='strict' raises NotImplementedError (no codec libs in this
+    container); mode='fake' runs the deterministic stand-in kernel.
+    """
+    if mode not in ("strict", "fake"):
+        raise ValueError(f"mode must be strict|fake, got {mode!r}")
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            if mode == "strict":
+                raise NotImplementedError(
+                    "media decode requires codec libraries not present in "
+                    "this environment; run with mode='fake' for the "
+                    "deterministic test kernel"
+                )
+            feats = [
+                None if payload is None else _fake_features(bytes(payload), dim)
+                for payload in pdf[content_col]
+            ]
+            yield pd.DataFrame({id_col: pdf[id_col], "features": feats})
+
+    out_schema = T.StructType(
+        [
+            next(f for f in df.schema.fields if f.name == id_col),
+            T.StructField("features", T.ArrayType(T.FloatType())),
+        ]
+    )
+    return df.select(id_col, content_col).mapInPandas(run, schema=out_schema)
+
+
+def sample_frames(
+    df: DataFrame,
+    every_ms: int,
+    content_col: str = "content",
+    id_col: str = "media_id",
+    duration_col: str = "duration_ms",
+) -> DataFrame:
+    """Frame-sampling *plan* for video payloads: one output row per sampled
+    timestamp (real), frame decode stubbed (strict-only).
+
+    The timestamp fan-out runs JVM-side via ``sequence`` + ``explode`` --
+    at scale the expensive part is the decode kernel, and this keeps
+    everything around it in codegen.
+    """
+    ts = F.explode(
+        F.sequence(F.lit(0), F.greatest(F.col(duration_col) - 1, F.lit(0)), F.lit(every_ms))
+    ).alias("frame_ts_ms")
+    frames = df.select(id_col, duration_col, content_col).select(
+        id_col, ts, F.col(content_col)
+    )
+
+    def decode(batches: Iterator) -> Iterator:
+        raise NotImplementedError(
+            "frame decode requires video codecs not present in this environment"
+        )
+
+    # The decode stage is deliberately NOT attached here: callers get the
+    # sampled-frame plan (id, frame_ts_ms, content) and attach a decode
+    # kernel via mapInPandas when codecs exist. `decode` documents the
+    # expected shape.
+    del decode
+    return frames

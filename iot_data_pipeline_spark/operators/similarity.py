@@ -1,0 +1,179 @@
+"""Similarity search over embedding columns (north-star mandate; B46).
+
+Three tiers, in order of scale:
+
+1. ``cosine_topk``  -- brute force, exact: every (query, candidate) pair.
+   Correctness baseline and the right choice when queries are few.
+2. ``cosine_topk_blocked`` -- IVF-style: both sides assigned to cells,
+   pairing only within a cell. Recall < 1, cost / n_cells.
+3. ``cosine_topk_pandas`` -- same brute-force semantics, but the scoring
+   runs in an Arrow-batched pandas UDF doing one numpy matmul per batch
+   (B50): ~10-50x less per-pair overhead than interpreted higher-order
+   functions. Not oracle-exact: BLAS reorders the float sum, so results
+   match built-in arithmetic only to ~1e-12 -- use for throughput, keep
+   the HOF tier for oracle-checked paths.
+
+All tiers share the fixed dot-product fold so tiers 1-2 are bit-identical
+to the DuckDB oracle's ``list_cosine_similarity`` after ROUND(.., 4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(x: Column, y: Column) -> Column:
+    """Sequential left-to-right fold -- same summation order as DuckDB's
+    list_dot_product, which is what makes cosine scores oracle-exact."""
+    return F.aggregate(
+        F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0), lambda s, v: s + v
+    )
+
+
+def _normed(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    emb = F.transform(F.col(vec_col), lambda v: v.cast("double"))
+    return df.select(
+        F.col(id_col).alias("id"),
+        emb.alias("emb"),
+        F.sqrt(dot(emb, emb)).alias("nrm"),
+    )
+
+
+def cosine_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query row (brute force).
+
+    Queries are broadcast (the standard ANN serving shape: few queries,
+    many candidates), so candidates stream through one codegen stage and
+    only (query_id, cand_id, sim) survive to the top-k window.
+    """
+    q = _normed(queries, id_col, vec_col).select(
+        F.col("id").alias("query_id"),
+        F.col("emb").alias("qemb"),
+        F.col("nrm").alias("qnrm"),
+    )
+    c = _normed(candidates, id_col, vec_col)
+    sim = F.round(dot(F.col("qemb"), F.col("emb")) / (F.col("qnrm") * F.col("nrm")), 4)
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("id"))
+        .select("query_id", F.col("id").alias("cand_id"), sim.alias("sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), "cand_id")
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def assign_cells(df: DataFrame, vec_col: str, n_sign_bits: int = 3) -> Column:
+    """IVF cell id by sign-quantizing the first ``n_sign_bits`` components
+    (a stand-in for trained centroids: same plan shape, no training dep)."""
+    cell = F.lit(0)
+    for i in range(n_sign_bits):
+        cell = cell + F.when(
+            F.element_at(F.col(vec_col), i + 1) > 0, 2 ** (n_sign_bits - 1 - i)
+        ).otherwise(0)
+    return cell
+
+
+def cosine_topk_blocked(
+    queries: DataFrame,
+    candidates: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_sign_bits: int = 3,
+) -> DataFrame:
+    """IVF-style approximate top-k: each query probes only its own cell.
+
+    The pairing becomes an equi-join on cell -- a hash join, never a cross
+    join -- cutting candidates by ~2^n_sign_bits at the price of recall.
+    This is the 100 TB shape: cells partition the candidate set, each
+    executor sees only its cells' vectors.
+    """
+    q = _normed(queries, id_col, vec_col)
+    qcell = queries.select(
+        F.col(id_col).alias("id"), assign_cells(queries, vec_col, n_sign_bits).alias("cell")
+    )
+    q = q.join(qcell, "id").select(
+        F.col("id").alias("query_id"),
+        F.col("emb").alias("qemb"),
+        F.col("nrm").alias("qnrm"),
+        F.col("cell").alias("qcell"),
+    )
+    c = _normed(candidates, id_col, vec_col)
+    ccell = candidates.select(
+        F.col(id_col).alias("id"), assign_cells(candidates, vec_col, n_sign_bits).alias("cell")
+    )
+    c = c.join(ccell, "id")
+    sim = F.round(dot(F.col("qemb"), F.col("emb")) / (F.col("qnrm") * F.col("nrm")), 4)
+    scored = (
+        c.join(F.broadcast(q), F.col("qcell") == F.col("cell"))
+        .filter(F.col("query_id") != F.col("id"))
+        .select("query_id", F.col("id").alias("cand_id"), sim.alias("sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), "cand_id")
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def cosine_topk_pandas(
+    queries: DataFrame,
+    candidates: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Brute-force top-k with numpy-batched scoring (B50 throughput tier).
+
+    Queries are collected once (serving-sized by assumption), shipped to
+    every task, and each Arrow batch of candidates is scored with a single
+    ``Q @ C.T`` matmul in ``mapInPandas`` -- per-batch vectorized work
+    instead of per-pair interpreted folds. Returns the same schema as
+    :func:`cosine_topk`; sims differ from the HOF tier only by float
+    summation order (< 1e-12 relative).
+    """
+    import numpy as np
+    import pandas as pd
+
+    qrows = queries.select(id_col, vec_col).collect()
+    qids = np.array([r[id_col] for r in qrows])
+    qm = np.array([r[vec_col] for r in qrows], dtype="float64")
+    qm = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cm = np.array(list(pdf[vec_col]), dtype="float64")
+            cm = cm / np.linalg.norm(cm, axis=1, keepdims=True)
+            sims = qm @ cm.T  # (n_queries, batch)
+            n_q, n_c = sims.shape
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(qids, n_c),
+                    "cand_id": np.tile(pdf[id_col].to_numpy(), n_q),
+                    "sim": np.round(sims.ravel(), 4),
+                }
+            )
+
+    scored = candidates.select(id_col, vec_col).mapInPandas(
+        score, schema="query_id long, cand_id long, sim double"
+    ).filter(F.col("query_id") != F.col("cand_id"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), "cand_id")
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )

@@ -29,7 +29,7 @@ import json
 import os
 import tempfile
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from iot_data_pipeline_spark.pipeline import PipelineConfig
@@ -135,6 +135,115 @@ def _write_sensor_files(spark: SparkSession, sf_dir: str, raw_dir: str) -> None:
     for k in range(3):
         with open(os.path.join(raw_dir, f"sensors-{k}.jsonl"), "w") as f:
             f.write("\n".join(files.get(k, [])) + "\n")
+
+
+def _q34_oracle() -> str:
+    return """
+    WITH sensor AS (
+      SELECT 'device-' || CAST(user_id % 25 AS VARCHAR) AS device_id,
+             CAST(ts AS TIMESTAMP) AS ts,
+             CASE WHEN event_id % 17 = 0 THEN NULL ELSE value / 10 - 5 END
+               AS temperature
+      FROM events WHERE event_id % 20 = 0
+    ),
+    ranked AS (
+      SELECT device_id, ts, temperature,
+             ROW_NUMBER() OVER (PARTITION BY device_id
+                                ORDER BY ts DESC, temperature DESC NULLS LAST)
+               AS rn,
+             COUNT(*) OVER (PARTITION BY device_id) AS n_readings
+      FROM sensor
+    )
+    SELECT device_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts,
+           ROUND(temperature, 2) AS last_temperature,
+           n_readings
+    FROM ranked WHERE rn = 1 ORDER BY device_id
+    """
+
+
+@declared("q34_stateful_device_state", oracle=_q34_oracle())
+def q34_stateful_device_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary stateful streaming op (B43): applyInPandasWithState device
+    shadow over a multi-micro-batch file stream (maxFilesPerTrigger=1
+    forces state to fold ACROSS batches). The oracle is the batch
+    formulation -- latest reading per device via window rank -- which the
+    streaming fold must converge to exactly.
+
+    The timestamp second-truncation only affects the *displayed* string;
+    ranking happens on the full-precision timestamp in both engines.
+    """
+    import pandas as pd  # noqa: F401  (worker dependency, fail fast if absent)
+
+    from iot_data_pipeline_spark.operators.stateful import apply_last_state_stream
+
+    work = tempfile.mkdtemp(prefix="idp_q34_")
+    raw = os.path.join(work, "raw")
+    os.makedirs(raw)
+    ev = read_table(spark, sf_dir, "events")
+    rows = (
+        ev.filter(F.col("event_id") % 20 == 0)
+        .select(
+            (F.col("user_id") % 3).alias("file_no"),
+            F.concat(F.lit("device-"), (F.col("user_id") % 25).cast("string")).alias(
+                "device_id"
+            ),
+            F.when(F.col("event_id") % 17 != 0, F.col("value") / 10 - 5).alias(
+                "temperature"
+            ),
+            F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'").alias("tstr"),
+            F.col("event_id"),
+        )
+        .orderBy("event_id")
+        .collect()
+    )
+    files: dict[int, list[str]] = {}
+    for r in rows:
+        rec = {"device_id": r["device_id"], "timestamp": r["tstr"]}
+        if r["temperature"] is not None:
+            rec["temperature"] = r["temperature"]
+        files.setdefault(r["file_no"], []).append(json.dumps(rec))
+    for k, lines in files.items():
+        with open(os.path.join(raw, f"sensors-{k}.jsonl"), "w") as f:
+            f.write("\n".join(lines) + "\n")
+
+    from iot_data_pipeline_spark.sources.readers import SENSOR_SCHEMA
+
+    stream = (
+        spark.readStream.schema(SENSOR_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .json(raw)
+        .select("device_id", "timestamp", "temperature")
+    )
+    sink_name = "q34_state_" + os.path.basename(work).replace("idp_q34_", "")
+    q = (
+        apply_last_state_stream(stream)
+        .writeStream.format("memory")
+        .queryName(sink_name)
+        .outputMode("update")
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    if q.isActive:
+        q.stop()
+        raise TimeoutError("q34 stateful stream did not drain")
+    final = spark.table(sink_name)
+    w_latest = F.row_number().over(
+        Window.partitionBy("device_id").orderBy(F.desc("n_readings"))
+    )
+    return (
+        final.withColumn("rn", w_latest)
+        .filter(F.col("rn") == 1)
+        .select(
+            "device_id",
+            F.date_format("last_ts", "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+            F.round("last_temperature", 2).alias("last_temperature"),
+            "n_readings",
+        )
+        .orderBy("device_id")
+    )
 
 
 @declared(

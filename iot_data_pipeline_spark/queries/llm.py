@@ -17,25 +17,19 @@ in both engines.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from iot_data_pipeline_spark.functions.hashing import (
+    ORACLE_HASH,
+    PORTABLE_MOD as MOD,
+    portable_hash,
+)
 from iot_data_pipeline_spark.queries.registry import declared
 from iot_data_pipeline_spark.sources.readers import read_table
 
-MOD = 1_000_000_007
 N_MINHASH = 16
 N_BANDS = 4  # 4 bands x 4 rows
-
-
-def portable_hash(c: Column) -> Column:
-    """md5-derived 60-bit int mod 1e9+7; DuckDB twin: ORACLE_HASH."""
-    return (
-        F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long") % MOD
-    )
-
-
-ORACLE_HASH = "(CAST(('0x' || substr(md5({0}), 1, 15)) AS BIGINT) % 1000000007)"
 
 #: Deterministic dup-augmented corpus. Exact copies for exact-dedup.
 CORPUS_EXACT_CTE = """

@@ -1,0 +1,238 @@
+"""Unit tests for the reusable operator layer and function library."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from iot_data_pipeline_spark.operators.dedup import (
+    exact_dedup,
+    hamming_pairs,
+    minhash_dedup_candidates,
+    simhash_fingerprints,
+)
+from iot_data_pipeline_spark.operators.joins import asof_join, range_join
+from iot_data_pipeline_spark.operators.multimodal import (
+    extract_features,
+    sample_frames,
+    with_media_metadata,
+)
+from iot_data_pipeline_spark.operators.similarity import (
+    cosine_topk,
+    cosine_topk_blocked,
+    cosine_topk_pandas,
+)
+from iot_data_pipeline_spark.operators.stateful import last_state_batch
+from iot_data_pipeline_spark.sources.readers import read_table
+
+
+def ts(h, m=0):
+    return dt.datetime(2026, 1, 1, h, m)
+
+
+# ---------------------------------------------------------------- joins
+
+
+@pytest.fixture(scope="module")
+def trades(spark):
+    return spark.createDataFrame(
+        [
+            Row(sym="A", t=ts(10, 0), px=100.0),
+            Row(sym="A", t=ts(10, 30), px=101.0),
+            Row(sym="B", t=ts(10, 15), px=50.0),
+            Row(sym="C", t=ts(9, 0), px=7.0),
+        ]
+    )
+
+
+@pytest.fixture(scope="module")
+def quotes(spark):
+    return spark.createDataFrame(
+        [
+            Row(sym="A", qt=ts(9, 50), bid=99.0),
+            Row(sym="A", qt=ts(10, 20), bid=100.5),
+            Row(sym="A", qt=ts(11, 0), bid=102.0),
+            Row(sym="B", qt=ts(10, 0), bid=49.5),
+        ]
+    )
+
+
+def test_asof_backward(trades, quotes):
+    got = {
+        (r["sym"], r["t"]): r["bid"]
+        for r in asof_join(trades, quotes, "t", "qt", by=["sym"]).collect()
+    }
+    # latest quote <= trade time, per symbol; C has no quote -> absent (inner)
+    assert got == {
+        ("A", ts(10, 0)): 99.0,
+        ("A", ts(10, 30)): 100.5,
+        ("B", ts(10, 15)): 49.5,
+    }
+
+
+def test_asof_forward(trades, quotes):
+    got = {
+        (r["sym"], r["t"]): r["bid"]
+        for r in asof_join(trades, quotes, "t", "qt", by=["sym"], direction="forward").collect()
+    }
+    assert got == {
+        ("A", ts(10, 0)): 100.5,
+        ("A", ts(10, 30)): 102.0,
+    }
+
+
+def test_range_join(trades, quotes):
+    got = range_join(
+        trades,
+        quotes,
+        "t",
+        "qt",
+        F.expr("INTERVAL -20 MINUTES"),
+        F.expr("INTERVAL 20 MINUTES"),
+        by=["sym"],
+    ).collect()
+    # quotes within +/-20min of each trade, same symbol
+    pairs = {(r["sym"], r["t"], r["qt"]) for r in got}
+    assert pairs == {
+        ("A", ts(10, 0), ts(9, 50)),
+        ("A", ts(10, 0), ts(10, 20)),
+        ("A", ts(10, 30), ts(10, 20)),
+        ("B", ts(10, 15), ts(10, 0)),
+    }
+
+
+# ---------------------------------------------------------------- dedup
+
+
+def test_exact_dedup_null_safety(spark):
+    df = spark.createDataFrame(
+        [
+            Row(id=1, a="ab", b="c"),
+            Row(id=2, a="a", b="bc"),  # concat-collision candidate
+            Row(id=3, a="ab", b="c"),  # true dup of 1
+            Row(id=4, a=None, b="x"),
+            Row(id=5, a=None, b="x"),  # dup of 4 (NULL-safe)
+        ]
+    )
+    kept = sorted(r["id"] for r in exact_dedup(df, ["a", "b"], "id").collect())
+    assert kept == [1, 2, 4]
+
+
+def test_minhash_candidates_find_neardups(spark, sf_dir):
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # plant a near-dup: doc 0's text minus its last token, as id 900000
+    d0 = docs.filter(F.col("doc_id") == 0).select(
+        F.lit(900000).alias("doc_id"),
+        F.expr("array_join(slice(split(text, ' '), 1, size(split(text,' ')) - 1), ' ')").alias("text"),
+    )
+    cand = minhash_dedup_candidates(docs.unionByName(d0), "text", "doc_id")
+    assert (0, 900000) in {(r["id_a"], r["id_b"]) for r in cand.collect()}
+
+
+def test_simhash_identical_docs_distance_zero(spark):
+    df = spark.createDataFrame(
+        [
+            Row(id=1, text="alpha beta gamma delta"),
+            Row(id=2, text="alpha beta gamma delta"),
+            Row(id=3, text="totally different words entirely distinct tokens"),
+        ]
+    )
+    fp = simhash_fingerprints(df, "text", "id")
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in hamming_pairs(fp, 30).collect()}
+    assert pairs[(1, 2)] == 0
+    assert pairs[(1, 3)] > 0
+
+
+# ------------------------------------------------------------ similarity
+
+
+def test_cosine_topk_tiers_agree(spark, sf_dir):
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3)
+    exact = cosine_topk(queries, emb, k=5)
+    fast = cosine_topk_pandas(queries, emb, k=5)
+    key = lambda r: (r["query_id"], r["cand_id"])  # noqa: E731
+    exact_rows = sorted(exact.collect(), key=key)
+    fast_rows = sorted(fast.collect(), key=key)
+    assert [key(r) for r in exact_rows] == [key(r) for r in fast_rows]
+    for a, b in zip(exact_rows, fast_rows):
+        assert abs(a["sim"] - b["sim"]) <= 1e-4  # only rounding-boundary drift
+
+    blocked = cosine_topk_blocked(queries, emb, k=5)
+    # IVF results are a subset ranking: every blocked hit is a real vector
+    # pair with the same sim the exact tier computed.
+    exact_sims = {key(r): r["sim"] for r in exact.collect()}
+    for r in blocked.collect():
+        if key(r) in exact_sims:
+            assert abs(r["sim"] - exact_sims[key(r)]) < 1e-9
+
+
+# -------------------------------------------------------------- stateful
+
+
+def test_last_state_batch(spark):
+    df = spark.createDataFrame(
+        [
+            Row(device_id="a", timestamp=ts(10), temperature=1.0),
+            Row(device_id="a", timestamp=ts(12), temperature=3.0),
+            Row(device_id="a", timestamp=ts(11), temperature=2.0),
+            Row(device_id="b", timestamp=ts(10), temperature=9.0),
+        ]
+    )
+    got = {r["device_id"]: r for r in last_state_batch(df).collect()}
+    assert got["a"]["last_ts"] == ts(12)
+    assert got["a"]["last_temperature"] == 3.0
+    assert got["a"]["n_readings"] == 3
+    assert got["b"]["n_readings"] == 1
+
+
+# ------------------------------------------------------------ multimodal
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    return spark.createDataFrame(
+        [
+            Row(media_id=1, mime="image/png", content=b"\x89PNG fake bytes", duration_ms=0),
+            Row(media_id=2, mime="video/mp4", content=b"\x00mp4 fake", duration_ms=2500),
+            Row(media_id=3, mime="image/png", content=None, duration_ms=0),
+        ]
+    )
+
+
+def test_media_metadata(media):
+    got = {r["media_id"]: r for r in with_media_metadata(media).collect()}
+    assert got[1]["byte_len"] == 15
+    assert got[1]["n_chunks"] == 1
+    assert len(got[1]["digest"]) == 64
+
+
+def test_extract_features_fake_deterministic(media):
+    one = extract_features(media, mode="fake", dim=8)
+    two = extract_features(media.repartition(3), mode="fake", dim=8)
+    a = {r["media_id"]: r["features"] for r in one.collect()}
+    b = {r["media_id"]: r["features"] for r in two.collect()}
+    assert a == b  # partitioning/batching cannot change results
+    assert len(a[1]) == 8
+    assert a[3] is None  # NULL payload -> NULL features
+
+
+def test_extract_features_strict_raises(media):
+    with pytest.raises(Exception) as ei:
+        extract_features(media, mode="strict").collect()
+    assert "NotImplementedError" in str(ei.value) or isinstance(
+        ei.value, NotImplementedError
+    )
+
+
+def test_sample_frames_fanout(media):
+    got = sample_frames(media, every_ms=1000).collect()
+    by_id = {}
+    for r in got:
+        by_id.setdefault(r["media_id"], []).append(r["frame_ts_ms"])
+    assert sorted(by_id[2]) == [0, 1000, 2000]
+    # zero-duration media still yields frame 0 (still image)
+    assert by_id[1] == [0]

@@ -1,0 +1,81 @@
+"""Streaming stateful-op test (B43): applyInPandasWithState device shadow
+must converge to the batch last-state answer over the same inputs, with
+state carried across micro-batches."""
+
+from __future__ import annotations
+
+import json
+
+from iot_data_pipeline_spark.operators.stateful import (
+    apply_last_state_stream,
+    last_state_batch,
+)
+from iot_data_pipeline_spark.sources.readers import SENSOR_SCHEMA
+
+
+def _write(d, name, recs):
+    with open(d / name, "w") as f:
+        for r in recs:
+            f.write(json.dumps(r) + "\n")
+
+
+def test_stream_state_matches_batch(spark, tmp_path):
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    recs = [
+        {"device_id": "a", "temperature": 1.0, "timestamp": "2026-01-01T10:00:00Z"},
+        {"device_id": "a", "temperature": 3.0, "timestamp": "2026-01-01T12:00:00Z"},
+        {"device_id": "b", "temperature": 9.0, "timestamp": "2026-01-01T10:00:00Z"},
+        {"device_id": "a", "temperature": 2.0, "timestamp": "2026-01-01T11:00:00Z"},
+        {"device_id": "b", "temperature": 8.0, "timestamp": "2026-01-01T13:00:00Z"},
+    ]
+    # two files -> with maxFilesPerTrigger=1, two micro-batches: the final
+    # state for 'a' and 'b' must fold ACROSS batches, not per batch.
+    _write(raw, "f1.jsonl", recs[:3])
+    _write(raw, "f2.jsonl", recs[3:])
+
+    stream = (
+        spark.readStream.schema(SENSOR_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .json(str(raw))
+        .select("device_id", "timestamp", "temperature")
+    )
+    q = (
+        apply_last_state_stream(stream)
+        .writeStream.format("memory")
+        .queryName("device_state")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    if q.isActive:
+        q.stop()
+        raise TimeoutError("stateful stream did not drain")
+
+    # memory sink in update mode appends one row per state update; the
+    # last update per device is the final state.
+    updates = spark.sql(
+        """
+        SELECT device_id, last_ts, last_temperature, n_readings FROM (
+          SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY device_id ORDER BY n_readings DESC) AS rn
+          FROM device_state) WHERE rn = 1
+        """
+    ).collect()
+    got = {r["device_id"]: r for r in updates}
+
+    batch = spark.createDataFrame(
+        [(r["device_id"], r["timestamp"], r["temperature"]) for r in recs],
+        "device_id string, timestamp string, temperature double",
+    ).selectExpr(
+        "device_id", "to_timestamp(timestamp) AS timestamp", "temperature"
+    )
+    want = {r["device_id"]: r for r in last_state_batch(batch).collect()}
+
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k]["last_ts"] == want[k]["last_ts"]
+        assert got[k]["last_temperature"] == want[k]["last_temperature"]
+        assert got[k]["n_readings"] == want[k]["n_readings"]
