@@ -31,6 +31,30 @@ def infer_sf(sf_dir: str) -> float:
     return -1.0
 
 
+def bench_extras():
+    """Bench-only queries (no oracle): approximate aggregates (SURVEY.md
+    B20 -- excluded from the hash-match gate by definition) and the
+    numpy-batched ANN tier (float-sum order differs from the oracle's)."""
+    from pyspark.sql import functions as F
+
+    from iot_data_pipeline_spark.operators.similarity import cosine_topk_pandas
+    from iot_data_pipeline_spark.sources.readers import read_table
+
+    def b_approx_agg(spark, sf_dir):
+        li = read_table(spark, sf_dir, "lineitem")
+        return li.groupBy("l_returnflag").agg(
+            F.approx_count_distinct("l_partkey").alias("nd_parts"),
+            F.percentile_approx("l_quantity", 0.5).alias("p50_qty"),
+            F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99]).alias("p_price"),
+        )
+
+    def b_ann_pandas(spark, sf_dir):
+        emb = read_table(spark, sf_dir, "embeddings")
+        return cosine_topk_pandas(emb.filter(F.col("vec_id") < 16), emb, k=10)
+
+    return {"b01_approx_agg": b_approx_agg, "b02_ann_pandas": b_ann_pandas}
+
+
 def main() -> int:
     from iot_data_pipeline_spark.queries import REGISTRY
     from iot_data_pipeline_spark.session import build_session
@@ -45,9 +69,11 @@ def main() -> int:
 
     per_query: dict[str, float] = {}
     total = 0.0
-    for name, dq in REGISTRY.items():
+    runnables = {name: dq.fn for name, dq in REGISTRY.items()}
+    runnables.update(bench_extras())
+    for name, fn in runnables.items():
         t0 = time.perf_counter()
-        run_to_noop(dq.fn(spark, SF_DIR))
+        run_to_noop(fn(spark, SF_DIR))
         dt = time.perf_counter() - t0
         per_query[name] = round(dt, 3)
         total += dt

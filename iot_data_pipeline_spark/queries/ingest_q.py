@@ -144,7 +144,7 @@ def _q34_oracle() -> str:
              CAST(ts AS TIMESTAMP) AS ts,
              CASE WHEN event_id % 17 = 0 THEN NULL ELSE value / 10 - 5 END
                AS temperature
-      FROM events WHERE event_id % 20 = 0
+      FROM events WHERE event_id % 100 = 0
     ),
     ranked AS (
       SELECT device_id, ts, temperature,
@@ -182,7 +182,7 @@ def q34_stateful_device_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     os.makedirs(raw)
     ev = read_table(spark, sf_dir, "events")
     rows = (
-        ev.filter(F.col("event_id") % 20 == 0)
+        ev.filter(F.col("event_id") % 100 == 0)
         .select(
             (F.col("user_id") % 3).alias("file_no"),
             F.concat(F.lit("device-"), (F.col("user_id") % 25).cast("string")).alias(
@@ -216,19 +216,29 @@ def q34_stateful_device_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("device_id", "timestamp", "temperature")
     )
     sink_name = "q34_state_" + os.path.basename(work).replace("idp_q34_", "")
-    q = (
-        apply_last_state_stream(stream)
-        .writeStream.format("memory")
-        .queryName(sink_name)
-        .outputMode("update")
-        .option("checkpointLocation", os.path.join(work, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
-    if q.isActive:
-        q.stop()
-        raise TimeoutError("q34 stateful stream did not drain")
+    # State-store instance count is fixed at the stream's first run from
+    # the session's shuffle-partition conf. This probe holds ~25 devices,
+    # so 32 stores x 3 micro-batches is pure commit overhead (~2x wall) --
+    # cap it for the stream, restore after. (A real 1M-device deployment
+    # sizes this UP, same knob.)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            apply_last_state_stream(stream)
+            .writeStream.format("memory")
+            .queryName(sink_name)
+            .outputMode("update")
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        if q.isActive:
+            q.stop()
+            raise TimeoutError("q34 stateful stream did not drain")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     final = spark.table(sink_name)
     w_latest = F.row_number().over(
         Window.partitionBy("device_id").orderBy(F.desc("n_readings"))

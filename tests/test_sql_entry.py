@@ -1,0 +1,94 @@
+"""Dual-entry equivalence (SURVEY.md section 2.3 closing rule): the same
+query through ``spark.sql`` on registered views must equal the df-chain
+implementation the oracle gate runs. One SQL twin per operator area."""
+
+from __future__ import annotations
+
+import pytest
+
+from iot_data_pipeline_spark.queries import REGISTRY
+from iot_data_pipeline_spark.sources.readers import register_views
+
+SQL_TWINS = {
+    "q02_threshold_filter": """
+        WITH sensor AS (
+          SELECT concat('device-', CAST(user_id % 25 AS STRING)) AS device_id,
+                 CASE WHEN event_id % 17 = 0 THEN NULL ELSE value / 10 - 5 END
+                   AS temperature
+          FROM events
+        )
+        SELECT device_id, temperature FROM sensor
+        WHERE temperature > 10.0 ORDER BY device_id, temperature
+    """,
+    "q05_revenue_per_nation": """
+        SELECT n.n_name AS n_name,
+               ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+               COUNT(*) AS n_lineitems
+        FROM customer c
+        JOIN orders o ON o.o_custkey = c.c_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        JOIN region r ON r.r_regionkey = n.n_regionkey
+        GROUP BY n.n_name
+        HAVING SUM(l.l_extendedprice * (1 - l.l_discount)) > 0
+        ORDER BY revenue DESC, n_name
+    """,
+    "q07_anti_join": """
+        SELECT c.c_custkey, c.c_mktsegment FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        ORDER BY c.c_custkey
+    """,
+    "q09_lineitem_agg": """
+        SELECT l_returnflag, l_linestatus,
+               COUNT(*) AS n,
+               COUNT(DISTINCT l_partkey) AS n_parts,
+               ROUND(SUM(l_quantity), 2) AS sum_qty,
+               ROUND(AVG(l_extendedprice), 2) AS avg_price,
+               ROUND(MIN(l_discount), 2) AS min_disc,
+               ROUND(MAX(l_discount), 2) AS max_disc,
+               ROUND(STDDEV_SAMP(l_discount), 4) AS sd_disc,
+               ROUND(VAR_SAMP(l_tax), 4) AS var_tax,
+               ROUND(PERCENTILE(l_quantity, 0.5), 2) AS med_qty,
+               date_format(MIN(l_shipdate), 'yyyy-MM-dd HH:mm:ss') AS min_ship,
+               date_format(MAX(l_shipdate), 'yyyy-MM-dd HH:mm:ss') AS max_ship
+        FROM lineitem GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+    "q11_distinct": """
+        SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment
+    """,
+    "q15_topk_per_group": """
+        SELECT o_orderpriority, o_orderkey, o_totalprice, rn FROM (
+          SELECT o_orderpriority, o_orderkey, o_totalprice,
+                 ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                    ORDER BY o_totalprice DESC, o_orderkey) AS rn
+          FROM orders) WHERE rn <= 3
+        ORDER BY o_orderpriority, rn
+    """,
+    "q18_hourly_counts": """
+        SELECT date_format(date_trunc('hour', ts), 'yyyy-MM-dd HH:mm:ss') AS hour,
+               event_type, COUNT(*) AS n,
+               ROUND(SUM(value), 2) AS total_value
+        FROM events GROUP BY date_trunc('hour', ts), event_type
+        ORDER BY hour, event_type
+    """,
+    "q19_json_extract": """
+        SELECT event_type,
+               COUNT(*) AS n,
+               ROUND(AVG(try_cast(get_json_object(props, '$.k') AS INT)), 2) AS avg_k,
+               MIN(try_cast(get_json_object(props, '$.k') AS INT)) AS min_k,
+               MAX(try_cast(get_json_object(props, '$.k') AS INT)) AS max_k
+        FROM events GROUP BY event_type ORDER BY event_type
+    """,
+}
+
+
+@pytest.mark.parametrize("name", sorted(SQL_TWINS))
+def test_sql_twin_matches_df_chain(spark, sf_dir, name):
+    register_views(spark, sf_dir)
+    via_sql = spark.sql(SQL_TWINS[name])
+    via_df = REGISTRY[name].fn(spark, sf_dir)
+    sql_rows = [tuple(r) for r in via_sql.collect()]
+    df_rows = [tuple(r) for r in via_df.collect()]
+    assert via_sql.columns == via_df.columns
+    assert sql_rows == df_rows

@@ -1,0 +1,204 @@
+"""Streaming window / watermark / dedup tests (B38-B42).
+
+Parity strategy: run each streaming helper over a file stream of JSONL
+events and compare with the equivalent batch computation over the same
+records. The watermark test feeds a second file whose rows are older than
+(max_seen_ts - watermark) to prove late data is dropped in append mode.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from iot_data_pipeline_spark.streaming.windows import (
+    dedup_stream,
+    sessionized_counts,
+    windowed_value_counts,
+)
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+
+def _write(d, name, rows, mtime: int | None = None):
+    import os
+
+    path = d / name
+    with open(path, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    if mtime is not None:
+        # file-source micro-batch order follows modification time; pin it so
+        # "file 2 arrives later" is a fact, not a same-millisecond race.
+        os.utime(path, (mtime, mtime))
+
+
+def _ev(eid, ts, uid=1, value=1.0):
+    return {"event_id": eid, "ts": ts, "user_id": uid, "value": value}
+
+
+def _run_stream(spark, tmp_path, raw, build, name):
+    stream = spark.readStream.schema(EVENT_SCHEMA).option(
+        "maxFilesPerTrigger", "1"
+    ).json(str(raw))
+    q = (
+        build(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    if q.isActive:
+        q.stop()
+        raise TimeoutError(f"{name} did not drain")
+    return spark.table(name)
+
+
+def test_tumbling_window_with_late_drop(spark, tmp_path):
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    # Append-mode late-drop semantics (verified against this Spark build):
+    # a late row is dropped only once its window's state has been EVICTED
+    # at a prior batch boundary -- a late row landing in the same batch as
+    # the eviction still merges. So: file 1 advances the watermark to
+    # 13:30-2h=11:30; file 2's batch evicts+emits the hour-10 window; file
+    # 3's hour-10 row then hits numRowsDroppedByWatermark.
+    _write(
+        raw,
+        "f1.jsonl",
+        [
+            _ev(1, "2026-01-01T10:05:00Z", value=1.0),
+            _ev(2, "2026-01-01T10:20:00Z", value=2.0),
+            _ev(3, "2026-01-01T13:30:00Z", value=4.0),
+        ],
+        mtime=1_700_000_000,
+    )
+    _write(
+        raw,
+        "f2.jsonl",
+        [_ev(5, "2026-01-01T12:10:00Z", value=8.0)],
+        mtime=1_700_000_060,
+    )
+    _write(
+        raw,
+        "f3.jsonl",
+        [_ev(4, "2026-01-01T10:30:00Z", value=100.0)],  # late: window closed
+        mtime=1_700_000_120,
+    )
+    got = _run_stream(
+        spark,
+        tmp_path,
+        raw,
+        lambda s: windowed_value_counts(s, watermark="2 hours"),
+        "tumbling_late",
+    )
+    rows = {
+        r["window_start"].isoformat(): (r["n"], r["total_value"])
+        for r in got.collect()
+    }
+    # hour 10 closed with ONLY the on-time rows; the late 100.0 was dropped
+    # and no duplicate hour-10 window row was ever emitted.
+    assert rows["2026-01-01T10:00:00"] == (2, 3.0)
+    assert len([r for r in got.collect() if r["window_start"].hour == 10]) == 1
+
+
+def test_sliding_window_matches_batch(spark, tmp_path):
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    rows = [
+        _ev(i, f"2026-01-01T10:{m:02d}:00Z", value=float(i))
+        for i, m in enumerate([0, 10, 20, 40, 55])
+    ] + [_ev(99, "2026-01-01T14:00:00Z", value=0.0)]  # closes all 10:xx windows
+    _write(raw, "f1.jsonl", rows)
+    got = _run_stream(
+        spark,
+        tmp_path,
+        raw,
+        lambda s: windowed_value_counts(s, window="1 hour", slide="15 minutes"),
+        "sliding_parity",
+    )
+    batch = spark.createDataFrame(
+        [(r["event_id"], r["ts"], r["user_id"], r["value"]) for r in rows],
+        "event_id long, ts string, user_id long, value double",
+    ).select(F.to_timestamp("ts").alias("ts"), "value")
+    want = (
+        batch.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("tv"))
+        .select(F.col("w.start").alias("ws"), "n", "tv")
+    )
+    want_rows = {r["ws"]: (r["n"], r["tv"]) for r in want.collect()}
+    got_rows = {r["window_start"]: (r["n"], r["total_value"]) for r in got.collect()}
+    # every closed streaming window matches the batch computation exactly
+    for ws, nv in got_rows.items():
+        assert want_rows[ws] == nv
+    # and all windows not containing the sentinel must have closed
+    open_allowed = {ws for ws in want_rows if ws.hour >= 13}
+    assert set(got_rows) >= set(want_rows) - open_allowed
+
+
+def test_session_window_parity(spark, tmp_path):
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    rows = [
+        _ev(1, "2026-01-01T10:00:00Z", uid=1),
+        _ev(2, "2026-01-01T10:10:00Z", uid=1),   # same session (gap 30m)
+        _ev(3, "2026-01-01T11:30:00Z", uid=1),   # new session
+        _ev(4, "2026-01-01T10:00:00Z", uid=2),
+        _ev(5, "2026-01-01T23:00:00Z", uid=99),  # sentinel closes everything
+    ]
+    _write(raw, "f1.jsonl", rows)
+    got = _run_stream(
+        spark, tmp_path, raw, lambda s: sessionized_counts(s), "sessions"
+    )
+    sessions = {
+        (r["user_id"], r["session_start"].isoformat()): r["n_events"]
+        for r in got.collect()
+    }
+    assert sessions[(1, "2026-01-01T10:00:00")] == 2
+    assert sessions[(1, "2026-01-01T11:30:00")] == 1
+    assert sessions[(2, "2026-01-01T10:00:00")] == 1
+
+
+def test_dedup_stream_within_watermark(spark, tmp_path):
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    _write(
+        raw,
+        "f1.jsonl",
+        [
+            _ev(1, "2026-01-01T10:00:00Z", value=1.0),
+            _ev(1, "2026-01-01T10:01:00Z", value=2.0),  # dup within watermark
+            _ev(2, "2026-01-01T10:05:00Z", value=3.0),
+        ],
+        mtime=1_700_000_000,
+    )
+    _write(
+        raw,
+        "f2.jsonl",
+        [
+            _ev(1, "2026-01-01T10:02:00Z", value=4.0),  # dup across batches
+            _ev(3, "2026-01-01T10:06:00Z", value=5.0),
+        ],
+        mtime=1_700_000_060,
+    )
+    got = _run_stream(
+        spark,
+        tmp_path,
+        raw,
+        lambda s: dedup_stream(s, ["event_id"], ts_col="ts"),
+        "dedup_wm",
+    )
+    ids = sorted(r["event_id"] for r in got.collect())
+    assert ids == [1, 2, 3]  # each event_id exactly once, across batches
