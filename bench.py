@@ -52,6 +52,12 @@ def bench_extras():
         emb = read_table(spark, sf_dir, "embeddings")
         return cosine_topk_pandas(emb.filter(F.col("vec_id") < 16), emb, k=10)
 
+    # (MLlib MinHashLSH was evaluated as a bench twin of q23 and rejected:
+    # approxSimilarityJoin's OR-amplification collapses on this corpus's
+    # 31-token vocabulary -- nearly every pair is a candidate, so the
+    # "approximate" join goes quadratic where the hand-built band join
+    # stays linear. The hand-built pipeline is also the only oracle-able
+    # one: MLlib's hash family is seeded JVM-side.)
     return {"b01_approx_agg": b_approx_agg, "b02_ann_pandas": b_ann_pandas}
 
 

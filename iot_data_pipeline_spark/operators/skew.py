@@ -1,0 +1,80 @@
+"""Skew mitigation (SURVEY.md section 2 scale notes): salting for hot keys.
+
+AQE's skew-join splitting (on in ``session.py``) handles most skew at
+runtime by splitting oversized partitions. Salting is the *plan-level*
+complement for the two cases AQE cannot fix:
+
+- a hot GROUP BY key: one reducer owns the whole key regardless of how
+  partitions are split -- pre-aggregating over (key, salt) caps any single
+  task's share at 1/n_salts of the hot key;
+- a hot join key against a replicable right side: replicating the right
+  row n_salts times lets the hot key's probe side spread over n_salts
+  tasks.
+
+Both transforms are pure DataFrame ops and preserve exact semantics --
+tests assert salted == unsalted on skewed data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _salt(n_salts: int) -> Column:
+    # Deterministic per row is NOT required -- any spread works -- but a
+    # cheap hash of the whole row beats rand(): no RNG state, and re-runs
+    # produce identical partitioning (reproducible stage timings).
+    return F.pmod(F.hash(F.struct("*")), F.lit(n_salts))
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    aggs: dict[str, tuple[str, str]],
+    n_salts: int = 16,
+) -> DataFrame:
+    """Two-stage aggregation over (keys + salt) then keys.
+
+    ``aggs`` maps output column -> (input column, fn) where fn is one of
+    sum|count|min|max (the re-aggregatable kernels; avg = sum/count at the
+    call site). Stage 1 shards every key n_salts ways; stage 2 combines
+    n_salts rows per key -- the hot key's work parallelizes, the second
+    shuffle is one row per (key, salt).
+    """
+    combiners = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
+    firsts = {"sum": F.sum, "count": F.count, "min": F.min, "max": F.max}
+    for out, (col, fn) in aggs.items():
+        if fn not in combiners:
+            raise ValueError(f"{fn!r} is not re-aggregatable; use sum/count/min/max")
+    stage1 = df.withColumn("__salt", _salt(n_salts)).groupBy(
+        *keys, "__salt"
+    ).agg(
+        *[firsts[fn](col).alias(out) for out, (col, fn) in aggs.items()]
+    )
+    return stage1.groupBy(*keys).agg(
+        *[combiners[fn](out).alias(out) for out, (col, fn) in aggs.items()]
+    )
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join: salt the (large, skewed) left side, replicate
+    the (small-per-key) right side across all salt values.
+
+    Right-side rows multiply by n_salts -- correct when the right side is
+    dim-shaped (bounded rows per key). For dim tables small enough to
+    broadcast, prefer ``broadcast()``: salting is for the middle ground
+    where the right side exceeds the broadcast threshold but keys are
+    bounded.
+    """
+    salted_left = left.withColumn("__salt", _salt(n_salts))
+    replicated_right = right.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    return salted_left.join(replicated_right, [*on, "__salt"], how).drop("__salt")

@@ -76,6 +76,88 @@ def q32_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @declared(
+    "q35_math_funcs",
+    oracle="""
+    SELECT event_id,
+           ROUND(value, 1) AS v_round,
+           CAST(FLOOR(value) AS BIGINT) AS v_floor,
+           CAST(CEIL(value) AS BIGINT) AS v_ceil,
+           ROUND(ABS(value - 250.0), 2) AS v_absdev,
+           ROUND(SQRT(value), 4) AS v_sqrt,
+           ROUND(LN(value + 1), 4) AS v_ln,
+           ROUND(LOG10(value + 1), 4) AS v_log10,
+           ROUND(POW(value / 100, 2), 4) AS v_pow,
+           event_id % 7 AS v_pmod,
+           CAST(SIGN(value - 250.0) AS DOUBLE) AS v_sign
+    FROM events WHERE event_id % 25 = 0 ORDER BY event_id
+    """,
+)
+def q35_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math scalar surface (B33): round/floor/ceil/abs/sqrt/ln/log10/pow/
+    pmod/sign in one codegen span. sqrt is IEEE-correctly-rounded (exact
+    cross-engine); ln/log10/pow are libm-dependent in the last ulp, so
+    ROUND(.., 4) per SURVEY section 2.3 rule 2 absorbs it."""
+    ev = read_table(spark, sf_dir, "events")
+    v = F.col("value")
+    return (
+        ev.filter(F.col("event_id") % 25 == 0)
+        .select(
+            "event_id",
+            F.round(v, 1).alias("v_round"),
+            F.floor(v).alias("v_floor"),
+            F.ceil(v).alias("v_ceil"),
+            F.round(F.abs(v - 250.0), 2).alias("v_absdev"),
+            F.round(F.sqrt(v), 4).alias("v_sqrt"),
+            F.round(F.log(v + 1), 4).alias("v_ln"),
+            F.round(F.log10(v + 1), 4).alias("v_log10"),
+            F.round(F.pow(v / 100, 2), 4).alias("v_pow"),
+            F.pmod(F.col("event_id"), F.lit(7)).alias("v_pmod"),
+            F.signum(v - 250.0).alias("v_sign"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@declared(
+    "q36_array_funcs",
+    oracle="""
+    SELECT vec_id,
+           len(embedding) AS n_dims,
+           len(list_filter(embedding, x -> x > 0)) AS n_pos,
+           CAST(list_position(embedding, list_max(embedding)) AS INTEGER)
+               AS argmax_pos,
+           ROUND(CAST(list_max(embedding) AS DOUBLE), 4) AS max_val,
+           ROUND(CAST(list_sort(embedding[1:8])[1] AS DOUBLE), 4) AS min_of_first8,
+           ROUND(CAST(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)))
+                 AS DOUBLE), 4) AS sum_all
+    FROM embeddings ORDER BY vec_id
+    """,
+)
+def q36_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array scalar surface (B35): size/filter/array_position/array_max/
+    sort_array/slice/element_at plus a higher-order sum fold, per row over
+    ``embedding: array<float>``. Sum folds left-to-right in both engines
+    (same order as DuckDB's list_sum over the cast list), so ROUND(4) is
+    belt-and-braces, not a crutch."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    arr = F.col("embedding")
+    as_double = F.transform(arr, lambda x: x.cast("double"))
+    return emb.select(
+        "vec_id",
+        F.size(arr).alias("n_dims"),
+        F.size(F.filter(arr, lambda x: x > 0)).alias("n_pos"),
+        F.array_position(arr, F.array_max(arr)).cast("int").alias("argmax_pos"),
+        F.round(F.array_max(arr).cast("double"), 4).alias("max_val"),
+        F.round(
+            F.element_at(F.sort_array(F.slice(arr, 1, 8)), 1).cast("double"), 4
+        ).alias("min_of_first8"),
+        F.round(
+            F.aggregate(as_double, F.lit(0.0), lambda s, x: s + x), 4
+        ).alias("sum_all"),
+    ).orderBy("vec_id")
+
+
+@declared(
     "q33_pandas_token_stats",
     oracle="""
     WITH t AS (

@@ -236,3 +236,57 @@ def test_sample_frames_fanout(media):
     assert sorted(by_id[2]) == [0, 1000, 2000]
     # zero-duration media still yields frame 0 (still image)
     assert by_id[1] == [0]
+
+
+# ------------------------------------------------------------------ skew
+
+
+def test_salted_agg_equals_plain(spark, sf_dir):
+    from iot_data_pipeline_spark.operators.skew import salted_agg
+
+    ev = read_table(spark, sf_dir, "events")
+    # manufacture skew: 90% of rows share one key
+    skewed = ev.withColumn(
+        "k", F.when(F.col("event_id") % 10 != 0, F.lit("hot")).otherwise(
+            F.col("event_type")
+        )
+    )
+    got = {
+        r["k"]: (r["total"], r["n"], r["mx"])
+        for r in salted_agg(
+            skewed,
+            ["k"],
+            {"total": ("value", "sum"), "n": ("value", "count"), "mx": ("value", "max")},
+        ).collect()
+    }
+    want = {
+        r["k"]: (r["total"], r["n"], r["mx"])
+        for r in skewed.groupBy("k")
+        .agg(
+            F.sum("value").alias("total"),
+            F.count("value").alias("n"),
+            F.max("value").alias("mx"),
+        )
+        .collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][1] == want[k][1]
+        assert got[k][2] == want[k][2]
+        assert got[k][0] == pytest.approx(want[k][0], rel=1e-12)
+
+
+def test_salted_join_equals_plain(spark, sf_dir):
+    from iot_data_pipeline_spark.operators.skew import salted_join
+
+    ev = read_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    dim = spark.createDataFrame(
+        [("click", 1.5), ("view", 1.0), ("purchase", 3.0), ("signup", 2.0), ("error", 0.0)],
+        "event_type string, weight double",
+    )
+    got = salted_join(ev, dim, ["event_type"], n_salts=8)
+    want = ev.join(dim, "event_type")
+    assert got.count() == want.count()
+    g = {r["event_id"]: r["weight"] for r in got.collect()}
+    w = {r["event_id"]: r["weight"] for r in want.collect()}
+    assert g == w
