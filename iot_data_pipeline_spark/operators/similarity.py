@@ -128,6 +128,53 @@ def cosine_topk_blocked(
     )
 
 
+def neardup_pairs_pandas(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str = "label",
+    threshold: float = 0.75,
+) -> DataFrame:
+    """All-pairs cosine near-dup within blocks, one numpy matmul per block.
+
+    The block column is the blocking key (a semantic label here; an LSH
+    bucket or IVF cell at 100 TB) -- Spark shuffles once on it, then each
+    block is a single ``N @ N.T`` Gram matrix in an Arrow-batched
+    ``applyInPandas`` task. Per-pair cost is a fused BLAS flop instead of
+    an interpreted 2-pass zip_with/aggregate fold: ~10-50x faster, and the
+    shape parallelizes as blocks, not pairs. BLAS reorders the float sum
+    vs the sequential fold; after ROUND(sim, 4) the two agree unless a
+    pair sits within ~1e-12 of a rounding boundary (none do in the driver
+    testdata -- asserted by the oracle gate at sf0.01).
+    """
+    import numpy as np
+    import pandas as pd
+
+    def pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"vec_a": [], "vec_b": [], "sim": []}).astype(
+                {"vec_a": "int64", "vec_b": "int64", "sim": "float64"}
+            )
+        m = np.array(list(pdf[vec_col]), dtype="float64")
+        g = m @ m.T
+        nrm = np.sqrt(np.diag(g))
+        sims = np.round(g / np.outer(nrm, nrm), 4)
+        ids = pdf[id_col].to_numpy()
+        # i < j on vec_id (not row position): the contract is id-ordered pairs
+        order = np.argsort(ids)
+        ids, sims = ids[order], sims[np.ix_(order, order)]
+        iu, ju = np.triu_indices(n, k=1)
+        keep = sims[iu, ju] >= threshold
+        return pd.DataFrame(
+            {"vec_a": ids[iu[keep]], "vec_b": ids[ju[keep]], "sim": sims[iu, ju][keep]}
+        )
+
+    return df.select(id_col, vec_col, block_col).groupBy(block_col).applyInPandas(
+        pairs, schema="vec_a long, vec_b long, sim double"
+    )
+
+
 def cosine_topk_pandas(
     queries: DataFrame,
     candidates: DataFrame,

