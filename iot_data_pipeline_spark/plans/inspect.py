@@ -61,13 +61,29 @@ def broadcast_join_count(df: DataFrame) -> int:
 def shuffle_count(df: DataFrame) -> int:
     """Number of Exchange (shuffle) nodes, excluding broadcast exchanges.
     Every one is a full network pass over its input at scale."""
-    plan = formatted_plan(df)
-    return len(re.findall(r"\bExchange\b", plan)) - len(
-        re.findall(r"BroadcastExchange", plan)
-    )
+    # \bExchange\b cannot match inside "BroadcastExchange" (no word
+    # boundary between "t" and "E"), so plain-Exchange nodes are exactly
+    # what this counts -- no subtraction.
+    return len(re.findall(r"\bExchange\b", formatted_plan(df)))
 
 
 def wholestage_codegen_count(df: DataFrame) -> int:
-    """Number of WholeStageCodegen spans -- wide spans mean the hot path
-    stays in generated JVM code instead of interpreted evaluation."""
-    return len(set(re.findall(r"WholeStageCodegen \((\d+)\)", formatted_plan(df))))
+    """Number of WholeStageCodegen subtrees -- wide spans mean the hot path
+    stays in generated JVM code instead of interpreted evaluation.
+
+    Uses ``explain("codegen")`` with AQE toggled off for the duration:
+    an unexecuted AdaptiveSparkPlan hides its subtrees from both the
+    formatted and codegen explain modes, so inspection uses the static
+    plan (same operators, pre-AQE) and restores the conf after.
+    """
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("codegen")
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+    m = re.search(r"Found (\d+) WholeStageCodegen subtrees", buf.getvalue())
+    return int(m.group(1)) if m else 0

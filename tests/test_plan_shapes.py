@@ -1,0 +1,128 @@
+"""Pin the physical-plan shapes of headline queries (SURVEY.md section 4.2).
+
+Row-correctness is gated by the DuckDB oracle; these tests gate the
+*scale* properties that rows can't show: dims broadcast, filters reach
+the parquet scan, scans read only needed columns, aggregation is
+partial+final, top-k plans as TakeOrderedAndProject, and same-bucketed
+joins need no shuffle. A regression here is invisible at sf0.01 and fatal
+at 100 TB.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from iot_data_pipeline_spark.operators.bucketing import bucketed_join, write_bucketed
+from iot_data_pipeline_spark.plans.inspect import (
+    broadcast_join_count,
+    formatted_plan,
+    has_pushed_filters,
+    read_schema_columns,
+    shuffle_count,
+    wholestage_codegen_count,
+)
+from iot_data_pipeline_spark.queries.registry import REGISTRY
+from iot_data_pipeline_spark.sources.readers import read_table
+
+
+def q(name, spark, sf_dir):
+    return REGISTRY[name].fn(spark, sf_dir)
+
+
+def test_q05_dims_broadcast_no_sortmerge(spark, sf_dir):
+    df = q("q05_revenue_per_nation", spark, sf_dir)
+    # customer/orders/lineitem chain joined to nation/region: at test SF
+    # every dim side fits the broadcast threshold; none may sort-merge.
+    assert broadcast_join_count(df) >= 3
+    assert "SortMergeJoin" not in formatted_plan(df)
+
+
+def test_q05_filter_pushdown(spark, sf_dir):
+    assert has_pushed_filters(q("q05_revenue_per_nation", spark, sf_dir))
+
+
+def test_q09_partial_final_aggregation(spark, sf_dir):
+    # partial (map-side) + final HashAggregate pairs: the shuffle carries
+    # one row per group per task, not one row per input row.
+    plan = formatted_plan(q("q09_lineitem_agg", spark, sf_dir))
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_q09_column_pruning(spark, sf_dir):
+    # lineitem is 16 columns; q09 touches 7 -- the scan must not read more.
+    for cols in read_schema_columns(q("q09_lineitem_agg", spark, sf_dir)):
+        assert len(cols) <= 8, f"scan reads dead columns: {cols}"
+
+
+def test_q04_dim_join_broadcasts(spark, sf_dir):
+    assert broadcast_join_count(q("q04_enrichment_join", spark, sf_dir)) >= 1
+
+
+def test_topk_plans_as_take_ordered(spark, sf_dir):
+    df = read_table(spark, sf_dir, "orders").orderBy(F.desc("o_totalprice")).limit(5)
+    # TakeOrderedAndProject keeps k rows per partition then merges k*p on
+    # the driver -- a global sort here would shuffle the whole table.
+    assert "TakeOrderedAndProject" in formatted_plan(df)
+
+
+def test_declared_queries_stay_in_codegen(spark, sf_dir):
+    # Relational core queries must run inside WholeStageCodegen spans
+    # (interpreted fallback = 10x row cost at scale).
+    for name in ("q05_revenue_per_nation", "q09_lineitem_agg", "q16_lag_lead_running"):
+        assert wholestage_codegen_count(q(name, spark, sf_dir)) >= 1, name
+
+
+@pytest.fixture()
+def bucketed_tables(spark, sf_dir):
+    names = ("bt_orders", "bt_lineitem")
+    write_bucketed(
+        read_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice"),
+        names[0],
+        ["o_orderkey"],
+        8,
+    )
+    write_bucketed(
+        read_table(spark, sf_dir, "lineitem").select(
+            F.col("l_orderkey").alias("o_orderkey"), "l_quantity"
+        ),
+        names[1],
+        ["o_orderkey"],
+        8,
+    )
+    yield names
+    for n in names:
+        spark.sql(f"DROP TABLE IF EXISTS {n}")
+
+
+def test_bucketed_join_is_shuffle_free(spark, sf_dir, bucketed_tables):
+    left, right = bucketed_tables
+    # suppress broadcast so the test proves co-location, not small-side luck
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = bucketed_join(spark, left, right, ["o_orderkey"])
+        assert shuffle_count(joined) == 0, formatted_plan(joined)
+        # and it still computes the right thing
+        plain = read_table(spark, sf_dir, "orders").join(
+            read_table(spark, sf_dir, "lineitem"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        assert joined.count() == plain.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_unbucketed_same_join_shuffles(spark, sf_dir):
+    # control: the identical join off plain parquet paths DOES shuffle --
+    # proves the zero above comes from bucket metadata, not plan luck.
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = read_table(spark, sf_dir, "orders").join(
+            read_table(spark, sf_dir, "lineitem"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        assert shuffle_count(joined) >= 2
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
