@@ -307,21 +307,21 @@ def _simhash_bits_sql(hcol: str) -> str:
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
     FROM fp a JOIN fp b ON a.lang = b.lang AND a.doc_id < b.doc_id
-    WHERE bit_count(xor(a.simhash, b.simhash)) <= 4
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
     ORDER BY doc_a, doc_b
     """,
 )
 def q24_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: 30-bit simhash over distinct tokens, pairs
-    within the same lang block at Hamming distance <= 4.
+    within the same lang block at Hamming distance <= 1.
 
     Candidate generation is the per-lang-block pair join. An exact
     prefix-band LSH variant (5 bands of 6 bits; pigeonhole guarantees a
-    full-band match at distance <= 4) was measured and *rejected for this
-    corpus*: the result set is itself quadratic (~1.5M qualifying pairs at
-    sf0.1 -- the synthetic docs share a 31-token vocabulary, so most pairs
-    really are near-dups) and the biased simhash bits put most docs in one
-    band bucket, making banding pure overhead. At 100 TB with realistic
+    full-band match at small distances) was measured and *rejected for
+    this corpus*: the synthetic docs share a 31-token vocabulary, so
+    fingerprints collide heavily (a <= 4 threshold qualifies ~1.5M pairs
+    at sf0.1 -- hence the tight <= 1 here) and the biased simhash bits put
+    most docs in one band bucket, making banding pure overhead. At 100 TB with realistic
     (sparse) fingerprints, banding is the right shape -- it is exactly the
     q23 MinHash-LSH band join with (simhash >> 6k) & 63 as the band key.
     """
@@ -351,7 +351,7 @@ def q24_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("a.lang") == F.col("b.lang"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .filter(ham <= 4)
+        .filter(ham <= 1)
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
