@@ -189,3 +189,35 @@ def q33_pandas_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@declared(
+    "q38_text_normalize",
+    oracle="""
+    SELECT doc_id,
+           length(text) AS raw_len,
+           lower(trim(regexp_replace(text, ' +', ' ', 'g'))) AS norm_text,
+           length(lower(trim(regexp_replace(text, ' +', ' ', 'g')))) AS norm_len,
+           regexp_replace(lower(text), '[aeiou]', '', 'g') AS devoweled
+    FROM documents WHERE doc_id % 50 = 0 ORDER BY doc_id
+    """,
+)
+def q38_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-normalization scalar surface (B31/B47): whitespace collapse,
+    trim, case fold, character-class regexp_replace -- the pre-tokenization
+    cleanup stage of a training-data pipeline, all JVM-side codegen (no
+    UDF). Spark's regexp_replace is replace-all by default == DuckDB 'g'.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    norm = F.lower(F.trim(F.regexp_replace("text", " +", " ")))
+    return (
+        docs.filter(F.col("doc_id") % 50 == 0)
+        .select(
+            "doc_id",
+            F.length("text").alias("raw_len"),
+            norm.alias("norm_text"),
+            F.length(norm).alias("norm_len"),
+            F.regexp_replace(F.lower(F.col("text")), "[aeiou]", "").alias("devoweled"),
+        )
+        .orderBy("doc_id")
+    )

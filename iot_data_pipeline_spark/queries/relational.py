@@ -529,3 +529,38 @@ def q12_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "sim")
         .orderBy(F.desc("sim"), "vec_id")
     )
+
+
+@declared(
+    "q37_correlated_subquery",
+    oracle="""
+    SELECT o.o_orderkey, o.o_custkey, ROUND(o.o_totalprice, 2) AS totalprice
+    FROM orders o
+    WHERE o.o_totalprice > 2 * (
+        SELECT AVG(o2.o_totalprice) FROM orders o2
+        WHERE o2.o_custkey = o.o_custkey
+    )
+    ORDER BY o.o_orderkey
+    """,
+)
+def q37_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (SURVEY.md section 4.2's "subquery
+    decorrelation"): orders costing more than twice their customer's
+    average. Expressed through the SQL entry point so Catalyst performs
+    the decorrelation -- the optimized plan is the same agg+self-join a
+    hand-written df-chain would build, but the rewrite itself is under
+    test. At scale the subquery side is a partial+final agg over the
+    grouping key, then an equi-join: no per-row re-execution ever happens.
+    """
+    read_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o.o_orderkey, o.o_custkey, ROUND(o.o_totalprice, 2) AS totalprice
+        FROM orders o
+        WHERE o.o_totalprice > 2 * (
+            SELECT AVG(o2.o_totalprice) FROM orders o2
+            WHERE o2.o_custkey = o.o_custkey
+        )
+        ORDER BY o.o_orderkey
+        """
+    )
