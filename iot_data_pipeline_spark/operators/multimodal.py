@@ -113,6 +113,60 @@ def extract_features(
     return df.select(id_col, content_col).mapInPandas(run, schema=out_schema)
 
 
+def resize_images(
+    df: DataFrame,
+    width: int,
+    height: int,
+    content_col: str = "content",
+    id_col: str = "media_id",
+    mode: str = "strict",
+) -> DataFrame:
+    """Resize each image payload to ``width``x``height`` -> new binary column.
+
+    Same two-mode contract as :func:`extract_features`: the Spark-side
+    plumbing (Arrow batches via ``mapInPandas``, NULL pass-through, binary
+    out-schema) is real; the pixel kernel is stubbed. mode='fake' emits a
+    deterministic digest of (payload, w, h) truncated to w*h//64 bytes so
+    output size scales with the requested dimensions and tests can assert
+    the full pipeline shape without codecs.
+    """
+    if mode not in ("strict", "fake"):
+        raise ValueError(f"mode must be strict|fake, got {mode!r}")
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            if mode == "strict":
+                raise NotImplementedError(
+                    "image resize requires codec libraries not present in "
+                    "this environment; run with mode='fake' for the "
+                    "deterministic test kernel"
+                )
+            out_len = max(width * height // 64, 1)
+            resized = []
+            for payload in pdf[content_col]:
+                if payload is None:
+                    resized.append(None)
+                    continue
+                seed = bytes(payload) + width.to_bytes(2, "big") + height.to_bytes(2, "big")
+                buf = b""
+                counter = 0
+                while len(buf) < out_len:
+                    buf += hashlib.sha256(seed + counter.to_bytes(4, "big")).digest()
+                    counter += 1
+                resized.append(buf[:out_len])
+            yield pd.DataFrame({id_col: pdf[id_col], "resized": resized})
+
+    out_schema = T.StructType(
+        [
+            next(f for f in df.schema.fields if f.name == id_col),
+            T.StructField("resized", T.BinaryType()),
+        ]
+    )
+    return df.select(id_col, content_col).mapInPandas(run, schema=out_schema)
+
+
 def sample_frames(
     df: DataFrame,
     every_ms: int,

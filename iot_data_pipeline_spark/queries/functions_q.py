@@ -221,3 +221,50 @@ def q38_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+#: BPE-ish pre-tokenization pattern (GPT-2-style word/number/punct splits,
+#: reduced to the RE2-safe subset both engines share: no lookahead).
+BPE_PATTERN = " ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+"
+
+
+@declared(
+    "q39_bpe_tokens",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(lower(text), '{BPE_PATTERN}')) AS piece
+      FROM documents
+    )
+    SELECT piece, COUNT(*) AS n, COUNT(DISTINCT doc_id) AS n_docs
+    FROM tok GROUP BY piece
+    ORDER BY n DESC, piece LIMIT 30
+    """,
+)
+def q39_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-style pre-tokenization counts (B47, the "token counting" op of a
+    training-data pipeline): regexp_extract_all with a GPT-2-shaped pattern
+    (leading-space word pieces), explode, count. Pattern stays in the RE2 /
+    Java-regex common subset so Spark and DuckDB tokenize identically.
+
+    The rows + distinct-docs aggregates are computed as a TWO-LEVEL
+    aggregation -- groupBy(piece, doc_id).count() then groupBy(piece) --
+    instead of count + countDistinct in one agg, which plans an Expand
+    that doubles every exploded row through the shuffle (the q09 lesson;
+    measured 2x here). LIMIT after sort is TakeOrderedAndProject, never a
+    global materialized sort.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.regexp_extract_all(F.lower(F.col("text")), F.lit(BPE_PATTERN), F.lit(0))).alias(
+            "piece"
+        ),
+    )
+    per_doc = tok.groupBy("piece", "doc_id").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        per_doc.groupBy("piece")
+        .agg(F.sum("cnt").alias("n"), F.count(F.lit(1)).alias("n_docs"))
+        .orderBy(F.desc("n"), "piece")
+        .limit(30)
+    )

@@ -290,3 +290,34 @@ def test_salted_join_equals_plain(spark, sf_dir):
     g = {r["event_id"]: r["weight"] for r in got.collect()}
     w = {r["event_id"]: r["weight"] for r in want.collect()}
     assert g == w
+
+
+def test_resize_images_fake_shape_and_nulls(media):
+    from iot_data_pipeline_spark.operators.multimodal import resize_images
+
+    got = {
+        r["media_id"]: r["resized"]
+        for r in resize_images(media, 64, 48, mode="fake").collect()
+    }
+    assert got[3] is None  # NULL payload passes through
+    assert len(got[1]) == 64 * 48 // 64
+    # deterministic across partitionings; distinct dims -> distinct bytes
+    again = {
+        r["media_id"]: r["resized"]
+        for r in resize_images(media.repartition(3), 64, 48, mode="fake").collect()
+    }
+    assert got == again
+    other = {
+        r["media_id"]: r["resized"]
+        for r in resize_images(media, 32, 32, mode="fake").collect()
+    }
+    assert other[1] != got[1]
+
+
+def test_resize_images_strict_raises(media):
+    import pytest as _pytest
+
+    from iot_data_pipeline_spark.operators.multimodal import resize_images
+
+    with _pytest.raises(Exception):  # NotImplementedError surfaces as PythonException
+        resize_images(media, 64, 48, mode="strict").collect()
