@@ -697,3 +697,76 @@ def q31_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "vec_id", "sim")
         .orderBy("query_id", F.desc("sim"), "vec_id")
     )
+
+
+@declared(
+    "q40_curation_pipeline",
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id, text, lang FROM documents
+      UNION ALL
+      SELECT doc_id + 100000 AS doc_id, text, lang
+      FROM documents WHERE doc_id % 10 = 0
+    ),
+    scored AS (
+      SELECT doc_id, text, lang,
+             0.5 * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                    / len(string_split(text, ' ')))
+             + 0.3 * least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100, 1.0)
+             + 0.2 * least((CAST(length(text) - len(string_split(text, ' ')) + 1
+                            AS DOUBLE) / len(string_split(text, ' '))) / 8, 1.0)
+               AS quality
+      FROM corpus
+    ),
+    kept AS (SELECT * FROM scored WHERE quality >= 0.51),
+    dedup AS (
+      SELECT MIN(doc_id) AS rep_doc, COUNT(*) AS n_copies,
+             MIN(lang) AS lang, MIN(quality) AS quality
+      FROM kept GROUP BY md5(text)
+    )
+    SELECT lang, COUNT(*) AS n_unique_docs,
+           CAST(SUM(n_copies - 1) AS BIGINT) AS n_dups_removed,
+           ROUND(AVG(quality), 4) AS avg_quality
+    FROM dedup GROUP BY lang ORDER BY lang
+    """,
+)
+def q40_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation in ONE declarative plan (the
+    training-data headline): score quality (q28's formula) -> threshold
+    filter -> exact dedup on content hash keeping the lowest doc_id ->
+    per-language yield report. Composition stays a single Catalyst plan:
+    scoring is per-row codegen over the scan, the filter prunes before
+    the only wide stages (dedup groupBy on the 32-byte digest, then the
+    tiny per-lang rollup) -- at 100 TB the heavy shuffle moves only
+    hash + lang + quality, never document text."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    corpus = docs.unionByName(
+        docs.filter(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 100000).alias("doc_id"), "text", "lang"
+        )
+    )
+    toks = F.split("text", " ")
+    n_tokens = F.size(toks)
+    n_distinct = F.size(F.array_distinct(toks))
+    avg_len = (F.length("text") - n_tokens + 1).cast("double") / n_tokens
+    quality = (
+        0.5 * (n_distinct.cast("double") / n_tokens)
+        + 0.3 * F.least(n_tokens.cast("double") / 100, F.lit(1.0))
+        + 0.2 * F.least(avg_len / 8, F.lit(1.0))
+    )
+    kept = corpus.withColumn("quality", quality).filter(F.col("quality") >= 0.51)
+    dedup = kept.groupBy(F.sha2(F.col("text"), 256)).agg(
+        F.min("doc_id").alias("rep_doc"),
+        F.count(F.lit(1)).alias("n_copies"),
+        F.min("lang").alias("lang"),
+        F.min("quality").alias("quality"),
+    )
+    return (
+        dedup.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_unique_docs"),
+            F.sum(F.col("n_copies") - 1).alias("n_dups_removed"),
+            F.round(F.avg("quality"), 4).alias("avg_quality"),
+        )
+        .orderBy("lang")
+    )
