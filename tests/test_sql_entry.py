@@ -80,6 +80,75 @@ SQL_TWINS = {
                MAX(try_cast(get_json_object(props, '$.k') AS INT)) AS max_k
         FROM events GROUP BY event_type ORDER BY event_type
     """,
+    "q35_math_funcs": """
+        SELECT event_id,
+               ROUND(value, 1) AS v_round,
+               FLOOR(value) AS v_floor,
+               CEIL(value) AS v_ceil,
+               ROUND(ABS(value - 250.0), 2) AS v_absdev,
+               ROUND(SQRT(value), 4) AS v_sqrt,
+               ROUND(LN(value + 1), 4) AS v_ln,
+               ROUND(LOG10(value + 1), 4) AS v_log10,
+               ROUND(POW(value / 100, 2), 4) AS v_pow,
+               PMOD(event_id, 7) AS v_pmod,
+               SIGNUM(value - 250.0) AS v_sign
+        FROM events WHERE event_id % 25 = 0 ORDER BY event_id
+    """,
+    "q36_array_funcs": """
+        SELECT vec_id,
+               size(embedding) AS n_dims,
+               size(filter(embedding, x -> x > 0)) AS n_pos,
+               CAST(array_position(embedding, array_max(embedding)) AS INT)
+                 AS argmax_pos,
+               ROUND(CAST(array_max(embedding) AS DOUBLE), 4) AS max_val,
+               ROUND(CAST(element_at(sort_array(slice(embedding, 1, 8)), 1)
+                     AS DOUBLE), 4) AS min_of_first8,
+               ROUND(AGGREGATE(TRANSFORM(embedding, x -> CAST(x AS DOUBLE)),
+                     CAST(0.0 AS DOUBLE), (s, x) -> s + x), 4) AS sum_all
+        FROM embeddings ORDER BY vec_id
+    """,
+    "q39_bpe_tokens": """
+        WITH tok AS (
+          SELECT doc_id,
+                 explode(regexp_extract_all(lower(text),
+                         ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+', 0)) AS piece
+          FROM documents
+        ),
+        per_doc AS (
+          SELECT piece, doc_id, COUNT(*) AS cnt FROM tok GROUP BY piece, doc_id
+        )
+        SELECT piece, SUM(cnt) AS n, COUNT(*) AS n_docs
+        FROM per_doc GROUP BY piece
+        ORDER BY n DESC, piece LIMIT 30
+    """,
+    "q40_curation_pipeline": """
+        WITH corpus AS (
+          SELECT doc_id, text, lang FROM documents
+          UNION ALL
+          SELECT doc_id + 100000 AS doc_id, text, lang
+          FROM documents WHERE doc_id % 10 = 0
+        ),
+        scored AS (
+          SELECT doc_id, text, lang,
+                 0.5 * (CAST(size(array_distinct(split(text, ' '))) AS DOUBLE)
+                        / size(split(text, ' ')))
+                 + 0.3 * least(CAST(size(split(text, ' ')) AS DOUBLE) / 100, 1.0)
+                 + 0.2 * least((CAST(length(text) - size(split(text, ' ')) + 1
+                                AS DOUBLE) / size(split(text, ' '))) / 8, 1.0)
+                   AS quality
+          FROM corpus
+        ),
+        kept AS (SELECT * FROM scored WHERE quality >= 0.51),
+        dedup AS (
+          SELECT MIN(doc_id) AS rep_doc, COUNT(*) AS n_copies,
+                 MIN(lang) AS lang, MIN(quality) AS quality
+          FROM kept GROUP BY sha2(text, 256)
+        )
+        SELECT lang, COUNT(*) AS n_unique_docs,
+               SUM(n_copies - 1) AS n_dups_removed,
+               ROUND(AVG(quality), 4) AS avg_quality
+        FROM dedup GROUP BY lang ORDER BY lang
+    """,
 }
 
 
