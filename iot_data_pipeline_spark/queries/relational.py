@@ -382,6 +382,35 @@ def q10b_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @declared(
+    "q10c_cube",
+    oracle="""
+    SELECT o_orderstatus, CAST(YEAR(o_orderdate) AS INTEGER) AS o_year,
+           COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total,
+           CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status
+    FROM orders GROUP BY CUBE(o_orderstatus, YEAR(o_orderdate))
+    ORDER BY g_status, o_orderstatus NULLS LAST, o_year NULLS LAST
+    """,
+)
+def q10c_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over status x order-year (B21): all four grouping combinations
+    in one pass -- Spark plans a single Expand + hash agg, not four scans."""
+    orders = read_table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            F.grouping("o_orderstatus").cast("int").alias("g_status"),
+        )
+        .orderBy(
+            "g_status",
+            F.col("o_orderstatus").asc_nulls_last(),
+            F.col("o_year").asc_nulls_last(),
+        )
+    )
+
+
+@declared(
     "q11_distinct",
     oracle="""
     SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment

@@ -340,3 +340,35 @@ def q21_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@declared(
+    "q16b_range_frame",
+    oracle="""
+    SELECT user_id, event_id, value,
+           ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY value
+                 RANGE BETWEEN 50 PRECEDING AND CURRENT ROW), 2)
+             AS sum_within_50,
+           CAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY value
+                 RANGE BETWEEN 50 PRECEDING AND 50 FOLLOWING) AS BIGINT)
+             AS n_within_100
+    FROM events WHERE event_id % 20 = 0
+    ORDER BY user_id, value, event_id
+    """,
+)
+def q16b_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-framed window aggregates (B26): the frame is a VALUE interval
+    (+-50 around the current row's value), not a row count -- peers with
+    equal ordering values share one frame, which ROWS frames cannot
+    express. Same single shuffle on the partition key as q16."""
+    ev = read_table(spark, sf_dir, "events").filter(F.col("event_id") % 20 == 0)
+    w = Window.partitionBy("user_id").orderBy("value")
+    return ev.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.round(F.sum("value").over(w.rangeBetween(-50, 0)), 2).alias(
+            "sum_within_50"
+        ),
+        F.count(F.lit(1)).over(w.rangeBetween(-50, 50)).alias("n_within_100"),
+    ).orderBy("user_id", "value", "event_id")
