@@ -1,0 +1,241 @@
+"""q41-q45: pivot/unpivot reshaping, distribution window analytics, and two
+more training-data curation filters (Gopher-style repetition ratio and
+stopword/charset quality ratios).
+
+The reshaping ops generalize the reference's fixed-schema projection
+(`/root/reference/app/app.py:48-56` adds columns to a flat record; pivot and
+unpivot are the schema-reshaping counterparts a real analytics surface needs).
+The curation filters extend q28's quality scoring per the north-star mandate
+(quality scoring via "length/punct/stopword ratios"; repetition-based
+filtering a la Gopher/C4). All are per-row column arithmetic or a single
+partial-aggregated shuffle -- no new scale risks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from iot_data_pipeline_spark.queries.registry import declared
+from iot_data_pipeline_spark.sources.readers import read_table
+
+
+@declared(
+    "q41_pivot",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(SUM(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2)
+             AS qty_f,
+           ROUND(SUM(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2)
+             AS qty_o,
+           ROUND(AVG(CASE WHEN l_linestatus = 'F' THEN l_extendedprice END), 2)
+             AS avg_price_f,
+           ROUND(AVG(CASE WHEN l_linestatus = 'O' THEN l_extendedprice END), 2)
+             AS avg_price_o
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def q41_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long -> wide): per returnflag, quantity and price stats split
+    by linestatus as columns. Explicit pivot values keep the plan a single
+    hash aggregate (no extra distinct-values job) -- the shape that matters
+    at 100 TB, where `pivot` without values would scan twice."""
+    li = read_table(spark, sf_dir, "lineitem")
+    wide = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("qty"),
+            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+        )
+    )
+    return wide.select(
+        "l_returnflag",
+        F.col("F_qty").alias("qty_f"),
+        F.col("O_qty").alias("qty_o"),
+        F.col("F_avg_price").alias("avg_price_f"),
+        F.col("O_avg_price").alias("avg_price_o"),
+    ).orderBy("l_returnflag")
+
+
+@declared(
+    "q42_unpivot",
+    oracle="""
+    WITH agg AS (
+      SELECT l_returnflag,
+             ROUND(SUM(l_quantity), 2) AS sum_qty,
+             ROUND(SUM(l_extendedprice), 2) AS sum_price,
+             ROUND(SUM(l_discount), 2) AS sum_disc
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, 'sum_disc' AS measure, sum_disc AS value FROM agg
+    UNION ALL
+    SELECT l_returnflag, 'sum_price' AS measure, sum_price AS value FROM agg
+    UNION ALL
+    SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS value FROM agg
+    ORDER BY l_returnflag, measure
+    """,
+)
+def q42_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt (wide -> long): aggregate once, then rotate the measure
+    columns into (measure, value) rows. Spark's `unpivot` is a zero-shuffle
+    Expand over the aggregated (tiny) side -- the oracle's UNION ALL
+    restates the same reshaping relationally."""
+    li = read_table(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.round(F.sum("l_discount"), 2).alias("sum_disc"),
+    )
+    return agg.unpivot(
+        ["l_returnflag"], ["sum_qty", "sum_price", "sum_disc"], "measure", "value"
+    ).orderBy("l_returnflag", "measure")
+
+
+@declared(
+    "q43_percent_rank",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           ROUND(PERCENT_RANK() OVER (PARTITION BY c_mktsegment
+                                      ORDER BY c_acctbal, c_custkey), 4) AS pr,
+           ROUND(CUME_DIST() OVER (PARTITION BY c_mktsegment
+                                   ORDER BY c_acctbal, c_custkey), 4) AS cd
+    FROM customer
+    ORDER BY c_mktsegment, pr, c_custkey
+    """,
+)
+def q43_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution analytics (extends B24): PERCENT_RANK + CUME_DIST of
+    account balance within market segment. The (c_acctbal, c_custkey) sort
+    key makes both functions deterministic under ties."""
+    cust = read_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round(F.percent_rank().over(w), 4).alias("pr"),
+        F.round(F.cume_dist().over(w), 4).alias("cd"),
+    ).orderBy("c_mktsegment", "pr", "c_custkey")
+
+
+@declared(
+    "q44_repetition_ratio",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id,
+             string_split(text, ' ') AS toks,
+             list_transform(
+               range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+               i -> string_split(text, ' ')[i] || ' ' ||
+                    string_split(text, ' ')[i+1] || ' ' ||
+                    string_split(text, ' ')[i+2]) AS grams
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(grams) AS BIGINT) AS n_3grams,
+           ROUND(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams), 4)
+             AS dup_3gram_frac,
+           ROUND(1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 4)
+             AS dup_token_frac,
+           CAST(CASE WHEN 1.0 - CAST(len(list_distinct(grams)) AS DOUBLE)
+                          / len(grams) <= 0.2 THEN 1 ELSE 0 END AS INTEGER)
+             AS keep
+    FROM g ORDER BY doc_id
+    """,
+)
+def q44_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filter: fraction of duplicated 3-grams and
+    duplicated tokens per document, plus the keep/drop decision at a 0.2
+    threshold. Entirely per-row array arithmetic inside the scan stage --
+    zero shuffles, so it costs one pass at any scale. The 3-gram list is
+    built once from a hoisted `split` (interpreted HOF lambdas don't share
+    subexpressions; see _shingle_hashes in queries/llm.py)."""
+    docs = read_table(spark, sf_dir, "documents")
+    toked = docs.select("doc_id", F.split("text", " ").alias("toks"))
+    idx = F.sequence(F.lit(1), F.greatest(F.size("toks") - 2, F.lit(0)))
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at("toks", i),
+            F.element_at("toks", i + 1),
+            F.element_at("toks", i + 2),
+        ),
+    )
+    g = toked.select("doc_id", "toks", grams.alias("grams"))
+    dup_gram = 1.0 - F.size(F.array_distinct("grams")).cast("double") / F.size("grams")
+    dup_tok = 1.0 - F.size(F.array_distinct("toks")).cast("double") / F.size("toks")
+    return g.select(
+        "doc_id",
+        F.size("grams").cast("long").alias("n_3grams"),
+        F.round(dup_gram, 4).alias("dup_3gram_frac"),
+        F.round(dup_tok, 4).alias("dup_token_frac"),
+        F.when(dup_gram <= 0.2, 1).otherwise(0).cast("int").alias("keep"),
+    ).orderBy("doc_id")
+
+
+#: Stopword list over the corpus vocabulary (the *plumbing* of a real
+#: stopword filter; a production list would be a broadcast table).
+STOPWORDS = ["a", "the", "of", "and", "to", "in"]
+
+_STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+
+@declared(
+    "q45_stopword_charset",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id,
+             string_split(text, ' ') AS toks,
+             length(text) AS n_chars,
+             length(regexp_replace(text, '[^a-z]', '', 'g')) AS n_alpha,
+             length(regexp_replace(text, '[^ ]', '', 'g')) AS n_space
+      FROM documents
+    )
+    SELECT doc_id,
+           ROUND(CAST(len(list_filter(toks, t -> t IN ({_STOP_SQL})))
+                 AS DOUBLE) / len(toks), 4) AS stop_ratio,
+           ROUND(CAST(n_alpha AS DOUBLE) / n_chars, 4) AS alpha_ratio,
+           ROUND(CAST(n_space AS DOUBLE) / n_chars, 4) AS space_ratio,
+           CAST(CASE WHEN CAST(len(list_filter(toks, t -> t IN ({_STOP_SQL})))
+                          AS DOUBLE) / len(toks) BETWEEN 0.01 AND 0.5
+                     THEN 1 ELSE 0 END AS INTEGER) AS keep
+    FROM s ORDER BY doc_id
+    """,
+)
+def q45_stopword_charset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style stopword/charset quality ratios: stopword fraction of
+    tokens, alphabetic and whitespace fraction of characters, and the
+    keep decision (a document with almost no stopwords is word salad; one
+    with too many is boilerplate). Per-row expressions only -- the
+    stopword set compiles to an array literal probed inside codegen, so
+    the whole filter fuses into the scan stage."""
+    docs = read_table(spark, sf_dir, "documents")
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
+    s = docs.select(
+        "doc_id",
+        F.split("text", " ").alias("toks"),
+        F.length("text").alias("n_chars"),
+        F.length(F.regexp_replace("text", "[^a-z]", "")).alias("n_alpha"),
+        F.length(F.regexp_replace("text", "[^ ]", "")).alias("n_space"),
+    )
+    stop_ratio = (
+        F.size(F.filter("toks", lambda t: F.array_contains(stop_arr, t))).cast(
+            "double"
+        )
+        / F.size("toks")
+    )
+    return s.select(
+        "doc_id",
+        F.round(stop_ratio, 4).alias("stop_ratio"),
+        F.round(F.col("n_alpha").cast("double") / F.col("n_chars"), 4).alias(
+            "alpha_ratio"
+        ),
+        F.round(F.col("n_space").cast("double") / F.col("n_chars"), 4).alias(
+            "space_ratio"
+        ),
+        F.when((stop_ratio >= 0.01) & (stop_ratio <= 0.5), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("keep"),
+    ).orderBy("doc_id")
