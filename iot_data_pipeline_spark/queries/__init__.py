@@ -8,6 +8,7 @@ from iot_data_pipeline_spark.queries import (  # noqa: F401
     llm,
     pipeline_q,
     relational,
+    sampling,
     windows,
 )
 from iot_data_pipeline_spark.queries.registry import REGISTRY, DeclaredQuery

@@ -1,0 +1,187 @@
+"""Deterministic sampling / dataset-splitting operators for training-data
+pipelines (north-star mandate, alongside SURVEY.md section 2.2 tier B).
+
+A training corpus at 100 TB needs reproducible splits and samples: the
+same record must land in the same split on every run, on any cluster
+layout, with no shared state. Both operators therefore key off the
+portable content hash (functions/hashing.py) instead of ``rand()`` --
+hash-based sampling is a narrow deterministic filter that pushes down,
+repartitions nothing, and is auditable in any engine (the DuckDB oracle
+recomputes the identical assignment).
+
+The reference has no sampling surface (its loop processes every record,
+reference app/app.py:33-65); these generalize its "process a subset"
+event filtering (reference lambda/s3_event_handler.py:35-36) to
+content-addressed subsets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from iot_data_pipeline_spark.functions.hashing import ORACLE_HASH, portable_hash
+from iot_data_pipeline_spark.queries.registry import declared
+from iot_data_pipeline_spark.sources.readers import read_table
+
+#: split assignment: H(doc_id) % 100 -> 0..79 train, 80..89 valid, 90..99 test
+_SPLIT_HASH = ORACLE_HASH.format("CAST(doc_id AS VARCHAR)")
+
+
+@declared(
+    "q48_hash_split",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT doc_id, n_chars, lang,
+             CASE WHEN {_SPLIT_HASH} % 100 < 80 THEN 'train'
+                  WHEN {_SPLIT_HASH} % 100 < 90 THEN 'valid'
+                  ELSE 'test' END AS split
+      FROM documents
+    )
+    SELECT split, COUNT(*) AS n_docs,
+           ROUND(AVG(n_chars), 2) AS avg_chars,
+           COUNT(DISTINCT lang) AS n_langs
+    FROM assigned GROUP BY split ORDER BY split
+    """,
+)
+def q48_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/valid/test split by content hash.
+
+    Scale plan: the assignment is a pure row-local projection -- no
+    shuffle, no state, no seed to coordinate across 1000 executors. A
+    record's split never changes when the corpus is re-partitioned or
+    grows, which is the property ``rand(seed)`` sampling cannot give
+    (rand is per-task-attempt, not per-record).
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    bucket = portable_hash(F.col("doc_id").cast("string")) % 100
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "valid").otherwise("test")
+    )
+    return (
+        docs.withColumn("split", split)
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+        .orderBy("split")
+    )
+
+
+_SAMPLE_HASH = ORACLE_HASH.format("'smp:' || CAST(doc_id AS VARCHAR)")
+
+
+@declared(
+    "q49_stratified_sample",
+    oracle=f"""
+    WITH sampled AS (
+      SELECT lang, source, n_chars
+      FROM documents
+      WHERE {_SAMPLE_HASH} % 1000 <
+            CASE WHEN lang = 'en' THEN 100 ELSE 300 END
+    )
+    SELECT lang, COUNT(*) AS n_sampled,
+           ROUND(AVG(n_chars), 2) AS avg_chars,
+           COUNT(DISTINCT source) AS n_sources
+    FROM sampled GROUP BY lang ORDER BY lang
+    """,
+)
+def q49_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sampling: 10% of 'en' docs, 30% of every
+    other language -- the down-weight-the-majority-stratum move every
+    corpus-balancing pipeline needs.
+
+    Scale plan: like q48 this is a row-local predicate (no sampleBy(), no
+    seed coordination); the per-stratum rate is a CASE over the stratum
+    column, so adding strata costs nothing. The hash is salted ('smp:')
+    so this sample is independent of the q48 split assignment.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    h = portable_hash(F.concat(F.lit("smp:"), F.col("doc_id").cast("string")))
+    rate = F.when(F.col("lang") == "en", 100).otherwise(300)
+    return (
+        docs.filter(h % 1000 < rate)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+            F.countDistinct("source").alias("n_sources"),
+        )
+        .orderBy("lang")
+    )
+
+
+@declared(
+    "q50_vocab_coverage",
+    oracle="""
+    WITH toks AS (
+      SELECT unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    counts AS (
+      SELECT token, COUNT(*) AS cnt FROM toks
+      WHERE token <> '' GROUP BY token
+    ),
+    ranked AS (
+      SELECT token, cnt,
+             SUM(cnt) OVER (ORDER BY cnt DESC, token
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(cnt) OVER () AS total,
+             ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS rk
+      FROM counts
+    )
+    SELECT rk, token, cnt, ROUND(CAST(cum AS DOUBLE) / total, 4) AS cum_share
+    FROM ranked
+    WHERE CAST(cum - cnt AS DOUBLE) / total < 0.9
+    ORDER BY rk
+    """,
+)
+def q50_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve: the smallest frequency-ranked token
+    prefix covering 90% of the corpus token mass (tokenizer-budget
+    sizing for training pipelines).
+
+    Scale plan: the token count is a map-side-combined groupBy over
+    hashed strings; only the *aggregated* vocabulary (#distinct tokens,
+    tiny vs corpus) enters the single-partition window -- ranking a
+    vocabulary is driver-scale work even when the corpus is 100 TB.
+    The prefix predicate uses (cum - cnt)/total < 0.9 so the first token
+    crossing the threshold is included, mirroring "smallest covering
+    prefix" exactly in both engines.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w_order = Window.orderBy(F.desc("cnt"), "token")
+    ranked = counts.select(
+        F.row_number().over(w_order).alias("rk"),
+        "token",
+        "cnt",
+        F.sum("cnt").over(w_order.rowsBetween(Window.unboundedPreceding, 0)).alias(
+            "cum"
+        ),
+        F.sum("cnt").over(
+            Window.partitionBy().rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("total"),
+    )
+    return (
+        ranked.filter(
+            (F.col("cum") - F.col("cnt")).cast("double") / F.col("total") < 0.9
+        )
+        .select(
+            "rk",
+            "token",
+            "cnt",
+            F.round(F.col("cum").cast("double") / F.col("total"), 4).alias(
+                "cum_share"
+            ),
+        )
+        .orderBy("rk")
+    )
