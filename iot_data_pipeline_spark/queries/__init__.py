@@ -9,6 +9,7 @@ from iot_data_pipeline_spark.queries import (  # noqa: F401
     pipeline_q,
     relational,
     sampling,
+    timeseries,
     windows,
 )
 from iot_data_pipeline_spark.queries.registry import REGISTRY, DeclaredQuery

@@ -239,3 +239,163 @@ def q45_stopword_charset(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("keep"),
     ).orderBy("doc_id")
+
+
+@declared(
+    "q55_salted_agg",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS total_value,
+           ROUND(MIN(value), 2) AS min_value,
+           ROUND(MAX(value), 2) AS max_value
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q55_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-stage aggregation (operators/skew.py): events has
+    only 5 event_type keys, the textbook hot-key shape -- a plain
+    groupBy gives each key to ONE reducer no matter how many executors
+    exist. salted_agg shards each key 16 ways in stage 1 (map-side
+    combine still applies), then combines 16 rows per key in stage 2.
+    The oracle is the plain GROUP BY: salting must be invisible in the
+    result.
+    """
+    from iot_data_pipeline_spark.operators.skew import salted_agg
+
+    ev = read_table(spark, sf_dir, "events")
+    out = salted_agg(
+        ev,
+        keys=["event_type"],
+        aggs={
+            "n_events": ("value", "count"),
+            "total_value_raw": ("value", "sum"),
+            "min_value_raw": ("value", "min"),
+            "max_value_raw": ("value", "max"),
+        },
+    )
+    return out.select(
+        "event_type",
+        "n_events",
+        F.round("total_value_raw", 2).alias("total_value"),
+        F.round("min_value_raw", 2).alias("min_value"),
+        F.round("max_value_raw", 2).alias("max_value"),
+    ).orderBy("event_type")
+
+
+@declared(
+    "q56_stats_agg",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(CORR(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+           ROUND(COVAR_SAMP(l_quantity, l_extendedprice), 2) AS covar_s,
+           ROUND(COVAR_POP(l_discount, l_tax), 6) AS covar_p,
+           ROUND(REGR_SLOPE(l_extendedprice, l_quantity), 4) AS slope,
+           ROUND(REGR_INTERCEPT(l_extendedprice, l_quantity), 2) AS intercept
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def q56_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate statistical aggregates (B18 extension): correlation,
+    covariance, and least-squares regression over lineitem. All are
+    single-pass partial+final aggregates in Spark (each maintains a
+    small moment sketch per group), so they scale exactly like SUM.
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias(
+                "corr_qty_price"
+            ),
+            F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias(
+                "covar_s"
+            ),
+            F.round(F.covar_pop("l_discount", "l_tax"), 6).alias("covar_p"),
+            F.round(F.regr_slope("l_extendedprice", "l_quantity"), 4).alias(
+                "slope"
+            ),
+            F.round(F.regr_intercept("l_extendedprice", "l_quantity"), 2).alias(
+                "intercept"
+            ),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@declared(
+    "q57_filtered_agg",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+           ROUND(SUM(o_totalprice) FILTER (WHERE o_orderstatus = 'O'), 2)
+               AS open_value,
+           ROUND(AVG(o_totalprice) FILTER (WHERE o_totalprice > 100000), 2)
+               AS avg_big
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def q57_filtered_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation via the SQL FILTER clause (one pass, no
+    self-joins): the idiomatic replacement for N separate filtered
+    scans. Catalyst compiles each FILTER into a conditional update of
+    the same hash-agg buffer -- one shuffle total. Expressed through
+    the SQL entry point (B5) to exercise FILTER parsing.
+    """
+    read_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               COUNT(*) AS n_orders,
+               COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+               ROUND(SUM(o_totalprice) FILTER (WHERE o_orderstatus = 'O'), 2)
+                   AS open_value,
+               ROUND(AVG(o_totalprice) FILTER (WHERE o_totalprice > 100000), 2)
+                   AS avg_big
+        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """
+    )
+
+
+@declared(
+    "q60_value_windows",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           ROUND(c_acctbal, 2) AS acctbal,
+           ROUND(FIRST_VALUE(c_acctbal) OVER w_full, 2) AS seg_top,
+           ROUND(LAST_VALUE(c_acctbal) OVER w_full, 2) AS seg_bottom,
+           ROUND(NTH_VALUE(c_acctbal, 3) OVER w_full, 2) AS seg_third,
+           ROUND(CUME_DIST() OVER w_ord, 4) AS cd
+    FROM customer
+    WINDOW
+      w_ord AS (PARTITION BY c_mktsegment
+                ORDER BY c_acctbal DESC, c_custkey),
+      w_full AS (PARTITION BY c_mktsegment
+                 ORDER BY c_acctbal DESC, c_custkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    ORDER BY c_mktsegment, cd, c_custkey
+    """,
+)
+def q60_value_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value window functions (B25 completion): first/last/nth value
+    with an explicit full-partition frame (the default frame stops at
+    CURRENT ROW, where last_value degenerates to the row itself), and
+    cume_dist on the default ordered frame. Unique order keys make
+    every output deterministic.
+    """
+    customer = read_table(spark, sf_dir, "customer")
+    w_ord = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("c_acctbal"), "c_custkey"
+    )
+    w_full = w_ord.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return customer.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round("c_acctbal", 2).alias("acctbal"),
+        F.round(F.first("c_acctbal").over(w_full), 2).alias("seg_top"),
+        F.round(F.last("c_acctbal").over(w_full), 2).alias("seg_bottom"),
+        F.round(F.nth_value("c_acctbal", 3).over(w_full), 2).alias("seg_third"),
+        F.round(F.cume_dist().over(w_ord), 4).alias("cd"),
+    ).orderBy("c_mktsegment", "cd", "c_custkey")

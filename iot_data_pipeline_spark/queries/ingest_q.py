@@ -294,3 +294,123 @@ def q14_streaming_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source_file")
     )
+
+
+@declared(
+    "q51_csv_roundtrip",
+    oracle="""
+    SELECT r.r_name, COUNT(*) AS n_nations,
+           MIN(n.n_name) AS first_nation
+    FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name ORDER BY r.r_name
+    """,
+)
+def q51_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV source surface (SURVEY.md B2): write ``nation`` out as
+    headered CSV, read it back through the declared-schema CSV reader
+    (no inference pass), broadcast-join ``region``, aggregate. The
+    oracle recomputes from the parquet views, so the round-trip must
+    lose nothing -- types, quoting, header handling all under test.
+
+    Scale plan: the reader takes an explicit schema because inference
+    is a second full scan of the input; PERMISSIVE mode keeps the
+    dirty-data contract of the JSONL path (reference app/app.py:62-65).
+    """
+    import pyspark.sql.types as T
+
+    from iot_data_pipeline_spark.sources.readers import read_csv
+
+    work = tempfile.mkdtemp(prefix="idp_q51_")
+    csv_dir = os.path.join(work, "nation_csv")
+    nation = read_table(spark, sf_dir, "nation")
+    nation.coalesce(1).write.mode("overwrite").option("header", "true").csv(csv_dir)
+    schema = T.StructType(
+        [
+            T.StructField("n_nationkey", T.LongType()),
+            T.StructField("n_name", T.StringType()),
+            T.StructField("n_regionkey", T.LongType()),
+        ]
+    )
+    nation_csv = read_csv(spark, csv_dir, schema)
+    region = read_table(spark, sf_dir, "region")
+    return (
+        nation_csv.join(
+            F.broadcast(region), nation_csv.n_regionkey == region.r_regionkey
+        )
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_nations"),
+            F.min("n_name").alias("first_nation"),
+        )
+        .orderBy("r_name")
+    )
+
+
+@declared(
+    "q53_stream_stream_join",
+    oracle="""
+    SELECT p.user_id % 50 AS user_bucket,
+           COUNT(*) AS n_attributed,
+           ROUND(SUM(c.value), 2) AS click_value
+    FROM events p
+    JOIN events c
+      ON p.user_id = c.user_id
+     AND p.event_type = 'purchase'
+     AND c.event_type = 'click'
+     AND c.ts >= p.ts - INTERVAL 10 MINUTE
+     AND c.ts <= p.ts
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q53_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (attribution): purchases joined to
+    same-user clicks in the preceding 10 minutes, both sides read as
+    file-source streams with watermarks, run to completion with
+    ``Trigger.AvailableNow`` and aggregated batch-side from the sink.
+    The oracle is the equivalent batch interval join over ``events``.
+
+    The staged parquet is written as ONE file so the whole stream is a
+    single micro-batch: the join is then exact (no cross-batch watermark
+    eviction), while the watermark wiring -- which is what bounds join
+    state on a real unbounded stream -- is still the code path under
+    test.
+    """
+    from iot_data_pipeline_spark.streaming.windows import interval_join_streams
+
+    work = tempfile.mkdtemp(prefix="idp_q53_")
+    staged = os.path.join(work, "events")
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    ev.coalesce(1).write.mode("overwrite").parquet(staged)
+    schema = spark.read.parquet(staged).schema
+
+    def stream() -> DataFrame:
+        return spark.readStream.schema(schema).parquet(staged)
+
+    purchases = stream().filter(F.col("event_type") == "purchase")
+    clicks = stream().filter(F.col("event_type") == "click")
+    joined = interval_join_streams(
+        purchases, clicks, key="user_id", lookback="10 minutes"
+    ).select(
+        F.col("l.user_id").alias("user_id"),
+        F.col("r.value").alias("click_value_raw"),
+    )
+    sink = f"q53_sink_{os.path.basename(work)}"
+    (
+        joined.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return (
+        spark.table(sink)
+        .groupBy((F.col("user_id") % 50).alias("user_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_attributed"),
+            F.round(F.sum("click_value_raw"), 2).alias("click_value"),
+        )
+        .orderBy("user_bucket")
+    )

@@ -770,3 +770,149 @@ def q40_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@declared(
+    "q52_dup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {CORPUS_NEAR_CTE.strip()},
+    shingled AS (
+      SELECT doc_id, lang, unnest(
+        list_transform(
+          range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+          i -> string_split(text, ' ')[i] || ' ' ||
+               string_split(text, ' ')[i+1] || ' ' ||
+               string_split(text, ' ')[i+2])) AS shingle
+      FROM corpus
+    ),
+    shashes AS (
+      SELECT DISTINCT doc_id, lang, {ORACLE_HASH.format("shingle")} AS h
+      FROM shingled
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shashes GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+      FROM shashes a JOIN shashes b
+        ON a.h = b.h AND a.lang = b.lang AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE ROUND(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 4)
+            >= 0.5
+    ),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(node, lab) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.node
+    ),
+    comp AS (SELECT node, MIN(lab) AS component FROM reach GROUP BY node)
+    SELECT component, COUNT(*) AS cluster_size,
+           MAX(node) AS max_doc_id
+    FROM comp GROUP BY component ORDER BY component
+    """,
+)
+def q52_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster formation: transitive closure of the q25 n-gram
+    Jaccard matches via distributed connected components (operators/
+    graph.py). The DuckDB oracle computes the same closure with WITH
+    RECURSIVE -- Spark has no recursive SQL, so the engine's iterative
+    min-label propagation (one shuffle per round, O(diameter) rounds) is
+    checked against a genuinely different algorithm, not a mirror of
+    itself.
+
+    Scale plan: rounds operate on the (node, label) frame -- fixed-width
+    ints, never document text; localCheckpoint caps lineage so round N's
+    plan does not replay rounds 1..N-1. Cluster pick: keep-min-id is the
+    standard canonical-representative rule for dedup.
+    """
+    from iot_data_pipeline_spark.operators.graph import connected_components
+
+    pairs = q25_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    comp = connected_components(pairs, src="doc_a", dst="doc_b")
+    return (
+        comp.groupBy("component")
+        .agg(
+            F.count(F.lit(1)).alias("cluster_size"),
+            F.max("node").alias("max_doc_id"),
+        )
+        .orderBy("component")
+    )
+
+
+def _q54_oracle() -> str:
+    """8 portable-hash-seeded hyperplanes; bit b set when the dot product
+    with hyperplane b is >= 0. Weight arrays are derived from the portable
+    hash (functions/hashing.py) IN SQL on both engines, so no literal
+    tables need shipping."""
+    h = ORACLE_HASH.format("'lsh:{b}:' || CAST(i AS VARCHAR)")
+    bit = (
+        "CASE WHEN list_dot_product(embedding::DOUBLE[], "
+        "list_transform(range(1, 65), i -> "
+        f"CAST({h} % 21 - 10 AS DOUBLE))) >= 0 "
+        "THEN {p} ELSE 0 END"
+    )
+    bits = " + ".join(bit.format(b=b, p=1 << b) for b in range(8))
+    return f"""
+    WITH bucketed AS (
+      SELECT vec_id, label, ({bits}) AS bucket FROM embeddings
+    )
+    SELECT bucket, COUNT(*) AS n_vecs,
+           COUNT(DISTINCT label) AS n_labels,
+           MIN(vec_id) AS min_vec_id
+    FROM bucketed GROUP BY bucket ORDER BY bucket
+    """
+
+
+@declared("q54_lsh_buckets", oracle=_q54_oracle())
+def q54_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane (sign) LSH bucketing for cosine ANN -- the scale
+    path beside q12's brute force and q31's IVF cells: at 100 TB,
+    candidate generation is an equi-join on ``bucket`` (hash shuffle over
+    an 8-bit key), never a cross join. Hyperplane weights are
+    pseudo-random integers in [-10, 10] derived from the portable hash,
+    so the DuckDB oracle reproduces every signature bit-for-bit; the
+    fold-based dot product is IEEE-identical to DuckDB's
+    list_dot_product (both sequential -- proven by q12/q31).
+    """
+    emb = read_table(spark, sf_dir, "embeddings")
+    as_double = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+
+    def weights(b: int):
+        return F.transform(
+            F.sequence(F.lit(1), F.lit(64)),
+            lambda i: (
+                portable_hash(F.concat(F.lit(f"lsh:{b}:"), i.cast("string")))
+                % 21
+                - 10
+            ).cast("double"),
+        )
+
+    def dot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda p, q: p * q),
+            F.lit(0.0),
+            lambda s, v: s + v,
+        )
+
+    bucket = sum(
+        F.when(dot(as_double, weights(b)) >= 0, 1 << b).otherwise(0)
+        for b in range(8)
+    )
+    return (
+        emb.select("vec_id", "label", bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.countDistinct("label").alias("n_labels"),
+            F.min("vec_id").alias("min_vec_id"),
+        )
+        .orderBy("bucket")
+    )

@@ -1,0 +1,125 @@
+"""Time-series repair operators: gap filling against a generated time
+spine, and forward-fill of sparse readings.
+
+These are the two canonical IoT-telemetry repairs (the reference's
+domain -- its records are sensor readings keyed by device and timestamp,
+reference README.md:185-189): a device that sends nothing for an hour
+must still produce a zero row for dashboards, and a device that sends
+intermittently must carry its last known reading forward. Both are pure
+DataFrame ops: the spine is `sequence()+explode` (no driver loop), the
+fill is `last(ignorenulls)` over an ordered window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from iot_data_pipeline_spark.queries.base import fmt_ts
+from iot_data_pipeline_spark.queries.registry import declared
+from iot_data_pipeline_spark.sources.readers import read_table
+
+
+@declared(
+    "q58_gap_fill",
+    oracle="""
+    WITH bounds AS (
+      SELECT date_trunc('hour', MIN(ts)) AS lo FROM events
+    ),
+    spine AS (
+      SELECT unnest(generate_series(lo, lo + INTERVAL 71 HOUR,
+                                    INTERVAL 1 HOUR)) AS hour_ts
+      FROM bounds
+    ),
+    hourly AS (
+      SELECT date_trunc('hour', ts) AS hour_ts,
+             COUNT(*) AS n, SUM(value) AS total
+      FROM events WHERE event_type = 'click'
+      GROUP BY 1
+    )
+    SELECT strftime(s.hour_ts, '%Y-%m-%d %H:%M:%S') AS hour_s,
+           COALESCE(h.n, 0) AS n_clicks,
+           ROUND(COALESCE(h.total, 0), 2) AS click_value
+    FROM spine s LEFT JOIN hourly h ON s.hour_ts = h.hour_ts
+    ORDER BY hour_s
+    """,
+)
+def q58_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap filling: left-join hourly aggregates onto a generated 72-hour
+    spine so silent hours surface as explicit zero rows.
+
+    Scale plan: the spine is `sequence()+explode` from a 1-row bounds
+    aggregate -- generated, never stored; it broadcast-joins against
+    the (already aggregated, small) hourly rollup. At 100 TB only the
+    rollup sees the full data, with map-side partial aggregation.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    bounds = ev.agg(F.date_trunc("hour", F.min("ts")).alias("lo"))
+    spine = bounds.select(
+        F.explode(
+            F.sequence(
+                F.col("lo"),
+                F.col("lo") + F.expr("interval 71 hours"),
+                F.expr("interval 1 hour"),
+            )
+        ).alias("hour_ts")
+    )
+    hourly = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy(F.date_trunc("hour", "ts").alias("hour_ts"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+    )
+    return (
+        spine.join(hourly, "hour_ts", "left")
+        .select(
+            fmt_ts("hour_ts").alias("hour_s"),
+            F.coalesce("n", F.lit(0)).alias("n_clicks"),
+            F.round(F.coalesce("total", F.lit(0.0)), 2).alias("click_value"),
+        )
+        .orderBy("hour_s")
+    )
+
+
+@declared(
+    "q59_forward_fill",
+    oracle="""
+    WITH readings AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN event_id % 5 = 0 THEN value END AS reading
+      FROM events WHERE user_id < 20
+    )
+    SELECT user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s, event_id,
+           ROUND(reading, 2) AS reading,
+           ROUND(LAST_VALUE(reading IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS filled
+    FROM readings
+    ORDER BY user_id, ts_s, event_id
+    """,
+)
+def q59_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward fill (last-observation-carried-forward): only every 5th
+    event carries a reading; the rest inherit the most recent non-null
+    one per user. `last(ignorenulls)` over an ordered running frame is
+    the single-pass distributed formulation -- no self-join, no UDF;
+    rows before the first reading stay NULL by construction.
+    """
+    ev = read_table(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    reading = F.when(F.col("event_id") % 5 == 0, F.col("value"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        ev.select(
+            "user_id",
+            fmt_ts("ts").alias("ts_s"),
+            "event_id",
+            F.round(reading, 2).alias("reading"),
+            F.round(F.last(reading, ignorenulls=True).over(w), 2).alias(
+                "filled"
+            ),
+        )
+        .orderBy("user_id", "ts_s", "event_id")
+    )

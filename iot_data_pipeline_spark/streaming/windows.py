@@ -84,3 +84,34 @@ def dedup_stream(
     if ts_col is None:
         return stream.dropDuplicates(keys)
     return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def interval_join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts_col: str = "ts",
+    lookback: str = "10 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream interval join (B37 family): each left-side row pairs
+    with right-side rows of the same ``key`` whose timestamp falls in
+    ``[left.ts - lookback, left.ts]`` -- the attribution-join shape
+    (purchase <- preceding clicks).
+
+    Both sides carry watermarks because a stream-stream join is stateful
+    on BOTH inputs: the time bound plus the watermark is what lets Spark
+    evict buffered rows instead of holding every event forever. The
+    join condition references the time columns directly so the state
+    manager can derive the eviction horizon.
+    """
+    lw = left.withWatermark(ts_col, watermark).alias("l")
+    rw = right.withWatermark(ts_col, watermark).alias("r")
+    return lw.join(
+        rw,
+        F.expr(
+            f"l.{key} = r.{key} AND "
+            f"r.{ts_col} >= l.{ts_col} - interval {lookback} AND "
+            f"r.{ts_col} <= l.{ts_col}"
+        ),
+    )

@@ -321,3 +321,33 @@ def test_resize_images_strict_raises(media):
 
     with _pytest.raises(Exception):  # NotImplementedError surfaces as PythonException
         resize_images(media, 64, 48, mode="strict").collect()
+
+
+# ---------------------------------------------------------------- graph
+
+
+def test_connected_components_two_clusters(spark):
+    from iot_data_pipeline_spark.operators.graph import connected_components
+
+    # chain 1-2-3 (A~C only transitively) + isolated pair 10-11
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], ["src", "dst"]
+    )
+    got = {
+        (r.node, r.component)
+        for r in connected_components(edges).collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}
+
+
+def test_connected_components_long_chain(spark):
+    """Convergence needs multiple propagation rounds on a path graph."""
+    from iot_data_pipeline_spark.operators.graph import connected_components
+
+    n = 12
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], ["src", "dst"]
+    )
+    rows = connected_components(edges).collect()
+    assert len(rows) == n + 1
+    assert {r.component for r in rows} == {0}
