@@ -399,3 +399,66 @@ def q60_value_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.nth_value("c_acctbal", 3).over(w_full), 2).alias("seg_third"),
         F.round(F.cume_dist().over(w_ord), 4).alias("cd"),
     ).orderBy("c_mktsegment", "cd", "c_custkey")
+
+
+@declared(
+    "q64_upsert_merge",
+    oracle="""
+    WITH base AS (
+      SELECT user_id, ROUND(SUM(value), 2) AS balance
+      FROM events WHERE ts < TIMESTAMP '2024-06-01' GROUP BY user_id
+    ),
+    changes AS (
+      SELECT user_id, ROUND(SUM(value), 2) AS delta
+      FROM events WHERE ts >= TIMESTAMP '2024-06-01' GROUP BY user_id
+    )
+    SELECT COALESCE(b.user_id, c.user_id) AS user_id,
+           ROUND(COALESCE(b.balance, 0) + COALESCE(c.delta, 0), 2)
+               AS new_balance,
+           CASE WHEN b.user_id IS NULL THEN 'insert'
+                WHEN c.user_id IS NULL THEN 'unchanged'
+                ELSE 'update' END AS action
+    FROM base b FULL OUTER JOIN changes c ON b.user_id = c.user_id
+    ORDER BY user_id
+    """,
+)
+def q64_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE/upsert semantics on plain DataFrames (the CDC snapshot-
+    maintenance shape): a base snapshot full-outer-joined with a change
+    batch; rows classify as insert / update / unchanged and balances
+    combine. Spark has no MERGE INTO against raw parquet, so this is
+    the idiomatic formulation -- and the scale path: both sides are
+    pre-aggregated by the join key before the join, so the shuffle
+    carries one row per key per side.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    cutoff = "2024-06-01"
+    base = (
+        ev.filter(F.col("ts") < cutoff)
+        .groupBy("user_id")
+        .agg(F.round(F.sum("value"), 2).alias("balance"))
+    )
+    changes = (
+        ev.filter(F.col("ts") >= cutoff)
+        .groupBy("user_id")
+        .agg(F.round(F.sum("value"), 2).alias("delta"))
+    )
+    b, c = base.alias("b"), changes.alias("c")
+    action = (
+        F.when(F.col("b.user_id").isNull(), "insert")
+        .when(F.col("c.user_id").isNull(), "unchanged")
+        .otherwise("update")
+    )
+    return (
+        b.join(c, F.col("b.user_id") == F.col("c.user_id"), "full")
+        .select(
+            F.coalesce("b.user_id", "c.user_id").alias("user_id"),
+            F.round(
+                F.coalesce("b.balance", F.lit(0.0))
+                + F.coalesce("c.delta", F.lit(0.0)),
+                2,
+            ).alias("new_balance"),
+            action.alias("action"),
+        )
+        .orderBy("user_id")
+    )

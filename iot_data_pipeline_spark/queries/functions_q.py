@@ -268,3 +268,120 @@ def q39_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "piece")
         .limit(30)
     )
+
+
+@declared(
+    "q61_regexp_extract_all",
+    oracle="""
+    WITH hits AS (
+      SELECT doc_id, unnest(regexp_extract_all(text, '[a-z]+a[a-z]*')) AS tok
+      FROM documents
+    )
+    SELECT tok, COUNT(*) AS n, COUNT(DISTINCT doc_id) AS n_docs
+    FROM hits GROUP BY tok ORDER BY n DESC, tok
+    """,
+)
+def q61_regexp_extract_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-match regex extraction (B31 completion): every 'a'-containing
+    word per document via regexp_extract_all + explode -- the
+    pattern-mining shape (PII scans, URL harvesting) where one row
+    yields many matches. Stays a JVM-side generator expression: no UDF,
+    codegen keeps the explode pipelined into the aggregation.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.regexp_extract_all("text", F.lit("[a-z]+a[a-z]*"), F.lit(0))
+            ).alias("tok"),
+        )
+        .groupBy("tok")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.desc("n"), "tok")
+    )
+
+
+@declared(
+    "q62_union_by_name",
+    oracle="""
+    SELECT kind, nationkey, COUNT(*) AS n, ROUND(SUM(acctbal), 2) AS total_bal
+    FROM (
+      SELECT 'customer' AS kind, c_nationkey AS nationkey, c_acctbal AS acctbal
+      FROM customer
+      UNION ALL BY NAME
+      SELECT s_nationkey AS nationkey, 'supplier' AS kind, NULL AS acctbal
+      FROM supplier
+    )
+    GROUP BY kind, nationkey ORDER BY kind, nationkey
+    """,
+)
+def q62_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-aligning union (B29 completion): unionByName with
+    allowMissingColumns stitches heterogeneous sources into one frame,
+    aligning columns by NAME (position-based union would silently pair
+    kind with nationkey here) and NULL-filling the absent ones -- the
+    multi-source corpus-ingest shape.
+    """
+    customer = read_table(spark, sf_dir, "customer").select(
+        F.lit("customer").alias("kind"),
+        F.col("c_nationkey").alias("nationkey"),
+        F.col("c_acctbal").alias("acctbal"),
+    )
+    supplier = read_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey"),
+        F.lit("supplier").alias("kind"),
+    )
+    return (
+        customer.unionByName(supplier, allowMissingColumns=True)
+        .groupBy("kind", "nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("acctbal"), 2).alias("total_bal"),
+        )
+        .orderBy("kind", "nationkey")
+    )
+
+
+@declared(
+    "q63_json_struct",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           MIN(CAST(json_extract(props, '$.k') AS INTEGER)) AS min_k,
+           MAX(CAST(json_extract(props, '$.k') AS INTEGER)) AS max_k,
+           COUNT(DISTINCT CAST(json_extract(props, '$.k') AS INTEGER) % 10)
+               AS n_k_mod
+    FROM events
+    WHERE CAST(json_extract(props, '$.k') AS INTEGER) IS NOT NULL
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q63_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed JSON decode (B34 completion): from_json with a declared
+    schema turns the props string into a real struct column ONCE; all
+    downstream references are struct field reads, not repeated string
+    parses (q19's get_json_object re-parses per call site). At scale
+    the single-parse shape is the difference between one and N passes
+    of a JSON parser over every row.
+    """
+    import pyspark.sql.types as T
+
+    ev = read_table(spark, sf_dir, "events")
+    schema = T.StructType([T.StructField("k", T.IntegerType())])
+    parsed = ev.withColumn("p", F.from_json("props", schema)).filter(
+        F.col("p.k").isNotNull()
+    )
+    return (
+        parsed.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("p.k").alias("min_k"),
+            F.max("p.k").alias("max_k"),
+            F.countDistinct(F.col("p.k") % 10).alias("n_k_mod"),
+        )
+        .orderBy("event_type")
+    )

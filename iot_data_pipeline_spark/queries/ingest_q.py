@@ -379,8 +379,13 @@ def q53_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     work = tempfile.mkdtemp(prefix="idp_q53_")
     staged = os.path.join(work, "events")
-    ev = read_table(spark, sf_dir, "events").select(
-        "event_id", "ts", "user_id", "event_type", "value"
+    # Stage only the two event classes the join touches: at sf0.1 this is
+    # 40% of events; on a real deployment the upstream source would be
+    # topic-split anyway.
+    ev = (
+        read_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("purchase", "click"))
+        .select("event_id", "ts", "user_id", "event_type", "value")
     )
     ev.coalesce(1).write.mode("overwrite").parquet(staged)
     schema = spark.read.parquet(staged).schema
@@ -397,14 +402,23 @@ def q53_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r.value").alias("click_value_raw"),
     )
     sink = f"q53_sink_{os.path.basename(work)}"
-    (
-        joined.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
-    )
+    # Join state-store instances = shuffle partitions at first run; this
+    # probe holds tens of thousands of buffered rows, so 32 stores are
+    # pure per-batch commit overhead (same knob as q34; a real deployment
+    # sizes it to state volume).
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        (
+            joined.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return (
         spark.table(sink)
         .groupBy((F.col("user_id") % 50).alias("user_bucket"))

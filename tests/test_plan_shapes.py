@@ -126,3 +126,45 @@ def test_unbucketed_same_join_shuffles(spark, sf_dir):
         assert shuffle_count(joined) >= 2
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_q46_pushdown_and_topk(spark, sf_dir):
+    # TPC-H Q3 shape: date/segment predicates reach the scans, the global
+    # top-10 is TakeOrderedAndProject (no full sort of the agg output).
+    df = q("q46_shipping_priority", spark, sf_dir)
+    plan = formatted_plan(df)
+    assert has_pushed_filters(df)
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q47_aggregates_before_join(spark, sf_dir):
+    # The HAVING aggregation must sit BELOW the joins in the plan: the
+    # join probes a reduced key set, not raw lineitem.
+    plan = formatted_plan(q("q47_large_orders", spark, sf_dir))
+    agg_pos = plan.find("HashAggregate")
+    join_pos = max(plan.find("SortMergeJoin"), plan.find("BroadcastHashJoin"))
+    assert agg_pos >= 0
+    # formatted plans print top-down: the join appears before (above) the
+    # aggregate that feeds it.
+    assert join_pos < agg_pos or "Aggregate" in plan[:join_pos]
+
+
+def test_q48_split_is_shuffle_minimal(spark, sf_dir):
+    # hash-split assignment is row-local; the plan's only shuffles are the
+    # countDistinct pre-agg, the final agg, and the output sort (each
+    # Exchange prints twice in a formatted plan: tree + details).
+    assert shuffle_count(q("q48_hash_split", spark, sf_dir)) <= 6
+
+
+def test_q55_salted_agg_two_stages(spark, sf_dir):
+    # salted agg = (key, salt) stage then key stage: two HashAggregate
+    # pairs in the plan.
+    plan = formatted_plan(q("q55_salted_agg", spark, sf_dir))
+    assert plan.count("HashAggregate") >= 4
+
+
+def test_q58_spine_join_broadcasts(spark, sf_dir):
+    # the generated 72-row spine must broadcast against the hourly rollup
+    # (either side); no sort-merge join for a dashboard gap-fill.
+    df = q("q58_gap_fill", spark, sf_dir)
+    assert "SortMergeJoin" not in formatted_plan(df)
