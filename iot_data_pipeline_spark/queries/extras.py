@@ -462,3 +462,94 @@ def q64_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@declared(
+    "q66_arg_extremes",
+    oracle="""
+    SELECT event_type,
+           MAX_BY(user_id, event_id) AS latest_user,
+           MIN_BY(user_id, event_id) AS first_user,
+           MAX(event_id) AS max_event_id,
+           MIN(event_id) AS min_event_id
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q66_arg_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argument-extreme aggregates (B18 completion): max_by/min_by pull
+    a companion column at the group's extreme WITHOUT the self-join or
+    window a row_number formulation needs -- one pass, partial+final
+    like MIN/MAX. Keyed on the unique event_id so the answer is
+    deterministic (max_by on a tied key is engine-arbitrary).
+    """
+    ev = read_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.max_by("user_id", "event_id").alias("latest_user"),
+            F.min_by("user_id", "event_id").alias("first_user"),
+            F.max("event_id").alias("max_event_id"),
+            F.min("event_id").alias("min_event_id"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@declared(
+    "q67_sorted_list_agg",
+    oracle="""
+    SELECT lang,
+           array_to_string(list_sort(list(doc_id))[1:5], ',') AS first_docs,
+           COUNT(*) AS n_docs
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+)
+def q67_sorted_list_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """List aggregation with canonical ordering (B35/B52 surface):
+    collect_list's element order is partition-arrival order --
+    nondeterministic by contract -- so any oracle-able (or just
+    reproducible) use must sort the collected array before slicing.
+    Rendered to a CSV string for engine-neutral comparison.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.array_join(
+                F.slice(F.sort_array(F.collect_list("doc_id")), 1, 5), ","
+            ).alias("first_docs"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .orderBy("lang")
+    )
+
+
+@declared(
+    "q68_histogram",
+    oracle="""
+    SELECT CAST(ROUND(value * 100, 0) AS BIGINT) // 1000 AS bucket_10,
+           COUNT(*) AS n,
+           ROUND(MIN(value), 2) AS lo,
+           ROUND(MAX(value), 2) AS hi
+    FROM events
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q68_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram with exact integer bucketing: values are
+    scaled to integer cents BEFORE bucketing, because a float divide-
+    and-floor puts edge values (10.00 stored as 9.999...) in different
+    buckets per engine. Integer-cent arithmetic is bit-exact in both.
+    One partial+final aggregation; the bucket expression is row-local.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    return (
+        ev.groupBy((cents / 1000).cast("long").alias("bucket_10"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("value"), 2).alias("lo"),
+            F.round(F.max("value"), 2).alias("hi"),
+        )
+        .orderBy("bucket_10")
+    )

@@ -428,3 +428,79 @@ def q53_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_bucket")
     )
+
+
+@declared(
+    "q69_partitioned_sink",
+    oracle="""
+    SELECT source, COUNT(*) AS n_docs, ROUND(AVG(n_chars), 2) AS avg_chars
+    FROM documents WHERE lang = 'en'
+    GROUP BY source ORDER BY source
+    """,
+)
+def q69_partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned processed zone (B4, reference README.md:217's
+    parquet data-lake path): documents written partitionBy(lang), read
+    back with a lang predicate. The predicate prunes to ONE partition
+    directory at planning time -- the other langs' files are never
+    opened (asserted by the partition-pruning plan test). This layout
+    choice is the single biggest scan saver for a 100 TB corpus queried
+    by language.
+    """
+    from iot_data_pipeline_spark.sources.sinks import write_parquet
+
+    work = tempfile.mkdtemp(prefix="idp_q69_")
+    zone = os.path.join(work, "docs_by_lang")
+    docs = read_table(spark, sf_dir, "documents")
+    write_parquet(docs, zone, partition_by=["lang"])
+    return (
+        spark.read.parquet(zone)
+        .filter(F.col("lang") == "en")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+@declared(
+    "q70_posexplode_outer",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 50 = 0 THEN [] 
+                  ELSE string_split(text, ' ') END AS tok_list
+      FROM documents WHERE doc_id < 500
+    ),
+    exploded AS (
+      SELECT doc_id, p AS pos, tok_list[p + 1] AS token
+      FROM toks, unnest(range(len(tok_list))) AS u(p)
+      UNION ALL
+      SELECT doc_id, NULL, NULL FROM toks WHERE len(tok_list) = 0
+    )
+    SELECT doc_id, pos, token FROM exploded
+    ORDER BY doc_id, pos NULLS FIRST
+    """,
+)
+def q70_posexplode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-preserving flatten with empty-row retention (B51/UDTF
+    surface): posexplode_outer keeps a (NULL, NULL) row for documents
+    whose token list is empty -- plain explode silently drops them,
+    which breaks joins back to the parent table (a corpus audit must
+    see every doc_id). Every 50th doc's list is emptied to exercise
+    the outer path; DuckDB mirrors it with UNION ALL of the empties.
+    """
+    docs = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    tok_list = F.when(
+        F.col("doc_id") % 50 == 0, F.array().cast("array<string>")
+    ).otherwise(F.split("text", " "))
+    return (
+        docs.select("doc_id", tok_list.alias("tok_list"))
+        .select(
+            "doc_id", F.posexplode_outer("tok_list").alias("pos", "token")
+        )
+        .select("doc_id", F.col("pos").cast("long").alias("pos"), "token")
+        .orderBy("doc_id", F.col("pos").asc_nulls_first())
+    )

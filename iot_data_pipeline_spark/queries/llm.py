@@ -916,3 +916,53 @@ def q54_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@declared(
+    "q71_fuzzy_match",
+    oracle="""
+    WITH names AS (
+      SELECT DISTINCT p_name,
+             string_split(p_name, ' ')[-1] AS noun
+      FROM part
+    )
+    SELECT a.noun, a.p_name AS name_a, b.p_name AS name_b,
+           levenshtein(a.p_name, b.p_name) AS dist
+    FROM names a JOIN names b
+      ON a.noun = b.noun AND a.p_name < b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) <= 4
+    ORDER BY a.noun, name_a, name_b
+    """,
+)
+def q71_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy string matching (entity-resolution flavor of near-
+    dedup): candidate pairs come from an EQUI-join on a blocking key
+    (the name's final token), and edit distance only runs inside
+    blocks. That ordering -- block first, distance second -- is what
+    makes fuzzy joins feasible at scale: the all-pairs levenshtein
+    cross join never exists in the plan. Distinct-ing names first
+    collapses the distance computation to unique value pairs.
+    """
+    names = (
+        read_table(spark, sf_dir, "part")
+        .select("p_name")
+        .distinct()
+        .withColumn("noun", F.element_at(F.split("p_name", " "), -1))
+    )
+    a, b = names.alias("a"), names.alias("b")
+    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    return (
+        a.join(
+            b,
+            (F.col("a.noun") == F.col("b.noun"))
+            & (F.col("a.p_name") < F.col("b.p_name")),
+        )
+        .filter(dist <= 4)
+        .select(
+            F.col("a.noun").alias("noun"),
+            F.col("a.p_name").alias("name_a"),
+            F.col("b.p_name").alias("name_b"),
+            dist.alias("dist"),
+        )
+        .orderBy("noun", "name_a", "name_b")
+    )

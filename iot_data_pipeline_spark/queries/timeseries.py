@@ -123,3 +123,89 @@ def q59_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "ts_s", "event_id")
     )
+
+
+@declared(
+    "q65_rolling_zscore",
+    oracle="""
+    WITH cents AS (
+      SELECT user_id, ts, event_id, value,
+             CAST(ROUND(value * 100, 0) AS BIGINT) AS c
+      FROM events WHERE user_id < 5
+    ),
+    moments AS (
+      SELECT user_id, ts, event_id, value, c,
+             SUM(c) OVER w AS s1,
+             SUM(c * c) OVER w AS s2,
+             COUNT(*) OVER w AS n
+      FROM cents
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 50 PRECEDING AND 1 PRECEDING)
+    ),
+    scored AS (
+      SELECT user_id, ts, event_id, value, c, n,
+             CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS dmu,
+             (CAST(s2 AS DOUBLE)
+              - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) * CAST(s1 AS DOUBLE))
+             / CAST(n - 1 AS DOUBLE) AS dvar
+      FROM moments WHERE n >= 10
+    )
+    SELECT user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s, event_id,
+           ROUND(value, 2) AS value,
+           ROUND(dmu / 100, 2) AS rolling_mean,
+           CASE WHEN dvar > 0
+                THEN ROUND((CAST(c AS DOUBLE) - dmu) / SQRT(dvar), 2)
+           END AS zscore,
+           CASE WHEN dvar > 0
+                 AND ROUND((CAST(c AS DOUBLE) - dmu) / SQRT(dvar), 2) > 2.0
+                THEN 1 ELSE 0 END AS is_anomaly
+    FROM scored
+    ORDER BY user_id, ts_s, event_id
+    """,
+)
+def q65_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection (IoT telemetry): each reading
+    scored against the mean/stddev of its user's previous 50 readings
+    (frame ends at 1 PRECEDING so the tested value never contaminates
+    its own baseline). Warm-up rows (<10 prior readings) are excluded.
+
+    Cross-engine float exactness: windowed AVG/STDDEV are NOT portable
+    -- DuckDB aggregates sliding frames through a segment tree while
+    Spark recomputes each frame sequentially, so the two sum in
+    different orders and ROUND can flip on .005 boundaries. The query
+    therefore accumulates integer cents (exact in any order) and
+    derives mean/variance from the integer moment sums with an
+    identical float expression on both sides.
+    """
+    ev = read_table(spark, sf_dir, "events").filter(F.col("user_id") < 5)
+    c = F.round(F.col("value") * 100, 0).cast("long")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-50, -1)
+    )
+    base = ev.select(
+        "user_id", "ts", "event_id", "value", c.alias("c")
+    ).select(
+        "*",
+        F.sum("c").over(w).alias("s1"),
+        F.sum(F.col("c") * F.col("c")).over(w).alias("s2"),
+        F.count(F.lit(1)).over(w).alias("n"),
+    ).filter(F.col("n") >= 10)
+    dmu = F.col("s1").cast("double") / F.col("n").cast("double")
+    dvar = (
+        F.col("s2").cast("double") - dmu * F.col("s1").cast("double")
+    ) / (F.col("n") - 1).cast("double")
+    z = F.when(dvar > 0, F.round((F.col("c").cast("double") - dmu) / F.sqrt(dvar), 2))
+    return (
+        base.select(
+            "user_id",
+            fmt_ts("ts").alias("ts_s"),
+            "event_id",
+            F.round("value", 2).alias("value"),
+            F.round(dmu / 100, 2).alias("rolling_mean"),
+            z.alias("zscore"),
+            F.when(z > 2.0, 1).otherwise(0).alias("is_anomaly"),
+        )
+        .orderBy("user_id", "ts_s", "event_id")
+    )

@@ -168,3 +168,22 @@ def test_q58_spine_join_broadcasts(spark, sf_dir):
     # (either side); no sort-merge join for a dashboard gap-fill.
     df = q("q58_gap_fill", spark, sf_dir)
     assert "SortMergeJoin" not in formatted_plan(df)
+
+
+def test_partitioned_zone_prunes_partitions(spark, sf_dir, tmp_path):
+    # partitionBy(lang) zone + lang predicate: the scan's PartitionFilters
+    # must carry the predicate and the other langs' directories are
+    # planned away entirely.
+    from iot_data_pipeline_spark.sources.sinks import write_parquet
+
+    zone = str(tmp_path / "docs_by_lang")
+    write_parquet(read_table(spark, sf_dir, "documents"), zone, partition_by=["lang"])
+    df = spark.read.parquet(zone).filter(F.col("lang") == "en").select("doc_id")
+    plan = formatted_plan(df)
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "lang" in m.group(1), plan
+    n_en = df.count()
+    n_all = spark.read.parquet(zone).count()
+    assert 0 < n_en < n_all
