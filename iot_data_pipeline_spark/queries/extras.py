@@ -553,3 +553,68 @@ def q68_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket_10")
     )
+
+
+@declared(
+    "q72_decimal_exact",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS VARCHAR)
+               AS total_exact,
+           CAST(MAX(CAST(o_totalprice AS DECIMAL(12,2))) AS VARCHAR)
+               AS max_exact,
+           COUNT(*) AS n
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def q72_decimal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact DECIMAL arithmetic (type-system surface): money summed as
+    DECIMAL(12,2) is order-independent and exact in BOTH engines -- no
+    ROUND fences, no summation-order caveats, unlike every double
+    aggregate in this suite. The price of exactness is wider shuffle
+    rows and no SIMD; the engine supports both and the suite documents
+    when each is right. Rendered to strings for engine-neutral
+    comparison.
+    """
+    orders = read_table(spark, sf_dir, "orders")
+    dec = F.col("o_totalprice").cast("decimal(12,2)")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.sum(dec).cast("string").alias("total_exact"),
+            F.max(dec).cast("string").alias("max_exact"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@declared(
+    "q73_predicate_aggs",
+    oracle="""
+    SELECT c_nationkey,
+           COUNT_IF(c_acctbal > 5000) AS n_rich,
+           BOOL_AND(c_acctbal > -1000) AS all_above_floor,
+           BOOL_OR(c_acctbal < 0) AS any_negative,
+           COUNT(*) AS n
+    FROM customer GROUP BY c_nationkey ORDER BY c_nationkey
+    """,
+)
+def q73_predicate_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate aggregates (B18 completion): count_if / bool_and /
+    bool_or fold data-quality assertions into one aggregation pass --
+    the validate-while-you-scan idiom (reference A20's field checks,
+    generalized to whole-corpus audits). All three are partial+final
+    aggregates with 1-bit/8-byte state.
+    """
+    customer = read_table(spark, sf_dir, "customer")
+    return (
+        customer.groupBy("c_nationkey")
+        .agg(
+            F.count_if(F.col("c_acctbal") > 5000).alias("n_rich"),
+            F.bool_and(F.col("c_acctbal") > -1000).alias("all_above_floor"),
+            F.bool_or(F.col("c_acctbal") < 0).alias("any_negative"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("c_nationkey")
+    )

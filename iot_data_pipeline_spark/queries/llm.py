@@ -886,14 +886,23 @@ def q54_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     as_double = F.transform(F.col("embedding"), lambda x: x.cast("double"))
 
     def weights(b: int):
-        return F.transform(
-            F.sequence(F.lit(1), F.lit(64)),
-            lambda i: (
-                portable_hash(F.concat(F.lit(f"lsh:{b}:"), i.cast("string")))
+        # Same H(s) % 21 - 10 the oracle computes in SQL, evaluated ONCE
+        # driver-side (hashlib md5 == md5() in both engines) and shipped
+        # as a 64-double literal array. The in-SQL formulation re-hashed
+        # 8x64 md5s per ROW inside interpreted HOF lambdas -- measured
+        # ~2x the whole query's runtime at sf0.1.
+        import hashlib
+
+        vals = [
+            float(
+                int(hashlib.md5(f"lsh:{b}:{i}".encode()).hexdigest()[:15], 16)
+                % MOD
                 % 21
                 - 10
-            ).cast("double"),
-        )
+            )
+            for i in range(1, 65)
+        ]
+        return F.array(*[F.lit(v) for v in vals])
 
     def dot(x, y):
         return F.aggregate(
