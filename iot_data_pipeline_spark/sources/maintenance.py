@@ -1,0 +1,69 @@
+"""Data-lake maintenance operators: small-file compaction and sorted
+layout rewriting.
+
+The reference's one-file-per-event design (reference
+lambda/s3_event_handler.py:44-48) produces exactly the pathology a
+long-lived lake dies of: millions of tiny objects, each a full
+open/footer-parse/close at scan time. These operators are the batch
+janitors a processed zone needs once files arrive continuously.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    out_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Rewrite a parquet directory into ~``target_file_bytes`` files.
+
+    File count is derived from the INPUT byte size (cheap file-status
+    listing, no data read), then the data is rewritten through a
+    ``repartition(n)`` -- a single round-robin shuffle that also heals
+    skewed file sizes. Returns the output file count.
+
+    128 MiB default matches the HDFS-era sweet spot that parquet
+    readers still assume: big enough to amortize footer+open cost,
+    small enough to split work evenly.
+    """
+    # JVM-side file listing via the input_file_name trick would scan; use
+    # the FileSystem API through the JVM gateway instead (status only).
+    jvm = spark._jvm
+    jsc = spark._jsc
+    hadoop_conf = jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(hadoop_conf)
+    total = fs.getContentSummary(p).getLength()
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.parquet(path)
+    df.repartition(n_files).write.mode("overwrite").parquet(out_path)
+    return n_files
+
+
+def rewrite_sorted(
+    df: DataFrame,
+    out_path: str,
+    layout_cols: list[str],
+    n_files: int | None = None,
+) -> None:
+    """Rewrite with rows clustered by ``layout_cols`` inside each file
+    (``sortWithinPartitions`` -- a local sort, NO global shuffle).
+
+    Parquet keeps per-row-group min/max stats; clustering on the common
+    predicate columns makes those stats selective, so later scans skip
+    row groups server-side. This is the poor-man's Z-order: one sort
+    column family, zero extra infrastructure, and at 100 TB it is the
+    difference between reading every row group and reading the few that
+    overlap the predicate range.
+    """
+    out = df.repartition(n_files) if n_files else df
+    out.sortWithinPartitions(*[F.col(c) for c in layout_cols]).write.mode(
+        "overwrite"
+    ).parquet(out_path)

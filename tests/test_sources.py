@@ -48,3 +48,64 @@ def test_parquet_sink_partitioned(spark, tmp_path):
     back = spark.read.parquet(str(out))
     assert {(r.id, r.part) for r in back.collect()} == {(1, "x"), (2, "y")}
     assert (out / "part=x").exists()
+
+
+# ------------------------------------------------------------ maintenance
+
+
+def test_compact_parquet_reduces_files(spark, sf_dir, tmp_path):
+    from iot_data_pipeline_spark.sources.maintenance import compact_parquet
+    from iot_data_pipeline_spark.sources.readers import read_table
+
+    frag = str(tmp_path / "fragmented")
+    # simulate the reference's one-file-per-event pathology
+    read_table(spark, sf_dir, "events").repartition(24).write.parquet(frag)
+    out = str(tmp_path / "compacted")
+    n = compact_parquet(spark, frag, out, target_file_bytes=64 * 1024 * 1024)
+    import glob
+
+    produced = glob.glob(out + "/part-*.parquet")
+    assert len(produced) == n < 24
+    assert spark.read.parquet(out).count() == spark.read.parquet(frag).count()
+
+
+def test_rewrite_sorted_clusters_rows(spark, sf_dir, tmp_path):
+    from iot_data_pipeline_spark.sources.maintenance import rewrite_sorted
+    from iot_data_pipeline_spark.sources.readers import read_table
+
+    out = str(tmp_path / "sorted_zone")
+    rewrite_sorted(
+        read_table(spark, sf_dir, "events"), out, ["user_id", "ts"], n_files=2
+    )
+    from pyspark.sql import functions as F
+
+    got = spark.read.parquet(out)
+    assert got.count() == read_table(spark, sf_dir, "events").count()
+    # rows inside each file are non-decreasing on user_id
+    per_file = got.withColumn("f", F.input_file_name()).withColumn(
+        "rn", F.monotonically_increasing_id()
+    )
+    import pandas as pd
+
+    pdf = per_file.select("f", "user_id").toPandas()
+    for _, grp in pdf.groupby("f"):
+        assert grp["user_id"].is_monotonic_increasing
+
+
+def test_schema_evolution_merge(spark, tmp_path):
+    """mergeSchema read across files written with different (compatible)
+    schemas -- the corpus-grows-a-column case."""
+    import pyspark.sql.types as T
+    from pyspark.sql import Row
+
+    zone = str(tmp_path / "evolving")
+    spark.createDataFrame([Row(id=1, a="x")]).write.parquet(zone + "/batch1")
+    spark.createDataFrame([Row(id=2, a="y", b=3.5)]).write.parquet(zone + "/batch2")
+    got = (
+        spark.read.option("mergeSchema", "true")
+        .parquet(zone + "/batch1", zone + "/batch2")
+        .orderBy("id")
+    )
+    assert set(got.columns) == {"id", "a", "b"}
+    rows = got.collect()
+    assert rows[0]["b"] is None and rows[1]["b"] == 3.5
