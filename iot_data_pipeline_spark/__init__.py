@@ -13,6 +13,7 @@ idiomatic Spark: DataFrame/SQL on Catalyst, Structured Streaming file sources,
 and built-in column expressions (no row-at-a-time Python in the hot path).
 """
 
+from iot_data_pipeline_spark.engine import Engine
 from iot_data_pipeline_spark.session import build_session, get_session
 
-__all__ = ["build_session", "get_session"]
+__all__ = ["Engine", "build_session", "get_session"]

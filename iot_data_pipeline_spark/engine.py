@@ -1,0 +1,74 @@
+"""User-facing facade: one object that exposes the whole engine surface.
+
+A user of the reference interacts with it as "point the worker at a
+bucket" (reference app/app.py:91-95). The Spark-native equivalent is a
+session wired to a data directory, with the catalog registered and every
+declared capability reachable by name:
+
+    eng = Engine.local("/root/testdata/sf0.01")
+    eng.sql("SELECT count(*) FROM lineitem")        # ad-hoc SQL
+    eng.table("orders").groupBy(...)                 # DataFrame API
+    eng.run("q05_revenue_per_nation")                # declared queries
+    eng.process_jsonl(in_dir, out_dir)               # the reference worker
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from iot_data_pipeline_spark.session import build_session
+from iot_data_pipeline_spark.sources.readers import TABLES, read_table, register_views
+
+
+class Engine:
+    """Session + data-directory binding with the declared-query registry
+    and the reference-parity pipeline attached."""
+
+    def __init__(self, spark: SparkSession, sf_dir: str):
+        self.spark = spark
+        self.sf_dir = sf_dir
+        register_views(spark, sf_dir)
+
+    @classmethod
+    def local(cls, sf_dir: str, **session_kwargs) -> "Engine":
+        """Engine on a local session with the engine's conf defaults."""
+        return cls(build_session(**session_kwargs), sf_dir)
+
+    # -- data access ---------------------------------------------------
+    def table(self, name: str) -> DataFrame:
+        if name not in TABLES:
+            raise KeyError(f"unknown table {name!r}; have {sorted(TABLES)}")
+        return read_table(self.spark, self.sf_dir, name)
+
+    def sql(self, query: str) -> DataFrame:
+        """Ad-hoc SQL over the registered testdata views (B5)."""
+        return self.spark.sql(query)
+
+    # -- declared queries ---------------------------------------------
+    def run(self, query_name: str) -> DataFrame:
+        """Run a declared query by registry name (COVERAGE.md lists all)."""
+        from iot_data_pipeline_spark.queries import REGISTRY
+
+        if query_name not in REGISTRY:
+            raise KeyError(
+                f"unknown query {query_name!r}; have {sorted(REGISTRY)}"
+            )
+        return REGISTRY[query_name].fn(self.spark, self.sf_dir)
+
+    def query_names(self) -> list[str]:
+        from iot_data_pipeline_spark.queries import REGISTRY
+
+        return sorted(REGISTRY)
+
+    # -- reference worker surface --------------------------------------
+    def process_jsonl(self, in_path: str, out_path: str, **config_kwargs):
+        """The reference pipeline (scan -> validate/split -> transform ->
+        enrich -> sink) as one call; see pipeline.run_batch_pipeline."""
+        from iot_data_pipeline_spark.pipeline import (
+            PipelineConfig,
+            run_batch_pipeline,
+        )
+
+        return run_batch_pipeline(
+            self.spark, in_path, out_path, PipelineConfig(**config_kwargs)
+        )

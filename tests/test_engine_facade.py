@@ -1,0 +1,64 @@
+"""The Engine facade: the one-object surface a reference user switches to."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from iot_data_pipeline_spark.engine import Engine
+
+
+@pytest.fixture(scope="module")
+def eng(spark, sf_dir):
+    return Engine(spark, sf_dir)
+
+
+def test_table_and_sql_agree(eng):
+    n_api = eng.table("orders").count()
+    n_sql = eng.sql("SELECT COUNT(*) AS n FROM orders").collect()[0]["n"]
+    assert n_api == n_sql > 0
+
+
+def test_run_declared_query(eng):
+    rows = eng.run("q05_revenue_per_nation").collect()
+    assert len(rows) == 25
+    assert rows[0]["revenue"] >= rows[-1]["revenue"]
+
+
+def test_unknown_names_raise(eng):
+    with pytest.raises(KeyError):
+        eng.table("nope")
+    with pytest.raises(KeyError):
+        eng.run("q999")
+
+
+def test_query_names_match_entry_contract(eng):
+    import __spark_entry__ as entry
+
+    assert set(eng.query_names()) == set(entry.queries())
+
+
+def test_process_jsonl_roundtrip(eng, tmp_path):
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    (raw / "a.jsonl").write_text(
+        "\n".join(
+            [
+                json.dumps({"device_id": "d1", "temperature": 20.0}),
+                "this is a bad line",
+                json.dumps({"device_id": "d2"}),
+            ]
+        )
+    )
+    out = tmp_path / "out"
+    dlq = tmp_path / "dlq"
+    eng.process_jsonl(
+        str(raw),
+        str(out),
+        fixed_clock="2026-01-01 00:00:00",
+        dead_letter_path=str(dlq),
+    )
+    good = eng.spark.read.json(str(out))
+    assert good.count() == 2
+    assert eng.spark.read.parquet(str(dlq)).count() == 1
