@@ -149,6 +149,77 @@ SQL_TWINS = {
                ROUND(AVG(quality), 4) AS avg_quality
         FROM dedup GROUP BY lang ORDER BY lang
     """,
+    "q46_shipping_priority": """
+        SELECT l.l_orderkey,
+               ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+               date_format(o.o_orderdate, 'yyyy-MM-dd') AS orderdate,
+               o.o_orderpriority
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate < TIMESTAMP '1998-01-01'
+          AND l.l_shipdate > TIMESTAMP '1998-01-01'
+        GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+        ORDER BY revenue DESC, l.l_orderkey
+        LIMIT 10
+    """,
+    "q47_large_orders": """
+        WITH big AS (
+          SELECT l_orderkey, SUM(l_quantity) AS sum_qty
+          FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 250
+        )
+        SELECT c.c_custkey, o.o_orderkey,
+               date_format(o.o_orderdate, 'yyyy-MM-dd') AS orderdate,
+               ROUND(o.o_totalprice, 2) AS totalprice,
+               ROUND(b.sum_qty, 2) AS sum_qty
+        FROM big b
+        JOIN orders o ON o.o_orderkey = b.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        ORDER BY totalprice DESC, o.o_orderkey
+    """,
+    "q48_hash_split": """
+        WITH assigned AS (
+          SELECT n_chars, lang,
+                 CASE WHEN h < 80 THEN 'train'
+                      WHEN h < 90 THEN 'valid' ELSE 'test' END AS split
+          FROM (
+            SELECT n_chars, lang,
+                   (CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15),
+                              16, 10) AS BIGINT) % 1000000007) % 100 AS h
+            FROM documents)
+        )
+        SELECT split, COUNT(*) AS n_docs,
+               ROUND(AVG(n_chars), 2) AS avg_chars,
+               COUNT(DISTINCT lang) AS n_langs
+        FROM assigned GROUP BY split ORDER BY split
+    """,
+    "q64_upsert_merge": """
+        WITH base AS (
+          SELECT user_id, ROUND(SUM(value), 2) AS balance
+          FROM events WHERE ts < TIMESTAMP '2024-06-01' GROUP BY user_id
+        ),
+        changes AS (
+          SELECT user_id, ROUND(SUM(value), 2) AS delta
+          FROM events WHERE ts >= TIMESTAMP '2024-06-01' GROUP BY user_id
+        )
+        SELECT COALESCE(b.user_id, c.user_id) AS user_id,
+               ROUND(COALESCE(b.balance, 0) + COALESCE(c.delta, 0), 2)
+                   AS new_balance,
+               CASE WHEN b.user_id IS NULL THEN 'insert'
+                    WHEN c.user_id IS NULL THEN 'unchanged'
+                    ELSE 'update' END AS action
+        FROM base b FULL OUTER JOIN changes c ON b.user_id = c.user_id
+        ORDER BY user_id
+    """,
+    "q66_arg_extremes": """
+        SELECT event_type,
+               MAX_BY(user_id, event_id) AS latest_user,
+               MIN_BY(user_id, event_id) AS first_user,
+               MAX(event_id) AS max_event_id,
+               MIN(event_id) AS min_event_id
+        FROM events GROUP BY event_type ORDER BY event_type
+    """,
 }
 
 
