@@ -504,3 +504,31 @@ def q70_posexplode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.col("pos").cast("long").alias("pos"), "token")
         .orderBy("doc_id", F.col("pos").asc_nulls_first())
     )
+
+
+@declared(
+    "q74_orc_roundtrip",
+    oracle="""
+    SELECT o_orderstatus, COUNT(*) AS n,
+           ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def q74_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source/sink surface (columnar alternative to parquet; same
+    pushdown/pruning machinery in Spark). Orders round-trip through ORC
+    and re-aggregate; the oracle reads the original parquet, so the ORC
+    writer/reader must preserve every value and type exactly.
+    """
+    work = tempfile.mkdtemp(prefix="idp_q74_")
+    zone = os.path.join(work, "orders_orc")
+    read_table(spark, sf_dir, "orders").write.mode("overwrite").orc(zone)
+    return (
+        spark.read.orc(zone)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy("o_orderstatus")
+    )

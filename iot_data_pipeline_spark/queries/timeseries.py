@@ -209,3 +209,51 @@ def q65_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "ts_s", "event_id")
     )
+
+
+@declared(
+    "q75_scd2_intervals",
+    oracle="""
+    WITH changes AS (
+      SELECT user_id, ts, event_id, value,
+             LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 AS next_ts
+      FROM events WHERE event_type = 'signup' AND user_id < 30
+    )
+    SELECT user_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+           COALESCE(strftime(next_ts, '%Y-%m-%d %H:%M:%S'),
+                    '9999-12-31 00:00:00') AS valid_to,
+           CASE WHEN next_ts IS NULL THEN 1 ELSE 0 END AS is_current,
+           ROUND(value, 2) AS attr_value
+    FROM changes
+    ORDER BY user_id, valid_from, event_id
+    """,
+)
+def q75_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension building: each change event becomes a
+    versioned row whose validity interval runs to the NEXT change
+    (LEAD), with the open-ended current row flagged. This is the
+    standard warehouse pattern for as-of dimension lookups (pairs with
+    q08b's as-of join), built from one window pass -- no MERGE
+    machinery needed for append-only history.
+    """
+    ev = read_table(spark, sf_dir, "events").filter(
+        (F.col("event_type") == "signup") & (F.col("user_id") < 30)
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    next_ts = F.lead("ts").over(w)
+    return (
+        ev.select(
+            "user_id",
+            fmt_ts("ts").alias("valid_from"),
+            F.coalesce(fmt_ts(next_ts), F.lit("9999-12-31 00:00:00")).alias(
+                "valid_to"
+            ),
+            F.when(next_ts.isNull(), 1).otherwise(0).alias("is_current"),
+            F.round("value", 2).alias("attr_value"),
+            "event_id",
+        )
+        .orderBy("user_id", "valid_from", "event_id")
+        .drop("event_id")
+    )

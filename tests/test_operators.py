@@ -351,3 +351,60 @@ def test_connected_components_long_chain(spark):
     rows = connected_components(edges).collect()
     assert len(rows) == n + 1
     assert {r.component for r in rows} == {0}
+
+
+def test_connected_components_paths_agree(spark):
+    """Hybrid contract: driver union-find and distributed propagation
+    return identical components on the same random-ish graph."""
+    import random
+
+    from iot_data_pipeline_spark.operators.graph import connected_components
+
+    rng = random.Random(7)
+    edges = [(rng.randrange(60), rng.randrange(60)) for _ in range(80)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    local = {
+        (r.node, r.component)
+        for r in connected_components(df, local_threshold=10**6).collect()
+    }
+    dist = {
+        (r.node, r.component)
+        for r in connected_components(df, local_threshold=0).collect()
+    }
+    assert local == dist
+
+
+def test_salted_agg_equals_plain(spark):
+    """Property: salting never changes results, only partitioning."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from iot_data_pipeline_spark.operators.skew import salted_agg
+
+    rng = random.Random(11)
+    # 90% hot key to simulate skew
+    rows = [
+        ("hot" if rng.random() < 0.9 else f"k{rng.randrange(5)}", rng.randrange(1000))
+        for _ in range(2000)
+    ]
+    df = spark.createDataFrame(rows, ["k", "v"])
+    salted = {
+        tuple(r)
+        for r in salted_agg(
+            df,
+            ["k"],
+            {"n": ("v", "count"), "s": ("v", "sum"), "mx": ("v", "max")},
+        ).collect()
+    }
+    plain = {
+        tuple(r)
+        for r in df.groupBy("k")
+        .agg(
+            F.count("v").alias("n"),
+            F.sum("v").alias("s"),
+            F.max("v").alias("mx"),
+        )
+        .collect()
+    }
+    assert salted == plain
