@@ -10,6 +10,7 @@ from iot_data_pipeline_spark.queries import (  # noqa: F401
     relational,
     sampling,
     timeseries,
+    tpch_extra,
     windows,
 )
 from iot_data_pipeline_spark.queries.registry import REGISTRY, DeclaredQuery

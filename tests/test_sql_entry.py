@@ -212,6 +212,27 @@ SQL_TWINS = {
         FROM base b FULL OUTER JOIN changes c ON b.user_id = c.user_id
         ORDER BY user_id
     """,
+    "q83_lateral_topn": """
+        SELECT n.n_name, t.c_custkey, t.c_acctbal
+        FROM nation n,
+             LATERAL (SELECT c.c_custkey, c.c_acctbal
+                      FROM customer c
+                      WHERE c.c_nationkey = n.n_nationkey
+                      ORDER BY c.c_acctbal DESC, c.c_custkey
+                      LIMIT 2) t
+        ORDER BY n.n_name, t.c_acctbal DESC, t.c_custkey
+    """,
+    "q76_priority_exists": """
+        SELECT o.o_orderpriority, COUNT(*) AS n_orders
+        FROM orders o
+        WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o.o_orderdate < TIMESTAMP '1996-07-01'
+          AND EXISTS (
+            SELECT 1 FROM lineitem l
+            WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+        GROUP BY o.o_orderpriority
+        ORDER BY o.o_orderpriority
+    """,
     "q66_arg_extremes": """
         SELECT event_type,
                MAX_BY(user_id, event_id) AS latest_user,

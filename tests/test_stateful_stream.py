@@ -6,9 +6,12 @@ from __future__ import annotations
 
 import json
 
+import pytest
+
 from iot_data_pipeline_spark.operators.stateful import (
     apply_last_state_stream,
     last_state_batch,
+    transform_last_state_stream,
 )
 from iot_data_pipeline_spark.sources.readers import SENSOR_SCHEMA
 
@@ -19,7 +22,33 @@ def _write(d, name, recs):
             f.write(json.dumps(r) + "\n")
 
 
-def test_stream_state_matches_batch(spark, tmp_path):
+def _has_protobuf() -> bool:
+    """transformWithStateInPandas speaks protobuf to the JVM state server;
+    the operator is real but untestable where protobuf isn't installed."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.parametrize(
+    "apply_stream, sink",
+    [
+        (apply_last_state_stream, "device_state"),
+        pytest.param(
+            transform_last_state_stream,
+            "device_state_tws",
+            marks=pytest.mark.skipif(
+                not _has_protobuf(),
+                reason="transformWithStateInPandas requires google.protobuf",
+            ),
+        ),
+    ],
+    ids=["applyInPandasWithState", "transformWithStateInPandas"],
+)
+def test_stream_state_matches_batch(spark, tmp_path, apply_stream, sink):
     raw = tmp_path / "raw"
     raw.mkdir()
     recs = [
@@ -34,6 +63,17 @@ def test_stream_state_matches_batch(spark, tmp_path):
     _write(raw, "f1.jsonl", recs[:3])
     _write(raw, "f2.jsonl", recs[3:])
 
+    # transformWithState requires the RocksDB state store provider; the
+    # legacy form runs on the default HDFS-backed one too.
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prior = spark.conf.get(provider_key, None)
+    if apply_stream is transform_last_state_stream:
+        spark.conf.set(
+            provider_key,
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+
     stream = (
         spark.readStream.schema(SENSOR_SCHEMA)
         .option("maxFilesPerTrigger", "1")
@@ -41,27 +81,33 @@ def test_stream_state_matches_batch(spark, tmp_path):
         .select("device_id", "timestamp", "temperature")
     )
     q = (
-        apply_last_state_stream(stream)
+        apply_stream(stream)
         .writeStream.format("memory")
-        .queryName("device_state")
+        .queryName(sink)
         .outputMode("update")
         .option("checkpointLocation", str(tmp_path / "ckpt"))
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
-    if q.isActive:
-        q.stop()
-        raise TimeoutError("stateful stream did not drain")
+    try:
+        q.awaitTermination(120)
+        if q.isActive:
+            q.stop()
+            raise TimeoutError("stateful stream did not drain")
+    finally:
+        if prior is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prior)
 
     # memory sink in update mode appends one row per state update; the
     # last update per device is the final state.
     updates = spark.sql(
-        """
+        f"""
         SELECT device_id, last_ts, last_temperature, n_readings FROM (
           SELECT *, ROW_NUMBER() OVER (
             PARTITION BY device_id ORDER BY n_readings DESC) AS rn
-          FROM device_state) WHERE rn = 1
+          FROM {sink}) WHERE rn = 1
         """
     ).collect()
     got = {r["device_id"]: r for r in updates}
