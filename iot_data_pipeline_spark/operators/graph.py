@@ -67,9 +67,15 @@ def connected_components(
       iteration is one join + min-aggregate shuffle, converging in
       O(graph diameter) rounds with a one-row convergence probe.
     """
-    sym = edges.select(
+    # Materialize the edge list FIRST: it is usually the output of an
+    # expensive upstream pipeline (similarity self-join), and the two
+    # unionByName branches below would otherwise recompute it twice.
+    pairs = edges.select(
         F.col(src).alias("a"), F.col(dst).alias("b")
-    ).unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+    ).localCheckpoint(eager=True)
+    sym = pairs.unionByName(
+        pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
     sym = sym.distinct().localCheckpoint(eager=True)
 
     n_edges = sym.count()

@@ -6,6 +6,7 @@ from iot_data_pipeline_spark.queries import (  # noqa: F401
     functions_q,
     ingest_q,
     llm,
+    modern,
     pipeline_q,
     relational,
     sampling,

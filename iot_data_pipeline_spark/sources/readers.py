@@ -142,3 +142,24 @@ def read_csv(
         .option("mode", "PERMISSIVE")
         .csv(path)
     )
+
+
+def read_binary_files(
+    spark: SparkSession, path: str, glob: str | None = None
+) -> DataFrame:
+    """Raw media ingest via the ``binaryFile`` source (B48 plumbing): one
+    row per file with ``path``, ``modificationTime``, ``length``,
+    ``content: binary`` -- the entry point that turns an object-store
+    prefix of images/audio into the opaque-payload column
+    ``operators/multimodal.py`` transforms.
+
+    Scale notes: listing parallelizes across executors; pair with
+    ``spark.sql.files.maxPartitionBytes`` so many small media files pack
+    into one task, and filter on ``length`` BEFORE any decode so oversized
+    payloads never reach Python. ``glob`` maps to ``pathGlobFilter``
+    (pushdown at the listing, not a post-filter).
+    """
+    reader = spark.read.format("binaryFile")
+    if glob is not None:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(path)

@@ -374,8 +374,12 @@ def test_connected_components_paths_agree(spark):
     assert local == dist
 
 
-def test_salted_agg_equals_plain(spark):
-    """Property: salting never changes results, only partitioning."""
+def test_salted_agg_property_random(spark):
+    """Property: salting never changes results, only partitioning.
+
+    (Distinct from test_salted_agg_equals_plain above: synthetic random
+    skew instead of the events table -- was silently shadowing it by
+    sharing its name.)"""
     import random
 
     from pyspark.sql import functions as F

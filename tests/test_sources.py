@@ -109,3 +109,30 @@ def test_schema_evolution_merge(spark, tmp_path):
     assert set(got.columns) == {"id", "a", "b"}
     rows = got.collect()
     assert rows[0]["b"] is None and rows[1]["b"] == 3.5
+
+
+def test_binary_file_source_to_features(spark, tmp_path):
+    """binaryFile ingest (B48 plumbing): glob pushdown at listing, content
+    bytes land intact, and the frame feeds extract_features end to end."""
+    from iot_data_pipeline_spark.operators.multimodal import extract_features
+    from iot_data_pipeline_spark.sources.readers import read_binary_files
+
+    payloads = {f"img_{i}.bin": bytes([i]) * (10 + i) for i in range(4)}
+    (tmp_path / "skip.txt").write_text("not media")
+    for name, blob in payloads.items():
+        (tmp_path / name).write_bytes(blob)
+
+    df = read_binary_files(spark, str(tmp_path), glob="*.bin")
+    rows = df.select("path", "length", "content").collect()
+    assert len(rows) == 4  # glob filtered skip.txt at the listing
+    got = {r["path"].rsplit("/", 1)[-1]: bytes(r["content"]) for r in rows}
+    assert got == payloads
+    assert all(r["length"] == len(payloads[r["path"].rsplit("/", 1)[-1]])
+               for r in rows)
+
+    media = df.select(
+        F.monotonically_increasing_id().alias("media_id"), "content"
+    )
+    feats = extract_features(media, mode="fake", dim=8).collect()
+    assert len(feats) == 4
+    assert all(len(r["features"]) == 8 for r in feats)
