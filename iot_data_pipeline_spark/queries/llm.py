@@ -401,7 +401,12 @@ def q25_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantics in both engines, ~10x less shuffle volume, and the scale-
     correct design (at 100 TB the intersection join moves fixed-width ints).
     """
-    shingles = _shingle_hashes(_corpus_near(spark, sf_dir), distinct=True)
+    # Materialize the shingle hashes once: three consumers below (both
+    # self-join sides + the size agg) would otherwise re-run the whole
+    # shingling pipeline each.
+    shingles = _shingle_hashes(
+        _corpus_near(spark, sf_dir), distinct=True
+    ).localCheckpoint(eager=True)
     sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = shingles.alias("a")
     b = shingles.alias("b")

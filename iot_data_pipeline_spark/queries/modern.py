@@ -11,7 +11,10 @@ windows, the unit LLM pipelines feed to tokenizers.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from iot_data_pipeline_spark.queries.registry import declared
@@ -105,4 +108,111 @@ def q85_udtf_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents_v d, LATERAL chunk_text(d.text) c
         ORDER BY d.doc_id, c.chunk_idx
         """
+    )
+
+
+@declared(
+    "q86_tfidf_top_terms",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token
+    ),
+    idf AS (
+      SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY token
+    ),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.token,
+             ROUND(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / idf.df), 4) AS tfidf
+      FROM tf JOIN idf USING (token) CROSS JOIN n
+    )
+    SELECT doc_id, token AS top_term, tfidf FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rn
+      FROM scored) t
+    WHERE rn = 1
+    ORDER BY doc_id
+    """,
+)
+def q86_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document most-distinctive term by TF-IDF (text-analysis
+    north-star op): tf from a token explode, document frequency from a
+    distinct-count, idf = ln(N/df), ranked per doc on the ROUNDED score
+    with a token tie-break (SURVEY.md section 2.3 rule 1).
+
+    Scale plan: two aggregations over the token stream (both partial-agg
+    friendly) + a broadcast of the tiny idf table joined back by token;
+    N is a one-row broadcast. No cross joins, no UDFs -- the whole score
+    is whole-stage-codegen arithmetic.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    )
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    idf = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(idf), "token")
+        .join(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "token",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")),
+                4,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "token")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("token").alias("top_term"), "tfidf")
+        .orderBy("doc_id")
+    )
+
+
+@declared(
+    "q87_xml_roundtrip",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n,
+           ROUND(AVG(o_totalprice), 2) AS avg_price
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def q87_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML source/sink surface (native in Spark 4; the third interchange
+    format beside JSONL q01 and ORC q74). Orders round-trip through XML
+    with an explicit read schema -- the oracle reads the original
+    parquet, so writer and reader must preserve every value exactly
+    (doubles survive because the writer emits shortest-round-trip
+    decimal strings).
+
+    XML is a row-tag text format: splittable per row at read (each task
+    parses its own row elements), so scans parallelize like JSONL; it is
+    strictly an interchange surface -- the processed zone stays parquet.
+    """
+    orders = read_table(spark, sf_dir, "orders")
+    work = tempfile.mkdtemp(prefix="idp_q87_")
+    zone = os.path.join(work, "orders_xml")
+    orders.write.format("xml").option("rowTag", "order").mode(
+        "overwrite"
+    ).save(zone)
+    back = (
+        spark.read.format("xml")
+        .option("rowTag", "order")
+        .schema(orders.schema)
+        .load(zone)
+    )
+    return (
+        back.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+        )
+        .orderBy("o_orderpriority")
     )
