@@ -52,13 +52,32 @@ def bench_extras():
         emb = read_table(spark, sf_dir, "embeddings")
         return cosine_topk_pandas(emb.filter(F.col("vec_id") < 16), emb, k=10)
 
+    def b_hll_sketches(spark, sf_dir):
+        # Mergeable distinct-count sketches (Apache DataSketches HLL):
+        # the 100 TB cardinality path -- per-partition sketches merge via
+        # hll_union_agg instead of re-scanning, so incremental/rollup
+        # distinct counts cost one sketch column, not a shuffle of keys.
+        li = read_table(spark, sf_dir, "lineitem")
+        per_flag = li.groupBy("l_returnflag", "l_linestatus").agg(
+            F.hll_sketch_agg("l_partkey").alias("parts_sketch")
+        )
+        return per_flag.groupBy("l_returnflag").agg(
+            F.hll_sketch_estimate(
+                F.hll_union_agg("parts_sketch")
+            ).alias("nd_parts_merged")
+        )
+
     # (MLlib MinHashLSH was evaluated as a bench twin of q23 and rejected:
     # approxSimilarityJoin's OR-amplification collapses on this corpus's
     # 31-token vocabulary -- nearly every pair is a candidate, so the
     # "approximate" join goes quadratic where the hand-built band join
     # stays linear. The hand-built pipeline is also the only oracle-able
     # one: MLlib's hash family is seeded JVM-side.)
-    return {"b01_approx_agg": b_approx_agg, "b02_ann_pandas": b_ann_pandas}
+    return {
+        "b01_approx_agg": b_approx_agg,
+        "b02_ann_pandas": b_ann_pandas,
+        "b03_hll_sketches": b_hll_sketches,
+    }
 
 
 def main() -> int:

@@ -89,10 +89,31 @@ def run_batch_pipeline(
     the whole file in a Python list (app/app.py:24,60) -- nothing here
     materializes on the driver; counts come from Spark aggregations.
     """
+    from pyspark.sql import Observation
+
     raw = read_jsonl(spark, in_path, SENSOR_SCHEMA)
     good, bad = split_corrupt(raw)
     processed = transform_sensor(good, config, dim_location)
+
+    # Piggyback row/quality metrics on the write pass itself (df.observe):
+    # counts come from the sink action, not extra full scans -- the
+    # reference logs equivalent counters from its loop (app/app.py:74-79).
+    obs = Observation("sensor_pipeline")
+    processed = processed.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_good"),
+        F.count("temp_fahrenheit").alias("n_converted"),
+        F.min("temperature").alias("min_temp"),
+        F.max("temperature").alias("max_temp"),
+    )
     write_jsonl(processed, out_path)
+    n_good = obs.get["n_good"]
+
     if config.dead_letter_path is not None:
+        bad_obs = Observation("sensor_pipeline_dlq")
+        bad = bad.observe(bad_obs, F.count(F.lit(1)).alias("n_bad"))
         write_dead_letter(bad, config.dead_letter_path)
-    return processed.count(), bad.count()
+        n_bad = bad_obs.get["n_bad"]
+    else:
+        n_bad = bad.count()
+    return n_good, n_bad

@@ -216,3 +216,48 @@ def q87_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@declared(
+    "q88_recursive_cte",
+    oracle="""
+    WITH RECURSIVE months(m) AS (
+      SELECT TIMESTAMP '1995-01-01'
+      UNION ALL
+      SELECT m + INTERVAL 1 MONTH FROM months
+      WHERE m < TIMESTAMP '2001-08-01'
+    )
+    SELECT strftime(m, '%Y-%m-%d %H:%M:%S') AS month,
+           COUNT(o_orderkey) AS n_orders
+    FROM months LEFT JOIN orders ON date_trunc('month', o_orderdate) = m
+    GROUP BY m ORDER BY m
+    """,
+)
+def q88_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (new in Spark 4): a month spine generated by
+    recursion, left-joined to orders so empty months surface as zero --
+    the DuckDB oracle runs the *same* recursive SQL, so this checks the
+    two engines' recursion semantics against each other.
+
+    The recursion is driver-cheap (one row per step, ~80 steps); the
+    join against orders is one broadcast of the spine. The iterative
+    DataFrame twin for unbounded recursion depth remains
+    operators/graph.connected_components (q52).
+    """
+    from iot_data_pipeline_spark.sources.readers import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH RECURSIVE months(m) AS (
+          SELECT TIMESTAMP '1995-01-01'
+          UNION ALL
+          SELECT m + INTERVAL 1 MONTH FROM months
+          WHERE m < TIMESTAMP '2001-08-01'
+        )
+        SELECT date_format(m, 'yyyy-MM-dd HH:mm:ss') AS month,
+               COUNT(o_orderkey) AS n_orders
+        FROM months LEFT JOIN orders ON date_trunc('MONTH', o_orderdate) = m
+        GROUP BY m ORDER BY m
+        """
+    )
