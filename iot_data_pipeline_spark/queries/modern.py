@@ -261,3 +261,47 @@ def q88_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY m ORDER BY m
         """
     )
+
+
+@declared(
+    "q89_ansi_safe_arith",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           COUNT(*) FILTER (WHERE value > 400) AS n_hi,
+           COUNT(*) FILTER (WHERE value < 0) AS n_neg,
+           CAST(COUNT(*) FILTER (WHERE value > 400) AS DOUBLE)
+             / NULLIF(COUNT(*) FILTER (WHERE value < 0), 0) AS hi_per_neg,
+           ROUND(CAST(COUNT(*) FILTER (WHERE value > 400) AS DOUBLE)
+                 / NULLIF(COUNT(*), 0), 4) AS hi_rate
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q89_ansi_safe_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe arithmetic surface: ``try_divide`` yields NULL on a zero
+    denominator instead of failing the job (the engine runs with ANSI
+    mode defaults in Spark 4, so the try_* family is the production
+    posture for dirty-data arithmetic -- same drop-don't-fail stance as
+    the corrupt-record channel, reference app/app.py:62-65).
+
+    events has no negative values, so ``n_neg`` is 0 for every group and
+    the division exercises the NULL path on every row. The DuckDB
+    formulation is NULLIF (per-engine contract, SURVEY.md section 2.3
+    rule 5).
+    """
+    ev = read_table(spark, sf_dir, "events")
+    n_hi = F.count_if(F.col("value") > 400)
+    n_neg = F.count_if(F.col("value") < 0)
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            n_hi.alias("n_hi"),
+            n_neg.alias("n_neg"),
+            F.try_divide(n_hi.cast("double"), n_neg).alias("hi_per_neg"),
+            F.round(
+                F.try_divide(n_hi.cast("double"), F.count(F.lit(1))), 4
+            ).alias("hi_rate"),
+        )
+        .orderBy("event_type")
+    )

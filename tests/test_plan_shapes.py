@@ -187,3 +187,35 @@ def test_partitioned_zone_prunes_partitions(spark, sf_dir, tmp_path):
     n_en = df.count()
     n_all = spark.read.parquet(zone).count()
     assert 0 < n_en < n_all
+
+
+def test_q79_derived_filters_push_to_both_scans(spark, sf_dir):
+    # TPC-H Q19 shape: Catalyst must derive single-side conjuncts from the
+    # OR-of-ANDs (brand IN (...) on part, quantity bounds on lineitem) and
+    # push them into the parquet scans.
+    df = q("q79_disjunctive_filter", spark, sf_dir)
+    plan = formatted_plan(df)
+    import re
+
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    nonempty = [p for p in pushed if p.strip()]
+    assert len(nonempty) >= 2, plan
+
+
+def test_q78_part_side_broadcasts(spark, sf_dir):
+    # part grows ~100x slower than lineitem: the promo join must broadcast
+    # the dim, never shuffle the fact table.
+    assert broadcast_join_count(q("q78_promo_revenue", spark, sf_dir)) >= 1
+
+
+def test_q81_topk_take_ordered(spark, sf_dir):
+    # top-5 suppliers: TakeOrderedAndProject, not a global sort.
+    assert "TakeOrderedAndProject" in formatted_plan(
+        q("q81_top_suppliers", spark, sf_dir)
+    )
+
+
+def test_q86_idf_join_broadcasts(spark, sf_dir):
+    # the idf table (one row per distinct token) broadcasts against the
+    # (doc, token) tf stream; N is a one-row broadcast.
+    assert broadcast_join_count(q("q86_tfidf_top_terms", spark, sf_dir)) >= 2

@@ -222,6 +222,16 @@ SQL_TWINS = {
                       LIMIT 2) t
         ORDER BY n.n_name, t.c_acctbal DESC, t.c_custkey
     """,
+    "q77_customer_distribution": """
+        SELECT n_orders, COUNT(*) AS n_customers
+        FROM (
+            SELECT c.c_custkey, COUNT(o.o_orderkey) AS n_orders
+            FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+            GROUP BY ALL
+        ) per_cust
+        GROUP BY ALL
+        ORDER BY n_customers DESC, n_orders DESC
+    """,
     "q76_priority_exists": """
         SELECT o.o_orderpriority, COUNT(*) AS n_orders
         FROM orders o
