@@ -256,8 +256,12 @@ def q23_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             for b in range(N_BANDS)
         ]
     )
-    bands = sigs.select("doc_id", F.explode(band_structs).alias("bk")).select(
-        "doc_id", "bk.band", "bk.key"
+    # Materialize band keys once: both self-join sides would otherwise
+    # re-run shingling + the 64-minhash aggregation.
+    bands = (
+        sigs.select("doc_id", F.explode(band_structs).alias("bk"))
+        .select("doc_id", "bk.band", "bk.key")
+        .localCheckpoint(eager=True)
     )
     a = bands.alias("a")
     b = bands.alias("b")
@@ -341,7 +345,11 @@ def q24_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"(CASE WHEN bit_{j} > 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END << {j})"
         for j in range(30)
     )
-    fp = bits.select("doc_id", "lang", F.expr(fp_expr).alias("simhash"))
+    # Materialize fingerprints once: both self-join sides would otherwise
+    # re-run the tokenize + 30-bit-sum pipeline.
+    fp = bits.select(
+        "doc_id", "lang", F.expr(fp_expr).alias("simhash")
+    ).localCheckpoint(eager=True)
     a = fp.alias("a")
     b = fp.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
