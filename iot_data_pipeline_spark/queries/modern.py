@@ -305,3 +305,63 @@ def q89_ansi_safe_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@declared(
+    "q90_quality_quarantine",
+    oracle="""
+    WITH checked AS (
+      SELECT event_type,
+             (value >= 0 AND value <= 500) AS ok_range,
+             (CAST(json_extract_string(props, '$.k') AS INTEGER)
+                BETWEEN 0 AND 99) AS ok_props,
+             (user_id IS NOT NULL) AS ok_user
+      FROM events
+    )
+    SELECT event_type,
+           COUNT(*) AS n_rows,
+           COUNT(*) FILTER (WHERE NOT COALESCE(ok_range, FALSE)) AS viol_value_range,
+           COUNT(*) FILTER (WHERE NOT COALESCE(ok_props, FALSE)) AS viol_props_k,
+           COUNT(*) FILTER (WHERE NOT COALESCE(ok_user, FALSE)) AS viol_user_present,
+           COUNT(*) FILTER (WHERE COALESCE(ok_range, FALSE)
+                              AND COALESCE(ok_props, FALSE)
+                              AND COALESCE(ok_user, FALSE)) AS n_clean
+    FROM checked GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q90_quality_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative expectations over events (operators/quality.py,
+    generalizing the reference's A20 critical-field validation): three
+    named rules evaluated in one codegen pass; per-type violation counts
+    plus the clean-row count the quarantine split would keep.
+    """
+    from iot_data_pipeline_spark.operators.quality import (
+        VIOLATIONS_COL,
+        Expectation,
+        with_violations,
+    )
+
+    ev = read_table(spark, sf_dir, "events")
+    rules = [
+        Expectation("value_range", F.col("value").between(0, 500)),
+        Expectation(
+            "props_k",
+            F.get_json_object("props", "$.k").try_cast("int").between(0, 99),
+        ),
+        Expectation("user_present", F.col("user_id").isNotNull()),
+    ]
+    marked = with_violations(ev, rules)
+    return (
+        marked.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            *[
+                F.count_if(
+                    F.array_contains(VIOLATIONS_COL, r.name)
+                ).alias(f"viol_{r.name}")
+                for r in rules
+            ],
+            F.count_if(F.size(VIOLATIONS_COL) == 0).alias("n_clean"),
+        )
+        .orderBy("event_type")
+    )

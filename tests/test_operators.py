@@ -412,3 +412,36 @@ def test_salted_agg_property_random(spark):
         .collect()
     }
     assert salted == plain
+
+
+def test_expect_split_partitions_rows(spark):
+    from iot_data_pipeline_spark.operators.quality import (
+        Expectation,
+        expect_split,
+        violation_stats,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10.0, "a"), (2, -3.0, "b"), (3, None, "c"), (4, 700.0, None)],
+        "id long, v double, tag string",
+    )
+    rules = [
+        Expectation("v_range", F.col("v").between(0, 500)),
+        Expectation("tag_present", F.col("tag").isNotNull()),
+    ]
+    clean, quarantined = expect_split(df, rules)
+    assert [r["id"] for r in clean.orderBy("id").collect()] == [1]
+    got = {
+        r["id"]: set(r["violations"])
+        for r in quarantined.orderBy("id").collect()
+    }
+    # NULL check results are violations (cannot prove true => false)
+    assert got == {
+        2: {"v_range"},
+        3: {"v_range"},
+        4: {"v_range", "tag_present"},
+    }
+    stats = violation_stats(df, rules).first()
+    assert stats["n_rows"] == 4
+    assert stats["viol_v_range"] == 3
+    assert stats["viol_tag_present"] == 1
