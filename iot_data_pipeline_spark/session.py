@@ -29,6 +29,9 @@ _DEFAULTS = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Python DataSource connectors (sources/custom.py) may implement
+    # pushFilters; without this flag Spark refuses to plan them at all.
+    "spark.sql.python.filterPushdown.enabled": "true",
     "spark.sql.parquet.mergeSchema": "false",
     "spark.ui.enabled": "false",
 }

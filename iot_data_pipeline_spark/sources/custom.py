@@ -60,12 +60,58 @@ class _SensorBatchReader(DataSourceReader):
         self.rows = int(options.get("rows", 1000))
         self.n_parts = int(options.get("partitions", 8))
         self.n_devices = int(options.get("devices", 25))
+        self.lo = 0
+        self.hi = self.rows
+
+    def pushFilters(self, filters):
+        """Native pushdown (Spark 4.1 connector API): ``ts`` comparisons
+        invert to row-index bounds (ts = epoch + 10s*i), so the generator
+        never produces the pruned range -- the connector analogue of
+        parquet row-group pruning. Every filter is also returned, letting
+        Spark re-apply it post-scan: pruning stays a pure optimization
+        and boundary semantics cannot drift.
+        """
+        from pyspark.sql.datasource import (
+            EqualTo,
+            GreaterThan,
+            GreaterThanOrEqual,
+            LessThan,
+            LessThanOrEqual,
+        )
+
+        bound_types = (
+            GreaterThan,
+            GreaterThanOrEqual,
+            LessThan,
+            LessThanOrEqual,
+            EqualTo,
+        )
+        for f in filters:
+            # other shapes arrive too (IsNotNull, ...) -- ignore them
+            if getattr(f, "attribute", None) != ("ts",) or not isinstance(
+                f, bound_types
+            ):
+                continue
+            idx = (f.value.replace(tzinfo=timezone.utc) - _EPOCH) / timedelta(
+                seconds=10
+            )
+            if isinstance(f, (GreaterThan, GreaterThanOrEqual)):
+                self.lo = max(self.lo, int(idx))
+            if isinstance(f, (LessThan, LessThanOrEqual, EqualTo)):
+                self.hi = min(self.hi, int(idx) + 2)
+            if isinstance(f, EqualTo):
+                self.lo = max(self.lo, int(idx))
+        return filters  # Spark re-evaluates everything post-scan
 
     def partitions(self) -> Sequence[InputPartition]:
-        step = max(1, -(-self.rows // self.n_parts))
+        lo, hi = self.lo, max(self.lo, self.hi)
+        n = hi - lo
+        if n == 0:
+            return [_RangePartition(0, 0)]
+        step = max(1, -(-n // self.n_parts))
         return [
-            _RangePartition(lo, min(lo + step, self.rows))
-            for lo in range(0, self.rows, step)
+            _RangePartition(s, min(s + step, hi))
+            for s in range(lo, hi, step)
         ]
 
     def read(self, partition: _RangePartition) -> Iterator[tuple]:

@@ -64,3 +64,48 @@ def test_stream_reader_replays_deterministically(spark, tmp_path):
     # ranges replay the same pure value function.
     want = _load(spark, rows=100, partitions=2).orderBy("ts").collect()
     assert got == want
+
+
+def test_push_filters_narrow_generated_range(spark):
+    from datetime import datetime, timezone
+
+    from pyspark.sql.datasource import GreaterThanOrEqual, LessThan
+
+    from iot_data_pipeline_spark.sources.custom import _SensorBatchReader
+
+    r = _SensorBatchReader({"rows": "1000", "partitions": "4"})
+    remaining = list(
+        r.pushFilters(
+            [
+                GreaterThanOrEqual(
+                    ("ts",), datetime(2026, 1, 1, 0, 10, tzinfo=timezone.utc)
+                ),  # row 60
+                LessThan(
+                    ("ts",), datetime(2026, 1, 1, 0, 20, tzinfo=timezone.utc)
+                ),  # row 120
+            ]
+        )
+    )
+    assert len(remaining) == 2  # all re-evaluated by Spark post-scan
+    assert r.lo == 60 and r.hi <= 122
+    spans = [(p.start, p.end) for p in r.partitions()]
+    assert spans[0][0] == 60 and spans[-1][1] <= 122
+
+
+def test_pushdown_query_results_exact(spark):
+    register_sensor_source(spark)
+    import pyspark.sql.functions as F
+
+    df = _load(spark, rows=2000, partitions=4)
+    t1, t2 = "2026-01-01 00:10:00", "2026-01-01 00:20:00"
+    pushed = df.filter(
+        (F.col("ts") >= t1) & (F.col("ts") < t2)
+    ).orderBy("ts")
+    # oracle: full scan filtered purely by Spark (collect first, slice)
+    want = [
+        r
+        for r in _load(spark, rows=2000, partitions=1).orderBy("ts").collect()
+        if t1 <= str(r["ts"]) < t2
+    ]
+    assert pushed.collect() == want
+    assert len(want) == 60
