@@ -365,3 +365,80 @@ def q90_quality_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@declared(
+    "q91_funnel_stages",
+    oracle="""
+    WITH v AS (SELECT user_id, MIN(ts) AS t_view FROM events
+               WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, MIN(e.ts) AS t_click
+          FROM events e JOIN v ON e.user_id = v.user_id
+          WHERE e.event_type = 'click' AND e.ts > v.t_view
+          GROUP BY e.user_id),
+    p AS (SELECT e.user_id, MIN(e.ts) AS t_buy
+          FROM events e JOIN c ON e.user_id = c.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+          GROUP BY e.user_id),
+    stages AS (
+      SELECT u.user_id,
+             CASE WHEN p.user_id IS NOT NULL THEN 3
+                  WHEN c.user_id IS NOT NULL THEN 2
+                  WHEN v.user_id IS NOT NULL THEN 1
+                  ELSE 0 END AS stage
+      FROM (SELECT DISTINCT user_id FROM events) u
+      LEFT JOIN v ON u.user_id = v.user_id
+      LEFT JOIN c ON u.user_id = c.user_id
+      LEFT JOIN p ON u.user_id = p.user_id)
+    SELECT stage, COUNT(*) AS n_users
+    FROM stages GROUP BY stage ORDER BY stage
+    """,
+)
+def q91_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis (view -> later click -> later purchase):
+    how far each user progresses through a strictly time-ordered event
+    sequence, as a stage histogram. Sequence analytics is a capability
+    class of its own -- each stage's qualifier depends on the PREVIOUS
+    stage's timestamp, not just event presence.
+
+    Scale plan: every stage is one filtered aggregate joined on user_id;
+    all four joins share the same key, so one hash partitioning on
+    user_id serves the whole chain (AQE reuses the exchange). No windows
+    over the full event stream, no cross-stage state.
+    """
+    ev = read_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.join(v, "user_id")
+        .filter((F.col("event_type") == "click") & (F.col("ts") > F.col("t_view")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.join(c, "user_id")
+        .filter(
+            (F.col("event_type") == "purchase") & (F.col("ts") > F.col("t_click"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_buy"))
+    )
+    users = ev.select("user_id").distinct()
+    stage = (
+        F.when(F.col("t_buy").isNotNull(), 3)
+        .when(F.col("t_click").isNotNull(), 2)
+        .when(F.col("t_view").isNotNull(), 1)
+        .otherwise(0)
+    )
+    return (
+        users.join(v, "user_id", "left")
+        .join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(stage.alias("stage"))
+        .groupBy("stage")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("stage")
+    )
