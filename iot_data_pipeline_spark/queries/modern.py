@@ -442,3 +442,50 @@ def q91_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_users"))
         .orderBy("stage")
     )
+
+
+@declared(
+    "q92_cohort_retention",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, date_trunc('week', MIN(CAST(ts AS TIMESTAMP))) AS cohort
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT user_id, date_trunc('week', CAST(ts AS TIMESTAMP)) AS wk
+      FROM events
+    )
+    SELECT strftime(f.cohort, '%Y-%m-%d') AS cohort_week,
+           CAST(date_diff('day', f.cohort, a.wk) / 7 AS INTEGER) AS week_no,
+           COUNT(*) AS n_active
+    FROM firsts f JOIN activity a ON f.user_id = a.user_id
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def q92_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-activity week, counted in
+    each subsequent activity week -- the standard retention triangle.
+
+    Scale plan: both CTEs aggregate the event stream on user_id (shared
+    partitioning), the cohort join is per-user (one row each side per
+    user/week), and the final agg groups a few hundred (cohort, week)
+    cells. COUNT(*) over the deduped activity equals COUNT(DISTINCT
+    user) without a second distinct shuffle.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort")
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("wk")
+    ).distinct()
+    return (
+        firsts.join(activity, "user_id")
+        .select(
+            F.date_format("cohort", "yyyy-MM-dd").alias("cohort_week"),
+            (F.datediff("wk", "cohort") / 7).cast("int").alias("week_no"),
+        )
+        .groupBy("cohort_week", "week_no")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+        .orderBy("cohort_week", "week_no")
+    )
