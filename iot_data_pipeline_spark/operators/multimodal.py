@@ -199,3 +199,51 @@ def sample_frames(
     # expected shape.
     del decode
     return frames
+
+
+def extract_features_arrow(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "media_id",
+    dim: int = 16,
+    mode: str = "strict",
+) -> DataFrame:
+    """Arrow-native twin of :func:`extract_features` via ``mapInArrow``:
+    the kernel receives raw ``pyarrow.RecordBatch``es, so payload bytes
+    skip the pandas object-column materialization entirely -- for
+    binary-heavy media batches this removes one full copy per batch
+    versus ``mapInPandas``. Same contract: NULL payload -> NULL features,
+    strict mode raises until a codec is vendored.
+    """
+    if mode not in ("strict", "fake"):
+        raise ValueError(f"mode must be strict|fake, got {mode!r}")
+
+    id_field = next(f for f in df.schema.fields if f.name == id_col)
+    out_schema = T.StructType(
+        [id_field, T.StructField("features", T.ArrayType(T.FloatType()))]
+    )
+
+    def run(batches):
+        import pyarrow as pa
+
+        for batch in batches:
+            if mode == "strict":
+                raise NotImplementedError(
+                    "media decode requires codec libraries not present in "
+                    "this environment; run with mode='fake' for the "
+                    "deterministic test kernel"
+                )
+            content = batch.column(batch.schema.get_field_index(content_col))
+            feats = [
+                None if v is None else _fake_features(v, dim)
+                for v in content.to_pylist()
+            ]
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column(batch.schema.get_field_index(id_col)),
+                    pa.array(feats, type=pa.list_(pa.float32())),
+                ],
+                names=[id_col, "features"],
+            )
+
+    return df.select(id_col, content_col).mapInArrow(run, schema=out_schema)

@@ -1,5 +1,6 @@
-"""q84-q85: Spark 4 surface -- VARIANT semi-structured access and a
-Python UDTF (token-window chunking for LLM context preparation).
+"""q84-q92: modern-surface queries -- Spark 4 features (VARIANT, Python
+UDTF, recursive CTE, XML, try_* arithmetic) and user-analytics shapes
+(TF-IDF, quality quarantine, funnel stages, cohort retention).
 
 The reference stores semi-structured payloads only as raw JSON strings
 probed per-record (reference app/app.py:40,51); VARIANT is the

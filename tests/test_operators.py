@@ -445,3 +445,25 @@ def test_expect_split_partitions_rows(spark):
     assert stats["n_rows"] == 4
     assert stats["viol_v_range"] == 3
     assert stats["viol_tag_present"] == 1
+
+
+def test_extract_features_arrow_matches_pandas(media):
+    from iot_data_pipeline_spark.operators.multimodal import (
+        extract_features,
+        extract_features_arrow,
+    )
+
+    via_pandas = {
+        r["media_id"]: r["features"]
+        for r in extract_features(media, mode="fake", dim=8).collect()
+    }
+    via_arrow = {
+        r["media_id"]: r["features"]
+        for r in extract_features_arrow(media, mode="fake", dim=8).collect()
+    }
+    assert via_arrow == via_pandas
+    with pytest.raises(Exception) as ei:
+        extract_features_arrow(media, mode="strict").collect()
+    assert "NotImplementedError" in str(ei.value) or isinstance(
+        ei.value, NotImplementedError
+    )
