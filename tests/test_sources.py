@@ -136,3 +136,42 @@ def test_binary_file_source_to_features(spark, tmp_path):
     feats = extract_features(media, mode="fake", dim=8).collect()
     assert len(feats) == 4
     assert all(len(r["features"]) == 8 for r in feats)
+
+
+def test_zorder_rewrite_clusters_both_columns(spark, sf_dir, tmp_path):
+    """Z-order layout: per-file value spans must shrink on BOTH layout
+    columns vs the unclustered baseline (a lexicographic sort only helps
+    its leading column)."""
+    from iot_data_pipeline_spark.sources.readers import read_table
+    from iot_data_pipeline_spark.sources.maintenance import rewrite_zordered
+
+    ev = read_table(spark, sf_dir, "events").select("user_id", "value", "event_id")
+    zone = str(tmp_path / "events_z")
+    rewrite_zordered(ev, zone, ["user_id", "value"], n_files=8)
+
+    back = spark.read.parquet(zone)
+    assert back.count() == ev.count()
+    assert {r["event_id"] for r in back.select("event_id").collect()} == {
+        r["event_id"] for r in ev.select("event_id").collect()
+    }
+
+    spans = (
+        back.groupBy(F.input_file_name().alias("f"))
+        .agg(
+            (F.max("user_id") - F.min("user_id")).alias("u_span"),
+            (F.max("value") - F.min("value")).alias("v_span"),
+        )
+        .collect()
+    )
+    glob = ev.agg(
+        (F.max("user_id") - F.min("user_id")).alias("u"),
+        (F.max("value") - F.min("value")).alias("v"),
+    ).first()
+    import statistics
+
+    mean_u = statistics.mean(r["u_span"] for r in spans)
+    mean_v = statistics.mean(r["v_span"] for r in spans)
+    # 8 z-ordered files ~ 3 bit levels: each file should cover well under
+    # the full span on BOTH dimensions (random layout would cover ~100%).
+    assert mean_u < 0.7 * glob["u"], (mean_u, glob["u"])
+    assert mean_v < 0.7 * glob["v"], (mean_v, glob["v"])
