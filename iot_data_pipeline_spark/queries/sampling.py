@@ -185,3 +185,56 @@ def q50_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rk")
     )
+
+
+_WEIGHT_HASH = ORACLE_HASH.format("'wsmp:' || CAST(o_orderkey AS VARCHAR)")
+
+
+@declared(
+    "q94_weighted_sample",
+    oracle=f"""
+    WITH mx AS (SELECT MAX(o_totalprice) AS max_p FROM orders),
+    sampled AS (
+      SELECT o.* FROM orders o CROSS JOIN mx
+      WHERE CAST({_WEIGHT_HASH} AS DOUBLE) / 1000000007
+              < o.o_totalprice / mx.max_p
+    )
+    SELECT o_orderpriority, COUNT(*) AS n_sampled,
+           ROUND(SUM(o_totalprice), 2) AS sampled_value,
+           MIN(o_orderkey) AS min_key
+    FROM sampled GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def q94_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted Bernoulli sampling: each order kept with probability
+    proportional to its value (price/max-price), decided by the portable
+    content hash -- so the sample is reproducible on any cluster layout
+    AND importance-weighted, the combination value-weighted corpus
+    sampling needs (high-value records over-represented, deterministic
+    audit trail).
+
+    Determinism across engines: the hash is integer arithmetic, max() is
+    exact selection, and both divisions are single IEEE ops on identical
+    operands -- the comparison operands are bit-identical in Spark and
+    DuckDB, so the kept set matches exactly. Row-local decision, no
+    shuffle; the max is a one-row broadcast.
+    """
+    orders = read_table(spark, sf_dir, "orders")
+    mx = orders.agg(F.max("o_totalprice").alias("max_p"))
+    u = (
+        portable_hash(
+            F.concat(F.lit("wsmp:"), F.col("o_orderkey").cast("string"))
+        ).cast("double")
+        / 1000000007
+    )
+    return (
+        orders.join(F.broadcast(mx))
+        .filter(u < F.col("o_totalprice") / F.col("max_p"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.round(F.sum("o_totalprice"), 2).alias("sampled_value"),
+            F.min("o_orderkey").alias("min_key"),
+        )
+        .orderBy("o_orderpriority")
+    )
