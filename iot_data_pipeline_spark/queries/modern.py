@@ -526,3 +526,52 @@ def q93_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("prev_type", "next_type")
     )
+
+
+@declared(
+    "q95_collated_grouping",
+    oracle="""
+    WITH mixed AS (
+      SELECT CASE WHEN c_custkey % 2 = 0
+                  THEN upper(substr(c_mktsegment, 1, 1))
+                         || lower(substr(c_mktsegment, 2))
+                  ELSE lower(c_mktsegment) END AS seg_mixed,
+             c_acctbal
+      FROM customer
+    )
+    SELECT upper(min(seg_mixed)) AS segment,
+           COUNT(*) AS n,
+           ROUND(SUM(c_acctbal), 2) AS total_bal
+    FROM mixed
+    GROUP BY lower(seg_mixed)
+    ORDER BY segment
+    """,
+)
+def q95_collated_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Case-insensitive grouping via a COLLATION (Spark 4 collated string
+    types) rather than a lower() rewrite: the segment values are first
+    deterministically case-mangled (initcap on even keys, lower on odd),
+    then grouped under UTF8_LCASE -- engine-level collation semantics the
+    DuckDB oracle reproduces with explicit lower() grouping.
+
+    The output key normalizes through upper(min(...)) so the grouped
+    representative is deterministic (a collated group's member casings
+    are all equal under the collation -- either engine may keep any).
+    """
+    cust = read_table(spark, sf_dir, "customer")
+    mangled = F.when(
+        F.col("c_custkey") % 2 == 0, F.initcap(F.lower("c_mktsegment"))
+    ).otherwise(F.lower("c_mktsegment"))
+    return (
+        cust.select(mangled.alias("seg_mixed"), "c_acctbal")
+        .groupBy(F.collate(F.col("seg_mixed"), "UTF8_LCASE"))
+        .agg(
+            F.upper(F.min(F.collate(F.col("seg_mixed"), "UTF8_BINARY"))).alias(
+                "segment"
+            ),
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+        .select("segment", "n", "total_bal")
+        .orderBy("segment")
+    )

@@ -219,3 +219,18 @@ def test_q86_idf_join_broadcasts(spark, sf_dir):
     # the idf table (one row per distinct token) broadcasts against the
     # (doc, token) tf stream; N is a one-row broadcast.
     assert broadcast_join_count(q("q86_tfidf_top_terms", spark, sf_dir)) >= 2
+
+
+def test_join_strategy_hints_respected(spark, sf_dir):
+    # The engine exposes Spark's join-strategy hints as tuning knobs; the
+    # optimizer must honor them (a silently ignored hint would invalidate
+    # the runbook's skew remedies).
+    orders = read_table(spark, sf_dir, "orders")
+    lineitem = read_table(spark, sf_dir, "lineitem")
+    cond = orders.o_orderkey == lineitem.l_orderkey
+    merged = orders.hint("merge").join(lineitem, cond)
+    assert "SortMergeJoin" in formatted_plan(merged)
+    hashed = orders.hint("shuffle_hash").join(lineitem, cond)
+    assert "ShuffledHashJoin" in formatted_plan(hashed)
+    bcast = orders.hint("broadcast").join(lineitem, cond)
+    assert "BroadcastHashJoin" in formatted_plan(bcast)
