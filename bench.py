@@ -52,6 +52,47 @@ def bench_extras():
         emb = read_table(spark, sf_dir, "embeddings")
         return cosine_topk_pandas(emb.filter(F.col("vec_id") < 16), emb, k=10)
 
+    def b_pipeline_throughput(spark, sf_dir):
+        # The reference's actual workload: JSONL in -> validate/split ->
+        # transform -> enrich -> JSONL out (reference app/app.py:19-89, a
+        # single-threaded CPython loop). Rows come from the events table
+        # reshaped to sensor records; wall time for this entry therefore
+        # IS the end-to-end pipeline cost at sf scale -- divide row count
+        # by it for records/sec vs the reference loop.
+        import os as _os
+        import tempfile as _tempfile
+
+        from iot_data_pipeline_spark.pipeline import (
+            PipelineConfig,
+            run_batch_pipeline,
+        )
+
+        work = _tempfile.mkdtemp(prefix="idp_bench_pipe_")
+        raw = _os.path.join(work, "raw")
+        (
+            read_table(spark, sf_dir, "events")
+            .select(
+                F.concat(F.lit("device-"), (F.col("user_id") % 25).cast("string"))
+                .alias("device_id"),
+                (F.col("value") / 10 - 5).alias("temperature"),
+                F.col("value").alias("humidity"),
+                F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("timestamp"),
+            )
+            .write.json(raw)  # distributed fixture write, ~1s of the entry
+        )
+        out = _os.path.join(work, "out")
+        run_batch_pipeline(
+            spark,
+            raw,
+            out,
+            PipelineConfig(
+                temperature_threshold=10.0,
+                fixed_clock="2026-01-01T00:00:00Z",
+                dead_letter_path=_os.path.join(work, "dlq"),
+            ),
+        )
+        return spark.read.text(out)
+
     def b_hll_sketches(spark, sf_dir):
         # Mergeable distinct-count sketches (Apache DataSketches HLL):
         # the 100 TB cardinality path -- per-partition sketches merge via
@@ -77,6 +118,7 @@ def bench_extras():
         "b01_approx_agg": b_approx_agg,
         "b02_ann_pandas": b_ann_pandas,
         "b03_hll_sketches": b_hll_sketches,
+        "b04_pipeline_throughput": b_pipeline_throughput,
     }
 
 
