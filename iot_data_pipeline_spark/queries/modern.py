@@ -575,3 +575,37 @@ def q95_collated_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("segment", "n", "total_bal")
         .orderBy("segment")
     )
+
+
+@declared(
+    "q96_listagg_bitagg",
+    oracle="""
+    SELECT n.n_name,
+           string_agg(s.s_name, ',' ORDER BY s.s_name) AS suppliers,
+           CAST(bit_or(s.s_suppkey) AS BIGINT) AS key_bits_or,
+           CAST(bit_and(s.s_suppkey) AS BIGINT) AS key_bits_and
+    FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+    GROUP BY n.n_name ORDER BY n.n_name
+    """,
+)
+def q96_listagg_bitagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG ... WITHIN GROUP, new SQL
+    surface in Spark 4) plus bitwise aggregates. The WITHIN GROUP
+    ordering is what makes string concatenation deterministic under
+    distributed aggregation -- bare listagg concatenates in partition
+    arrival order and can never be oracle-checked.
+    """
+    from iot_data_pipeline_spark.sources.readers import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT n.n_name,
+               listagg(s.s_name, ',') WITHIN GROUP (ORDER BY s.s_name)
+                 AS suppliers,
+               bit_or(s.s_suppkey) AS key_bits_or,
+               bit_and(s.s_suppkey) AS key_bits_and
+        FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+        GROUP BY n.n_name ORDER BY n.n_name
+        """
+    )
