@@ -11,8 +11,9 @@ tests assert UDF == twin, so the UDF surface is correctness-covered
 without putting Python in any declared query's hot path.
 """
 
-from __future__ import annotations
-
+# NOTE: no `from __future__ import annotations` here -- pandas_udf infers
+# its eval type from REAL annotation objects; stringified annotations make
+# every import of this module emit "Cannot infer the eval type" warnings.
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -21,7 +22,7 @@ from pyspark.sql.types import DoubleType, LongType
 
 
 @udf(returnType=DoubleType())
-def celsius_to_fahrenheit_py(c: float | None) -> float | None:
+def celsius_to_fahrenheit_py(c):  # annotation-free: see NOTE above
     """B49 row-at-a-time scalar UDF: the reference's one scalar transform
     (reference app/app.py:15-17). The production path is the column
     expression in pipeline.transform_sensor; this exists as the API-
