@@ -999,3 +999,100 @@ def q71_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("noun", "name_a", "name_b")
     )
+
+
+@declared(
+    "q97_embedding_standardize",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, label,
+             unnest(embedding) AS x,
+             unnest(range(len(embedding))) AS pos
+      FROM embeddings
+    ),
+    stats AS (
+      SELECT pos, AVG(x) AS mu, STDDEV_SAMP(x) AS sd
+      FROM e GROUP BY pos
+    )
+    SELECT e.vec_id,
+           ROUND(SUM((e.x - s.mu) / s.sd), 4) AS z_sum,
+           ROUND(MAX(ABS((e.x - s.mu) / s.sd)), 4) AS z_max_abs
+    FROM e JOIN stats s ON e.pos = s.pos
+    GROUP BY e.vec_id
+    ORDER BY e.vec_id
+    """,
+)
+def q97_embedding_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension z-score standardization of the embedding space (the
+    preprocessing step before distance-based ANN when dimensions have
+    unequal scales), checked through per-vector fold statistics.
+
+    Scale plan: posexplode to (vec, pos, x) -- 64x row fan-out of
+    fixed-width values, cheaper than shuffling arrays; the 64-row stats
+    table broadcasts back; both aggregations are partial-agg friendly.
+    The casts to double happen before any arithmetic so both engines
+    fold identical float64 values.
+    """
+    emb = read_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id", F.posexplode(F.col("embedding").cast("array<double>"))
+    ).withColumnRenamed("col", "x").withColumnRenamed("pos", "pos")
+    stats = e.groupBy("pos").agg(
+        F.avg("x").alias("mu"), F.stddev_samp("x").alias("sd")
+    )
+    z = (F.col("x") - F.col("mu")) / F.col("sd")
+    return (
+        e.join(F.broadcast(stats), "pos")
+        .groupBy("vec_id")
+        .agg(
+            F.round(F.sum(z), 4).alias("z_sum"),
+            F.round(F.max(F.abs(z)), 4).alias("z_max_abs"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+@declared(
+    "q98_winsorized_values",
+    oracle="""
+    WITH bounds AS (
+      SELECT quantile_cont(value, 0.05) AS lo, quantile_cont(value, 0.95) AS hi
+      FROM events
+    )
+    SELECT e.event_type,
+           COUNT(*) AS n,
+           ROUND(AVG(LEAST(GREATEST(e.value, b.lo), b.hi)), 2) AS avg_clipped,
+           ROUND(MIN(LEAST(GREATEST(e.value, b.lo), b.hi)), 2) AS min_clipped,
+           ROUND(MAX(LEAST(GREATEST(e.value, b.lo), b.hi)), 2) AS max_clipped,
+           COUNT(*) FILTER (WHERE e.value < b.lo OR e.value > b.hi) AS n_clipped
+    FROM events e CROSS JOIN bounds b
+    GROUP BY e.event_type ORDER BY e.event_type
+    """,
+)
+def q98_winsorized_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization (clip to exact p05/p95): the outlier-taming curation
+    step applied before training-statistics computation. Exact
+    percentiles keep the oracle deterministic (SURVEY.md section 2.3
+    excludes approximate aggregates); the bounds are a one-row broadcast
+    so clipping is a row-local projection.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.expr("percentile(value, 0.05)").alias("lo"),
+        F.expr("percentile(value, 0.95)").alias("hi"),
+    )
+    clipped = F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+    return (
+        ev.join(F.broadcast(bounds))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg(clipped), 2).alias("avg_clipped"),
+            F.round(F.min(clipped), 2).alias("min_clipped"),
+            F.round(F.max(clipped), 2).alias("max_clipped"),
+            F.count_if(
+                (F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi"))
+            ).alias("n_clipped"),
+        )
+        .orderBy("event_type")
+    )
