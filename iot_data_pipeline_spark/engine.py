@@ -72,3 +72,28 @@ class Engine:
         return run_batch_pipeline(
             self.spark, in_path, out_path, PipelineConfig(**config_kwargs)
         )
+
+    # -- data quality ---------------------------------------------------
+    def validate(self, df: DataFrame, rules):
+        """Rule-based validate/quarantine split (operators/quality.py):
+        returns (clean, quarantined-with-violations)."""
+        from iot_data_pipeline_spark.operators.quality import expect_split
+
+        return expect_split(df, rules)
+
+    # -- custom connectors ----------------------------------------------
+    def register_connectors(self) -> None:
+        """Register the engine's Python DataSources (sources/custom.py)
+        on this session; afterwards ``format("sensor_synthetic")`` works
+        in both read and readStream."""
+        from iot_data_pipeline_spark.sources.custom import register_sensor_source
+
+        register_sensor_source(self.spark)
+
+    # -- streaming rollup ----------------------------------------------
+    def rollup(self, path: str, keys: list[str], values: list[str]) -> DataFrame:
+        """Current totals of an incremental rollup zone
+        (streaming/rollup.py): folds the mergeable partials."""
+        from iot_data_pipeline_spark.streaming.rollup import read_rollup
+
+        return read_rollup(self.spark, path, keys, values)

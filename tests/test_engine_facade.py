@@ -62,3 +62,26 @@ def test_process_jsonl_roundtrip(eng, tmp_path):
     good = eng.spark.read.json(str(out))
     assert good.count() == 2
     assert eng.spark.read.parquet(str(dlq)).count() == 1
+
+
+def test_engine_validate_and_connectors(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from iot_data_pipeline_spark.engine import Engine
+    from iot_data_pipeline_spark.operators.quality import Expectation
+
+    eng = Engine(spark, sf_dir)
+    clean, bad = eng.validate(
+        eng.table("events"),
+        [Expectation("value_nonneg", F.col("value") >= 0)],
+    )
+    assert clean.count() + bad.count() == eng.table("events").count()
+
+    eng.register_connectors()
+    n = (
+        spark.read.format("sensor_synthetic")
+        .option("rows", 50)
+        .load()
+        .count()
+    )
+    assert n == 50
