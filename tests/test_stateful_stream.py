@@ -7,6 +7,7 @@ from __future__ import annotations
 import json
 
 import pytest
+from pyspark.sql import functions as F
 
 from iot_data_pipeline_spark.operators.stateful import (
     apply_last_state_stream,
@@ -125,3 +126,62 @@ def test_stream_state_matches_batch(spark, tmp_path, apply_stream, sink):
         assert got[k]["last_ts"] == want[k]["last_ts"]
         assert got[k]["last_temperature"] == want[k]["last_temperature"]
         assert got[k]["n_readings"] == want[k]["n_readings"]
+
+
+def test_state_survives_checkpoint_restart(spark, tmp_path):
+    """Device-shadow state must recover from the checkpoint on restart:
+    a second run over NEW files only must fold on top of the first run's
+    state (counts continue, not reset)."""
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    updates_zone = str(tmp_path / "updates")
+
+    def run_drain():
+        stream = (
+            spark.readStream.schema(SENSOR_SCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .json(str(raw))
+            .select("device_id", "timestamp", "temperature")
+        )
+
+        # memory sink cannot recover from a checkpoint; foreachBatch can.
+        def emit(batch_df, batch_id):
+            batch_df.write.mode("append").parquet(updates_zone)
+
+        q = (
+            apply_last_state_stream(stream)
+            .writeStream.foreachBatch(emit)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        if q.isActive:
+            q.stop()
+            raise TimeoutError("stream did not drain")
+
+    _write(raw, "r1.jsonl", [
+        {"device_id": "a", "temperature": 1.0, "timestamp": "2026-01-01T10:00:00Z"},
+        {"device_id": "a", "temperature": 2.0, "timestamp": "2026-01-01T11:00:00Z"},
+    ])
+    run_drain()
+
+    _write(raw, "r2.jsonl", [
+        {"device_id": "a", "temperature": 9.0, "timestamp": "2026-01-01T09:00:00Z"},
+    ])
+    run_drain()
+
+    # run2 saw ONE new record (earlier ts), but recovered state must show
+    # all 3 readings with the run-1 maximum timestamp still winning.
+    rows = (
+        spark.read.parquet(updates_zone)
+        .orderBy(F.desc("n_readings"))
+        .limit(1)
+        .collect()
+    )
+    assert rows, "no state emitted on restart"
+    r = rows[0]
+    assert r["n_readings"] == 3
+    assert r["last_temperature"] == 2.0
