@@ -84,8 +84,10 @@ def connected_components(
             [(r["a"], r["b"]) for r in sym.collect()]
         )
         spark = edges.sparkSession
+        # explicit schema: an empty component map (no edges) must yield an
+        # empty typed frame, not a schema-inference error
         return spark.createDataFrame(
-            sorted(comp.items()), ["node", "component"]
+            sorted(comp.items()), "node long, component long"
         )
 
     labels = (
