@@ -134,3 +134,59 @@ def test_suffix_filter_ignores_non_jsonl(spark, raw_dir, tmp_path):
     df = spark.read.parquet(str(out))
     assert df.filter(F.col("device_id") == "device-9").count() == 0
     assert df.count() == 5
+
+
+def test_stream_static_join_rereads_dim(spark, tmp_path):
+    """Stream-static joins re-execute the static side per micro-batch, so
+    a dim updated between batches enriches later records with the NEW
+    values -- the zero-infrastructure slowly-changing-dim pattern."""
+    import json
+
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    dim_path = str(tmp_path / "dim")
+    out = str(tmp_path / "out")
+
+    from iot_data_pipeline_spark.sources.readers import SENSOR_SCHEMA
+
+    spark.createDataFrame(
+        [("device-1", "loc-OLD")], "device_id string, location_id string"
+    ).write.mode("overwrite").parquet(dim_path)
+
+    def drain():
+        stream = (
+            spark.readStream.schema(SENSOR_SCHEMA)
+            .json(str(raw))
+            .select("device_id", "temperature")
+        )
+        dim = spark.read.parquet(dim_path)
+        q = (
+            stream.join(dim, "device_id", "left")
+            .writeStream.foreachBatch(
+                lambda df, bid: df.write.mode("append").parquet(out)
+            )
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        assert not q.isActive
+
+    with open(raw / "f1.jsonl", "w") as f:
+        f.write(json.dumps({"device_id": "device-1", "temperature": 1.0}) + "\n")
+    drain()
+
+    # update the dim between batches
+    spark.createDataFrame(
+        [("device-1", "loc-NEW")], "device_id string, location_id string"
+    ).write.mode("overwrite").parquet(dim_path)
+
+    with open(raw / "f2.jsonl", "w") as f:
+        f.write(json.dumps({"device_id": "device-1", "temperature": 2.0}) + "\n")
+    drain()
+
+    got = {
+        r["temperature"]: r["location_id"]
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == {1.0: "loc-OLD", 2.0: "loc-NEW"}
