@@ -1,0 +1,70 @@
+"""Distributed global prefix sum (running total over a TOTAL order).
+
+``SUM(x) OVER (ORDER BY k)`` with no PARTITION BY collapses to a single
+partition in Spark's window exec -- the one window shape that does not
+scale. This operator computes the identical result with the classic
+two-phase scan:
+
+1. range-repartition by the order key (so partition i holds keys < keys
+   of partition i+1), local cumulative sum inside each partition;
+2. collect ONE row per partition (its total), prefix-sum those P values
+   driver-side, broadcast the offsets back and add.
+
+Data moves once (the range shuffle); the driver handles P values, not N
+rows. This is how a 100 TB sweep-line / running-balance query stays
+parallel.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def global_running_sum(
+    df: DataFrame,
+    value_col: str,
+    order_cols: list[str],
+    out_col: str = "running_sum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Append ``out_col`` = sum of ``value_col`` over rows up to and
+    including this one in the total order given by ``order_cols``.
+
+    ``order_cols`` must be a total order (include a tiebreak key);
+    otherwise "up to this row" is ill-defined in any engine.
+    """
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    parted = df.repartitionByRange(n, *[F.col(c) for c in order_cols])
+    pid = F.spark_partition_id()
+    w_local = (
+        Window.partitionBy("_pid")
+        .orderBy(*[F.col(c) for c in order_cols])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = parted.withColumn("_pid", pid).withColumn(
+        "_local_sum", F.sum(value_col).over(w_local)
+    )
+    # one window pass feeds both the per-partition totals and the final
+    # join; persisted (not checkpointed) so the plan stays inspectable.
+    local = local.persist()
+
+    # one row per partition: its total; prefix them driver-side (P values)
+    totals = {
+        r["_pid"]: r["_t"]
+        for r in local.groupBy("_pid").agg(F.sum(value_col).alias("_t")).collect()
+    }
+    offsets, acc = {}, 0
+    for p in sorted(totals):
+        offsets[p] = acc
+        acc += totals[p] or 0
+    spark = df.sparkSession
+    off_df = spark.createDataFrame(
+        [(p, float(o)) for p, o in offsets.items()], "_pid int, _off double"
+    )
+    return (
+        local.join(F.broadcast(off_df), "_pid")
+        .withColumn(out_col, F.col("_local_sum") + F.col("_off"))
+        .drop("_pid", "_local_sum", "_off")
+    )

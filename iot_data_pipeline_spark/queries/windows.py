@@ -372,3 +372,34 @@ def q16b_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count(F.lit(1)).over(w.rangeBetween(-50, 50)).alias("n_within_100"),
     ).orderBy("user_id", "value", "event_id")
+
+
+@declared(
+    "q99_global_running_sum",
+    oracle="""
+    WITH r AS (
+      SELECT event_id,
+             SUM(value) OVER (ORDER BY event_id
+                              ROWS UNBOUNDED PRECEDING) AS rs
+      FROM events
+    )
+    SELECT event_id, ROUND(rs, 2) AS running_sum
+    FROM r WHERE event_id % 97 = 0 ORDER BY event_id
+    """,
+)
+def q99_global_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global running total over a TOTAL order (no PARTITION BY) -- the one
+    window shape Spark executes on a single partition. Implemented with the
+    distributed two-phase prefix scan (operators/prefix.py): range-partition
+    by the order key, local cumulative sums, then a P-value driver-side
+    offset prefix broadcast back. Sampled to every 97th event for the
+    oracle compare."""
+    from iot_data_pipeline_spark.operators.prefix import global_running_sum
+
+    ev = read_table(spark, sf_dir, "events").select("event_id", "value")
+    rs = global_running_sum(ev, "value", ["event_id"])
+    return (
+        rs.filter(F.col("event_id") % 97 == 0)
+        .select("event_id", F.round("running_sum", 2).alias("running_sum"))
+        .orderBy("event_id")
+    )

@@ -467,3 +467,35 @@ def test_extract_features_arrow_matches_pandas(media):
     assert "NotImplementedError" in str(ei.value) or isinstance(
         ei.value, NotImplementedError
     )
+
+
+def test_global_running_sum_matches_window(spark, sf_dir):
+    from iot_data_pipeline_spark.operators.prefix import global_running_sum
+    from pyspark.sql.window import Window as W
+
+    ev = read_table(spark, sf_dir, "events").select("event_id", "value")
+    got = global_running_sum(
+        ev, "value", ["event_id"], num_partitions=7
+    )
+    w = W.orderBy("event_id").rowsBetween(W.unboundedPreceding, W.currentRow)
+    want = ev.withColumn("running_sum", F.sum("value").over(w))
+    g = {r["event_id"]: r["running_sum"] for r in got.collect()}
+    x = {r["event_id"]: r["running_sum"] for r in want.collect()}
+    assert set(g) == set(x)
+    for k in x:
+        assert abs(g[k] - x[k]) < 1e-6, k
+    # scale property: the cumulative window runs PARTITIONED (by _pid),
+    # never as a global single-partition window. (AQE may still coalesce
+    # the tiny test output to 1 partition, so assert on the plan.)
+    from iot_data_pipeline_spark.plans.inspect import formatted_plan
+
+    plan = formatted_plan(got)
+    w_lines = [
+        l
+        for l in plan.splitlines()
+        if "Window" in l or "partitionSpec" in l.lower()
+    ]
+    assert w_lines, plan
+    assert any("_pid" in l for l in plan.splitlines() if "partition" in l.lower()) or (
+        "_pid" in plan
+    ), plan
