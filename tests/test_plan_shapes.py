@@ -234,3 +234,38 @@ def test_join_strategy_hints_respected(spark, sf_dir):
     assert "ShuffledHashJoin" in formatted_plan(hashed)
     bcast = orders.hint("broadcast").join(lineitem, cond)
     assert "BroadcastHashJoin" in formatted_plan(bcast)
+
+
+def test_star_join_dynamic_partition_pruning(spark, sf_dir, tmp_path):
+    # The 100 TB star-schema pattern: fact partitioned on the join key,
+    # dim filtered at runtime. Catalyst must inject a dynamicpruning
+    # subquery into the fact scan's PartitionFilters so only the order
+    # years the dim filter survives are ever listed/read -- static
+    # pruning cannot see through the join.
+    from iot_data_pipeline_spark.sources.sinks import write_parquet
+
+    zone = str(tmp_path / "orders_by_year")
+    orders = read_table(spark, sf_dir, "orders").withColumn(
+        "o_year", F.year("o_orderdate")
+    )
+    write_parquet(orders, zone, partition_by=["o_year"])
+    fact = spark.read.parquet(zone)
+    dim = (
+        orders.select(F.col("o_year").alias("y"))
+        .distinct()
+        .withColumn("is_current", F.col("y") >= 1998)
+    )
+    df = (
+        fact.join(F.broadcast(dim), fact.o_year == dim.y)
+        .filter(F.col("is_current"))
+        .groupBy("o_year")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    plan = formatted_plan(df)
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "dynamicpruning" in m.group(1), plan
+    # and it actually executes with the pruned plan
+    rows = {r["o_year"]: r["n"] for r in df.collect()}
+    assert rows and all(y >= 1998 for y in rows)
