@@ -97,3 +97,20 @@ class Engine:
         from iot_data_pipeline_spark.streaming.rollup import read_rollup
 
         return read_rollup(self.spark, path, keys, values)
+
+    # -- materialized views --------------------------------------------
+    def refresh_view(self, root: str, name: str, df: DataFrame) -> int:
+        """Materialize ``df`` as the next snapshot of ``name`` under
+        ``root`` and atomically publish it (sources/matview.py)."""
+        from iot_data_pipeline_spark.sources import matview
+
+        return matview.refresh(self.spark, root, name, df)
+
+    def read_view(
+        self, root: str, name: str, version: int | None = None
+    ) -> DataFrame:
+        """Read the published snapshot of a materialized view (or pin an
+        older ``version`` for time travel)."""
+        from iot_data_pipeline_spark.sources import matview
+
+        return matview.read(self.spark, root, name, version=version)

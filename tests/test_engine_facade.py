@@ -85,3 +85,14 @@ def test_engine_validate_and_connectors(spark, sf_dir):
         .count()
     )
     assert n == 50
+
+
+def test_facade_materialized_view_roundtrip(spark, sf_dir, tmp_path):
+    from iot_data_pipeline_spark.engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    agg = eng.table("orders").groupBy("o_orderstatus").count()
+    v = eng.refresh_view(str(tmp_path), "status_counts", agg)
+    assert v == 0
+    got = eng.read_view(str(tmp_path), "status_counts")
+    assert got.count() == agg.count()
