@@ -269,3 +269,43 @@ def test_star_join_dynamic_partition_pruning(spark, sf_dir, tmp_path):
     # and it actually executes with the pruned plan
     rows = {r["o_year"]: r["n"] for r in df.collect()}
     assert rows and all(y >= 1998 for y in rows)
+
+
+def test_runtime_bloom_filter_prunes_probe_side(spark, sf_dir):
+    # The third runtime-filtering leg beside DPP and AQE: when the fact
+    # side of a shuffle join is huge and the build side is selective,
+    # Catalyst injects a bloom_filter_agg on the build side and a
+    # might_contain() guard on the fact scan -- rows that cannot join are
+    # dropped BEFORE the shuffle. At 100 TB this is the difference
+    # between shuffling the whole fact table and shuffling the ~1% that
+    # survives. (Thresholds lowered because injection is sized for real
+    # clusters, not a 6k-row fixture.)
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtimeFilter.number.threshold": "10",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = read_table(spark, sf_dir, "lineitem")
+        orders = read_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        df = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        plan = formatted_plan(df)
+        assert "might_contain" in plan, plan
+        assert "bloom_filter_agg" in plan, plan
+        assert df.collect()[0]["n"] > 0
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
