@@ -1101,3 +1101,110 @@ def q98_winsorized_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@declared(
+    "q100_crossmodal_neardup",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS emb,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      FROM embeddings
+    ),
+    cand AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             ROUND(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm), 4) AS sim
+      FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE ROUND(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm), 4) >= 0.35
+    ),
+    shingled AS (
+      SELECT doc_id, unnest(
+        list_transform(
+          range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+          i -> string_split(text, ' ')[i] || ' ' ||
+               string_split(text, ' ')[i+1] || ' ' ||
+               string_split(text, ' ')[i+2])) AS shingle
+      FROM documents
+    ),
+    shashes AS (
+      SELECT DISTINCT doc_id, {ORACLE_HASH.format("shingle")} AS h FROM shingled
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shashes GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+      FROM shashes a JOIN shashes b ON a.h = b.h AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT c.vec_a, c.vec_b, c.sim,
+           ROUND(CAST(i.n_inter AS DOUBLE)
+                 / (sa.n_sh + sb.n_sh - i.n_inter), 4) AS jaccard,
+           COALESCE(ROUND(CAST(i.n_inter AS DOUBLE)
+                 / (sa.n_sh + sb.n_sh - i.n_inter), 4) >= 0.5, FALSE)
+             AS text_agrees
+    FROM cand c
+    LEFT JOIN inter i ON i.doc_a = c.vec_a AND i.doc_b = c.vec_b
+    LEFT JOIN sizes sa ON sa.doc_id = c.vec_a
+    LEFT JOIN sizes sb ON sb.doc_id = c.vec_b
+    ORDER BY vec_a, vec_b
+    """,
+)
+def q100_crossmodal_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal ensemble dedup: embedding-cosine candidate pairs
+    (q26's blocked numpy kernel) verified against the 3-gram text Jaccard
+    of the SAME pair -- documents and embeddings share the 0..N id space.
+    This is the production curation ensemble: the cheap modality proposes,
+    the second modality confirms, and disagreement (text_agrees = false)
+    is the review queue.
+
+    Scale plan: candidates drive the text pass. The shingle table is
+    semi-joined down to candidate ids BEFORE the intersection self-join,
+    so the quadratic text compare touches only proposed pairs' documents,
+    never the corpus; candidate pairs and shingle hashes are materialized
+    once each (multiple consumers below).
+    """
+    from iot_data_pipeline_spark.operators.similarity import neardup_pairs_pandas
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    cand = neardup_pairs_pandas(
+        emb, id_col="vec_id", vec_col="embedding", block_col="label", threshold=0.35
+    ).localCheckpoint(eager=True)  # feeds the id semi-join AND the final join
+
+    ids = (
+        cand.select(F.explode(F.array("vec_a", "vec_b")).alias("doc_id"))
+        .distinct()
+    )
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    sh = _shingle_hashes(
+        docs.join(F.broadcast(ids), "doc_id", "left_semi"), distinct=True
+    ).localCheckpoint(eager=True)  # both self-join sides + the size agg
+
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    jac = F.round(
+        F.col("n_inter").cast("double")
+        / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_inter")),
+        4,
+    )
+    return (
+        cand.join(
+            inter,
+            (F.col("doc_a") == F.col("vec_a")) & (F.col("doc_b") == F.col("vec_b")),
+            "left",
+        )
+        .join(sa, F.col("sa.doc_id") == F.col("vec_a"), "left")
+        .join(sb, F.col("sb.doc_id") == F.col("vec_b"), "left")
+        .select(
+            "vec_a",
+            "vec_b",
+            "sim",
+            jac.alias("jaccard"),
+            F.coalesce(jac >= 0.5, F.lit(False)).alias("text_agrees"),
+        )
+        .orderBy("vec_a", "vec_b")
+    )
