@@ -114,3 +114,11 @@ class Engine:
         from iot_data_pipeline_spark.sources import matview
 
         return matview.read(self.spark, root, name, version=version)
+
+    # -- incremental backfill ------------------------------------------
+    def backfill(self, src_path: str, dst_path: str, partition_col: str, derive, full: bool = False) -> list[str]:
+        """Recompute only stale partitions of a derived zone
+        (sources/backfill.py); returns the partition values rebuilt."""
+        from iot_data_pipeline_spark.sources.backfill import backfill
+
+        return backfill(self.spark, src_path, dst_path, partition_col, derive, full=full)
