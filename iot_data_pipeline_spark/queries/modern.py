@@ -609,3 +609,68 @@ def q96_listagg_bitagg(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY n.n_name ORDER BY n.n_name
         """
     )
+
+
+@declared(
+    "q106_referential_audit",
+    oracle="""
+    SELECT fk, n_rows, n_orphans FROM (
+      SELECT 'customer->nation' AS fk, COUNT(*) AS n_rows,
+             COUNT(*) FILTER (WHERE n.n_nationkey IS NULL) AS n_orphans
+      FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+      UNION ALL
+      SELECT 'lineitem->orders', COUNT(*),
+             COUNT(*) FILTER (WHERE o.o_orderkey IS NULL)
+      FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+      UNION ALL
+      SELECT 'lineitem->part', COUNT(*),
+             COUNT(*) FILTER (WHERE p.p_partkey IS NULL)
+      FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+      UNION ALL
+      SELECT 'lineitem->supplier', COUNT(*),
+             COUNT(*) FILTER (WHERE s.s_suppkey IS NULL)
+      FROM lineitem l LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      UNION ALL
+      SELECT 'orders->customer', COUNT(*),
+             COUNT(*) FILTER (WHERE c.c_custkey IS NULL)
+      FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    ) audit ORDER BY fk
+    """,
+)
+def q106_referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity sweep over every foreign key in the star
+    schema (the nightly data-quality audit a lake runs before publishing
+    a snapshot): per-FK row count and orphan count via left joins.
+
+    Scale plan: each probe is one left join with the PK side broadcast
+    when dim-shaped; fact-fact probes shuffle on the key once and
+    aggregate to two numbers map-side. The five probes are independent
+    Spark jobs unioned at the end -- they parallelize across the cluster
+    rather than serializing in one stage chain.
+    """
+
+    def probe(name, child, child_key, parent, parent_key, broadcast_parent):
+        c = read_table(spark, sf_dir, child)
+        p = read_table(spark, sf_dir, parent).select(parent_key)
+        if broadcast_parent:
+            p = F.broadcast(p)
+        return (
+            c.join(p, F.col(child_key) == F.col(parent_key), "left")
+            .agg(
+                F.lit(name).alias("fk"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.count_if(F.col(parent_key).isNull()).alias("n_orphans"),
+            )
+        )
+
+    probes = [
+        probe("customer->nation", "customer", "c_nationkey", "nation", "n_nationkey", True),
+        probe("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey", False),
+        probe("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey", True),
+        probe("lineitem->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey", True),
+        probe("orders->customer", "orders", "o_custkey", "customer", "c_custkey", False),
+    ]
+    out = probes[0]
+    for pr in probes[1:]:
+        out = out.unionByName(pr)
+    return out.orderBy("fk")
