@@ -68,3 +68,56 @@ def global_running_sum(
         .withColumn(out_col, F.col("_local_sum") + F.col("_off"))
         .drop("_pid", "_local_sum", "_off")
     )
+
+
+def global_fill_forward(
+    df: DataFrame,
+    value_col: str,
+    order_cols: list[str],
+    out_col: str = "filled",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Append ``out_col`` = last non-null ``value_col`` at or before this
+    row in the total order (``LAST_VALUE(x IGNORE NULLS) OVER (ORDER BY
+    ...)``), without a single-partition window.
+
+    Same two-phase shape as :func:`global_running_sum`: range-partition on
+    the order key, fill forward locally, then carry each partition's final
+    non-null value across the boundary -- the driver forward-fills P
+    boundary values and broadcasts them back. This is the distributed
+    sweep-line primitive behind global as-of joins and gap-filling.
+    """
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    parted = df.repartitionByRange(n, *[F.col(c) for c in order_cols])
+    w_local = (
+        Window.partitionBy("_pid")
+        .orderBy(*[F.col(c) for c in order_cols])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = parted.withColumn("_pid", F.spark_partition_id()).withColumn(
+        "_lf", F.last(value_col, ignorenulls=True).over(w_local)
+    )
+    local = local.persist()  # one pass feeds the boundary agg AND the join
+
+    # each partition's final fill value = _lf on its last row in order
+    bounds = {
+        r["_pid"]: r["_b"]
+        for r in local.groupBy("_pid")
+        .agg(F.max_by("_lf", F.struct(*[F.col(c) for c in order_cols])).alias("_b"))
+        .collect()
+    }
+    carry, last = {}, None
+    for p in sorted(bounds):
+        carry[p] = last  # value flowing IN from partitions before p
+        if bounds[p] is not None:
+            last = bounds[p]
+    spark = df.sparkSession
+    fill_type = dict(df.dtypes)[value_col]
+    off_df = spark.createDataFrame(
+        [(p, c) for p, c in carry.items()], f"_pid int, _carry {fill_type}"
+    )
+    return (
+        local.join(F.broadcast(off_df), "_pid")
+        .withColumn(out_col, F.coalesce(F.col("_lf"), F.col("_carry")))
+        .drop("_pid", "_lf", "_carry")
+    )

@@ -149,13 +149,9 @@ def q17b_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    w = Window.orderBy(F.desc("n"), "token")
-    return (
-        counted.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 20)
-        .select("token", "n")
-        .orderBy(F.desc("n"), "token")
-    )
+    # orderBy+limit plans as TakeOrderedAndProject: each partition keeps
+    # its local top-20, the driver merges -- no global window, no sort.
+    return counted.select("token", "n").orderBy(F.desc("n"), "token").limit(20)
 
 
 @declared(

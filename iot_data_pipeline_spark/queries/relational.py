@@ -234,11 +234,13 @@ def q08_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q08b_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (B15): for each purchase, the value of the latest signup
     with ts <= purchase.ts -- the union + last_value(IGNORE NULLS) running
-    window, identical formulation both engines.
+    sweep, identical formulation both engines.
 
-    This variant is a GLOBAL as-of (no join key), hence a single-partition
-    window: fine for a bounded dimension-like stream. The keyed variant at
-    scale partitions the window by the join key (see operators.joins.asof_join).
+    This variant is a GLOBAL as-of (no join key). The oracle states it as
+    a single-partition window; the engine runs the distributed two-phase
+    sweep instead (operators/prefix.global_fill_forward): range-partition
+    on the order key, fill locally, carry P boundary values across. The
+    keyed variant partitions by the join key (operators.joins.asof_join).
     """
     ev = read_table(spark, sf_dir, "events")
     sig = ev.filter(F.col("event_type") == "signup").select(
@@ -253,14 +255,16 @@ def q08b_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1).alias("is_target"),
         "event_id",
     )
-    w = (
-        Window.orderBy("ts", "is_target", "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    from iot_data_pipeline_spark.operators.prefix import global_fill_forward
+
+    swept = global_fill_forward(
+        sig.unionByName(pur),
+        "sig_value",
+        ["ts", "is_target", "event_id"],
+        out_col="asof_value",
     )
     return (
-        sig.unionByName(pur)
-        .withColumn("asof_value", F.last("sig_value", ignorenulls=True).over(w))
-        .filter(F.col("is_target") == 1)
+        swept.filter(F.col("is_target") == 1)
         .select("event_id", "asof_value")
         .orderBy("event_id")
     )
@@ -551,13 +555,9 @@ def q12_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("vec_id", "sim")
     )
-    w = Window.orderBy(F.desc("sim"), "vec_id")
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 5)
-        .select("vec_id", "sim")
-        .orderBy(F.desc("sim"), "vec_id")
-    )
+    # orderBy+limit plans as TakeOrderedAndProject (per-partition top-5,
+    # driver merge) -- no single-partition window over the scored set.
+    return scored.select("vec_id", "sim").orderBy(F.desc("sim"), "vec_id").limit(5)
 
 
 @declared(

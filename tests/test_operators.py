@@ -499,3 +499,24 @@ def test_global_running_sum_matches_window(spark, sf_dir):
     assert any("_pid" in l for l in plan.splitlines() if "partition" in l.lower()) or (
         "_pid" in plan
     ), plan
+
+
+def test_global_fill_forward_matches_window(spark, sf_dir):
+    from iot_data_pipeline_spark.operators.prefix import global_fill_forward
+    from pyspark.sql.window import Window as W
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id",
+        # nulls to fill: only signup rows carry a value
+        F.when(F.col("event_type") == "signup", F.col("value")).alias("v"),
+    )
+    got = global_fill_forward(ev, "v", ["event_id"], num_partitions=5)
+    w = W.orderBy("event_id").rowsBetween(W.unboundedPreceding, W.currentRow)
+    want = ev.withColumn("filled", F.last("v", ignorenulls=True).over(w))
+    g = {r["event_id"]: r["filled"] for r in got.collect()}
+    x = {r["event_id"]: r["filled"] for r in want.collect()}
+    assert g == x
+    # leading rows before any non-null stay null
+    assert any(v is None for v in g.values()) or all(
+        v is not None for v in x.values()
+    )
