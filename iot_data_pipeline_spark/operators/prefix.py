@@ -121,3 +121,77 @@ def global_fill_forward(
         .withColumn(out_col, F.coalesce(F.col("_lf"), F.col("_carry")))
         .drop("_pid", "_lf", "_carry")
     )
+
+
+def global_ranks(
+    df: DataFrame,
+    order_cols: list[str],
+    ascending: list[bool] | None = None,
+    ntile: int | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Append ``rank``, ``dense_rank``, ``row_number`` (and ``ntile`` when
+    requested) over the TOTAL order given by ``order_cols`` -- again
+    without a single-partition window.
+
+    Correctness hinges on a property of range partitioning: equal keys
+    are never split across partitions (the partitioner binary-searches
+    range bounds, so all equal values land on one side). Local ranks are
+    therefore exact within each partition, and the global value is
+    local + a per-partition offset (rows before, for rank/row_number;
+    distinct keys before, for dense_rank) -- P offsets, driver-prefixed,
+    broadcast back. NTILE is pure arithmetic on (row_number, total).
+    """
+    asc = ascending or [True] * len(order_cols)
+    cols = [
+        F.col(c) if a else F.col(c).desc()
+        for c, a in zip(order_cols, asc)
+    ]
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    parted = df.repartitionByRange(n, *cols)
+    w_local = Window.partitionBy("_pid").orderBy(*cols)
+    key = F.struct(*[F.col(c) for c in order_cols])
+    local = (
+        parted.withColumn("_pid", F.spark_partition_id())
+        .withColumn("_lrk", F.rank().over(w_local))
+        .withColumn("_ldr", F.dense_rank().over(w_local))
+        .withColumn("_lrn", F.row_number().over(w_local))
+    )
+    local = local.persist()
+    stats = {
+        r["_pid"]: (r["_n"], r["_d"])
+        for r in local.groupBy("_pid")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.countDistinct(key).alias("_d"),
+        )
+        .collect()
+    }
+    offsets, rows_acc, dist_acc = {}, 0, 0
+    for p in sorted(stats):
+        offsets[p] = (rows_acc, dist_acc)
+        rows_acc += stats[p][0]
+        dist_acc += stats[p][1]
+    total = rows_acc
+    spark = df.sparkSession
+    off_df = spark.createDataFrame(
+        [(p, r, d) for p, (r, d) in offsets.items()],
+        "_pid int, _roff long, _doff long",
+    )
+    out = (
+        local.join(F.broadcast(off_df), "_pid")
+        .withColumn("rank", (F.col("_lrk") + F.col("_roff")).cast("int"))
+        .withColumn("dense_rank", (F.col("_ldr") + F.col("_doff")).cast("int"))
+        .withColumn("row_number", (F.col("_lrn") + F.col("_roff")).cast("int"))
+        .drop("_pid", "_lrk", "_ldr", "_lrn", "_roff", "_doff")
+    )
+    if ntile is not None:
+        # NTILE(k): first (total % k) tiles hold ceil(total/k) rows
+        base, rem = total // ntile, total % ntile
+        rn = F.col("row_number")
+        big = base + 1
+        tile = F.when(
+            rn <= F.lit(big * rem), F.ceil(rn / F.lit(big))
+        ).otherwise(F.lit(rem) + F.ceil((rn - F.lit(big * rem)) / F.lit(max(base, 1))))
+        out = out.withColumn("ntile", tile.cast("int"))
+    return out

@@ -55,16 +55,33 @@ def q15_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q15b_rank_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RANK / DENSE_RANK / NTILE over customer balances (B24). RANK windows
     order by balance alone (ties share a rank -- deterministic); NTILE needs
-    the total order to assign tiles stably."""
+    the total order to assign tiles stably.
+
+    Both ran as single-partition global windows before; now each ordering
+    is a distributed two-phase rank (operators/prefix.global_ranks) and
+    the two orderings -- genuinely different sorts -- join on the unique
+    customer key."""
+    from iot_data_pipeline_spark.operators.prefix import global_ranks
+
     customer = read_table(spark, sf_dir, "customer")
-    w = Window.orderBy(F.desc("c_acctbal"))
-    wt = Window.orderBy(F.desc("c_acctbal"), "c_custkey")
-    return customer.select(
-        "c_custkey",
-        F.rank().over(w).alias("rnk"),
-        F.dense_rank().over(w).alias("drnk"),
-        F.ntile(4).over(wt).alias("quartile"),
-    ).orderBy("c_custkey")
+    by_bal = global_ranks(
+        customer.select("c_custkey", "c_acctbal"),
+        ["c_acctbal"],
+        ascending=[False],
+    ).select(
+        "c_custkey", F.col("rank").alias("rnk"), F.col("dense_rank").alias("drnk")
+    )
+    by_bal_key = global_ranks(
+        customer.select("c_custkey", "c_acctbal"),
+        ["c_acctbal", "c_custkey"],
+        ascending=[False, True],
+        ntile=4,
+    ).select("c_custkey", F.col("ntile").alias("quartile"))
+    return (
+        by_bal.join(by_bal_key, "c_custkey")
+        .select("c_custkey", "rnk", "drnk", "quartile")
+        .orderBy("c_custkey")
+    )
 
 
 @declared(

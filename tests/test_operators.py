@@ -520,3 +520,30 @@ def test_global_fill_forward_matches_window(spark, sf_dir):
     assert any(v is None for v in g.values()) or all(
         v is not None for v in x.values()
     )
+
+
+def test_global_ranks_match_window(spark, sf_dir):
+    from iot_data_pipeline_spark.operators.prefix import global_ranks
+    from pyspark.sql.window import Window as W
+
+    # c_acctbal has ties at test SF? force some: bucket the balance
+    cust = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.round(F.col("c_acctbal"), -2).alias("bal")
+    )
+    got = global_ranks(
+        cust, ["bal", "c_custkey"], ascending=[False, True], ntile=4,
+        num_partitions=6,
+    )
+    w = W.orderBy(F.desc("bal"), "c_custkey")
+    want = cust.select(
+        "c_custkey",
+        F.rank().over(w).alias("rank"),
+        F.dense_rank().over(w).alias("dense_rank"),
+        F.row_number().over(w).alias("row_number"),
+        F.ntile(4).over(w).alias("ntile"),
+    )
+    g = {r["c_custkey"]: (r["rank"], r["dense_rank"], r["row_number"], r["ntile"])
+         for r in got.collect()}
+    x = {r["c_custkey"]: (r["rank"], r["dense_rank"], r["row_number"], r["ntile"])
+         for r in want.collect()}
+    assert g == x
