@@ -195,3 +195,97 @@ def global_ranks(
         ).otherwise(F.lit(rem) + F.ceil((rn - F.lit(big * rem)) / F.lit(max(base, 1))))
         out = out.withColumn("ntile", tile.cast("int"))
     return out
+
+
+def global_scan(
+    df: DataFrame,
+    order_cols: list[str],
+    ascending: list[bool] | None = None,
+    sum_cols: dict[str, str] | None = None,
+    ranks: bool = False,
+    ntile: int | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """One-pass combined two-phase scan: running sums (``sum_cols`` maps
+    output name -> value column) and/or ranking functions over one total
+    order, for the price of a single range shuffle + one local window
+    pass + P broadcast offsets.
+
+    ``global_running_sum``/``global_ranks`` each pay their own shuffle;
+    a query needing both (rank + cumulative share, e.g. coverage curves)
+    should use this instead.
+    """
+    asc = ascending or [True] * len(order_cols)
+    cols = [F.col(c) if a else F.col(c).desc() for c, a in zip(order_cols, asc)]
+    sums = sum_cols or {}
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    parted = df.repartitionByRange(n, *cols)
+    w = Window.partitionBy("_pid").orderBy(*cols)
+    w_cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    local = parted.withColumn("_pid", F.spark_partition_id())
+    for out, src in sums.items():
+        local = local.withColumn(f"_ls_{out}", F.sum(src).over(w_cum))
+    if ranks or ntile is not None:
+        local = (
+            local.withColumn("_lrk", F.rank().over(w))
+            .withColumn("_ldr", F.dense_rank().over(w))
+            .withColumn("_lrn", F.row_number().over(w))
+        )
+    local = local.persist()
+
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    aggs += [F.sum(src).alias(f"_t_{out}") for out, src in sums.items()]
+    if ranks or ntile is not None:
+        aggs.append(
+            F.countDistinct(F.struct(*[F.col(c) for c in order_cols])).alias("_d")
+        )
+    stats = {r["_pid"]: r.asDict() for r in local.groupBy("_pid").agg(*aggs).collect()}
+
+    offsets, rows_acc, dist_acc = {}, 0, 0
+    sum_acc = {out: 0.0 for out in sums}
+    for p in sorted(stats):
+        offsets[p] = {
+            "_roff": rows_acc,
+            "_doff": dist_acc,
+            **{f"_off_{out}": sum_acc[out] for out in sums},
+        }
+        rows_acc += stats[p]["_n"]
+        dist_acc += stats[p].get("_d", 0)
+        for out in sums:
+            sum_acc[out] += stats[p][f"_t_{out}"] or 0
+    total = rows_acc
+    spark = df.sparkSession
+    schema = "_pid int, _roff long, _doff long" + "".join(
+        f", _off_{out} double" for out in sums
+    )
+    off_df = spark.createDataFrame(
+        [
+            (p, o["_roff"], o["_doff"], *[float(o[f"_off_{out}"]) for out in sums])
+            for p, o in offsets.items()
+        ],
+        schema,
+    )
+    out_df = local.join(F.broadcast(off_df), "_pid")
+    for out in sums:
+        out_df = out_df.withColumn(
+            out, F.col(f"_ls_{out}") + F.col(f"_off_{out}")
+        ).drop(f"_ls_{out}", f"_off_{out}")
+    if ranks or ntile is not None:
+        out_df = (
+            out_df.withColumn("rank", (F.col("_lrk") + F.col("_roff")).cast("int"))
+            .withColumn("dense_rank", (F.col("_ldr") + F.col("_doff")).cast("int"))
+            .withColumn("row_number", (F.col("_lrn") + F.col("_roff")).cast("int"))
+            .drop("_lrk", "_ldr", "_lrn")
+        )
+        if ntile is not None:
+            base, rem = total // ntile, total % ntile
+            rn, big = F.col("row_number"), base + 1
+            tile = F.when(
+                rn <= F.lit(big * rem), F.ceil(rn / F.lit(big))
+            ).otherwise(
+                F.lit(rem) + F.ceil((rn - F.lit(big * rem)) / F.lit(max(base, 1)))
+            )
+            out_df = out_df.withColumn("ntile", tile.cast("int"))
+        if not ranks:
+            out_df = out_df.drop("rank", "dense_rank")
+    return out_df.drop("_pid", "_roff", "_doff")

@@ -143,13 +143,18 @@ def q50_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizing for training pipelines).
 
     Scale plan: the token count is a map-side-combined groupBy over
-    hashed strings; only the *aggregated* vocabulary (#distinct tokens,
-    tiny vs corpus) enters the single-partition window -- ranking a
-    vocabulary is driver-scale work even when the corpus is 100 TB.
-    The prefix predicate uses (cum - cnt)/total < 0.9 so the first token
-    crossing the threshold is included, mirroring "smallest covering
-    prefix" exactly in both engines.
+    hashed strings; rank + cumulative mass over the ordered vocabulary
+    both come from ONE distributed two-phase scan
+    (operators/prefix.global_scan) -- a single range shuffle, no
+    single-partition window even when the vocabulary itself is huge
+    (web-scale corpora: 1e9+ distinct tokens). The total is a scalar
+    aggregate broadcast via cross join. The prefix predicate uses
+    (cum - cnt)/total < 0.9 so the first token crossing the threshold is
+    included, mirroring "smallest covering prefix" exactly in both
+    engines.
     """
+    from iot_data_pipeline_spark.operators.prefix import global_scan
+
     docs = read_table(spark, sf_dir, "documents")
     counts = (
         docs.select(F.explode(F.split("text", " ")).alias("token"))
@@ -157,26 +162,21 @@ def q50_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    w_order = Window.orderBy(F.desc("cnt"), "token")
-    ranked = counts.select(
-        F.row_number().over(w_order).alias("rk"),
-        "token",
-        "cnt",
-        F.sum("cnt").over(w_order.rowsBetween(Window.unboundedPreceding, 0)).alias(
-            "cum"
-        ),
-        F.sum("cnt").over(
-            Window.partitionBy().rowsBetween(
-                Window.unboundedPreceding, Window.unboundedFollowing
-            )
-        ).alias("total"),
+    scanned = global_scan(
+        counts,
+        ["cnt", "token"],
+        ascending=[False, True],
+        sum_cols={"cum": "cnt"},
+        ranks=True,
     )
+    total_df = counts.agg(F.sum("cnt").alias("total"))
+    ranked = scanned.join(F.broadcast(total_df))
     return (
         ranked.filter(
             (F.col("cum") - F.col("cnt")).cast("double") / F.col("total") < 0.9
         )
         .select(
-            "rk",
+            F.col("row_number").alias("rk"),
             "token",
             "cnt",
             F.round(F.col("cum").cast("double") / F.col("total"), 4).alias(

@@ -547,3 +547,35 @@ def test_global_ranks_match_window(spark, sf_dir):
     x = {r["c_custkey"]: (r["rank"], r["dense_rank"], r["row_number"], r["ntile"])
          for r in want.collect()}
     assert g == x
+
+
+def test_global_scan_combines_sums_and_ranks(spark, sf_dir):
+    from iot_data_pipeline_spark.operators.prefix import global_scan
+    from pyspark.sql.window import Window as W
+
+    ev = read_table(spark, sf_dir, "events").select("event_id", "value")
+    got = global_scan(
+        ev,
+        ["value", "event_id"],
+        ascending=[False, True],
+        sum_cols={"run_v": "value"},
+        ranks=True,
+        ntile=3,
+        num_partitions=5,
+    )
+    w = W.orderBy(F.desc("value"), "event_id")
+    want = ev.select(
+        "event_id",
+        F.sum("value").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)).alias("run_v"),
+        F.rank().over(w).alias("rank"),
+        F.dense_rank().over(w).alias("dense_rank"),
+        F.row_number().over(w).alias("row_number"),
+        F.ntile(3).over(w).alias("ntile"),
+    )
+    g = {r["event_id"]: r for r in got.collect()}
+    x = {r["event_id"]: r for r in want.collect()}
+    assert set(g) == set(x)
+    for k in x:
+        assert abs(g[k]["run_v"] - x[k]["run_v"]) < 1e-6, k
+        for c in ("rank", "dense_rank", "row_number", "ntile"):
+            assert g[k][c] == x[k][c], (k, c)
