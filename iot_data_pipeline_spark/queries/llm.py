@@ -1204,3 +1204,123 @@ def q100_crossmodal_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_a", "vec_b")
     )
+
+
+@declared(
+    "q109_decontamination",
+    oracle=f"""
+    WITH grammed AS (
+      SELECT doc_id, source, unnest(
+        list_transform(
+          range(1, greatest(len(string_split(text, ' ')) - 6, 1)),
+          i -> array_to_string(string_split(text, ' ')[i:i+7], ' '))) AS gram
+      FROM documents
+    ),
+    hashed AS (
+      SELECT doc_id, source, {ORACLE_HASH.format('gram')} AS gram_h FROM grammed
+    ),
+    eval_grams AS (
+      SELECT DISTINCT gram_h FROM hashed WHERE source = 'src0'
+    ),
+    train_grams AS (
+      SELECT DISTINCT doc_id, gram_h FROM hashed WHERE source <> 'src0'
+    )
+    SELECT t.doc_id, COUNT(*) AS n_hits
+    FROM train_grams t
+    WHERE EXISTS (SELECT 1 FROM eval_grams e WHERE e.gram_h = t.gram_h)
+    GROUP BY t.doc_id
+    ORDER BY n_hits DESC, t.doc_id
+    LIMIT 50
+    """,
+)
+def q109_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-decontamination scan (north-star text-analysis surface):
+    flag training documents sharing any 8-token n-gram with a held-out
+    eval slice (source='src0'), ranked by distinct overlapping grams --
+    the standard contamination check run before LLM pretraining.
+
+    Scale shape: both sides reduce each gram to the 8-byte portable hash
+    *before* the distinct/shuffle (8 tokens of text never leave the map
+    side; the tiny-vocabulary corpus would skew raw-gram keys, the hash
+    spreads them); the eval slice is orders of magnitude smaller than the
+    training corpus, so the semi join broadcasts it at any realistic eval
+    size. The training side pays one shuffle total (the per-doc distinct);
+    the final count groups an already-small hit set. Hash collisions
+    (~2^30 space) are deterministic and identical in both engines."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+
+    def grams(df: DataFrame, keep_doc: bool) -> DataFrame:
+        n = F.size(toks)
+        idx = F.when(n >= 8, F.sequence(F.lit(0), n - 8)).otherwise(
+            F.array().cast("array<int>")
+        )
+        g = df.select(
+            "doc_id",
+            F.explode(
+                F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 8)))
+            ).alias("gram"),
+        ).select("doc_id", portable_hash(F.col("gram")).alias("gram_h"))
+        cols = ["doc_id", "gram_h"] if keep_doc else ["gram_h"]
+        return g.select(*cols).distinct()
+
+    eval_g = grams(docs.filter(F.col("source") == "src0"), keep_doc=False)
+    train_g = grams(docs.filter(F.col("source") != "src0"), keep_doc=True)
+    return (
+        train_g.join(F.broadcast(eval_g), "gram_h", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .orderBy(F.desc("n_hits"), "doc_id")
+        .limit(50)
+    )
+
+
+@declared(
+    "q110_length_trim",
+    oracle="""
+    WITH bounds AS (
+      SELECT lang,
+             quantile_cont(n_chars, 0.05) AS lo,
+             quantile_cont(n_chars, 0.95) AS hi
+      FROM documents GROUP BY lang
+    )
+    SELECT d.lang,
+           COUNT(*) AS n_kept,
+           ROUND(AVG(d.n_chars), 2) AS avg_chars,
+           CAST(MIN(d.n_chars) AS BIGINT) AS min_chars,
+           CAST(MAX(d.n_chars) AS BIGINT) AS max_chars
+    FROM documents d JOIN bounds b ON b.lang = d.lang
+    WHERE d.n_chars >= b.lo AND d.n_chars <= b.hi
+    GROUP BY d.lang
+    ORDER BY d.lang
+    """,
+)
+def q110_length_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language length-percentile trim (corpus curation): drop each
+    language's shortest/longest 5% by exact p05/p95 of n_chars, report
+    surviving count and length stats -- relative (per-group) quality
+    filtering, the complement of q28's absolute scoring.
+
+    The bounds frame is one row per language -- broadcast; the corpus is
+    scanned twice (once for quantiles, once for the trim) but the first
+    pass reduces map-side to one t-digest-free exact percentile per
+    (partition, lang) via Spark's percentile agg, so the extra pass is
+    scan-bound, not shuffle-bound. At 100 TB the bounds pass reads only
+    (lang, n_chars) -- column pruning keeps it off the text bytes."""
+    docs = read_table(spark, sf_dir, "documents")
+    bounds = docs.groupBy("lang").agg(
+        F.expr("percentile(n_chars, 0.05)").alias("lo"),
+        F.expr("percentile(n_chars, 0.95)").alias("hi"),
+    )
+    return (
+        docs.join(F.broadcast(bounds), "lang")
+        .filter((F.col("n_chars") >= F.col("lo")) & (F.col("n_chars") <= F.col("hi")))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .orderBy("lang")
+    )

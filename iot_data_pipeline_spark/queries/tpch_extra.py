@@ -628,3 +628,159 @@ def q105_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("numwait"), "s_name")
         .limit(20)
     )
+
+
+@declared(
+    "q107_forecast_revenue",
+    oracle="""
+    SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q107_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan-aggregate with three conjunctive range
+    predicates and no join or grouping -- the canonical predicate-pushdown
+    probe (SURVEY.md B8/B17).
+
+    Every predicate is a plain column-vs-literal comparison, so all three
+    reach the parquet reader as PushedFilters and row groups outside the
+    shipdate year are skipped via min/max statistics; what survives is a
+    single partial+final agg with no shuffle beyond the final single-row
+    exchange. At 100 TB this is the shape that most rewards date
+    partitioning of the fact table (partition pruning replaces the
+    row-group skip)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount").between(0.03, 0.07))
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+            "revenue"
+        ),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@declared(
+    "q108_product_profit",
+    oracle="""
+    SELECT n.n_name AS nation,
+           CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+               AS profit
+    FROM lineitem l
+    JOIN part p     ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    WHERE p.p_name LIKE '%widget%'
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+    """,
+)
+def q108_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (no partsupp table in the driver schema, so profit is
+    revenue-only): per supplier-nation x order-year profit on parts whose
+    name matches a pattern.
+
+    Join strategy at scale: `part` is filtered by the LIKE first and
+    broadcast -- the filter is not sargable for parquet stats but cuts the
+    build side before the exchange; `supplier`+`nation` fold into one
+    broadcast dim; the only big-big join is lineitem><orders on orderkey
+    (shuffle on the natural key). Grouping key (nation, year) is
+    low-cardinality, so partial aggregation collapses almost everything
+    map-side. Profit is summed as exact DECIMAL (the q72 idiom): at
+    sf0.01 a double SUM here lands a group on a half-cent rounding
+    boundary where partial-agg order flips the last ulp -- decimals are
+    order-independent, so the result is stable at any partitioning."""
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    supp = read_table(spark, sf_dir, "supplier")
+    nation = read_table(spark, sf_dir, "nation")
+    orders = read_table(spark, sf_dir, "orders")
+    return (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(
+            F.broadcast(
+                supp.join(nation, F.col("n_nationkey") == F.col("s_nationkey"))
+            ),
+            F.col("s_suppkey") == F.col("l_suppkey"),
+        )
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(12,2)")
+                * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)"))
+            )
+            .cast("double")
+            .alias("profit")
+        )
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+@declared(
+    "q111_dominant_suppliers",
+    oracle="""
+    WITH part_supp AS (
+      SELECT l_partkey, l_suppkey, SUM(l_quantity) AS qty
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1997-01-01'
+      GROUP BY l_partkey, l_suppkey
+    ),
+    part_tot AS (
+      SELECT l_partkey, SUM(qty) AS tot FROM part_supp GROUP BY l_partkey
+    )
+    SELECT s.s_name, COUNT(*) AS n_dominant_parts
+    FROM part_supp ps
+    JOIN part_tot pt ON pt.l_partkey = ps.l_partkey
+    JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+    WHERE ps.qty > 0.5 * pt.tot
+    GROUP BY s.s_name
+    ORDER BY n_dominant_parts DESC, s.s_name
+    """,
+)
+def q111_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (adapted: the driver schema has no partsupp, so the
+    'available quantity' threshold becomes a share-of-part threshold):
+    suppliers who shipped more than half of a part's total 1996 quantity,
+    counted per supplier.
+
+    The aggregate-then-rejoin is expressed as one shuffle on l_partkey: a
+    partial-sum window over the (l_partkey, l_suppkey) aggregate would
+    re-shuffle, so instead the part totals reuse the part_supp frame --
+    Catalyst plans groupBy(l_partkey) directly on the already
+    partkey-clustered exchange output, and the threshold join is
+    partkey-to-partkey on co-partitioned data (AQE keeps it a local
+    shuffle-reuse at scale). Quantities are whole-number doubles, so the
+    0.5*tot comparison is IEEE-exact in both engines."""
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    part_supp = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("l_quantity").alias("qty")
+    )
+    part_tot = part_supp.groupBy("l_partkey").agg(F.sum("qty").alias("tot"))
+    supp = read_table(spark, sf_dir, "supplier")
+    return (
+        part_supp.join(part_tot, "l_partkey")
+        .filter(F.col("qty") > 0.5 * F.col("tot"))
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("n_dominant_parts"))
+        .orderBy(F.desc("n_dominant_parts"), "s_name")
+    )
