@@ -1324,3 +1324,121 @@ def q110_length_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@declared(
+    "q112_kmeans_clusters",
+    oracle="""
+    WITH vecs AS (
+      SELECT vec_id,
+             CAST(unnest(range(len(embedding))) AS INTEGER) AS pos,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings
+    ),
+    cent0 AS (
+      SELECT vec_id AS cluster, pos, x AS c FROM vecs WHERE vec_id < 4
+    ),
+    dist1 AS (
+      SELECT v.vec_id, c.cluster,
+             SUM(CAST((v.x - c.c) * (v.x - c.c) AS DECIMAL(28,12))) AS d2
+      FROM vecs v JOIN cent0 c ON c.pos = v.pos
+      GROUP BY v.vec_id, c.cluster
+    ),
+    assign1 AS (
+      SELECT vec_id, cluster FROM (
+        SELECT vec_id, cluster,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn
+        FROM dist1) t WHERE rn = 1
+    ),
+    cent1 AS (
+      SELECT a.cluster, v.pos,
+             CAST(SUM(CAST(v.x AS DECIMAL(20,8))) AS DOUBLE) / COUNT(*) AS c
+      FROM assign1 a JOIN vecs v ON v.vec_id = a.vec_id
+      GROUP BY a.cluster, v.pos
+    ),
+    dist2 AS (
+      SELECT v.vec_id, c.cluster,
+             SUM(CAST((v.x - c.c) * (v.x - c.c) AS DECIMAL(28,12))) AS d2
+      FROM vecs v JOIN cent1 c ON c.pos = v.pos
+      GROUP BY v.vec_id, c.cluster
+    ),
+    assign2 AS (
+      SELECT vec_id, cluster, d2 FROM (
+        SELECT vec_id, cluster, d2,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn
+        FROM dist2) t WHERE rn = 1
+    )
+    SELECT cluster, COUNT(*) AS n_members,
+           ROUND(CAST(SUM(d2) AS DOUBLE), 2) AS wcss
+    FROM assign2
+    GROUP BY cluster
+    ORDER BY cluster
+    """,
+)
+def q112_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Topical clustering of the embedding corpus: two unrolled Lloyd
+    (k-means) iterations, k=4, seeded deterministically with the four
+    lowest vec_ids -- the curation step that groups a corpus into topic
+    buckets for mixture re-weighting (the clustering complement of q31's
+    fixed IVF cells).
+
+    Cross-engine determinism without seeds or float luck: squared
+    per-dimension residuals are single IEEE ops on identical operands,
+    then cast to DECIMAL before the sum -- so distances are
+    order-independent and argmin (ROW_NUMBER over (d2, cluster)) is
+    exact; centroid updates divide an exact DECIMAL component sum by the
+    member count in one double division. Scale shape: vectors live as
+    (vec_id, pos, x) rows, centroids are k x 64 rows broadcast to the
+    residual join; each iteration is one shuffle (the per-vec_id
+    distance aggregate) -- the classic distributed k-means layout, with
+    the iteration count fixed so the plan is static. The exploded vector
+    frame and the iteration-1 centroid frame are materialized
+    (localCheckpoint) so iteration 2's broadcast does not re-run
+    iteration 1's whole lineage -- without this the plan doubles per
+    round, the classic iterative-algorithm trap."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    vecs = emb.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "x"),
+    ).localCheckpoint(eager=True)
+    cent = vecs.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("cluster"), "pos", F.col("x").alias("c")
+    )
+    w = Window.partitionBy("vec_id").orderBy("d2", "cluster")
+    assign = None
+    for it in range(2):
+        dist = (
+            vecs.join(F.broadcast(cent), "pos")
+            .withColumn(
+                "sq",
+                ((F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))).cast(
+                    "decimal(28,12)"
+                ),
+            )
+            .groupBy("vec_id", "cluster")
+            .agg(F.sum("sq").alias("d2"))
+        )
+        assign = dist.withColumn("rn", F.row_number().over(w)).filter(
+            F.col("rn") == 1
+        )
+        if it == 0:
+            cent = (
+                assign.select("vec_id", "cluster")
+                .join(vecs, "vec_id")
+                .groupBy("cluster", "pos")
+                .agg(
+                    (
+                        F.sum(F.col("x").cast("decimal(20,8)")).cast("double")
+                        / F.count(F.lit(1))
+                    ).alias("c")
+                )
+                .localCheckpoint(eager=True)
+            )
+    return (
+        assign.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.round(F.sum("d2").cast("double"), 2).alias("wcss"),
+        )
+        .orderBy("cluster")
+    )
