@@ -132,31 +132,42 @@ def main() -> int:
         df.write.format("noop").mode("overwrite").save()
 
     # Warm-up: JVM + whole-stage-codegen compile + parquet footer caching.
-    run_to_noop(REGISTRY["q05_revenue_per_nation"].fn(spark, SF_DIR))
+    try:
+        run_to_noop(REGISTRY["q05_revenue_per_nation"].fn(spark, SF_DIR))
+    except Exception as exc:  # warm-up failure must not kill the run
+        print(f"# warmup failed: {exc}", flush=True)
 
+    # Per-query isolation: one broken query records an "err" entry instead
+    # of aborting the run -- the summary JSON line is emitted no matter what
+    # (round-1 lesson: a single AnalysisException zeroed the whole bench).
     per_query: dict[str, float] = {}
+    errors: dict[str, str] = {}
     total = 0.0
     runnables = {name: dq.fn for name, dq in REGISTRY.items()}
     runnables.update(bench_extras())
     for name, fn in runnables.items():
         t0 = time.perf_counter()
-        run_to_noop(fn(spark, SF_DIR))
+        try:
+            run_to_noop(fn(spark, SF_DIR))
+        except Exception as exc:
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+            print(f"# {name}: ERR {errors[name]}", flush=True)
+            continue
         dt = time.perf_counter() - t0
         per_query[name] = round(dt, 3)
         total += dt
         print(f"# {name}: {dt:.3f}s", flush=True)
 
-    print(
-        json.dumps(
-            {
-                "metric": "total_declared_query_wall",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": per_query,
-                "sf": infer_sf(SF_DIR),
-            }
-        )
-    )
+    summary = {
+        "metric": "total_declared_query_wall",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": per_query,
+        "sf": infer_sf(SF_DIR),
+    }
+    if errors:
+        summary["errors"] = errors
+    print(json.dumps(summary))
     return 0
 
 

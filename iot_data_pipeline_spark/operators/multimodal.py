@@ -4,14 +4,18 @@ Design: image/audio/video content is an opaque ``binary`` column plus
 typed metadata; every media transform is ``mapInPandas`` over Arrow
 batches so bytes never round-trip through Python row objects.
 
-The actual codecs are NOT in this container, so the decode kernels are
-stubbed two ways, both clearly marked:
+Codec posture (two tiers, both clearly marked):
 
-- ``mode='strict'`` raises NotImplementedError at evaluation time (the
-  honest production posture until a codec dependency is vendored);
+- ``mode='strict'``: PNG payloads get a REAL decode via the vendored
+  pure-stdlib codec (``operators/png.py`` -- zlib inflate, scanline
+  unfiltering, pixel features / nearest-neighbor resize). Non-PNG
+  payloads raise NotImplementedError: JPEG/audio/video codecs are not in
+  this container, and the honest posture is to refuse rather than fake.
+  On a real cluster the non-PNG branch is where libjpeg-turbo/ffmpeg
+  kernels plug in, same mapInPandas signature.
 - ``mode='fake'`` produces a deterministic digest-derived feature vector,
   which keeps the Spark-side contract -- schema, batch shape, partitioning,
-  null handling -- real and testable end to end.
+  null handling -- real and testable end to end for arbitrary payloads.
 
 Everything around the kernel (schema, chunking, batch iteration) is
 production plumbing, not stub.
@@ -82,24 +86,33 @@ def extract_features(
     payloads yield NULL features (dirty-data tolerance, same posture as the
     corrupt-record channel).
 
-    mode='strict' raises NotImplementedError (no codec libs in this
-    container); mode='fake' runs the deterministic stand-in kernel.
+    mode='strict' really decodes PNG payloads (vendored stdlib codec,
+    operators/png.py) and refuses anything else; mode='fake' runs the
+    deterministic digest stand-in for arbitrary bytes.
     """
     if mode not in ("strict", "fake"):
         raise ValueError(f"mode must be strict|fake, got {mode!r}")
+
+    def kernel(payload: bytes) -> list[float]:
+        if mode == "fake":
+            return _fake_features(payload, dim)
+        from iot_data_pipeline_spark.operators import png
+
+        if png.is_png(payload):
+            w, h, ch, pixels = png.decode_png(payload)
+            return png.luma_grid_features(w, h, ch, pixels, dim)
+        raise NotImplementedError(
+            "only PNG decode is vendored in this environment; other codecs "
+            "(JPEG/audio/video) plug into this kernel on a real cluster, or "
+            "run with mode='fake' for the deterministic test kernel"
+        )
 
     def run(batches: Iterator) -> Iterator:
         import pandas as pd
 
         for pdf in batches:
-            if mode == "strict":
-                raise NotImplementedError(
-                    "media decode requires codec libraries not present in "
-                    "this environment; run with mode='fake' for the "
-                    "deterministic test kernel"
-                )
             feats = [
-                None if payload is None else _fake_features(bytes(payload), dim)
+                None if payload is None else kernel(bytes(payload))
                 for payload in pdf[content_col]
             ]
             yield pd.DataFrame({id_col: pdf[id_col], "features": feats})
@@ -125,37 +138,46 @@ def resize_images(
 
     Same two-mode contract as :func:`extract_features`: the Spark-side
     plumbing (Arrow batches via ``mapInPandas``, NULL pass-through, binary
-    out-schema) is real; the pixel kernel is stubbed. mode='fake' emits a
-    deterministic digest of (payload, w, h) truncated to w*h//64 bytes so
-    output size scales with the requested dimensions and tests can assert
-    the full pipeline shape without codecs.
+    out-schema) is real. mode='strict' decodes PNG payloads with the
+    vendored codec, nearest-neighbor resamples to (width, height), and
+    re-encodes PNG (byte-deterministic); non-PNG raises. mode='fake' emits
+    a deterministic digest of (payload, w, h) truncated to w*h//64 bytes
+    so output size scales with the requested dimensions and tests can
+    assert the full pipeline shape on arbitrary bytes.
     """
     if mode not in ("strict", "fake"):
         raise ValueError(f"mode must be strict|fake, got {mode!r}")
+
+    def kernel(payload: bytes) -> bytes:
+        if mode == "strict":
+            from iot_data_pipeline_spark.operators import png
+
+            if not png.is_png(payload):
+                raise NotImplementedError(
+                    "only PNG resize is vendored in this environment; run "
+                    "with mode='fake' for the deterministic test kernel"
+                )
+            w, h, ch, pixels = png.decode_png(payload)
+            return png.encode_png(
+                width, height, ch, png.resize_nearest(w, h, ch, pixels, width, height)
+            )
+        out_len = max(width * height // 64, 1)
+        seed = payload + width.to_bytes(2, "big") + height.to_bytes(2, "big")
+        buf = b""
+        counter = 0
+        while len(buf) < out_len:
+            buf += hashlib.sha256(seed + counter.to_bytes(4, "big")).digest()
+            counter += 1
+        return buf[:out_len]
 
     def run(batches: Iterator) -> Iterator:
         import pandas as pd
 
         for pdf in batches:
-            if mode == "strict":
-                raise NotImplementedError(
-                    "image resize requires codec libraries not present in "
-                    "this environment; run with mode='fake' for the "
-                    "deterministic test kernel"
-                )
-            out_len = max(width * height // 64, 1)
-            resized = []
-            for payload in pdf[content_col]:
-                if payload is None:
-                    resized.append(None)
-                    continue
-                seed = bytes(payload) + width.to_bytes(2, "big") + height.to_bytes(2, "big")
-                buf = b""
-                counter = 0
-                while len(buf) < out_len:
-                    buf += hashlib.sha256(seed + counter.to_bytes(4, "big")).digest()
-                    counter += 1
-                resized.append(buf[:out_len])
+            resized = [
+                None if payload is None else kernel(bytes(payload))
+                for payload in pdf[content_col]
+            ]
             yield pd.DataFrame({id_col: pdf[id_col], "resized": resized})
 
     out_schema = T.StructType(
@@ -213,7 +235,7 @@ def extract_features_arrow(
     skip the pandas object-column materialization entirely -- for
     binary-heavy media batches this removes one full copy per batch
     versus ``mapInPandas``. Same contract: NULL payload -> NULL features,
-    strict mode raises until a codec is vendored.
+    strict mode decodes PNG for real and refuses other codecs.
     """
     if mode not in ("strict", "fake"):
         raise ValueError(f"mode must be strict|fake, got {mode!r}")
@@ -223,19 +245,26 @@ def extract_features_arrow(
         [id_field, T.StructField("features", T.ArrayType(T.FloatType()))]
     )
 
+    def kernel(payload: bytes) -> list[float]:
+        if mode == "fake":
+            return _fake_features(payload, dim)
+        from iot_data_pipeline_spark.operators import png
+
+        if png.is_png(payload):
+            w, h, ch, pixels = png.decode_png(payload)
+            return png.luma_grid_features(w, h, ch, pixels, dim)
+        raise NotImplementedError(
+            "only PNG decode is vendored in this environment; run with "
+            "mode='fake' for the deterministic test kernel"
+        )
+
     def run(batches):
         import pyarrow as pa
 
         for batch in batches:
-            if mode == "strict":
-                raise NotImplementedError(
-                    "media decode requires codec libraries not present in "
-                    "this environment; run with mode='fake' for the "
-                    "deterministic test kernel"
-                )
             content = batch.column(batch.schema.get_field_index(content_col))
             feats = [
-                None if v is None else _fake_features(v, dim)
+                None if v is None else kernel(v)
                 for v in content.to_pylist()
             ]
             yield pa.RecordBatch.from_arrays(

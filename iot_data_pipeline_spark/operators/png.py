@@ -1,0 +1,205 @@
+"""Minimal pure-stdlib PNG codec (B48's real decode path).
+
+The sandbox has no image libraries, so this vendors a from-scratch PNG
+decoder/encoder on ``zlib`` + ``struct`` only (PNG is the one mainstream
+image format fully decodable with the stdlib). Scope: 8-bit greyscale /
+RGB / RGBA / greyscale+alpha, non-interlaced, all five scanline filters --
+i.e. everything the common ``Image.save(..., format='PNG')`` default
+writers emit. Palette, 16-bit, and Adam7 raise ``PngFormatError`` rather
+than silently mis-decoding.
+
+This runs INSIDE mapInPandas/mapInArrow kernels (operators/multimodal.py),
+so it must be dependency-free and deterministic; throughput is secondary
+to having an honest end-to-end pixels path (the fast path on a real
+cluster vendors libjpeg-turbo/ffmpeg via the cluster image).
+
+Format reference: the public PNG specification (RFC 2083 / W3C PNG).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+_SIGNATURE = b"\x89PNG\r\n\x1a\n"
+
+#: color_type -> samples per pixel (8-bit depth only)
+_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+class PngFormatError(ValueError):
+    """Raised for payloads that are not PNG or use unsupported features."""
+
+
+def is_png(payload: bytes) -> bool:
+    return payload[:8] == _SIGNATURE
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def decode_png(payload: bytes) -> tuple[int, int, int, bytearray]:
+    """Decode a PNG -> ``(width, height, channels, pixels)``.
+
+    ``pixels`` is a flat row-major bytearray of length
+    ``width * height * channels`` (8 bits per sample).
+    """
+    if not is_png(payload):
+        raise PngFormatError("bad PNG signature")
+    pos = 8
+    width = height = channels = -1
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (length,), ctype = struct.unpack(">I", payload[pos : pos + 4]), payload[
+            pos + 4 : pos + 8
+        ]
+        data = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + type + data + crc (crc not verified)
+        if ctype == b"IHDR":
+            width, height, depth, color, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if depth != 8:
+                raise PngFormatError(f"unsupported bit depth {depth}")
+            if color not in _CHANNELS:
+                raise PngFormatError(f"unsupported color type {color}")
+            if interlace != 0:
+                raise PngFormatError("Adam7 interlacing unsupported")
+            if comp != 0 or filt != 0:
+                raise PngFormatError("nonstandard compression/filter method")
+            channels = _CHANNELS[color]
+        elif ctype == b"IDAT":
+            idat.extend(data)
+        elif ctype == b"IEND":
+            break
+    if width < 0 or not idat:
+        raise PngFormatError("missing IHDR or IDAT")
+
+    raw = zlib.decompress(bytes(idat))
+    stride = width * channels
+    if len(raw) != (stride + 1) * height:
+        raise PngFormatError("IDAT length does not match dimensions")
+
+    out = bytearray(stride * height)
+    prev_start = -1
+    for y in range(height):
+        fbyte = raw[y * (stride + 1)]
+        line_off = y * (stride + 1) + 1
+        cur_start = y * stride
+        if fbyte == 0:  # None
+            out[cur_start : cur_start + stride] = raw[line_off : line_off + stride]
+        elif fbyte == 1:  # Sub
+            for x in range(stride):
+                left = out[cur_start + x - channels] if x >= channels else 0
+                out[cur_start + x] = (raw[line_off + x] + left) & 0xFF
+        elif fbyte == 2:  # Up
+            for x in range(stride):
+                up = out[prev_start + x] if y else 0
+                out[cur_start + x] = (raw[line_off + x] + up) & 0xFF
+        elif fbyte == 3:  # Average
+            for x in range(stride):
+                left = out[cur_start + x - channels] if x >= channels else 0
+                up = out[prev_start + x] if y else 0
+                out[cur_start + x] = (raw[line_off + x] + ((left + up) >> 1)) & 0xFF
+        elif fbyte == 4:  # Paeth
+            for x in range(stride):
+                left = out[cur_start + x - channels] if x >= channels else 0
+                up = out[prev_start + x] if y else 0
+                ul = out[prev_start + x - channels] if (y and x >= channels) else 0
+                out[cur_start + x] = (raw[line_off + x] + _paeth(left, up, ul)) & 0xFF
+        else:
+            raise PngFormatError(f"bad filter byte {fbyte}")
+        prev_start = cur_start
+    return width, height, channels, out
+
+
+def encode_png(
+    width: int, height: int, channels: int, pixels: bytes | bytearray
+) -> bytes:
+    """Encode flat 8-bit row-major samples -> PNG bytes (filter 0 per row,
+    fixed zlib level => byte-deterministic output)."""
+    color = {1: 0, 3: 2, 2: 4, 4: 6}.get(channels)
+    if color is None:
+        raise PngFormatError(f"unsupported channel count {channels}")
+    stride = width * channels
+    if len(pixels) != stride * height:
+        raise PngFormatError("pixel buffer does not match dimensions")
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color, 0, 0, 0)
+    raw = bytearray()
+    for y in range(height):
+        raw.append(0)
+        raw.extend(pixels[y * stride : (y + 1) * stride])
+    return (
+        _SIGNATURE
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def resize_nearest(
+    width: int,
+    height: int,
+    channels: int,
+    pixels: bytes | bytearray,
+    new_w: int,
+    new_h: int,
+) -> bytearray:
+    """Nearest-neighbor resample (deterministic integer sampling grid)."""
+    out = bytearray(new_w * new_h * channels)
+    for y in range(new_h):
+        sy = min(y * height // new_h, height - 1)
+        src_row = sy * width * channels
+        dst_row = y * new_w * channels
+        for x in range(new_w):
+            sx = min(x * width // new_w, width - 1)
+            s = src_row + sx * channels
+            d = dst_row + x * channels
+            out[d : d + channels] = pixels[s : s + channels]
+    return out
+
+
+def luma_grid_features(
+    width: int, height: int, channels: int, pixels: bytes | bytearray, dim: int
+) -> list[float]:
+    """Real pixel features: mean luma over a ``g x g`` spatial grid
+    (g = ceil(sqrt(dim))), flattened and truncated to ``dim``, each in
+    [0, 1]. Luma uses integer Rec.601 weights so results are identical
+    across platforms."""
+    g = 1
+    while g * g < dim:
+        g += 1
+    sums = [0] * (g * g)
+    counts = [0] * (g * g)
+    for y in range(height):
+        gy = min(y * g // height, g - 1)
+        row = y * width * channels
+        for x in range(width):
+            p = row + x * channels
+            if channels >= 3:
+                luma = (
+                    299 * pixels[p] + 587 * pixels[p + 1] + 114 * pixels[p + 2]
+                ) // 1000
+            else:
+                luma = pixels[p]
+            cell = gy * g + min(x * g // width, g - 1)
+            sums[cell] += luma
+            counts[cell] += 1
+    feats = [
+        (sums[i] / counts[i] / 255.0) if counts[i] else 0.0 for i in range(g * g)
+    ]
+    return feats[:dim]

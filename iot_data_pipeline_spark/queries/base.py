@@ -22,7 +22,8 @@ from iot_data_pipeline_spark.sources.readers import read_table
 #: (reference app/app.py:51, 108).
 SENSOR_CTE = """
 sensor AS (
-  SELECT 'device-' || CAST(user_id % 25 AS VARCHAR) AS device_id,
+  SELECT event_id,
+         'device-' || CAST(user_id % 25 AS VARCHAR) AS device_id,
          CASE WHEN event_id % 17 = 0 THEN NULL ELSE value / 10 - 5 END AS temperature,
          value AS humidity,
          CAST(ts AS TIMESTAMP) AS ts
@@ -43,6 +44,7 @@ def sensor_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark mirror of SENSOR_CTE."""
     ev = read_table(spark, sf_dir, "events")
     return ev.select(
+        "event_id",
         F.concat(F.lit("device-"), (F.col("user_id") % 25).cast("string")).alias(
             "device_id"
         ),

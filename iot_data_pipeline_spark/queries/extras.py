@@ -593,7 +593,7 @@ def q72_decimal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q73_predicate_aggs",
     oracle="""
     SELECT c_nationkey,
-           COUNT_IF(c_acctbal > 5000) AS n_rich,
+           CAST(COUNT_IF(c_acctbal > 5000) AS BIGINT) AS n_rich,
            BOOL_AND(c_acctbal > -1000) AS all_above_floor,
            BOOL_OR(c_acctbal < 0) AS any_negative,
            COUNT(*) AS n

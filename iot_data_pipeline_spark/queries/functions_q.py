@@ -34,7 +34,7 @@ from iot_data_pipeline_spark.sources.readers import read_table
            COUNT(*) AS n_types,
            MAX(CASE WHEN event_type = 'click' THEN n END) AS n_clicks,
            MAX(CASE WHEN event_type = 'error' THEN n END) AS n_errors,
-           SUM(n) AS n_total,
+           CAST(SUM(n) AS BIGINT) AS n_total,
            ROUND(SUM(sum_v), 2) AS sum_values
     FROM per GROUP BY user_id ORDER BY user_id
     """,
@@ -166,7 +166,7 @@ def q36_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT lang,
            COUNT(*) AS n_docs,
-           SUM(n_tokens) AS total_tokens,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
            MIN(n_tokens) AS min_tokens,
            MAX(n_tokens) AS max_tokens
     FROM t GROUP BY lang ORDER BY lang

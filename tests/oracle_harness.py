@@ -18,6 +18,8 @@ from iot_data_pipeline_spark.sources.readers import TABLES
 
 def _norm(v):
     """Normalize a cell for cross-engine comparison."""
+    if hasattr(v, "item") and type(v).__module__ == "numpy" and getattr(v, "ndim", 0) == 0:
+        v = v.item()  # numpy scalar from the pandas fetch path
     if isinstance(v, Decimal):
         v = float(v)
     if isinstance(v, float):
@@ -29,7 +31,7 @@ def _norm(v):
         return v.isoformat()
     if isinstance(v, bytes):
         return v.hex()
-    if isinstance(v, list):
+    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
         return tuple(_norm(x) for x in v)
     return v
 
@@ -63,7 +65,13 @@ def compare_query(spark, con, name: str, sf_dir: str) -> list[str]:
     dq = REGISTRY[name]
     sdf = dq.fn(spark, sf_dir)
     spark_cols = sdf.columns
-    spark_rows = [tuple(r) for r in sdf.collect()]
+    # Through pandas on BOTH sides, like the driver: NULL doubles render
+    # NaN symmetrically, and dtype coercions (int-with-nulls -> float64)
+    # hit both engines alike instead of just one.
+    spdf = sdf.toPandas()
+    spark_rows = [
+        tuple(row) for row in spdf.itertuples(index=False, name=None)
+    ]
 
     problems: list[str] = []
     if dq.oracle is None:
@@ -71,9 +79,19 @@ def compare_query(spark, con, name: str, sf_dir: str) -> list[str]:
             problems.append("rows-only check: query returned 0 rows")
         return problems
 
+    # Fetch the oracle THROUGH pandas, matching the driver's compare path:
+    # duckdb's fetchall() hands HUGEINT back as exact Python int, but the
+    # driver hashes the pandas rendering, where HUGEINT (COUNT_IF, SUM of
+    # BIGINT) becomes float64 ("25.0" != "25"). Fetching via .df() makes
+    # the local gate exactly as strict (round-1 lesson: q32/q33/q73 passed
+    # here, failed the driver).
     res = con.execute(dq.oracle)
-    duck_cols = [d[0] for d in res.description]
-    duck_rows = res.fetchall()
+    pdf = res.df()
+    duck_cols = list(pdf.columns)
+    duck_rows = [
+        tuple(None if v is None else v for v in row)
+        for row in pdf.itertuples(index=False, name=None)
+    ]
 
     if sorted(spark_cols) != sorted(duck_cols):
         problems.append(f"columns differ: spark={sorted(spark_cols)} duck={sorted(duck_cols)}")

@@ -5,8 +5,9 @@ event times.
 This is the engine's riskiest equivalence (SURVEY.md section 4.3 item 3):
 the oracle can only check the island SQL against DuckDB; the built-in
 session_window has no DuckDB twin, so its boundary semantics -- an event
-at EXACTLY prev + gap starts a new session (window end is exclusive) --
-are pinned here by fuzzing offsets around the gap width.
+at EXACTLY prev + gap MERGES into the running session (new session only
+when diff > gap; pinned empirically round 1: events {0, 30min} -> ONE
+session of 2) -- are pinned here by fuzzing offsets around the gap width.
 """
 
 from __future__ import annotations
@@ -73,7 +74,7 @@ def test_session_window_equals_island_formulation(spark, events):
             "new_sess",
             F.when(
                 F.col("prev_us").isNull()
-                | (F.col("us") - F.col("prev_us") >= GAP_MIN * 60_000_000),
+                | (F.col("us") - F.col("prev_us") > GAP_MIN * 60_000_000),
                 1,
             ).otherwise(0),
         )

@@ -1,0 +1,157 @@
+"""Vendored PNG codec (operators/png.py) + the strict-mode media kernels
+that use it (B48's real decode path)."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from iot_data_pipeline_spark.operators import png
+
+
+def _random_pixels(w: int, h: int, ch: int, seed: int) -> bytes:
+    rnd = random.Random(seed)
+    return bytes(rnd.randrange(256) for _ in range(w * h * ch))
+
+
+@pytest.mark.parametrize("ch", [1, 2, 3, 4])
+def test_png_roundtrip_all_color_types(ch):
+    w, h = 13, 7  # odd sizes catch stride bugs
+    pixels = _random_pixels(w, h, ch, seed=ch)
+    blob = png.encode_png(w, h, ch, pixels)
+    assert png.is_png(blob)
+    rw, rh, rch, rpix = png.decode_png(blob)
+    assert (rw, rh, rch) == (w, h, ch)
+    assert bytes(rpix) == pixels
+
+
+def test_png_all_filter_types_decode():
+    """Hand-build an IDAT using every filter type (0-4) and check the
+    unfiltering reproduces the reference pixels."""
+    import struct
+    import zlib
+
+    w, ch = 4, 3
+    rows = [
+        _random_pixels(w, 1, ch, seed=s) for s in range(5)
+    ]  # 5 rows, one per filter type
+    stride = w * ch
+
+    # filter each row the way an encoder would
+    def paeth(a, b, c):
+        return png._paeth(a, b, c)
+
+    raw = bytearray()
+    prev = bytes(stride)
+    for y, (ftype, row) in enumerate(zip([0, 1, 2, 3, 4], rows)):
+        raw.append(ftype)
+        for x in range(stride):
+            left = row[x - ch] if x >= ch else 0
+            up = prev[x]
+            ul = prev[x - ch] if x >= ch else 0
+            if ftype == 0:
+                raw.append(row[x])
+            elif ftype == 1:
+                raw.append((row[x] - left) & 0xFF)
+            elif ftype == 2:
+                raw.append((row[x] - up) & 0xFF)
+            elif ftype == 3:
+                raw.append((row[x] - ((left + up) >> 1)) & 0xFF)
+            else:
+                raw.append((row[x] - paeth(left, up, ul)) & 0xFF)
+        prev = row
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    blob = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, 5, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+    _, _, _, pix = png.decode_png(blob)
+    assert bytes(pix) == b"".join(rows)
+
+
+def test_png_rejects_unsupported():
+    with pytest.raises(png.PngFormatError):
+        png.decode_png(b"not a png at all----")
+    # 16-bit depth refused, not mis-decoded
+    import struct
+    import zlib
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    blob16 = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 16, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"\x00" + b"\x00" * 6))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(png.PngFormatError):
+        png.decode_png(blob16)
+
+
+def test_resize_nearest_and_luma_features():
+    # 2x2 RGB: black / white / black / white checker
+    pixels = bytes([0, 0, 0, 255, 255, 255, 255, 255, 255, 0, 0, 0])
+    up = png.resize_nearest(2, 2, 3, pixels, 4, 4)
+    assert len(up) == 4 * 4 * 3
+    # corners preserved by nearest-neighbor
+    assert up[0:3] == bytes([0, 0, 0])
+    assert up[-3:] == bytes([0, 0, 0])
+    # solid-grey features: every cell = v/255
+    grey = bytes([100] * (3 * 3 * 3))
+    feats = png.luma_grid_features(3, 3, 3, grey, 4)
+    assert feats == pytest.approx([100 / 255.0] * 4)
+
+
+def test_strict_mode_decodes_png_in_spark(spark):
+    """extract_features(mode='strict') returns REAL luma features for PNG
+    payloads distributed over partitions; non-PNG payloads raise."""
+    from pyspark.sql import functions as F
+
+    from iot_data_pipeline_spark.operators.multimodal import (
+        extract_features,
+        resize_images,
+    )
+
+    rows = []
+    for i in range(6):
+        v = 40 * i
+        blob = png.encode_png(5, 4, 3, bytes([v] * (5 * 4 * 3)))
+        rows.append((i, bytearray(blob)))
+    df = spark.createDataFrame(rows, "media_id long, content binary").repartition(3)
+
+    got = {
+        r["media_id"]: r["features"]
+        for r in extract_features(df, dim=4, mode="strict").collect()
+    }
+    for i in range(6):
+        assert got[i] == pytest.approx([40 * i / 255.0] * 4), i
+
+    resized = resize_images(df, 2, 2, mode="strict").collect()
+    for r in resized:
+        w, h, ch, pix = png.decode_png(bytes(r["resized"]))
+        assert (w, h, ch) == (2, 2, 3)
+        v = 40 * r["media_id"]
+        assert bytes(pix) == bytes([v] * (2 * 2 * 3))
+
+    bad = spark.createDataFrame(
+        [(0, bytearray(b"JFIF-not-a-png"))], "media_id long, content binary"
+    )
+    with pytest.raises(Exception, match="PNG|NotImplemented"):
+        extract_features(bad, dim=4, mode="strict").collect()
