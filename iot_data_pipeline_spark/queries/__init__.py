@@ -2,6 +2,7 @@
 populates REGISTRY with every oracle-checked query."""
 
 from iot_data_pipeline_spark.queries import (  # noqa: F401
+    curation,
     extras,
     functions_q,
     ingest_q,

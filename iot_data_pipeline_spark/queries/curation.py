@@ -1,0 +1,423 @@
+"""q114-q118: corpus-curation operators a production training-data pipeline
+runs between raw crawl and tokenizer -- PII redaction, paragraph-level
+exact dedup, BM25 relevance scoring, sequence packing, and winnowing
+fingerprints. All pure column expressions / window functions (no UDFs in
+any hot path); every query carries an exact DuckDB oracle.
+
+These generalize the reference's validate-transform-route loop
+(reference app/app.py:33-72) from sensor records to text corpora: the
+same shape -- per-record scalar work, grouped audits, routed outputs --
+at the operators an LLM data pipeline actually needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from iot_data_pipeline_spark.queries.registry import declared
+from iot_data_pipeline_spark.sources.readers import read_table
+
+#: Email / phone patterns: RE2-compatible (DuckDB) AND java.util.regex
+#: (Spark) -- no backrefs, no lookarounds, so both engines match byte-alike.
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PHONE_RE = "0[0-9]{3}-[0-9]{3,6}"
+
+
+@declared(
+    "q114_pii_redaction",
+    oracle=f"""
+    WITH seeded AS (
+      SELECT doc_id, lang,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@mail.example.com or 0555-' || CAST(doc_id % 10000 AS VARCHAR)
+               AS text
+      FROM documents WHERE doc_id % 3 = 0
+    ),
+    redacted AS (
+      SELECT doc_id, lang,
+             regexp_replace(
+               regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g'),
+               '{PHONE_RE}', '<PHONE>', 'g') AS clean
+      FROM seeded
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len(string_split(clean, '<EMAIL>')) - 1) AS BIGINT)
+             AS n_emails_redacted,
+           CAST(SUM(len(string_split(clean, '<PHONE>')) - 1) AS BIGINT)
+             AS n_phones_redacted,
+           CAST(SUM(length(clean)) AS BIGINT) AS total_clean_chars
+    FROM redacted GROUP BY lang ORDER BY lang
+    """,
+)
+def q114_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (curation north-star op): email/phone spans replaced
+    with typed placeholder tokens via JVM-side ``regexp_replace`` -- the
+    pattern class is deliberately RE2-and-Java compatible so the oracle
+    matches byte-for-byte. PII is seeded deterministically from doc_id
+    (the testdata corpus contains none), so redaction counts are exact.
+
+    Scale notes: two regex passes over each document in one codegen span,
+    no shuffle until the per-lang audit aggregate; redaction-count audit
+    via split-length, not a second regex engine pass.
+    """
+    docs = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 0)
+    seeded = docs.select(
+        "doc_id",
+        "lang",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com or 0555-"),
+            (F.col("doc_id") % 10000).cast("string"),
+        ).alias("text"),
+    )
+    clean = F.regexp_replace(
+        F.regexp_replace(F.col("text"), EMAIL_RE, "<EMAIL>"),
+        PHONE_RE,
+        "<PHONE>",
+    )
+    redacted = seeded.select("doc_id", "lang", clean.alias("clean"))
+    return (
+        redacted.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size(F.split("clean", "<EMAIL>")) - 1)
+            .cast("long")
+            .alias("n_emails_redacted"),
+            F.sum(F.size(F.split("clean", "<PHONE>")) - 1)
+            .cast("long")
+            .alias("n_phones_redacted"),
+            F.sum(F.length("clean")).cast("long").alias("total_clean_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+PARA_TOKENS = 16
+
+
+@declared(
+    "q115_paragraph_dedup",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
+    ),
+    paras AS (
+      SELECT doc_id, source,
+             md5(array_to_string(
+               t[p * {PARA_TOKENS} + 1 : (p + 1) * {PARA_TOKENS}], ' ')) AS ph
+      FROM toks,
+           unnest(range(CAST(ceil(len(t) / {PARA_TOKENS}.0) AS BIGINT))) AS u(p)
+    ),
+    freq AS (
+      SELECT ph, COUNT(*) AS n FROM paras GROUP BY ph
+    )
+    SELECT p.source,
+           COUNT(*) AS n_paragraphs,
+           CAST(COUNT(DISTINCT p.ph) AS BIGINT) AS n_unique,
+           CAST(SUM(CASE WHEN f.n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_in_dup_class,
+           ROUND(SUM(CASE WHEN f.n > 1 THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 4) AS dup_ratio
+    FROM paras p JOIN freq f USING (ph)
+    GROUP BY p.source ORDER BY p.source
+    """,
+)
+def q115_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-level exact dedup audit (the C4/RefinedWeb curation step
+    below document-level q22): documents split into fixed token windows,
+    each hashed with md5, duplicate classes found by a count-per-hash
+    aggregate, and the per-source duplication ratio reported.
+
+    Scale notes: the shuffle carries 32-byte md5 digests, never paragraph
+    text (same digest-not-payload rule as q22); the frequency table joins
+    back by digest -- an equi-join Spark can shuffle-hash, and the
+    per-source audit is partial-aggregate friendly. At 100 TB you'd salt
+    the boilerplate-paragraph hot keys (AQE skew-join handles it here).
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", "source", F.split("text", " ").alias("t"))
+    paras = toks.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(0),
+                    F.ceil(F.size("t") / PARA_TOKENS).cast("int") - 1,
+                ),
+                lambda p: F.md5(
+                    F.concat_ws(" ", F.slice("t", p * PARA_TOKENS + 1, PARA_TOKENS))
+                ),
+            )
+        ).alias("ph"),
+    )
+    freq = paras.groupBy("ph").agg(F.count(F.lit(1)).alias("n"))
+    joined = paras.join(freq, "ph")
+    return (
+        joined.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_paragraphs"),
+            F.countDistinct("ph").alias("n_unique"),
+            F.sum(F.when(F.col("n") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_in_dup_class"),
+            F.round(
+                F.sum(F.when(F.col("n") > 1, 1).otherwise(0))
+                / F.count(F.lit(1)).cast("double"),
+                4,
+            ).alias("dup_ratio"),
+        )
+        .orderBy("source")
+    )
+
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TERMS = ("spark", "join", "window")
+
+
+@declared(
+    "q116_bm25_scoring",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    dl AS (
+      SELECT doc_id, COUNT(*) AS dlen FROM toks GROUP BY doc_id
+    ),
+    stats AS (
+      SELECT AVG(CAST(dlen AS DOUBLE)) AS avgdl,
+             (SELECT COUNT(*) FROM documents) AS n_docs
+      FROM dl
+    ),
+    tf AS (
+      SELECT doc_id, token, COUNT(*) AS tf FROM toks
+      WHERE token IN ('spark', 'join', 'window')
+      GROUP BY doc_id, token
+    ),
+    df AS (
+      SELECT token, COUNT(DISTINCT doc_id) AS df FROM toks
+      WHERE token IN ('spark', 'join', 'window')
+      GROUP BY token
+    ),
+    scored AS (
+      SELECT tf.doc_id,
+             SUM(
+               ln((s.n_docs - df.df + 0.5) / (df.df + 0.5) + 1)
+               * (tf.tf * ({BM25_K1} + 1))
+               / (tf.tf + {BM25_K1} * (1 - {BM25_B}
+                  + {BM25_B} * dl.dlen / s.avgdl))
+             ) AS score
+      FROM tf
+      JOIN df USING (token)
+      JOIN dl ON tf.doc_id = dl.doc_id
+      CROSS JOIN stats s
+      GROUP BY tf.doc_id
+    )
+    SELECT doc_id, ROUND(score, 4) AS bm25
+    FROM scored
+    ORDER BY ROUND(score, 4) DESC, doc_id
+    LIMIT 10
+    """,
+)
+def q116_bm25_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval scoring (Okapi BM25, the standard lexical ranking
+    function) for a fixed query over the corpus: idf from document
+    frequency, tf saturation with k1=1.2, length normalization with
+    b=0.75. Ranking cuts on the ROUNDED score with doc_id tie-break
+    (SURVEY section 2.3 rule 1).
+
+    Scale notes: term stats (df per query term, avgdl, N) are tiny
+    aggregates broadcast back into the per-doc score; the only large
+    shuffle is the tf groupBy, pre-filtered to the query's terms at the
+    token stream -- at 100 TB that filter prunes >99% of the explode
+    output before any exchange. Top-k is TakeOrderedAndProject, not a
+    global sort.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dlen"))
+    stats = dl.agg(F.avg(F.col("dlen").cast("double")).alias("avgdl")).crossJoin(
+        docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    qtoks = toks.filter(F.col("token").isin(*BM25_TERMS))
+    tf = qtoks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = qtoks.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    scored = (
+        tf.join(F.broadcast(df_), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.log(
+                    (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1
+                )
+                * (F.col("tf") * (BM25_K1 + 1))
+                / (
+                    F.col("tf")
+                    + BM25_K1
+                    * (1 - BM25_B + BM25_B * F.col("dlen") / F.col("avgdl"))
+                )
+            ).alias("score")
+        )
+    )
+    return (
+        scored.select("doc_id", F.round("score", 4).alias("bm25"))
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(10)
+    )
+
+
+PACK_TOKENS = 512
+
+
+@declared(
+    "q117_sequence_packing",
+    oracle=f"""
+    WITH sized AS (
+      SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens
+      FROM documents
+    ),
+    placed AS (
+      SELECT doc_id, source, n_tokens,
+             SUM(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+               AS start_pos
+      FROM sized
+    )
+    SELECT CAST(start_pos // {PACK_TOKENS} AS BIGINT) AS pack_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens,
+           CAST(SUM(CASE WHEN (start_pos + n_tokens - 1) // {PACK_TOKENS}
+                          <> start_pos // {PACK_TOKENS}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_boundary_docs
+    FROM placed
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q117_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (LLM pre-training batch prep): documents are laid
+    end-to-end in doc_id order and cut into fixed context windows of 512
+    tokens; each doc's pack is where its first token lands, and docs that
+    straddle a cut are counted (they lose tokens to truncation or need
+    attention-mask resets -- the metric packing strategies minimize).
+
+    Scale notes: the layout is one global running sum -- on a cluster this
+    uses the two-phase scan (operators/prefix.py): per-partition partial
+    sums + a P-row offset broadcast, never a single-partition window. At
+    this audit's output size the plain window is fine; the declared query
+    states the semantics, the prefix operator is the 100 TB execution.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id", "source", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    placed = sized.withColumn(
+        "start_pos", F.sum("n_tokens").over(w) - F.col("n_tokens")
+    )
+    pack = F.floor(F.col("start_pos") / PACK_TOKENS)
+    end_pack = F.floor((F.col("start_pos") + F.col("n_tokens") - 1) / PACK_TOKENS)
+    return (
+        placed.groupBy(pack.alias("pack_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("pack_tokens"),
+            F.sum(F.when(end_pack != pack, 1).otherwise(0))
+            .cast("long")
+            .alias("n_boundary_docs"),
+        )
+        .orderBy("pack_id")
+    )
+
+
+WINNOW_K = 4  # k-gram length
+WINNOW_W = 5  # winnowing window
+
+
+@declared(
+    "q118_winnowing_fingerprints",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      WHERE doc_id % 2 = 0
+    ),
+    grams AS (
+      SELECT doc_id, p AS pos,
+             md5(array_to_string(t[p + 1 : p + {WINNOW_K}], ' ')) AS gh
+      FROM toks, unnest(range(len(t) - {WINNOW_K} + 1)) AS u(p)
+      WHERE len(t) >= {WINNOW_K}
+    ),
+    winmin AS (
+      SELECT doc_id, pos,
+             MIN(gh) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN {WINNOW_W - 1} PRECEDING AND CURRENT ROW) AS fp,
+             COUNT(*) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN {WINNOW_W - 1} PRECEDING AND CURRENT ROW) AS wn
+      FROM grams
+    ),
+    fps AS (
+      SELECT DISTINCT doc_id, fp FROM winmin WHERE wn = {WINNOW_W}
+    )
+    SELECT doc_id, COUNT(*) AS n_fingerprints
+    FROM fps GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def q118_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (the MOSS local fingerprinting
+    algorithm, Schleimer/Wilkerson/Aiken SIGMOD'03): hash every k-gram,
+    keep the minimum hash of each sliding window of w consecutive grams,
+    dedupe -- a guaranteed-coverage sketch for substring-level overlap
+    detection, one step past q29's whole-doc fingerprint.
+
+    Cross-engine exactness: the winnowing SELECTION (which gram is the
+    window minimum) depends on hash ordering, so both engines must hash
+    identically -- md5 hex strings compare lexicographically the same in
+    Spark and DuckDB. Inside one engine at scale you'd swap md5 for
+    ``xxhash64`` (8-byte fingerprints, 4x narrower shuffle rows) without
+    changing the algorithm; md5 here is the cross-engine-checkable choice.
+
+    Scale notes: grams and window-mins are computed per doc partition
+    (partitionBy doc_id), so no global sort; the fingerprint set shrinks
+    the token stream by ~1/w before any cross-doc work.
+    """
+    docs = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 2 == 0)
+    toks = docs.select("doc_id", F.split("text", " ").alias("t")).filter(
+        F.size("t") >= WINNOW_K
+    )
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("t") - WINNOW_K),
+                lambda p: F.struct(
+                    p.alias("pos"),
+                    F.md5(
+                        F.concat_ws(" ", F.slice("t", p + 1, WINNOW_K))
+                    ).alias("gh"),
+                ),
+            )
+        ).alias("g"),
+    ).select("doc_id", F.col("g.pos").alias("pos"), F.col("g.gh").alias("gh"))
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(-(WINNOW_W - 1), 0)
+    )
+    winmin = grams.select(
+        "doc_id",
+        F.min("gh").over(w).alias("fp"),
+        F.count(F.lit(1)).over(w).alias("wn"),
+    ).filter(F.col("wn") == WINNOW_W)
+    return (
+        winmin.select("doc_id", "fp")
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_fingerprints"))
+        .orderBy("doc_id")
+    )

@@ -309,3 +309,34 @@ def test_runtime_bloom_filter_prunes_probe_side(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_q116_bm25_broadcasts_stats_and_takes_ordered(spark, sf_dir):
+    # term stats (df / avgdl / N) are tiny -- must broadcast into the
+    # per-doc score, and the top-10 must plan as TakeOrderedAndProject,
+    # never a global sort of every scored document.
+    df = q("q116_bm25_scoring", spark, sf_dir)
+    plan = formatted_plan(df)
+    assert broadcast_join_count(df) >= 2
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q118_winnowing_windows_partition_by_doc(spark, sf_dir):
+    # the gram window must partition by doc_id: a global (unpartitioned)
+    # window would serialize the whole corpus through one task.
+    plan = formatted_plan(q("q118_winnowing_fingerprints", spark, sf_dir))
+    assert "No Partition Defined" not in plan
+
+
+def test_q115_paragraph_dedup_shuffles_digests_not_text(spark, sf_dir):
+    # the join/groupBy columns are md5 digests; the raw text column must
+    # be pruned before the first exchange.
+    plan = formatted_plan(q("q115_paragraph_dedup", spark, sf_dir))
+    import re
+
+    exchanges = [m.start() for m in re.finditer(r"Exchange", plan)]
+    assert exchanges, "expected at least one shuffle"
+    # 'text' may appear in scan ReadSchema but no Exchange carries it
+    for seg in plan.split("Exchange")[1:]:
+        head = seg[:200]  # the partitioning spec line
+        assert "text#" not in head, head
