@@ -20,6 +20,10 @@ import time
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+#: Filled by b04_pipeline_throughput: end-to-end JSONL pipeline rate (the
+#: reference's single-threaded loop is the comparison point, BASELINE.md).
+PIPELINE_STATS: dict[str, float] = {}
+
 
 def infer_sf(sf_dir: str) -> float:
     base = os.path.basename(sf_dir.rstrip("/"))
@@ -56,11 +60,12 @@ def bench_extras():
         # The reference's actual workload: JSONL in -> validate/split ->
         # transform -> enrich -> JSONL out (reference app/app.py:19-89, a
         # single-threaded CPython loop). Rows come from the events table
-        # reshaped to sensor records; wall time for this entry therefore
-        # IS the end-to-end pipeline cost at sf scale -- divide row count
-        # by it for records/sec vs the reference loop.
+        # reshaped to sensor records; the pipeline-only wall time and row
+        # count are recorded in PIPELINE_STATS so the summary JSON can
+        # state records/sec against the reference's 0.25-vCPU loop.
         import os as _os
         import tempfile as _tempfile
+        import time as _time
 
         from iot_data_pipeline_spark.pipeline import (
             PipelineConfig,
@@ -78,9 +83,10 @@ def bench_extras():
                 F.col("value").alias("humidity"),
                 F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("timestamp"),
             )
-            .write.json(raw)  # distributed fixture write, ~1s of the entry
+            .write.json(raw)  # distributed fixture write, excluded from rate
         )
         out = _os.path.join(work, "out")
+        t0 = _time.perf_counter()
         run_batch_pipeline(
             spark,
             raw,
@@ -91,6 +97,11 @@ def bench_extras():
                 dead_letter_path=_os.path.join(work, "dlq"),
             ),
         )
+        dt = _time.perf_counter() - t0
+        n_in = read_table(spark, sf_dir, "events").count()
+        PIPELINE_STATS["records_in"] = n_in
+        PIPELINE_STATS["pipeline_sec"] = round(dt, 3)
+        PIPELINE_STATS["records_per_sec"] = round(n_in / dt)
         return spark.read.text(out)
 
     def b_hll_sketches(spark, sf_dir):
@@ -167,6 +178,8 @@ def main() -> int:
     }
     if errors:
         summary["errors"] = errors
+    if PIPELINE_STATS:
+        summary["pipeline_throughput"] = dict(PIPELINE_STATS)
     print(json.dumps(summary))
     return 0
 

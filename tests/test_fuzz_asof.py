@@ -1,0 +1,73 @@
+"""Property test: the keyed as-of join (operators/joins.asof_join) must
+agree with a direct per-key reference implementation on randomized
+timelines -- both directions, including no-match rows (inner semantics:
+left rows with no candidate are dropped).
+
+Right-side timestamps are deduplicated per key: with duplicate
+timestamps the rank-1 pick among equal ``right_on`` values is
+tie-ambiguous by construction (documented in the operator), so the
+property is stated over the deterministic domain.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+keyed_times = st.dictionaries(
+    st.integers(min_value=1, max_value=3),  # key
+    st.tuples(
+        st.lists(st.integers(min_value=0, max_value=50), min_size=1, max_size=8),
+        st.lists(st.integers(min_value=0, max_value=50), min_size=0, max_size=8),
+    ),
+    min_size=1,
+    max_size=3,
+)
+
+
+def _reference(left_rows, right_rows, direction):
+    out = {}
+    for k, lt in left_rows:
+        cands = [
+            rt
+            for rk, rt in right_rows
+            if rk == k and (rt <= lt if direction == "backward" else rt >= lt)
+        ]
+        if cands:
+            out[(k, lt)] = max(cands) if direction == "backward" else min(cands)
+    return out
+
+
+@settings(
+    max_examples=12, deadline=None, suppress_health_check=[HealthCheck.too_slow]
+)
+@given(data=keyed_times)
+def test_asof_join_matches_reference(spark, data):
+    from iot_data_pipeline_spark.operators.joins import asof_join
+
+    left_rows, right_rows = [], []
+    for k, (lts, rts) in data.items():
+        left_rows.extend((k, t) for t in sorted(set(lts)))
+        right_rows.extend((k, t) for t in sorted(set(rts)))
+    if not right_rows:
+        right_rows = [(99, 0)]  # non-matching key keeps the frame non-empty
+
+    left = spark.createDataFrame(left_rows, "k int, lt int")
+    right = spark.createDataFrame(
+        [(k, t, t * 10) for k, t in right_rows], "k int, rt int, payload int"
+    )
+
+    for direction in ("backward", "forward"):
+        got = {
+            (r["k"], r["lt"]): r["rt"]
+            for r in asof_join(
+                left, right, "lt", "rt", by=["k"], direction=direction
+            ).collect()
+        }
+        want = _reference(left_rows, right_rows, direction)
+        assert got == want, direction
+        # payload rides along with the matched row
+        for r in asof_join(
+            left, right, "lt", "rt", by=["k"], direction=direction
+        ).collect():
+            assert r["payload"] == r["rt"] * 10
