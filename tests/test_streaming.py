@@ -218,3 +218,55 @@ def test_progress_capture_records_batches(spark, raw_dir, tmp_path):
         assert df.count() == len(rows)
     finally:
         detach_progress_capture(spark, cap)
+
+
+def test_crash_midstream_recovers_exactly_once(spark, raw_dir, tmp_path):
+    """Fault-injected recovery: with maxFilesPerTrigger=1 the 3-file
+    backlog is 3 micro-batches; the sink throws on the SECOND batch after
+    the first has committed. Restarting from the same checkpoint must (a)
+    not re-emit batch 0's rows (no duplicates) and (b) finish the backlog
+    -- the exactly-once contract the reference's at-least-once Lambda
+    retry loop cannot give (reference lambda/s3_event_handler.py retries
+    re-run the whole file)."""
+    import pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from iot_data_pipeline_spark.streaming.ingest import read_sensor_stream
+
+    _write_file(raw_dir, "c.jsonl", _records(3, 4, 30.0))
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def make_writer(fail_on_second: bool):
+        def process(batch_df, batch_id):
+            if fail_on_second and batch_id == 1:
+                raise RuntimeError("injected sink fault")
+            (
+                batch_df.filter(F.col("_corrupt_record").isNull())
+                .drop("_corrupt_record")
+                .write.mode("append")
+                .parquet(out)
+            )
+
+        return process
+
+    def run(fail_on_second: bool):
+        q = (
+            read_sensor_stream(spark, str(raw_dir), max_files_per_trigger=1)
+            .writeStream.foreachBatch(make_writer(fail_on_second))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    with pytest.raises(StreamingQueryException, match="injected sink fault"):
+        run(fail_on_second=True)
+    committed = spark.read.parquet(out).count()
+    assert committed > 0  # batch 0 landed before the fault
+
+    run(fail_on_second=False)  # restart from the same checkpoint
+    final = spark.read.parquet(out)
+    assert final.count() == 9  # 3 (a) + 2 (b, bad line dropped) + 4 (c)
+    # no row duplicated: device+timestamp+humidity is unique in fixtures
+    assert final.dropDuplicates(["device_id", "timestamp", "humidity"]).count() == 9
