@@ -71,3 +71,16 @@ def explode_ngrams(df: DataFrame, text_col: str, n: int, out_col: str = "ngram")
 def fahrenheit_builtin(c: Column) -> Column:
     """The codegen twin the tests compare every UDF flavor against."""
     return c * 9 / 5 + 32
+
+
+@udf(returnType=DoubleType(), useArrow=True)
+def celsius_to_fahrenheit_arrow_scalar(c):
+    """B49's Spark 4 upgrade path: the SAME row-at-a-time function body as
+    ``celsius_to_fahrenheit_py`` but with Arrow serialization
+    (``useArrow=True``) -- batches cross the JVM/Python boundary as Arrow
+    instead of pickled rows, typically recovering most of the pandas-UDF
+    win without rewriting the function vectorized. Still slower than the
+    column-expression twin; still rationed out of hot paths."""
+    if c is None:
+        return None
+    return c * 9 / 5 + 32

@@ -421,3 +421,65 @@ def q118_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_fingerprints"))
         .orderBy("doc_id")
     )
+
+
+@declared(
+    "q119_incremental_dedup",
+    oracle="""
+    WITH hist AS (
+      SELECT DISTINCT md5(text) AS digest FROM documents WHERE doc_id % 5 <> 0
+    ),
+    batch AS (
+      SELECT doc_id, source, md5(text) AS digest FROM documents
+      WHERE doc_id % 5 = 0
+    ),
+    flagged AS (
+      SELECT b.doc_id, b.source,
+             CASE WHEN h.digest IS NULL THEN 0 ELSE 1 END AS is_dup
+      FROM batch b LEFT JOIN hist h ON b.digest = h.digest
+    )
+    SELECT source,
+           COUNT(*) AS n_batch,
+           CAST(SUM(is_dup) AS BIGINT) AS n_already_seen,
+           CAST(COUNT(*) - SUM(is_dup) AS BIGINT) AS n_admitted
+    FROM flagged GROUP BY source ORDER BY source
+    """,
+)
+def q119_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus update (the production dedup shape q22 feeds):
+    an arriving batch is checked against the HISTORICAL digest index with
+    a left join on content digest -- admitted docs are the anti-join side.
+    Here history = docs with doc_id % 5 != 0 and the arriving batch is the
+    rest, so the oracle can state both sides from one table.
+
+    Scale notes: the historical index is a digest-only table (32 bytes a
+    row for billions of docs -- parquet-compact, bucketable by digest so
+    repeated daily batches join shuffle-free, operators/bucketing.py).
+    The batch side shuffles digests, never text. A bloom filter over the
+    index (session conf enables Spark's runtime bloom pushdown) prunes
+    the probe side before the exchange at real scale.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    hist = (
+        docs.filter(F.col("doc_id") % 5 != 0)
+        .select(F.md5("text").alias("digest"))
+        .distinct()
+        .withColumn("seen", F.lit(1))
+    )
+    batch = docs.filter(F.col("doc_id") % 5 == 0).select(
+        "doc_id", "source", F.md5("text").alias("digest")
+    )
+    flagged = batch.join(hist, "digest", "left")
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_batch"),
+            F.sum(F.coalesce(F.col("seen"), F.lit(0)))
+            .cast("long")
+            .alias("n_already_seen"),
+            (F.count(F.lit(1)) - F.sum(F.coalesce(F.col("seen"), F.lit(0))))
+            .cast("long")
+            .alias("n_admitted"),
+        )
+        .orderBy("source")
+    )
