@@ -148,7 +148,14 @@ def apply_engine_conf(spark: SparkSession) -> SparkSession:
     ``__spark_entry__.entry``; this aligns the confs that matter for
     oracle parity (timezone, nanos handling, AQE) without restarting.
     """
-    for k, v in _DEFAULTS.items():
+    conf = dict(_DEFAULTS)
+    # A vanilla session ships Spark's default 200 shuffle partitions --
+    # at the driver's sf0.01 probe scale that is ~6x task-scheduling
+    # overhead per exchange for no parallelism gain. Size to the host
+    # like build_session does (AQE coalescing keeps it safe either way).
+    cpus = os.environ.get("SPARK_GRAFT_CPUS")
+    conf["spark.sql.shuffle.partitions"] = cpus if cpus else "32"
+    for k, v in conf.items():
         if k == "spark.ui.enabled":
             continue  # static conf; cannot change post-start
         try:
