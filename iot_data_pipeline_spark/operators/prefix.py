@@ -60,9 +60,17 @@ def global_running_sum(
         offsets[p] = acc
         acc += totals[p] or 0
     spark = df.sparkSession
-    off_df = spark.createDataFrame(
-        [(p, float(o)) for p, o in offsets.items()], "_pid int, _off double"
-    )
+    # preserve the sum's type: integral inputs keep exact LONG arithmetic
+    # (token counts, row counts); everything else rides as double
+    integral = dict(df.dtypes)[value_col] in ("tinyint", "smallint", "int", "bigint")
+    if integral:
+        off_df = spark.createDataFrame(
+            [(p, int(o)) for p, o in offsets.items()], "_pid int, _off long"
+        )
+    else:
+        off_df = spark.createDataFrame(
+            [(p, float(o)) for p, o in offsets.items()], "_pid int, _off double"
+        )
     return (
         local.join(F.broadcast(off_df), "_pid")
         .withColumn(out_col, F.col("_local_sum") + F.col("_off"))

@@ -307,20 +307,20 @@ def q117_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     straddle a cut are counted (they lose tokens to truncation or need
     attention-mask resets -- the metric packing strategies minimize).
 
-    Scale notes: the layout is one global running sum -- on a cluster this
-    uses the two-phase scan (operators/prefix.py): per-partition partial
-    sums + a P-row offset broadcast, never a single-partition window. At
-    this audit's output size the plain window is fine; the declared query
-    states the semantics, the prefix operator is the 100 TB execution.
+    Scale notes: the layout is one global running sum, executed as the
+    two-phase scan (operators/prefix.global_running_sum): range-partition
+    on doc_id, per-partition local cumsum, P-row offset broadcast --
+    never a single-partition window, and exact LONG arithmetic end to end.
     """
+    from iot_data_pipeline_spark.operators.prefix import global_running_sum
+
     docs = read_table(spark, sf_dir, "documents")
     sized = docs.select(
-        "doc_id", "source", F.size(F.split("text", " ")).alias("n_tokens")
+        "doc_id", "source", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
     )
-    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
-    placed = sized.withColumn(
-        "start_pos", F.sum("n_tokens").over(w) - F.col("n_tokens")
-    )
+    placed = global_running_sum(
+        sized, "n_tokens", ["doc_id"], out_col="cum_tokens"
+    ).withColumn("start_pos", F.col("cum_tokens") - F.col("n_tokens"))
     pack = F.floor(F.col("start_pos") / PACK_TOKENS)
     end_pack = F.floor((F.col("start_pos") + F.col("n_tokens") - 1) / PACK_TOKENS)
     return (

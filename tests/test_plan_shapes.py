@@ -340,3 +340,16 @@ def test_q115_paragraph_dedup_shuffles_digests_not_text(spark, sf_dir):
     for seg in plan.split("Exchange")[1:]:
         head = seg[:200]  # the partitioning spec line
         assert "text#" not in head, head
+
+
+def test_q117_packing_avoids_global_window(spark, sf_dir):
+    # the global running sum must run as the two-phase range scan, never a
+    # single-partition window over the whole corpus.
+    plan = formatted_plan(q("q117_sequence_packing", spark, sf_dir))
+    import re
+
+    for m in re.finditer(r"Window.*?windowspecdefinition\(([^)]*)\)", plan):
+        spec = m.group(1)
+        assert "_pid" in spec or "partitionBy" not in spec, spec
+    # stronger: every Window node partitions on something
+    assert "No Partition Defined" not in plan
