@@ -137,6 +137,7 @@ def global_ranks(
     ascending: list[bool] | None = None,
     ntile: int | None = None,
     num_partitions: int | None = None,
+    tiebreak_cols: list[str] | None = None,
 ) -> DataFrame:
     """Append ``rank``, ``dense_rank``, ``row_number`` (and ``ntile`` when
     requested) over the TOTAL order given by ``order_cols`` -- again
@@ -149,21 +150,30 @@ def global_ranks(
     local + a per-partition offset (rows before, for rank/row_number;
     distinct keys before, for dense_rank) -- P offsets, driver-prefixed,
     broadcast back. NTILE is pure arithmetic on (row_number, total).
+
+    ``tiebreak_cols`` (ascending) extend the ordering for ``row_number``
+    and ``ntile`` ONLY: rank/dense_rank still tie on ``order_cols``. This
+    serves RANK-plus-NTILE queries in ONE range shuffle -- partitioning
+    stays on ``order_cols`` (so ties never split), and because each
+    partition holds complete tie-groups, the tie-broken row_number's
+    per-partition offset is the same rows-before count.
     """
     asc = ascending or [True] * len(order_cols)
     cols = [
         F.col(c) if a else F.col(c).desc()
         for c, a in zip(order_cols, asc)
     ]
+    full_cols = cols + [F.col(c) for c in (tiebreak_cols or [])]
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     parted = df.repartitionByRange(n, *cols)
     w_local = Window.partitionBy("_pid").orderBy(*cols)
+    w_full = Window.partitionBy("_pid").orderBy(*full_cols)
     key = F.struct(*[F.col(c) for c in order_cols])
     local = (
         parted.withColumn("_pid", F.spark_partition_id())
         .withColumn("_lrk", F.rank().over(w_local))
         .withColumn("_ldr", F.dense_rank().over(w_local))
-        .withColumn("_lrn", F.row_number().over(w_local))
+        .withColumn("_lrn", F.row_number().over(w_full))
     )
     local = local.persist()
     stats = {

@@ -57,29 +57,27 @@ def q15b_rank_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     order by balance alone (ties share a rank -- deterministic); NTILE needs
     the total order to assign tiles stably.
 
-    Both ran as single-partition global windows before; now each ordering
-    is a distributed two-phase rank (operators/prefix.global_ranks) and
-    the two orderings -- genuinely different sorts -- join on the unique
-    customer key."""
+    One distributed two-phase pass (operators/prefix.global_ranks):
+    range-partitioned on balance (ties never split), rank/dense_rank tie
+    on balance alone while row_number/ntile use the c_custkey tiebreak --
+    one range shuffle serves all four functions."""
     from iot_data_pipeline_spark.operators.prefix import global_ranks
 
     customer = read_table(spark, sf_dir, "customer")
-    by_bal = global_ranks(
-        customer.select("c_custkey", "c_acctbal"),
-        ["c_acctbal"],
-        ascending=[False],
-    ).select(
-        "c_custkey", F.col("rank").alias("rnk"), F.col("dense_rank").alias("drnk")
-    )
-    by_bal_key = global_ranks(
-        customer.select("c_custkey", "c_acctbal"),
-        ["c_acctbal", "c_custkey"],
-        ascending=[False, True],
-        ntile=4,
-    ).select("c_custkey", F.col("ntile").alias("quartile"))
     return (
-        by_bal.join(by_bal_key, "c_custkey")
-        .select("c_custkey", "rnk", "drnk", "quartile")
+        global_ranks(
+            customer.select("c_custkey", "c_acctbal"),
+            ["c_acctbal"],
+            ascending=[False],
+            tiebreak_cols=["c_custkey"],
+            ntile=4,
+        )
+        .select(
+            "c_custkey",
+            F.col("rank").alias("rnk"),
+            F.col("dense_rank").alias("drnk"),
+            F.col("ntile").alias("quartile"),
+        )
         .orderBy("c_custkey")
     )
 
