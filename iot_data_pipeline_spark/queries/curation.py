@@ -483,3 +483,130 @@ def q119_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@declared(
+    "q120_char_entropy",
+    oracle="""
+    WITH chars AS (
+      SELECT doc_id, unnest(string_split_regex(text, '')) AS ch
+      FROM documents WHERE doc_id % 4 = 0
+    ),
+    counts AS (
+      SELECT doc_id, ch, COUNT(*) AS n FROM chars WHERE ch <> '' GROUP BY doc_id, ch
+    ),
+    tot AS (
+      SELECT doc_id, SUM(n) AS total FROM counts GROUP BY doc_id
+    )
+    SELECT c.doc_id,
+           CAST(t.total AS BIGINT) AS n_chars_counted,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct_chars,
+           ROUND(-SUM((n / CAST(total AS DOUBLE))
+                      * ln(n / CAST(total AS DOUBLE))), 4) AS char_entropy
+    FROM counts c JOIN tot t ON c.doc_id = t.doc_id
+    GROUP BY c.doc_id, t.total ORDER BY c.doc_id
+    """,
+)
+def q120_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level Shannon entropy per document -- the cheap
+    perplexity proxy quality filters use to catch gibberish (too low:
+    repeated characters; too high: random bytes). Pure explode + two
+    aggregations; entropy arithmetic is one codegen span, ROUND(4)
+    fencing the ln() libm ulp per SURVEY section 2.3 rule 2.
+
+    Scale notes: the char explode is the widest stream in the suite
+    (one row per character) but it carries (doc_id, 1-char string) only
+    and collapses immediately in a partial+final count -- the shuffle is
+    per-doc distinct chars (~vocab-bounded), not corpus characters.
+    """
+    docs = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 4 == 0)
+    chars = docs.select(
+        "doc_id", F.explode(F.split("text", "")).alias("ch")
+    ).filter(F.col("ch") != "")
+    counts = chars.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("n"))
+    tot = counts.groupBy("doc_id").agg(F.sum("n").alias("total"))
+    p = F.col("n") / F.col("total").cast("double")
+    return (
+        counts.join(tot, "doc_id")
+        .groupBy("doc_id", "total")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_distinct_chars"),
+            F.round(-F.sum(p * F.log(p)), 4).alias("char_entropy"),
+        )
+        .select(
+            "doc_id",
+            F.col("total").cast("long").alias("n_chars_counted"),
+            "n_distinct_chars",
+            "char_entropy",
+        )
+        .orderBy("doc_id")
+    )
+
+
+#: target corpus mix per source (sums to 1); the rebalance op computes
+#: per-source sampling weights to move the ACTUAL mix to this target.
+TARGET_MIX = {"web": 0.4, "book": 0.3, "code": 0.2, "wiki": 0.1}
+
+
+@declared(
+    "q122_mix_rebalance",
+    oracle=f"""
+    WITH actual AS (
+      SELECT source,
+             COUNT(*) AS n_docs,
+             SUM(len(string_split(text, ' '))) AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    tot AS (SELECT SUM(n_tokens) AS all_tokens FROM actual),
+    target(source, share) AS (VALUES
+      ('web', 0.4), ('book', 0.3), ('code', 0.2), ('wiki', 0.1)
+    )
+    SELECT a.source,
+           CAST(a.n_docs AS BIGINT) AS n_docs,
+           CAST(a.n_tokens AS BIGINT) AS n_tokens,
+           ROUND(a.n_tokens / CAST(t.all_tokens AS DOUBLE), 4) AS actual_share,
+           COALESCE(g.share, 0.0) AS target_share,
+           ROUND(COALESCE(g.share, 0.0)
+                 / (a.n_tokens / CAST(t.all_tokens AS DOUBLE)), 4)
+             AS sample_weight
+    FROM actual a
+    CROSS JOIN tot t
+    LEFT JOIN target g ON a.source = g.source
+    ORDER BY a.source
+    """,
+)
+def q122_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mix rebalancing (training-mixture prep): per-source token
+    shares vs a declared target mix -> per-source sampling weight
+    (target/actual; >1 = upsample, <1 = downsample). The weight column is
+    exactly what a weighted sampler (q94's shape) consumes downstream.
+
+    Scale notes: one aggregation over the corpus (partial+final on
+    source -- a handful of groups), a 1-row total, and a literal target
+    table; everything after the groupBy is broadcast arithmetic.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    actual = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("n_tokens"),
+    )
+    tot = actual.agg(F.sum("n_tokens").alias("all_tokens"))
+    target = spark.createDataFrame(
+        list(TARGET_MIX.items()), "source string, target_share double"
+    )
+    share = F.col("n_tokens") / F.col("all_tokens").cast("double")
+    return (
+        actual.crossJoin(F.broadcast(tot))
+        .join(F.broadcast(target), "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round(share, 4).alias("actual_share"),
+            F.coalesce(F.col("target_share"), F.lit(0.0)).alias("target_share"),
+            F.round(
+                F.coalesce(F.col("target_share"), F.lit(0.0)) / share, 4
+            ).alias("sample_weight"),
+        )
+        .orderBy("source")
+    )

@@ -1515,3 +1515,118 @@ def q113_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("mean_luma"),
         F.size("features").alias("n_feats"),
     ).orderBy("doc_id")
+
+
+@declared(
+    "q123_leakage_safe_split",
+    oracle=f"""
+    WITH RECURSIVE {CORPUS_NEAR_CTE.strip()},
+    shingled AS (
+      SELECT doc_id, lang, unnest(
+        list_transform(
+          range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+          i -> string_split(text, ' ')[i] || ' ' ||
+               string_split(text, ' ')[i+1] || ' ' ||
+               string_split(text, ' ')[i+2])) AS shingle
+      FROM corpus
+    ),
+    shashes AS (
+      SELECT DISTINCT doc_id, lang, {ORACLE_HASH.format("shingle")} AS h
+      FROM shingled
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shashes GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+      FROM shashes a JOIN shashes b
+        ON a.h = b.h AND a.lang = b.lang AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE ROUND(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 4)
+            >= 0.5
+    ),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(node, lab) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.node
+    ),
+    comp AS (SELECT node, MIN(lab) AS component FROM reach GROUP BY node),
+    assigned AS (
+      SELECT c.doc_id,
+             COALESCE(p.component, c.doc_id) AS rep
+      FROM corpus c LEFT JOIN comp p ON c.doc_id = p.node
+    ),
+    split AS (
+      SELECT doc_id, rep,
+             CASE WHEN {ORACLE_HASH.format("'split:' || CAST(rep AS VARCHAR)")}
+                       % 10 < 8
+                  THEN 'train' ELSE 'val' END AS split
+      FROM assigned
+    )
+    SELECT split,
+           COUNT(*) AS n_docs,
+           CAST(COUNT(DISTINCT rep) AS BIGINT) AS n_groups,
+           CAST((SELECT COUNT(*) FROM (
+              SELECT rep FROM split GROUP BY rep
+              HAVING COUNT(DISTINCT split) > 1)) AS BIGINT) AS n_leaky_groups
+    FROM split GROUP BY split ORDER BY split
+    """,
+)
+def q123_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val split: assignment hashes the near-dup
+    CLUSTER representative, not the document -- every member of a
+    duplicate cluster lands in the same split, so no near-copy of a val
+    document can appear in train (the contamination mode a plain q48
+    per-row hash split cannot prevent). Representatives come from the
+    same connected components as q52; singleton docs represent
+    themselves. ``n_leaky_groups`` asserts the invariant (always 0 by
+    construction -- the audit column exists so a pipeline can gate on it).
+
+    Scale notes: adds ONE broadcast-ready (node, component) frame and a
+    portable-hash decision per row on top of q52's clustering; the split
+    choice is row-local, no extra shuffle beyond the component join.
+    """
+    from iot_data_pipeline_spark.functions.hashing import portable_hash
+    from iot_data_pipeline_spark.operators.graph import connected_components
+
+    corpus = _corpus_near(spark, sf_dir).select("doc_id")
+    pairs = q25_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    comp = connected_components(pairs, src="doc_a", dst="doc_b")
+    assigned = corpus.join(
+        comp.withColumnRenamed("node", "doc_id"), "doc_id", "left"
+    ).select(
+        "doc_id", F.coalesce(F.col("component"), F.col("doc_id")).alias("rep")
+    )
+    split = assigned.withColumn(
+        "split",
+        F.when(
+            portable_hash(F.concat(F.lit("split:"), F.col("rep").cast("string")))
+            % 10
+            < 8,
+            "train",
+        ).otherwise("val"),
+    )
+    leaky = (
+        split.groupBy("rep")
+        .agg(F.countDistinct("split").alias("ns"))
+        .filter(F.col("ns") > 1)
+        .agg(F.count(F.lit(1)).alias("n_leaky_groups"))
+    )
+    return (
+        split.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("rep").alias("n_groups"),
+        )
+        .crossJoin(F.broadcast(leaky))
+        .select("split", "n_docs", "n_groups", "n_leaky_groups")
+        .orderBy("split")
+    )
