@@ -353,3 +353,38 @@ def test_q117_packing_avoids_global_window(spark, sf_dir):
         assert "_pid" in spec or "partitionBy" not in spec, spec
     # stronger: every Window node partitions on something
     assert "No Partition Defined" not in plan
+
+
+#: Queries whose plans legitimately contain ONE BroadcastNestedLoopJoin per
+#: scalar-subquery: a 1-row aggregate (corpus total, global stats, count)
+#: cross-joined into every row -- O(n) with a single broadcast row, not a
+#: quadratic pairing. q12's query-side crossJoin is the documented
+#: serving-shape exception (bounded query set broadcast).
+BOUNDED_BNLJ = {
+    "q12_cosine_topk": 1,
+    "q13_corrupt_routing": 1,
+    "q50_vocab_coverage": 1,
+    "q80_rich_idle_customers": 1,
+    "q86_tfidf_top_terms": 1,
+    "q94_weighted_sample": 1,
+    "q98_winsorized_values": 1,
+    "q116_bm25_scoring": 2,
+    "q122_mix_rebalance": 1,
+    "q123_leakage_safe_split": 1,
+}
+
+
+@pytest.mark.parametrize("name", sorted(REGISTRY))
+def test_no_unbounded_nested_loop_joins(spark, sf_dir, name):
+    """Sweeping guardrail: no declared query may plan a nested-loop or
+    cartesian join beyond the whitelisted 1-row scalar-subquery shapes.
+    A new query that accidentally cross-joins two fact tables fails here
+    at test scale instead of melting at 100 TB."""
+    # executedPlan tree string: one line per operator instance (the
+    # formatted explain repeats names in its details section).
+    plan = q(name, spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    n = plan.count("BroadcastNestedLoopJoin") + plan.count("CartesianProduct")
+    assert n <= BOUNDED_BNLJ.get(name, 0), (
+        f"{name}: {n} nested-loop/cartesian joins "
+        f"(allowed {BOUNDED_BNLJ.get(name, 0)})"
+    )
