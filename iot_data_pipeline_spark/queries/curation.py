@@ -610,3 +610,113 @@ def q122_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@declared(
+    "q121_repetition_rules",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      WHERE doc_id % 6 = 0
+    ),
+    bigrams AS (
+      SELECT doc_id,
+             t[p + 1] || ' ' || t[p + 2] AS bg
+      FROM toks, unnest(range(len(t) - 1)) AS u(p)
+      WHERE len(t) >= 2
+    ),
+    bg_counts AS (
+      SELECT doc_id, bg, COUNT(*) AS n FROM bigrams GROUP BY doc_id, bg
+    ),
+    bg_stats AS (
+      SELECT doc_id, MAX(n) AS top_bg, SUM(n) AS total_bg
+      FROM bg_counts GROUP BY doc_id
+    ),
+    runs AS (
+      SELECT doc_id, p, t[p + 1] AS tok,
+             CASE WHEN p = 0 OR t[p + 1] <> t[p] THEN 1 ELSE 0 END AS brk
+      FROM toks, unnest(range(len(t))) AS u(p)
+    ),
+    run_ids AS (
+      SELECT doc_id, tok,
+             SUM(brk) OVER (PARTITION BY doc_id ORDER BY p
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rid
+      FROM runs
+    ),
+    run_lens AS (
+      SELECT doc_id, MAX(cnt) AS max_run FROM (
+        SELECT doc_id, rid, COUNT(*) AS cnt FROM run_ids GROUP BY doc_id, rid
+      ) GROUP BY doc_id
+    )
+    SELECT s.doc_id,
+           ROUND(s.top_bg / CAST(s.total_bg AS DOUBLE), 4) AS top_bigram_frac,
+           CAST(r.max_run AS BIGINT) AS max_token_run,
+           CAST(s.top_bg / CAST(s.total_bg AS DOUBLE) <= 0.18
+                AND r.max_run <= 4 AS BOOLEAN) AS passes_repetition
+    FROM bg_stats s JOIN run_lens r ON s.doc_id = r.doc_id
+    ORDER BY s.doc_id
+    """,
+)
+def q121_repetition_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality rules (the Gopher-rules family): fraction
+    of bigram mass held by the single most frequent bigram, and the
+    longest run of identical consecutive tokens -- boilerplate and
+    keyword-stuffing both trip one of the two. The pass/fail verdict
+    column is the gate a curation pipeline filters on.
+
+    Scale notes: bigram stats are two partial-aggregate-friendly
+    groupBys over (doc_id, bigram); the run detection is the island
+    trick (lag-break + running sum) inside a doc-partitioned window --
+    no global window, no UDFs.
+    """
+    docs = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 6 == 0)
+    toks = docs.select("doc_id", F.split("text", " ").alias("t"))
+    bigrams = toks.filter(F.size("t") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("t") - 2),
+                lambda p: F.concat_ws(
+                    " ", F.element_at("t", p + 1), F.element_at("t", p + 2)
+                ),
+            )
+        ).alias("bg"),
+    )
+    bg_stats = (
+        bigrams.groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("doc_id")
+        .agg(F.max("n").alias("top_bg"), F.sum("n").alias("total_bg"))
+    )
+    runs = toks.select(
+        "doc_id",
+        F.posexplode("t").alias("p", "tok"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("p")
+    wsum = w.rowsBetween(Window.unboundedPreceding, 0)
+    run_lens = (
+        runs.withColumn(
+            "brk",
+            F.when(
+                F.lag("tok").over(w).isNull()
+                | (F.col("tok") != F.lag("tok").over(w)),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("rid", F.sum("brk").over(wsum))
+        .groupBy("doc_id", "rid")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("doc_id")
+        .agg(F.max("cnt").alias("max_run"))
+    )
+    frac = F.col("top_bg") / F.col("total_bg").cast("double")
+    return (
+        bg_stats.join(run_lens, "doc_id")
+        .select(
+            "doc_id",
+            F.round(frac, 4).alias("top_bigram_frac"),
+            F.col("max_run").cast("long").alias("max_token_run"),
+            ((frac <= 0.18) & (F.col("max_run") <= 4)).alias("passes_repetition"),
+        )
+        .orderBy("doc_id")
+    )
