@@ -1,0 +1,121 @@
+"""Minimal stdlib WAV codec + feature kernels (B48's audio modality).
+
+Like ``operators/png.py`` for images, this gives the audio decode tier a
+REAL path with zero dependencies: RIFF/WAVE PCM parsing via ``struct``
+(the stdlib ``wave`` module is avoided deliberately -- it takes file
+objects and seeks; media payloads arrive as in-memory byte columns, and
+a direct parser keeps the kernel allocation-free).
+
+Scope: PCM integer formats (8-bit unsigned, 16-bit signed LE), mono or
+interleaved multi-channel. Compressed formats (MP3/AAC/FLAC) raise
+``WavFormatError`` -- refused honestly, same posture as non-PNG images;
+on a real cluster an ffmpeg kernel drops into the identical mapInPandas
+signature.
+
+Features are integer/rational arithmetic only (mean absolute amplitude
+per time cell, zero-crossing count), so results are bit-identical across
+platforms and SQL-restatable for closed-form oracles.
+"""
+
+from __future__ import annotations
+
+import struct
+
+
+class WavFormatError(ValueError):
+    """Payload is not RIFF/WAVE PCM this decoder supports."""
+
+
+def is_wav(payload: bytes) -> bool:
+    return payload[:4] == b"RIFF" and payload[8:12] == b"WAVE"
+
+
+def encode_wav(
+    samples: list[int], sample_rate: int = 16000, channels: int = 1
+) -> bytes:
+    """Encode 16-bit signed PCM samples (interleaved if multi-channel)."""
+    data = struct.pack(f"<{len(samples)}h", *samples)
+    byte_rate = sample_rate * channels * 2
+    fmt = struct.pack("<HHIIHH", 1, channels, sample_rate, byte_rate, channels * 2, 16)
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
+def decode_wav(payload: bytes) -> tuple[int, int, list[int]]:
+    """Decode -> ``(sample_rate, channels, samples)`` (interleaved ints).
+
+    Supports PCM (audio format 1) at 8-bit unsigned / 16-bit signed.
+    """
+    if not is_wav(payload):
+        raise WavFormatError("bad RIFF/WAVE signature")
+    pos, n = 12, len(payload)
+    fmt = None
+    data = None
+    while pos + 8 <= n:
+        cid = payload[pos : pos + 4]
+        (clen,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + clen]
+        pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+    if fmt is None or data is None:
+        raise WavFormatError("missing fmt or data chunk")
+    audio_format, channels, rate, _, _, bits = fmt
+    if audio_format != 1:
+        raise WavFormatError(f"non-PCM audio format {audio_format} unsupported")
+    if bits == 16:
+        samples = list(struct.unpack(f"<{len(data) // 2}h", data[: len(data) // 2 * 2]))
+    elif bits == 8:
+        samples = [b - 128 for b in data]
+    else:
+        raise WavFormatError(f"unsupported bit depth {bits}")
+    return rate, channels, samples
+
+
+def amplitude_grid_features(samples: list[int], channels: int, dim: int) -> list[float]:
+    """Mean |amplitude| over ``dim`` equal time cells, each normalized to
+    [0, 1] by the 16-bit full scale -- the audio twin of the PNG luma
+    grid. Multi-channel audio is folded by averaging the interleaved
+    channels per frame (integer sum, exact)."""
+    frames = len(samples) // channels
+    if frames == 0:
+        return [0.0] * dim
+    sums = [0] * dim
+    counts = [0] * dim
+    for f in range(frames):
+        cell = min(f * dim // frames, dim - 1)
+        acc = 0
+        for c in range(channels):
+            acc += abs(samples[f * channels + c])
+        sums[cell] += acc
+        counts[cell] += channels
+    return [
+        (sums[i] / counts[i] / 32768.0) if counts[i] else 0.0 for i in range(dim)
+    ]
+
+
+def zero_crossings(samples: list[int], channels: int = 1) -> int:
+    """Sign-change count of channel 0 -- the classic cheap voicing/noise
+    discriminator."""
+    prev = None
+    crossings = 0
+    for i in range(0, len(samples), channels):
+        s = samples[i]
+        if s == 0:
+            continue
+        sign = s > 0
+        if prev is not None and sign != prev:
+            crossings += 1
+        prev = sign
+    return crossings

@@ -276,3 +276,65 @@ def extract_features_arrow(
             )
 
     return df.select(id_col, content_col).mapInArrow(run, schema=out_schema)
+
+
+def extract_audio_features(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "media_id",
+    dim: int = 8,
+    mode: str = "strict",
+) -> DataFrame:
+    """Audio twin of :func:`extract_features`: decode each payload and
+    emit ``features: array<float>`` (mean |amplitude| per time cell) plus
+    ``zero_crossings: long``. mode='strict' really decodes RIFF/WAVE PCM
+    via the vendored stdlib codec (operators/audio.py); compressed
+    formats raise. mode='fake' reuses the digest kernel with a
+    bytes-derived crossing count so plumbing stays testable on arbitrary
+    payloads.
+    """
+    if mode not in ("strict", "fake"):
+        raise ValueError(f"mode must be strict|fake, got {mode!r}")
+
+    def kernel(payload: bytes):
+        if mode == "fake":
+            return _fake_features(payload, dim), len(payload) % 997
+        from iot_data_pipeline_spark.operators import audio
+
+        if audio.is_wav(payload):
+            rate, channels, samples = audio.decode_wav(payload)
+            return (
+                audio.amplitude_grid_features(samples, channels, dim),
+                audio.zero_crossings(samples, channels),
+            )
+        raise NotImplementedError(
+            "only RIFF/WAVE PCM decode is vendored in this environment; "
+            "compressed audio plugs an ffmpeg kernel into this same "
+            "signature on a real cluster, or run with mode='fake'"
+        )
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            feats, zcs = [], []
+            for payload in pdf[content_col]:
+                if payload is None:
+                    feats.append(None)
+                    zcs.append(None)
+                else:
+                    f, z = kernel(bytes(payload))
+                    feats.append(f)
+                    zcs.append(z)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "features": feats, "zero_crossings": zcs}
+            )
+
+    out_schema = T.StructType(
+        [
+            next(f for f in df.schema.fields if f.name == id_col),
+            T.StructField("features", T.ArrayType(T.FloatType())),
+            T.StructField("zero_crossings", T.LongType()),
+        ]
+    )
+    return df.select(id_col, content_col).mapInPandas(run, schema=out_schema)

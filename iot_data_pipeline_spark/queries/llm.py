@@ -1649,3 +1649,77 @@ def q123_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("split", "n_docs", "n_groups", "n_leaky_groups")
         .orderBy("split")
     )
+
+
+@declared(
+    "q124_wav_decode",
+    oracle="""
+    WITH amp AS (
+      SELECT doc_id, (doc_id * 97) % 30000 + 1000 AS a
+      FROM documents WHERE doc_id < 150
+    )
+    SELECT doc_id,
+           ROUND(a / 32768.0, 6) AS mean_amp,
+           CAST(63 AS BIGINT) AS zero_crossings,
+           CAST(8 AS INTEGER) AS n_cells
+    FROM amp ORDER BY doc_id
+    """,
+)
+def q124_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode in the oracle gate (B48's audio modality, the
+    twin of q113's PNG path): per row a 64-sample 16-bit PCM WAV is
+    synthesized worker-side as an alternating-sign square wave of
+    amplitude A = (doc_id*97) % 30000 + 1000, shipped as a binary media
+    column, and decoded back by the vendored RIFF/WAVE parser
+    (operators/audio.py). A constant-|amplitude| signal makes every
+    time-cell feature exactly A/32768, and 64 alternating samples cross
+    zero exactly 63 times -- so the oracle states the decode result in
+    closed form.
+
+    Scale notes: synth and decode are both mapInPandas kernels over
+    Arrow batches; payload bytes never leave the executor. Compressed
+    audio would plug an ffmpeg kernel into the same signature.
+    """
+    from iot_data_pipeline_spark.operators.multimodal import (
+        extract_audio_features,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+
+    def synth(batches):
+        import pandas as pd
+
+        from iot_data_pipeline_spark.operators import audio as _audio
+
+        for pdf in batches:
+            blobs = []
+            for doc_id in pdf["doc_id"]:
+                a = (int(doc_id) * 97) % 30000 + 1000
+                samples = [a if i % 2 == 0 else -a for i in range(64)]
+                blobs.append(_audio.encode_wav(samples))
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "content": blobs})
+
+    import pyspark.sql.types as T
+
+    media = docs.select("doc_id").mapInPandas(
+        synth,
+        schema=T.StructType(
+            [
+                T.StructField("media_id", T.LongType()),
+                T.StructField("content", T.BinaryType()),
+            ]
+        ),
+    )
+    feats = extract_audio_features(media, dim=8, mode="strict")
+    return feats.select(
+        F.col("media_id").alias("doc_id"),
+        F.round(
+            F.aggregate(
+                F.col("features"), F.lit(0.0), lambda s, x: s + x.cast("double")
+            )
+            / F.size("features"),
+            6,
+        ).alias("mean_amp"),
+        F.col("zero_crossings"),
+        F.size("features").alias("n_cells"),
+    ).orderBy("doc_id")
