@@ -181,6 +181,20 @@ def main() -> int:
     if PIPELINE_STATS:
         summary["pipeline_throughput"] = dict(PIPELINE_STATS)
     print(json.dumps(summary))
+    # Compact trailer: the full summary line above can exceed a tail-capture
+    # window (round-2 verdict: the driver kept ~2 KB and the totals were cut
+    # off), so re-emit just the headline numbers last.
+    trailer = {
+        "metric": summary["metric"],
+        "value": summary["value"],
+        "unit": "sec",
+        "sf": summary["sf"],
+        "n_queries": len(per_query),
+        "errors": len(errors),
+    }
+    if PIPELINE_STATS:
+        trailer["pipeline_throughput"] = dict(PIPELINE_STATS)
+    print(json.dumps(trailer))
     return 0
 
 

@@ -64,8 +64,14 @@ def decode_wav(payload: bytes) -> tuple[int, int, list[int]]:
         cid = payload[pos : pos + 4]
         (clen,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
         body = payload[pos + 8 : pos + 8 + clen]
+        if len(body) < clen:
+            raise WavFormatError(
+                f"truncated {cid!r} chunk: declared {clen}, got {len(body)} bytes"
+            )
         pos += 8 + clen + (clen & 1)  # chunks are word-aligned
         if cid == b"fmt ":
+            if len(body) < 16:
+                raise WavFormatError("fmt chunk shorter than 16 bytes")
             fmt = struct.unpack("<HHIIHH", body[:16])
         elif cid == b"data":
             data = body
@@ -74,12 +80,22 @@ def decode_wav(payload: bytes) -> tuple[int, int, list[int]]:
     audio_format, channels, rate, _, _, bits = fmt
     if audio_format != 1:
         raise WavFormatError(f"non-PCM audio format {audio_format} unsupported")
-    if bits == 16:
-        samples = list(struct.unpack(f"<{len(data) // 2}h", data[: len(data) // 2 * 2]))
-    elif bits == 8:
-        samples = [b - 128 for b in data]
-    else:
+    if channels < 1:
+        raise WavFormatError("channel count must be >= 1")
+    if bits not in (8, 16):
         raise WavFormatError(f"unsupported bit depth {bits}")
+    frame_size = channels * bits // 8
+    if len(data) % frame_size != 0:
+        # A silently dropped trailing byte would mean features computed over
+        # a partial final frame -- fail loudly instead.
+        raise WavFormatError(
+            f"data chunk length {len(data)} is not a multiple of the "
+            f"{frame_size}-byte frame ({channels}ch x {bits}bit)"
+        )
+    if bits == 16:
+        samples = list(struct.unpack(f"<{len(data) // 2}h", data))
+    else:
+        samples = [b - 128 for b in data]
     return rate, channels, samples
 
 

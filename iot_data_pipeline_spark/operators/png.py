@@ -31,6 +31,13 @@ class PngFormatError(ValueError):
     """Raised for payloads that are not PNG or use unsupported features."""
 
 
+#: Decompression-bomb guard: max decoded sample buffer (width*height*channels)
+#: accepted by ``decode_png``. 64 MiB covers any sane corpus thumbnail/image
+#: while bounding the O(pixels) pure-Python unfilter loop an adversarial
+#: 8-byte IHDR could otherwise trigger inside an executor kernel.
+MAX_DECODED_BYTES = 64 * 1024 * 1024
+
+
 def is_png(payload: bytes) -> bool:
     return payload[:8] == _SIGNATURE
 
@@ -58,9 +65,13 @@ def decode_png(payload: bytes) -> tuple[int, int, int, bytearray]:
         (length,), ctype = struct.unpack(">I", payload[pos : pos + 4]), payload[
             pos + 4 : pos + 8
         ]
+        if pos + 8 + length > len(payload):
+            raise PngFormatError("chunk length exceeds payload (truncated PNG)")
         data = payload[pos + 8 : pos + 8 + length]
         pos += 12 + length  # length + type + data + crc (crc not verified)
         if ctype == b"IHDR":
+            if len(data) != 13:
+                raise PngFormatError("malformed IHDR chunk")
             width, height, depth, color, comp, filt, interlace = struct.unpack(
                 ">IIBBBBB", data
             )
@@ -73,6 +84,11 @@ def decode_png(payload: bytes) -> tuple[int, int, int, bytearray]:
             if comp != 0 or filt != 0:
                 raise PngFormatError("nonstandard compression/filter method")
             channels = _CHANNELS[color]
+            if width * height * channels > MAX_DECODED_BYTES:
+                raise PngFormatError(
+                    f"decoded size {width}x{height}x{channels} exceeds "
+                    f"MAX_DECODED_BYTES ({MAX_DECODED_BYTES})"
+                )
         elif ctype == b"IDAT":
             idat.extend(data)
         elif ctype == b"IEND":
@@ -80,9 +96,16 @@ def decode_png(payload: bytes) -> tuple[int, int, int, bytearray]:
     if width < 0 or not idat:
         raise PngFormatError("missing IHDR or IDAT")
 
-    raw = zlib.decompress(bytes(idat))
     stride = width * channels
-    if len(raw) != (stride + 1) * height:
+    expected = (stride + 1) * height
+    try:
+        # Bounded inflate: ask for at most expected+1 bytes so a bomb stream
+        # stops at the cap instead of materializing; a too-long stream then
+        # yields expected+1 bytes and fails the exact-length check below.
+        raw = zlib.decompressobj().decompress(bytes(idat), expected + 1)
+    except zlib.error as exc:
+        raise PngFormatError(f"corrupt IDAT stream: {exc}") from exc
+    if len(raw) != expected:
         raise PngFormatError("IDAT length does not match dimensions")
 
     out = bytearray(stride * height)

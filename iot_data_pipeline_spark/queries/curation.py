@@ -30,7 +30,7 @@ PHONE_RE = "0[0-9]{3}-[0-9]{3,6}"
     WITH seeded AS (
       SELECT doc_id, lang,
              text || ' contact user' || CAST(doc_id AS VARCHAR)
-                  || '@mail.example.com or 0555-' || CAST(doc_id % 10000 AS VARCHAR)
+                  || '@mail.example.com or 0555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
                AS text
       FROM documents WHERE doc_id % 3 = 0
     ),
@@ -71,7 +71,9 @@ def q114_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(" contact user"),
             F.col("doc_id").cast("string"),
             F.lit("@mail.example.com or 0555-"),
-            (F.col("doc_id") % 10000).cast("string"),
+            # lpad to 4 digits: a 1-2 digit suffix would fall outside
+            # PHONE_RE ('0[0-9]{3}-...') and silently escape redaction.
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
         ).alias("text"),
     )
     clean = F.regexp_replace(

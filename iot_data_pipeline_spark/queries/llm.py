@@ -456,14 +456,21 @@ _PAIR_CACHE: dict = {}
 
 
 def _ngram_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (id(spark), sf_dir)
-    if key not in _PAIR_CACHE:
+    # Keyed by (applicationId, startTime): id(spark) is reused by CPython
+    # after GC, so a new session could collide with a stale entry holding a
+    # checkpointed frame from a stopped SparkContext.
+    sc = spark.sparkContext
+    key = (sc.applicationId, sc.startTime, sf_dir)
+    cached = _PAIR_CACHE.get(key)
+    if cached is None or cached[0]._jsc.sc().isStopped():
+        _PAIR_CACHE.clear()  # stale contexts can never be read again
         _PAIR_CACHE[key] = (
+            sc,
             q25_ngram_jaccard(spark, sf_dir)
             .select("doc_a", "doc_b")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=True),
         )
-    return _PAIR_CACHE[key]
+    return _PAIR_CACHE[key][1]
 
 
 @declared(

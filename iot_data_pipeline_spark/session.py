@@ -153,8 +153,23 @@ def apply_engine_conf(spark: SparkSession) -> SparkSession:
     # at the driver's sf0.01 probe scale that is ~6x task-scheduling
     # overhead per exchange for no parallelism gain. Size to the host
     # like build_session does (AQE coalescing keeps it safe either way).
-    cpus = os.environ.get("SPARK_GRAFT_CPUS")
-    conf["spark.sql.shuffle.partitions"] = cpus if cpus else "32"
+    # Validate the env override: conf.set accepts any string and a
+    # non-integer (e.g. a fractional vCPU count like "0.25") would only
+    # explode at the first shuffle. Fall back to 32 on garbage.
+    try:
+        cpus = max(1, int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    except ValueError:
+        cpus = 32
+    # Respect a deliberate non-default choice by the session's owner: only
+    # replace Spark's out-of-the-box 200.
+    try:
+        current = spark.conf.get("spark.sql.shuffle.partitions")
+    except Exception:
+        current = "200"
+    if current == "200":
+        conf["spark.sql.shuffle.partitions"] = str(cpus)
+    else:
+        conf.pop("spark.sql.shuffle.partitions", None)
     for k, v in conf.items():
         if k == "spark.ui.enabled":
             continue  # static conf; cannot change post-start

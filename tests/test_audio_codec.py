@@ -59,3 +59,43 @@ def test_strict_audio_kernel_in_spark(spark):
         feats, zc = got[i]
         assert feats == pytest.approx([100 * (i + 1) / 32768.0] * 4)
         assert zc == 15
+
+
+def test_truncated_data_chunk_raises():
+    """data chunk declaring more bytes than present -> WavFormatError, not a
+    silent partial decode (ADVICE r2)."""
+    import struct
+
+    blob = bytearray(audio.encode_wav([1, 2, 3, 4], sample_rate=8000))
+    # Inflate the data chunk's declared length beyond the payload.
+    data_at = bytes(blob).find(b"data") + 4
+    blob[data_at : data_at + 4] = struct.pack("<I", 10_000)
+    with pytest.raises(audio.WavFormatError, match="truncated"):
+        audio.decode_wav(bytes(blob))
+
+
+def test_misaligned_data_chunk_raises():
+    """Odd data length at 16-bit depth means a partial trailing frame --
+    must fail loudly rather than drop the byte."""
+    import struct
+
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    data = bytes(5)  # 5 bytes is not a multiple of the 2-byte frame
+    blob = (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    with pytest.raises(audio.WavFormatError, match="multiple"):
+        audio.decode_wav(blob)
+
+
+def test_mp3_payload_refused_with_documented_boundary(spark):
+    """MP3/compressed audio is a declared boundary: strict kernel raises
+    NotImplementedError naming the RIFF/WAVE-only scope."""
+    from iot_data_pipeline_spark.operators.multimodal import extract_audio_features
+
+    mp3 = b"ID3\x04\x00\x00\x00\x00\x00\x00" + bytes(64)
+    df = spark.createDataFrame([(0, bytearray(mp3))], "media_id long, content binary")
+    with pytest.raises(Exception, match="only RIFF/WAVE"):
+        extract_audio_features(df, dim=4, mode="strict").collect()

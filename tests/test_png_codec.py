@@ -155,3 +155,75 @@ def test_strict_mode_decodes_png_in_spark(spark):
     )
     with pytest.raises(Exception, match="PNG|NotImplemented"):
         extract_features(bad, dim=4, mode="strict").collect()
+
+
+def test_truncated_chunk_raises_format_error():
+    """A chunk declaring more bytes than remain must raise PngFormatError,
+    not a raw zlib/slice error (ADVICE r2: bounds-check chunk lengths)."""
+    import struct
+
+    blob = bytearray(png.encode_png(4, 4, 3, bytes(48)))
+    # Corrupt the first chunk's length field to point past the payload end.
+    blob[8:12] = struct.pack(">I", len(blob))
+    with pytest.raises(png.PngFormatError, match="truncated"):
+        png.decode_png(bytes(blob))
+
+
+def test_corrupt_idat_raises_format_error():
+    blob = bytearray(png.encode_png(4, 4, 3, bytes(48)))
+    # Flip bytes inside the IDAT zlib stream.
+    idat_at = bytes(blob).find(b"IDAT") + 4
+    blob[idat_at + 2 : idat_at + 6] = b"\x00\xff\x00\xff"
+    with pytest.raises(png.PngFormatError, match="corrupt IDAT|IDAT length"):
+        png.decode_png(bytes(blob))
+
+
+def test_decompression_bomb_ihdr_refused_fast():
+    """A tiny payload declaring a 65k x 65k image must be refused before any
+    O(width*height) work happens (ADVICE r2: bomb surface on untrusted
+    media bytes)."""
+    import struct
+    import time
+    import zlib
+
+    ihdr = struct.pack(">IIBBBBB", 65_000, 65_000, 8, 2, 0, 0, 0)
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    bomb = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(100_000), 9))
+        + chunk(b"IEND", b"")
+    )
+    t0 = time.perf_counter()
+    with pytest.raises(png.PngFormatError, match="MAX_DECODED_BYTES"):
+        png.decode_png(bomb)
+    assert time.perf_counter() - t0 < 1.0
+
+
+def test_jpeg_payload_refused_with_documented_boundary(spark):
+    """JPEG is a declared codec boundary (SCALE.md): strict-mode kernels
+    must raise NotImplementedError naming the vendored-PNG-only scope."""
+    from iot_data_pipeline_spark.operators.multimodal import (
+        extract_features,
+        resize_images,
+    )
+
+    jpeg = b"\xff\xd8\xff\xe0\x00\x10JFIF\x00" + bytes(64)
+    df = spark.createDataFrame([(0, bytearray(jpeg))], "media_id long, content binary")
+    for op in (
+        lambda d: extract_features(d, dim=4, mode="strict"),
+        lambda d: resize_images(d, 2, 2, mode="strict"),
+    ):
+        with pytest.raises(Exception, match="only PNG"):
+            op(df).collect()
+    # Kernel-level twin (no Spark wrapping): message must name the boundary.
+    with pytest.raises(png.PngFormatError):
+        png.decode_png(jpeg)
