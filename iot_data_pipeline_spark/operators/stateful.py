@@ -179,7 +179,19 @@ def transform_last_state_stream(stream: DataFrame) -> DataFrame:
     Runtime requirements: the RocksDB state store provider
     (``spark.sql.streaming.stateStore.providerClass``) and the
     ``protobuf`` package (the Python worker speaks protobuf to the JVM
-    state server) -- the test skips where protobuf is absent."""
+    state server). protobuf absence is checked eagerly HERE so the caller
+    gets one clear error instead of an opaque executor-side stack trace
+    minutes into the stream; the test asserts whichever side of the gate
+    this environment is on, so an API change can never hide behind a skip."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError as exc:
+        raise RuntimeError(
+            "transformWithStateInPandas requires the google.protobuf package "
+            "(the Python worker speaks protobuf to the JVM state server); "
+            "install protobuf or use apply_last_state_stream, the "
+            "applyInPandasWithState formulation of the same fold"
+        ) from exc
     return stream.groupBy("device_id").transformWithStateInPandas(
         statefulProcessor=DeviceShadowProcessor(),
         outputStructType=STATE_SCHEMA,

@@ -118,7 +118,11 @@ def _write_sensor_files(spark: SparkSession, sf_dir: str, raw_dir: str) -> None:
     S3 uploader), not an engine operator."""
     ev = read_table(spark, sf_dir, "events")
     rows = (
-        ev.filter(F.col("event_id") % 20 == 0)
+        # The % 20 sample keeps the file small; the < 10000 cap makes the
+        # fixture CONSTANT-SIZE across sf dirs (event_ids are dense from 0),
+        # so this producer-simulation loop never grows with scale. The
+        # oracle carries the same cap.
+        ev.filter((F.col("event_id") % 20 == 0) & (F.col("event_id") < 10000))
         .select(
             (F.col("user_id") % 3).alias("file_no"),
             F.concat(F.lit("device-"), (F.col("user_id") % 25).cast("string")).alias(
@@ -151,7 +155,7 @@ def _q34_oracle() -> str:
              CAST(ts AS TIMESTAMP) AS ts,
              CASE WHEN event_id % 17 = 0 THEN NULL ELSE value / 10 - 5 END
                AS temperature
-      FROM events WHERE event_id % 100 = 0
+      FROM events WHERE event_id % 100 = 0 AND event_id < 10000
     ),
     ranked AS (
       SELECT device_id, ts, temperature,
@@ -187,7 +191,8 @@ def q34_stateful_device_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     def _build_raw(raw: str) -> None:
         ev = read_table(spark, sf_dir, "events")
         rows = (
-            ev.filter(F.col("event_id") % 100 == 0)
+            # sf-invariant cap, mirrored in the oracle (see _write_sensor_files)
+            ev.filter((F.col("event_id") % 100 == 0) & (F.col("event_id") < 10000))
             .select(
                 (F.col("user_id") % 3).alias("file_no"),
                 F.concat(
@@ -272,7 +277,7 @@ def q34_stateful_device_state(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(SUM(CASE WHEN event_id % 17 <> 0
                           THEN ROUND((value / 10 - 5) * 9 / 5 + 32, 2) END), 2)
                AS sum_temp_f
-    FROM events WHERE event_id % 20 = 0
+    FROM events WHERE event_id % 20 = 0 AND event_id < 10000
     GROUP BY 1 ORDER BY 1
     """,
 )

@@ -9,6 +9,7 @@ from __future__ import annotations
 import datetime
 import math
 import sys
+import time
 from decimal import Decimal
 
 import duckdb
@@ -121,18 +122,24 @@ def main() -> int:
     spark = build_session("oracle-harness")
     con = duck_connection(sf_dir)
     failed = 0
+    timings: list[tuple[float, str]] = []
     for name in names:
+        t0 = time.perf_counter()
         try:
             problems = compare_query(spark, con, name, sf_dir)
         except Exception as e:  # noqa: BLE001
             problems = [f"EXCEPTION: {type(e).__name__}: {str(e)[:400]}"]
+        dt = time.perf_counter() - t0
+        timings.append((dt, name))
         status = "PASS" if not problems else "FAIL"
         if problems:
             failed += 1
-        print(f"[{status}] {name}")
+        print(f"[{status}] {name} ({dt:.2f}s)")
         for p in problems:
             print(f"    {p}")
-    print(f"\n{len(names) - failed}/{len(names)} passed")
+    slowest = sorted(timings, reverse=True)[:10]
+    print("\nslowest:", ", ".join(f"{n}={t:.2f}s" for t, n in slowest))
+    print(f"{len(names) - failed}/{len(names)} passed")
     return 1 if failed else 0
 
 
