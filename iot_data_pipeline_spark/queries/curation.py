@@ -722,3 +722,152 @@ def q121_repetition_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+#: Host pattern shared by q128's Spark and oracle sides: RE2 (DuckDB) and
+#: java.util.regex (Spark) compatible -- no lookarounds/backrefs.
+HOST_RE = "^https?://([^/]+)"
+
+
+@declared(
+    "q128_domain_quota",
+    oracle=f"""
+    WITH seeded AS (
+      SELECT doc_id, n_chars,
+             'https://' || source || '-' || CAST(doc_id % 7 AS VARCHAR)
+                || '.example.' || CASE doc_id % 3 WHEN 0 THEN 'com'
+                                                 WHEN 1 THEN 'org'
+                                                 ELSE 'net' END
+                || '/page/' || CAST(doc_id AS VARCHAR) AS url
+      FROM documents
+    ),
+    hosted AS (
+      SELECT doc_id, n_chars, regexp_extract(url, '{HOST_RE}', 1) AS host
+      FROM seeded
+    ),
+    allowed AS (
+      SELECT * FROM hosted
+      WHERE host NOT LIKE '%.example.net'
+        AND host NOT IN ('src0-0.example.com', 'src1-1.example.org')
+    ),
+    capped AS (
+      SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY host ORDER BY n_chars DESC, doc_id) AS rk
+      FROM allowed
+    )
+    SELECT host,
+           CAST(COUNT(*) FILTER (WHERE rk <= 25) AS BIGINT) AS n_kept,
+           CAST(COUNT(*) AS BIGINT) AS n_candidates,
+           CAST(SUM(n_chars) FILTER (WHERE rk <= 25) AS BIGINT) AS kept_chars
+    FROM capped GROUP BY host ORDER BY host
+    """,
+)
+def q128_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-level curation (the CommonCrawl-pipeline shape): extract the
+    host from each document URL, drop blocklisted domains (TLD pattern +
+    explicit list), then cap each surviving domain at 25 documents keeping
+    the longest first -- the standard guard against a single crawler trap
+    or SEO farm dominating a training mix. URLs are seeded
+    deterministically from doc_id/source (the testdata corpus has none).
+
+    Scale notes: host extraction is one JVM-side regexp in the scan
+    projection; the explicit blocklist is a broadcast anti join (a real
+    million-entry blocklist still broadcasts at ~tens of MB); the
+    per-domain cap is a window over the host shuffle -- the same single
+    shuffle the final per-host audit reuses. At 100 TB the quota window
+    processes each host partition independently, so skew is bounded by
+    the largest single domain, the quantity this operator exists to cap.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit("-"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".example."),
+        F.when(F.col("doc_id") % 3 == 0, "com")
+        .when(F.col("doc_id") % 3 == 1, "org")
+        .otherwise("net"),
+        F.lit("/page/"),
+        F.col("doc_id").cast("string"),
+    )
+    hosted = docs.select(
+        "doc_id",
+        "n_chars",
+        F.regexp_extract(url, HOST_RE, 1).alias("host"),
+    )
+    blocklist = spark.createDataFrame(
+        [("src0-0.example.com",), ("src1-1.example.org",)], "blocked_host string"
+    )
+    allowed = hosted.filter(~F.col("host").like("%.example.net")).join(
+        F.broadcast(blocklist),
+        F.col("host") == F.col("blocked_host"),
+        "left_anti",
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("host").orderBy(F.desc("n_chars"), "doc_id")
+    )
+    capped = allowed.withColumn("rk", rk)
+    return (
+        capped.groupBy("host")
+        .agg(
+            F.count(F.when(F.col("rk") <= 25, 1)).alias("n_kept"),
+            F.count(F.lit(1)).alias("n_candidates"),
+            F.sum(F.when(F.col("rk") <= 25, F.col("n_chars")))
+            .cast("long")
+            .alias("kept_chars"),
+        )
+        .orderBy("host")
+    )
+
+
+@declared(
+    "q129_k_anonymity_audit",
+    oracle="""
+    WITH cells AS (
+      SELECT lang, source, CAST(FLOOR(n_chars / 50.0) AS BIGINT) AS len_bucket,
+             COUNT(*) AS cell_n
+      FROM documents GROUP BY 1, 2, 3
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST(COUNT(*) FILTER (WHERE cell_n < 5) AS BIGINT) AS unsafe_cells,
+           CAST(COALESCE(SUM(cell_n) FILTER (WHERE cell_n < 5), 0) AS BIGINT)
+             AS unsafe_docs,
+           CAST(MIN(cell_n) AS BIGINT) AS min_cell_size
+    FROM cells GROUP BY lang ORDER BY lang
+    """,
+)
+def q129_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over quasi-identifier cells (privacy gate a
+    training-data release pipeline runs before publishing): bucket the
+    corpus by (lang, source, length-bucket), count cell sizes, and report
+    per-language how many cells fall under k=5 -- documents in those
+    cells are re-identification risks and get suppressed or generalized
+    downstream.
+
+    Scale notes: two cascaded hash aggregates (cell then lang), both
+    partial-aggregate friendly; no window, no join. The QI cell count is
+    bounded by the attribute-domain product, not corpus size, so the
+    second aggregate is tiny at any SF.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    cells = docs.groupBy(
+        "lang",
+        "source",
+        F.floor(F.col("n_chars") / F.lit(50)).cast("long").alias("len_bucket"),
+    ).agg(F.count(F.lit(1)).alias("cell_n"))
+    return (
+        cells.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            F.count(F.when(F.col("cell_n") < 5, 1)).alias("unsafe_cells"),
+            F.coalesce(
+                F.sum(F.when(F.col("cell_n") < 5, F.col("cell_n"))), F.lit(0)
+            )
+            .cast("long")
+            .alias("unsafe_docs"),
+            F.min("cell_n").alias("min_cell_size"),
+        )
+        .orderBy("lang")
+    )

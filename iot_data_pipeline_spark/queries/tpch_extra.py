@@ -784,3 +784,186 @@ def q111_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_dominant_parts"))
         .orderBy(F.desc("n_dominant_parts"), "s_name")
     )
+
+
+@declared(
+    "q125_min_cost_supplier",
+    oracle="""
+    WITH ps AS (
+      SELECT l_partkey, l_suppkey,
+             MIN(l_extendedprice / l_quantity) AS supplycost
+      FROM lineitem GROUP BY 1, 2
+    ),
+    eur AS (
+      SELECT ps.l_partkey, ps.l_suppkey, ps.supplycost,
+             s.s_name, s.s_acctbal, n.n_name,
+             MIN(ps.supplycost) OVER (PARTITION BY ps.l_partkey) AS min_cost
+      FROM ps
+      JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+      JOIN nation n   ON n.n_nationkey = s.s_nationkey
+      JOIN region r   ON r.r_regionkey = n.n_regionkey
+      WHERE r.r_name = 'EUROPE'
+    )
+    SELECT e.s_acctbal, e.s_name, e.n_name, p.p_partkey, p.p_type,
+           ROUND(e.supplycost, 4) AS min_supplycost
+    FROM eur e JOIN part p ON p.p_partkey = e.l_partkey
+    WHERE e.supplycost = e.min_cost AND p.p_size = 15
+    ORDER BY e.s_acctbal DESC, e.s_name, p.p_partkey
+    LIMIT 100
+    """,
+)
+def q125_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (adapted: the driver schema has no partsupp, so
+    supply cost is the minimum observed unit price per (part, supplier)
+    from lineitem): for size-15 parts, the EUROPE supplier(s) whose cost
+    equals the per-part regional minimum, top 100 by account balance.
+
+    The spec's correlated scalar-MIN subquery is decorrelated into a
+    window MIN over l_partkey -- one shuffle on the part key instead of a
+    re-join of the whole subquery, the classic distributed plan. Dims
+    (supplier/nation/region/part) are broadcast at any SF; the equality
+    compares the identical IEEE division both engines computed, so it is
+    exact. (s_name, p_partkey) is unique per surviving row, making the
+    LIMIT cutoff a total order.
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("supplycost")
+    )
+    supp = read_table(spark, sf_dir, "supplier")
+    nation = read_table(spark, sf_dir, "nation")
+    region = read_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    part = read_table(spark, sf_dir, "part").filter(F.col("p_size") == 15)
+    eur = (
+        ps.join(F.broadcast(supp), ps.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .withColumn(
+            "min_cost", F.min("supplycost").over(Window.partitionBy("l_partkey"))
+        )
+        .filter(F.col("supplycost") == F.col("min_cost"))
+    )
+    return (
+        eur.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_type",
+            F.round("supplycost", 4).alias("min_supplycost"),
+        )
+        .orderBy(F.desc("s_acctbal"), "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@declared(
+    "q126_important_parts",
+    oracle="""
+    WITH nat AS (
+      SELECT l.l_partkey, CAST(l.l_extendedprice AS DECIMAL(18,2)) AS val
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n   ON n.n_nationkey = s.s_nationkey
+      WHERE n.n_name = 'NATION_7'
+    ),
+    tot AS (SELECT SUM(val) * CAST(0.001 AS DECIMAL(4,3)) AS threshold FROM nat)
+    SELECT l_partkey, CAST(SUM(val) AS DOUBLE) AS part_value
+    FROM nat, tot
+    GROUP BY l_partkey, tot.threshold
+    HAVING SUM(val) > tot.threshold
+    ORDER BY part_value DESC, l_partkey
+    """,
+)
+def q126_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (adapted to the lineitem-derived part-supplier
+    relation): parts whose shipped value from NATION_7's suppliers
+    exceeds 0.1% of that nation's total -- a grouped aggregate gated by a
+    global-scalar subquery.
+
+    Sums run on DECIMAL(18,2), not DOUBLE: the HAVING compares a
+    per-part sum against a global sum, and float summation order differs
+    between engines, which could flip boundary parts; decimal arithmetic
+    is exact and order-independent, so the gate is deterministic. The
+    global total is one extra reduce over the already-shuffled per-part
+    aggregate; the threshold broadcast-joins back (scalar), no second
+    scan of lineitem.
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    supp = read_table(spark, sf_dir, "supplier")
+    nation = read_table(spark, sf_dir, "nation").filter(
+        F.col("n_name") == "NATION_7"
+    )
+    nat = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            "l_partkey", F.col("l_extendedprice").cast("decimal(18,2)").alias("val")
+        )
+    )
+    per_part = nat.groupBy("l_partkey").agg(F.sum("val").alias("part_val"))
+    threshold = per_part.agg(
+        (F.sum("part_val") * F.expr("CAST(0.001 AS DECIMAL(4,3))")).alias("threshold")
+    )
+    return (
+        per_part.crossJoin(F.broadcast(threshold))
+        .filter(F.col("part_val") > F.col("threshold"))
+        .select(
+            "l_partkey", F.col("part_val").cast("double").alias("part_value")
+        )
+        .orderBy(F.desc("part_value"), "l_partkey")
+    )
+
+
+@declared(
+    "q127_supplier_part_counts",
+    oracle="""
+    WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+    kept AS (
+      SELECT p.p_brand, p.p_type, p.p_size, ps.l_suppkey
+      FROM ps JOIN part p ON p.p_partkey = ps.l_partkey
+      WHERE p.p_brand <> 'Brand#5'
+        AND p.p_type NOT LIKE 'ECO%'
+        AND p.p_size IN (1, 4, 9, 14, 23, 36, 45, 49)
+        AND ps.l_suppkey NOT IN (
+          SELECT s_suppkey FROM supplier WHERE s_name LIKE '%7')
+    )
+    SELECT p_brand, p_type, p_size,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM kept
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+)
+def q127_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct supplier count per (brand, type, size)
+    over the observed part-supplier relation, excluding one brand, a type
+    prefix, and a complained-about supplier list (NOT IN -> broadcast
+    anti join).
+
+    The DISTINCT pair projection collapses lineitem map-side before any
+    join; part and the supplier blocklist are broadcast, so the only
+    shuffle is the final count-distinct on the (brand, type, size) keys.
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    ps = li.select("l_partkey", "l_suppkey").distinct()
+    part = read_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#5")
+        & (~F.col("p_type").like("ECO%"))
+        & (F.col("p_size").isin(1, 4, 9, 14, 23, 36, 45, 49))
+    )
+    bad_supp = read_table(spark, sf_dir, "supplier").filter(
+        F.col("s_name").like("%7")
+    )
+    return (
+        ps.join(
+            F.broadcast(bad_supp),
+            ps.l_suppkey == bad_supp.s_suppkey,
+            "left_anti",
+        )
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )

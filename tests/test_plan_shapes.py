@@ -371,6 +371,7 @@ BOUNDED_BNLJ = {
     "q116_bm25_scoring": 2,
     "q122_mix_rebalance": 1,
     "q123_leakage_safe_split": 1,
+    "q126_important_parts": 1,  # 1-row global-threshold scalar broadcast
 }
 
 
