@@ -1,0 +1,635 @@
+"""Minimal numpy-accelerated baseline JPEG codec (B48's second real image
+decode path, closing the round-2 "JPEG-dominated corpora" boundary).
+
+The sandbox has no image libraries, so this vendors a from-scratch baseline
+JPEG (ITU-T T.81) decoder/encoder on ``struct`` + ``numpy`` only. Scope:
+
+- decode: baseline sequential DCT (SOF0), 8-bit, greyscale or YCbCr,
+  luma sampling factors up to 2x2 (4:4:4, 4:2:2, 4:2:0), restart
+  intervals. Progressive (SOF2), arithmetic coding, 12-bit, and CMYK
+  raise ``JpegFormatError`` rather than silently mis-decoding.
+- encode: baseline 4:4:4 / greyscale with the public Annex K quantization
+  and Huffman tables, libjpeg-style quality scaling (quality=100 =>
+  all-ones tables, which makes flat 8x8 blocks bit-exact through the
+  roundtrip -- the property the q130 oracle gate exploits).
+
+Determinism contract: every rounding step uses ``floor(x + 0.5)`` (never
+banker's rounding), so the full decode math is expressible in closed form
+in DuckDB SQL for solid-color fixtures. All IDCT/FDCT math is float64
+matrix multiplication against the orthonormal DCT-II basis.
+
+This runs INSIDE mapInPandas/mapInArrow kernels (operators/multimodal.py);
+throughput is secondary to having an honest end-to-end pixels path (a real
+cluster vendors libjpeg-turbo via the cluster image, same kernel shape).
+
+Format reference: the public JPEG specification (ITU-T T.81 / ISO 10918-1)
+and JFIF 1.02. Huffman/quant table constants are Annex K spec data.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+__all__ = [
+    "JpegFormatError",
+    "is_jpeg",
+    "decode_jpeg",
+    "encode_jpeg",
+    "MAX_DECODED_BYTES",
+]
+
+
+class JpegFormatError(ValueError):
+    """Raised for payloads that are not baseline JPEG or use unsupported
+    features (progressive, arithmetic, 12-bit)."""
+
+
+#: Decompression-bomb guard, same rationale as png.MAX_DECODED_BYTES.
+MAX_DECODED_BYTES = 64 * 1024 * 1024
+
+_SOI = b"\xff\xd8"
+
+#: zig-zag scan order (T.81 figure 5): index i of the scan -> (row, col).
+ZIGZAG = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int64,
+)
+
+#: Annex K.1/K.2 quantization tables (luminance, chrominance).
+STD_LUMA_Q = [
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+]
+STD_CHROMA_Q = [
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+]
+
+#: Annex K.3 Huffman specs: (BITS counts for code lengths 1..16, HUFFVAL).
+DC_LUMA_SPEC = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+DC_CHROMA_SPEC = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+AC_LUMA_SPEC = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+        0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+        0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+        0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+        0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+        0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+        0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+        0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+        0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+        0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+AC_CHROMA_SPEC = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+        0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+        0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+        0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+        0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+        0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+        0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+        0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+        0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+        0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+        0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+        0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+        0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+
+#: Orthonormal DCT-II basis: A[u, x]; spatial = A.T @ coefs @ A.
+_A = np.zeros((8, 8))
+for _u in range(8):
+    for _x in range(8):
+        _A[_u, _x] = (np.sqrt(1.0 / 8) if _u == 0 else np.sqrt(2.0 / 8)) * np.cos(
+            (2 * _x + 1) * _u * np.pi / 16
+        )
+
+
+def _round_half_up(x: np.ndarray) -> np.ndarray:
+    """floor(x + 0.5): the codec-wide deterministic rounding (numpy's
+    ``round`` is banker's rounding, which SQL cannot reproduce)."""
+    return np.floor(x + 0.5)
+
+
+def is_jpeg(payload: bytes) -> bool:
+    return payload[:2] == _SOI
+
+
+# --------------------------------------------------------------------------
+# Huffman machinery (canonical codes from (BITS, HUFFVAL) per T.81 C.2)
+
+
+def _build_decode_table(bits: list[int], vals: list[int]) -> dict:
+    """(length, code) -> symbol."""
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[k]
+            k += 1
+            code += 1
+        code <<= 1
+    return table
+
+
+def _build_encode_table(bits: list[int], vals: list[int]) -> dict:
+    """symbol -> (code, length)."""
+    out = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            k += 1
+            code += 1
+        code <<= 1
+    return out
+
+
+class _BitReader:
+    """MSB-first bit reader over the entropy-coded segment with 0xFF00
+    unstuffing; stops at any real marker."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.buf = 0
+        self.n = 0
+
+    def _fill(self) -> None:
+        if self.pos >= len(self.data):
+            raise JpegFormatError("truncated entropy-coded segment")
+        b = self.data[self.pos]
+        if b == 0xFF:
+            nxt = self.data[self.pos + 1] if self.pos + 1 < len(self.data) else None
+            if nxt == 0x00:
+                self.pos += 2
+            elif nxt is not None and 0xD0 <= nxt <= 0xD7:
+                raise JpegFormatError("unexpected RST marker inside block")
+            else:
+                # real marker (EOI/next segment): T.81 pads the last byte
+                # with 1-bits; feed 1s so a trailing partial code resolves.
+                self.buf = (self.buf << 8) | 0xFF
+                self.n += 8
+                return
+        else:
+            self.pos += 1
+        self.buf = (self.buf << 8) | b
+        self.n += 8
+
+    def read_bit(self) -> int:
+        if self.n == 0:
+            self._fill()
+        self.n -= 1
+        return (self.buf >> self.n) & 1
+
+    def receive(self, nbits: int) -> int:
+        v = 0
+        for _ in range(nbits):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def align_and_expect_rst(self, which: int) -> None:
+        """Byte-align and consume the RSTn marker (restart interval)."""
+        self.buf = 0
+        self.n = 0
+        if self.pos + 1 >= len(self.data):
+            raise JpegFormatError("truncated at restart marker")
+        if self.data[self.pos] != 0xFF or self.data[self.pos + 1] != 0xD0 + which:
+            raise JpegFormatError("missing restart marker")
+        self.pos += 2
+
+
+def _decode_symbol(reader: _BitReader, table: dict) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | reader.read_bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise JpegFormatError("invalid Huffman code")
+
+
+def _extend(v: int, t: int) -> int:
+    """T.81 EXTEND: magnitude bits -> signed value."""
+    return v - (1 << t) + 1 if v < (1 << (t - 1)) else v
+
+
+# --------------------------------------------------------------------------
+# Decoder
+
+
+def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytearray]:
+    """Decode a baseline JPEG -> ``(width, height, channels, pixels)``,
+    ``pixels`` flat row-major 8-bit samples (RGB or greyscale) --
+    the same contract as :func:`png.decode_png`."""
+    if not is_jpeg(payload):
+        raise JpegFormatError("bad JPEG SOI signature")
+    qtables: dict[int, np.ndarray] = {}
+    htables: dict[tuple[int, int], dict] = {}
+    comps: list[dict] = []
+    width = height = 0
+    restart_interval = 0
+    pos = 2
+    n = len(payload)
+    while True:
+        if pos + 4 > n:
+            raise JpegFormatError("truncated segment stream")
+        if payload[pos] != 0xFF:
+            raise JpegFormatError("expected marker")
+        marker = payload[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI before SOS
+            raise JpegFormatError("no scan data before EOI")
+        (seglen,) = struct.unpack(">H", payload[pos : pos + 2])
+        seg = payload[pos + 2 : pos + seglen]
+        if len(seg) != seglen - 2:
+            raise JpegFormatError("truncated segment body")
+        body_at = pos + 2
+        pos += seglen
+        if marker == 0xDB:  # DQT
+            off = 0
+            while off < len(seg):
+                pq, tq = seg[off] >> 4, seg[off] & 0x0F
+                if pq != 0:
+                    raise JpegFormatError("16-bit quant tables unsupported")
+                tbl = np.zeros(64)
+                tbl[ZIGZAG] = np.frombuffer(seg[off + 1 : off + 65], dtype=np.uint8)
+                qtables[tq] = tbl.reshape(8, 8)
+                off += 65
+        elif marker == 0xC4:  # DHT
+            off = 0
+            while off < len(seg):
+                tc, th = seg[off] >> 4, seg[off] & 0x0F
+                bits = list(seg[off + 1 : off + 17])
+                nv = sum(bits)
+                vals = list(seg[off + 17 : off + 17 + nv])
+                htables[(tc, th)] = _build_decode_table(bits, vals)
+                off += 17 + nv
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", seg[:2])
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, height, width, nc = struct.unpack(">BHHB", seg[:6])
+            if prec != 8:
+                raise JpegFormatError(f"unsupported sample precision {prec}")
+            if nc not in (1, 3):
+                raise JpegFormatError(f"unsupported component count {nc}")
+            for c in range(nc):
+                cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
+                comps.append(
+                    {"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq}
+                )
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise JpegFormatError(
+                "only baseline sequential (SOF0) JPEG is supported; "
+                f"got SOF marker 0x{marker:02X} (progressive/extended)"
+            )
+        elif marker == 0xCC:
+            raise JpegFormatError("arithmetic coding unsupported")
+        elif marker == 0xDA:  # SOS
+            ns = seg[0]
+            if ns != len(comps):
+                raise JpegFormatError("scan/frame component mismatch")
+            for s in range(ns):
+                cs, tdta = seg[1 + 2 * s], seg[2 + 2 * s]
+                for comp in comps:
+                    if comp["id"] == cs:
+                        comp["td"] = tdta >> 4
+                        comp["ta"] = tdta & 0x0F
+            scan_at = body_at + seglen - 2
+            return _decode_scan(
+                payload, scan_at, width, height, comps, qtables, htables,
+                restart_interval,
+            )
+        # else: APPn/COM -> skip
+
+
+def _decode_scan(
+    payload: bytes,
+    pos: int,
+    width: int,
+    height: int,
+    comps: list[dict],
+    qtables: dict,
+    htables: dict,
+    restart_interval: int,
+) -> tuple[int, int, int, bytearray]:
+    if not comps or not width or not height:
+        raise JpegFormatError("missing SOF0 frame header")
+    nc = len(comps)
+    if width * height * nc > MAX_DECODED_BYTES:
+        raise JpegFormatError(
+            f"decoded size {width}x{height}x{nc} exceeds "
+            f"MAX_DECODED_BYTES ({MAX_DECODED_BYTES})"
+        )
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    if hmax not in (1, 2) or vmax not in (1, 2):
+        raise JpegFormatError("sampling factors beyond 2x2 unsupported")
+    mcus_x = -(-width // (8 * hmax))
+    mcus_y = -(-height // (8 * vmax))
+    for c in comps:
+        bw = mcus_x * c["h"]
+        bh = mcus_y * c["v"]
+        c["coef"] = np.zeros((bh * 8, bw * 8))
+        c["pred"] = 0
+        if c["tq"] not in qtables:
+            raise JpegFormatError("missing quantization table")
+        if (0, c.get("td", 0)) not in htables or (1, c.get("ta", 0)) not in htables:
+            raise JpegFormatError("missing Huffman table")
+
+    reader = _BitReader(payload, pos)
+    rst_count = 0
+    mcu_index = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_index and mcu_index % restart_interval == 0:
+                reader.align_and_expect_rst(rst_count % 8)
+                rst_count += 1
+                for c in comps:
+                    c["pred"] = 0
+            for c in comps:
+                dc_tbl = htables[(0, c["td"])]
+                ac_tbl = htables[(1, c["ta"])]
+                q = qtables[c["tq"]]
+                for j in range(c["v"]):
+                    for i in range(c["h"]):
+                        block = _decode_block(reader, dc_tbl, ac_tbl, c)
+                        by = (my * c["v"] + j) * 8
+                        bx = (mx * c["h"] + i) * 8
+                        c["coef"][by : by + 8, bx : bx + 8] = block * q
+            mcu_index += 1
+
+    # Batched IDCT per component, then upsample and color-convert.
+    planes = []
+    for c in comps:
+        coef = c["coef"]
+        bh, bw = coef.shape[0] // 8, coef.shape[1] // 8
+        blocks = coef.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3)
+        spatial = np.einsum("ux,mnuv,vy->mnxy", _A, blocks, _A, optimize=True)
+        plane = spatial.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8) + 128.0
+        plane = np.repeat(
+            np.repeat(plane, vmax // c["v"], axis=0), hmax // c["h"], axis=1
+        )
+        planes.append(plane[:height, :width])
+
+    if nc == 1:
+        out = np.clip(_round_half_up(planes[0]), 0, 255).astype(np.uint8)
+        return width, height, 1, bytearray(out.tobytes())
+    y, cb, cr = planes
+    # JFIF YCbCr -> RGB, floor(x+0.5) rounding (decode-side twin of encode).
+    r = _round_half_up(y + 1.402 * (cr - 128.0))
+    g = _round_half_up(y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0))
+    b = _round_half_up(y + 1.772 * (cb - 128.0))
+    rgb = np.stack(
+        [np.clip(r, 0, 255), np.clip(g, 0, 255), np.clip(b, 0, 255)], axis=-1
+    ).astype(np.uint8)
+    return width, height, 3, bytearray(rgb.tobytes())
+
+
+def _decode_block(
+    reader: _BitReader, dc_tbl: dict, ac_tbl: dict, comp: dict
+) -> np.ndarray:
+    zz = np.zeros(64)
+    t = _decode_symbol(reader, dc_tbl)
+    diff = _extend(reader.receive(t), t) if t else 0
+    comp["pred"] += diff
+    zz[0] = comp["pred"]
+    k = 1
+    while k < 64:
+        rs = _decode_symbol(reader, ac_tbl)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:  # ZRL: sixteen zeros
+                k += 16
+                continue
+            break  # EOB
+        k += r
+        if k > 63:
+            raise JpegFormatError("AC run past end of block")
+        zz[k] = _extend(reader.receive(s), s)
+        k += 1
+    out = np.zeros(64)
+    out[ZIGZAG] = zz
+    return out.reshape(8, 8)
+
+
+# --------------------------------------------------------------------------
+# Encoder
+
+
+def _quality_scale(base: list[int], quality: int) -> np.ndarray:
+    """libjpeg-style quality scaling; quality=100 -> all-ones (lossless for
+    flat blocks)."""
+    if not 1 <= quality <= 100:
+        raise JpegFormatError("quality must be in 1..100")
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    q = [(b * scale + 50) // 100 for b in base]
+    tbl = np.array([min(255, max(1, v)) for v in q], dtype=np.float64)
+    out = np.zeros(64)
+    out[ZIGZAG] = tbl  # base tables are in zig-zag order (Annex K)
+    return out.reshape(8, 8)
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | code
+        self.n += length
+        while self.n >= 8:
+            self.n -= 8
+            b = (self.acc >> self.n) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+
+    def flush(self) -> bytes:
+        if self.n:
+            pad = 8 - self.n
+            self.write((1 << pad) - 1, pad)  # pad with 1-bits (T.81 F.1.2.3)
+        return bytes(self.out)
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """value -> (category, magnitude bits)."""
+    t = int(abs(v)).bit_length()
+    bits = v if v >= 0 else v + (1 << t) - 1
+    return t, bits
+
+
+def _encode_block(
+    writer: _BitWriter,
+    block: np.ndarray,
+    q: np.ndarray,
+    pred: int,
+    dc_codes: dict,
+    ac_codes: dict,
+) -> int:
+    coefs = _A @ block @ _A.T
+    quant = _round_half_up(coefs / q).astype(np.int64)
+    zz = quant.reshape(-1)[ZIGZAG]  # zz[i] = quant.flat[ZIGZAG[i]]
+    dc = int(zz[0])
+    t, bits = _magnitude(dc - pred)
+    code, length = dc_codes[t]
+    writer.write(code, length)
+    if t:
+        writer.write(bits, t)
+    run = 0
+    last_nz = 0
+    for k in range(63, 0, -1):
+        if zz[k]:
+            last_nz = k
+            break
+    for k in range(1, last_nz + 1):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, length = ac_codes[0xF0]  # ZRL
+            writer.write(code, length)
+            run -= 16
+        t, bits = _magnitude(v)
+        code, length = ac_codes[(run << 4) | t]
+        writer.write(code, length)
+        writer.write(bits, t)
+        run = 0
+    if last_nz < 63:
+        code, length = ac_codes[0x00]  # EOB
+        writer.write(code, length)
+    return dc
+
+
+def encode_jpeg(
+    width: int,
+    height: int,
+    channels: int,
+    pixels: bytes | bytearray,
+    quality: int = 90,
+) -> bytes:
+    """Encode flat 8-bit row-major samples -> baseline JPEG bytes
+    (greyscale or 4:4:4 YCbCr, Annex K tables, deterministic output)."""
+    if channels not in (1, 3):
+        raise JpegFormatError(f"unsupported channel count {channels}")
+    if len(pixels) != width * height * channels:
+        raise JpegFormatError("pixel buffer does not match dimensions")
+    arr = np.frombuffer(bytes(pixels), dtype=np.uint8).reshape(
+        height, width, channels
+    ).astype(np.float64)
+    if channels == 3:
+        r, g, b = arr[..., 0], arr[..., 1], arr[..., 2]
+        # JFIF RGB -> YCbCr, floor(x+0.5) rounding.
+        y = _round_half_up(0.299 * r + 0.587 * g + 0.114 * b)
+        cb = _round_half_up(128.0 - 0.168735892 * r - 0.331264108 * g + 0.5 * b)
+        cr = _round_half_up(128.0 + 0.5 * r - 0.418687589 * g - 0.081312411 * b)
+        planes = [np.clip(p, 0, 255) for p in (y, cb, cr)]
+    else:
+        planes = [arr[..., 0]]
+
+    q_luma = _quality_scale(STD_LUMA_Q, quality)
+    q_chroma = _quality_scale(STD_CHROMA_Q, quality)
+    dc_l = _build_encode_table(*DC_LUMA_SPEC)
+    ac_l = _build_encode_table(*AC_LUMA_SPEC)
+    dc_c = _build_encode_table(*DC_CHROMA_SPEC)
+    ac_c = _build_encode_table(*AC_CHROMA_SPEC)
+
+    # Pad each plane to 8-multiples by edge replication.
+    ph = -(-height // 8) * 8
+    pw = -(-width // 8) * 8
+    padded = []
+    for p in planes:
+        pp = np.pad(p, ((0, ph - height), (0, pw - width)), mode="edge")
+        padded.append(pp - 128.0)
+
+    writer = _BitWriter()
+    preds = [0] * channels
+    for by in range(0, ph, 8):
+        for bx in range(0, pw, 8):
+            for ci, p in enumerate(padded):
+                is_luma = ci == 0
+                preds[ci] = _encode_block(
+                    writer,
+                    p[by : by + 8, bx : bx + 8],
+                    q_luma if is_luma else q_chroma,
+                    preds[ci],
+                    dc_l if is_luma else dc_c,
+                    ac_l if is_luma else ac_c,
+                )
+    scan = writer.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    def dqt(tq: int, tbl: np.ndarray) -> bytes:
+        zz = tbl.reshape(-1)[ZIGZAG].astype(np.uint8)
+        return seg(0xDB, bytes([tq]) + zz.tobytes())
+
+    def dht(tc: int, th: int, spec: tuple) -> bytes:
+        bits, vals = spec
+        return seg(0xC4, bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals))
+
+    out = bytearray(_SOI)
+    out += seg(0xE0, b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00")
+    out += dqt(0, q_luma)
+    if channels == 3:
+        out += dqt(1, q_chroma)
+    sof_comps = b""
+    for ci in range(channels):
+        sof_comps += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])
+    out += seg(0xC0, struct.pack(">BHHB", 8, height, width, channels) + sof_comps)
+    out += dht(0, 0, DC_LUMA_SPEC)
+    out += dht(1, 0, AC_LUMA_SPEC)
+    if channels == 3:
+        out += dht(0, 1, DC_CHROMA_SPEC)
+        out += dht(1, 1, AC_CHROMA_SPEC)
+    sos_comps = b""
+    for ci in range(channels):
+        sos_comps += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
+    out += seg(0xDA, bytes([channels]) + sos_comps + b"\x00\x3f\x00")
+    out += scan
+    out += b"\xff\xd9"
+    return bytes(out)

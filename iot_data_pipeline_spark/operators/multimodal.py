@@ -6,12 +6,13 @@ batches so bytes never round-trip through Python row objects.
 
 Codec posture (two tiers, both clearly marked):
 
-- ``mode='strict'``: PNG payloads get a REAL decode via the vendored
-  pure-stdlib codec (``operators/png.py`` -- zlib inflate, scanline
-  unfiltering, pixel features / nearest-neighbor resize). Non-PNG
-  payloads raise NotImplementedError: JPEG/audio/video codecs are not in
-  this container, and the honest posture is to refuse rather than fake.
-  On a real cluster the non-PNG branch is where libjpeg-turbo/ffmpeg
+- ``mode='strict'``: PNG and baseline JPEG payloads get a REAL decode via
+  the vendored codecs (``operators/png.py`` -- zlib inflate, scanline
+  unfiltering; ``operators/jpeg.py`` -- Huffman entropy decode, dequant,
+  IDCT, chroma upsample, YCbCr->RGB). Other payloads raise
+  NotImplementedError: progressive-JPEG/compressed-audio/video codecs are
+  not in this container, and the honest posture is to refuse rather than
+  fake. On a real cluster that branch is where libjpeg-turbo/ffmpeg
   kernels plug in, same mapInPandas signature.
 - ``mode='fake'`` produces a deterministic digest-derived feature vector,
   which keeps the Spark-side contract -- schema, batch shape, partitioning,
@@ -96,15 +97,19 @@ def extract_features(
     def kernel(payload: bytes) -> list[float]:
         if mode == "fake":
             return _fake_features(payload, dim)
-        from iot_data_pipeline_spark.operators import png
+        from iot_data_pipeline_spark.operators import jpeg, png
 
         if png.is_png(payload):
             w, h, ch, pixels = png.decode_png(payload)
             return png.luma_grid_features(w, h, ch, pixels, dim)
+        if jpeg.is_jpeg(payload):
+            w, h, ch, pixels = jpeg.decode_jpeg(payload)
+            return png.luma_grid_features(w, h, ch, pixels, dim)
         raise NotImplementedError(
-            "only PNG decode is vendored in this environment; other codecs "
-            "(JPEG/audio/video) plug into this kernel on a real cluster, or "
-            "run with mode='fake' for the deterministic test kernel"
+            "only PNG and baseline JPEG decode are vendored in this "
+            "environment; other codecs (progressive JPEG/audio/video) plug "
+            "into this kernel on a real cluster, or run with mode='fake' "
+            "for the deterministic test kernel"
         )
 
     def run(batches: Iterator) -> Iterator:
@@ -150,14 +155,20 @@ def resize_images(
 
     def kernel(payload: bytes) -> bytes:
         if mode == "strict":
-            from iot_data_pipeline_spark.operators import png
+            from iot_data_pipeline_spark.operators import jpeg, png
 
-            if not png.is_png(payload):
+            if png.is_png(payload):
+                w, h, ch, pixels = png.decode_png(payload)
+            elif jpeg.is_jpeg(payload):
+                # JPEG in, PNG out: re-encoding lossy JPEG would degrade
+                # again, so resized media normalizes to lossless PNG.
+                w, h, ch, pixels = jpeg.decode_jpeg(payload)
+            else:
                 raise NotImplementedError(
-                    "only PNG resize is vendored in this environment; run "
-                    "with mode='fake' for the deterministic test kernel"
+                    "only PNG and baseline JPEG resize are vendored in this "
+                    "environment; run with mode='fake' for the "
+                    "deterministic test kernel"
                 )
-            w, h, ch, pixels = png.decode_png(payload)
             return png.encode_png(
                 width, height, ch, png.resize_nearest(w, h, ch, pixels, width, height)
             )
@@ -248,14 +259,18 @@ def extract_features_arrow(
     def kernel(payload: bytes) -> list[float]:
         if mode == "fake":
             return _fake_features(payload, dim)
-        from iot_data_pipeline_spark.operators import png
+        from iot_data_pipeline_spark.operators import jpeg, png
 
         if png.is_png(payload):
             w, h, ch, pixels = png.decode_png(payload)
             return png.luma_grid_features(w, h, ch, pixels, dim)
+        if jpeg.is_jpeg(payload):
+            w, h, ch, pixels = jpeg.decode_jpeg(payload)
+            return png.luma_grid_features(w, h, ch, pixels, dim)
         raise NotImplementedError(
-            "only PNG decode is vendored in this environment; run with "
-            "mode='fake' for the deterministic test kernel"
+            "only PNG and baseline JPEG decode are vendored in this "
+            "environment; run with mode='fake' for the deterministic "
+            "test kernel"
         )
 
     def run(batches):

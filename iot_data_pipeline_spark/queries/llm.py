@@ -1730,3 +1730,99 @@ def q124_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("zero_crossings"),
         F.size("features").alias("n_cells"),
     ).orderBy("doc_id")
+
+
+@declared(
+    "q130_jpeg_decode",
+    oracle="""
+    WITH seed AS (
+      SELECT doc_id,
+             CAST((doc_id * 11) % 256 AS DOUBLE) AS r,
+             CAST((doc_id * 17) % 256 AS DOUBLE) AS g,
+             CAST((doc_id * 23) % 256 AS DOUBLE) AS b
+      FROM documents WHERE doc_id < 200
+    ),
+    ycc AS (
+      SELECT doc_id,
+        LEAST(255, GREATEST(0, FLOOR(0.299*r + 0.587*g + 0.114*b + 0.5))) AS y,
+        LEAST(255, GREATEST(0, FLOOR(128 - 0.168735892*r - 0.331264108*g
+                                     + 0.5*b + 0.5))) AS cb,
+        LEAST(255, GREATEST(0, FLOOR(128 + 0.5*r - 0.418687589*g
+                                     - 0.081312411*b + 0.5))) AS cr
+      FROM seed
+    ),
+    rgb2 AS (
+      SELECT doc_id,
+        LEAST(255, GREATEST(0, FLOOR(y + 1.402*(cr - 128) + 0.5))) AS r2,
+        LEAST(255, GREATEST(0, FLOOR(y - 0.344136*(cb - 128)
+                                     - 0.714136*(cr - 128) + 0.5))) AS g2,
+        LEAST(255, GREATEST(0, FLOOR(y + 1.772*(cb - 128) + 0.5))) AS b2
+      FROM ycc
+    )
+    SELECT doc_id,
+           ROUND(((299 * CAST(r2 AS BIGINT) + 587 * CAST(g2 AS BIGINT)
+                   + 114 * CAST(b2 AS BIGINT)) // 1000) / 255.0, 4)
+             AS mean_luma,
+           CAST(4 AS INTEGER) AS n_feats
+    FROM rgb2 ORDER BY doc_id
+    """,
+)
+def q130_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline-JPEG decode in the oracle gate (B48, the twin of
+    q113's PNG path): per row a solid-color 8x8 RGB JPEG is synthesized
+    worker-side (vendored T.81 codec, operators/jpeg.py, quality=100 ->
+    all-ones quant tables), shipped through the binary media column, and
+    decoded back by ``extract_features(mode='strict')`` -- Huffman entropy
+    decode, dequant, IDCT, YCbCr->RGB, Rec.601 luma grid.
+
+    At quality=100 a flat block is bit-exact through the DCT path, so the
+    only value changes are the codec's documented floor(x+0.5) YCbCr
+    double-rounding -- which the DuckDB oracle replicates in closed form
+    (identical IEEE doubles on both sides: same literals, same
+    left-to-right association).
+
+    Scale notes: synth and decode are both mapInPandas kernels over Arrow
+    batches; payload bytes never leave the executor; the numpy IDCT is
+    batched per image, not per pixel. This is the exact shape a
+    libjpeg-turbo kernel drops into on a real cluster.
+    """
+    from iot_data_pipeline_spark.operators.multimodal import extract_features
+
+    docs = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+
+    def synth(batches):
+        import pandas as pd
+
+        from iot_data_pipeline_spark.operators import jpeg as _jpeg
+
+        for pdf in batches:
+            blobs = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                rgb = bytes([(i * 11) % 256, (i * 17) % 256, (i * 23) % 256])
+                blobs.append(_jpeg.encode_jpeg(8, 8, 3, rgb * 64, quality=100))
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "content": blobs})
+
+    import pyspark.sql.types as T
+
+    media = docs.select("doc_id").mapInPandas(
+        synth,
+        schema=T.StructType(
+            [
+                T.StructField("media_id", T.LongType()),
+                T.StructField("content", T.BinaryType()),
+            ]
+        ),
+    )
+    feats = extract_features(media, dim=4, mode="strict")
+    return feats.select(
+        F.col("media_id").alias("doc_id"),
+        F.round(
+            F.aggregate(
+                F.col("features"), F.lit(0.0), lambda s, x: s + x.cast("double")
+            )
+            / F.size("features"),
+            4,
+        ).alias("mean_luma"),
+        F.size("features").alias("n_feats"),
+    ).orderBy("doc_id")

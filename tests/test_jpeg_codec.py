@@ -1,0 +1,126 @@
+"""Vendored baseline JPEG codec (operators/jpeg.py) + strict-mode kernels.
+
+The determinism contract under test: quality=100 makes flat (solid-color)
+8x8 blocks bit-exact through encode->decode, with the only value changes
+being the documented floor(x+0.5) YCbCr double-rounding -- the closed-form
+chain the q130 oracle replicates in SQL.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+from iot_data_pipeline_spark.operators import jpeg
+
+
+def _expected_solid_rgb(r: int, g: int, b: int) -> tuple[int, int, int]:
+    """The codec's documented double-rounding chain for a flat block."""
+    fl = lambda x: min(255, max(0, math.floor(x + 0.5)))  # noqa: E731
+    y = fl(0.299 * r + 0.587 * g + 0.114 * b)
+    cb = fl(128 - 0.168735892 * r - 0.331264108 * g + 0.5 * b)
+    cr = fl(128 + 0.5 * r - 0.418687589 * g - 0.081312411 * b)
+    return (
+        fl(y + 1.402 * (cr - 128)),
+        fl(y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)),
+        fl(y + 1.772 * (cb - 128)),
+    )
+
+
+@pytest.mark.parametrize(
+    "rgb", [(0, 0, 0), (255, 255, 255), (10, 200, 40), (7, 91, 203)]
+)
+def test_solid_color_quality100_exact(rgb):
+    pix = bytes(rgb) * 64
+    blob = jpeg.encode_jpeg(8, 8, 3, pix, quality=100)
+    assert jpeg.is_jpeg(blob)
+    w, h, ch, out = jpeg.decode_jpeg(blob)
+    assert (w, h, ch) == (8, 8, 3)
+    assert bytes(out) == bytes(_expected_solid_rgb(*rgb)) * 64
+
+
+def test_random_roundtrip_bounded_and_deterministic():
+    rnd = np.random.RandomState(7)
+    pix = rnd.randint(0, 256, (16, 24, 3), dtype=np.uint8)
+    blob = jpeg.encode_jpeg(24, 16, 3, pix.tobytes(), quality=95)
+    assert blob == jpeg.encode_jpeg(24, 16, 3, pix.tobytes(), quality=95)
+    w, h, ch, out = jpeg.decode_jpeg(blob)
+    assert (w, h, ch) == (24, 16, 3)
+    arr = np.frombuffer(bytes(out), dtype=np.uint8).reshape(16, 24, 3)
+    # random noise is JPEG's worst case; q95 keeps it within a small bound
+    assert np.abs(arr.astype(int) - pix.astype(int)).max() <= 32
+    assert bytes(out) == bytes(jpeg.decode_jpeg(blob)[3])
+
+
+def test_grayscale_odd_dimensions_padding():
+    rnd = np.random.RandomState(3)
+    gpix = rnd.randint(0, 256, (13, 11), dtype=np.uint8)
+    blob = jpeg.encode_jpeg(11, 13, 1, gpix.tobytes(), quality=100)
+    w, h, ch, out = jpeg.decode_jpeg(blob)
+    assert (w, h, ch) == (11, 13, 1)
+    garr = np.frombuffer(bytes(out), dtype=np.uint8).reshape(13, 11)
+    assert np.abs(garr.astype(int) - gpix.astype(int)).max() <= 1
+
+
+def test_progressive_and_malformed_refused():
+    pix = bytes((1, 2, 3)) * 64
+    blob = bytearray(jpeg.encode_jpeg(8, 8, 3, pix))
+    sof_at = bytes(blob).find(b"\xff\xc0")
+    blob[sof_at + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
+    with pytest.raises(jpeg.JpegFormatError, match="SOF"):
+        jpeg.decode_jpeg(bytes(blob))
+    with pytest.raises(jpeg.JpegFormatError):
+        jpeg.decode_jpeg(b"\xff\xd8\xff\xe0\x00\x10JFIF\x00" + bytes(64))
+    with pytest.raises(jpeg.JpegFormatError):
+        jpeg.decode_jpeg(b"not a jpeg at all")
+
+
+def test_dimension_bomb_refused_fast():
+    import struct
+    import time
+
+    pix = bytes((9, 9, 9)) * 64
+    blob = bytearray(jpeg.encode_jpeg(8, 8, 3, pix))
+    sof_at = bytes(blob).find(b"\xff\xc0")
+    # SOF0 body: len(2) prec(1) height(2) width(2) -- inflate both dims
+    blob[sof_at + 5 : sof_at + 9] = struct.pack(">HH", 65000, 65000)
+    t0 = time.perf_counter()
+    with pytest.raises(jpeg.JpegFormatError, match="MAX_DECODED_BYTES"):
+        jpeg.decode_jpeg(bytes(blob))
+    assert time.perf_counter() - t0 < 1.0
+
+
+def test_strict_kernel_decodes_jpeg_in_spark(spark):
+    from iot_data_pipeline_spark.operators.multimodal import extract_features
+
+    rows = []
+    for i in range(5):
+        v = 50 * i
+        blob = jpeg.encode_jpeg(8, 8, 3, bytes([v, v, v]) * 64, quality=100)
+        rows.append((i, bytearray(blob)))
+    df = spark.createDataFrame(rows, "media_id long, content binary").repartition(2)
+    got = {
+        r["media_id"]: r["features"]
+        for r in extract_features(df, dim=4, mode="strict").collect()
+    }
+    for i in range(5):
+        v = 50 * i
+        er, eg, eb = _expected_solid_rgb(v, v, v)
+        luma = (299 * er + 587 * eg + 114 * eb) // 1000
+        assert got[i] == pytest.approx([luma / 255.0] * 4), i
+
+
+def test_resize_kernel_normalizes_jpeg_to_png(spark):
+    from iot_data_pipeline_spark.operators import png
+    from iot_data_pipeline_spark.operators.multimodal import resize_images
+
+    blob = jpeg.encode_jpeg(8, 8, 3, bytes((40, 80, 120)) * 64, quality=100)
+    df = spark.createDataFrame(
+        [(0, bytearray(blob))], "media_id long, content binary"
+    )
+    (row,) = resize_images(df, 4, 4, mode="strict").collect()
+    w, h, ch, pix = png.decode_png(bytes(row["resized"]))
+    assert (w, h, ch) == (4, 4, 3)
+    assert bytes(pix) == bytes(_expected_solid_rgb(40, 80, 120)) * 16

@@ -208,22 +208,25 @@ def test_decompression_bomb_ihdr_refused_fast():
     assert time.perf_counter() - t0 < 1.0
 
 
-def test_jpeg_payload_refused_with_documented_boundary(spark):
-    """JPEG is a declared codec boundary (SCALE.md): strict-mode kernels
-    must raise NotImplementedError naming the vendored-PNG-only scope."""
+def test_non_image_payload_refused_with_documented_boundary(spark):
+    """Payloads that are neither PNG nor baseline JPEG are a declared codec
+    boundary (SCALE.md): strict-mode kernels must raise NotImplementedError
+    naming the vendored scope."""
     from iot_data_pipeline_spark.operators.multimodal import (
         extract_features,
         resize_images,
     )
 
-    jpeg = b"\xff\xd8\xff\xe0\x00\x10JFIF\x00" + bytes(64)
-    df = spark.createDataFrame([(0, bytearray(jpeg))], "media_id long, content binary")
+    mp3ish = b"ID3\x04\x00\x00\x00\x00\x00\x00" + bytes(64)
+    df = spark.createDataFrame(
+        [(0, bytearray(mp3ish))], "media_id long, content binary"
+    )
     for op in (
         lambda d: extract_features(d, dim=4, mode="strict"),
         lambda d: resize_images(d, 2, 2, mode="strict"),
     ):
-        with pytest.raises(Exception, match="only PNG"):
+        with pytest.raises(Exception, match="only PNG and baseline JPEG"):
             op(df).collect()
     # Kernel-level twin (no Spark wrapping): message must name the boundary.
     with pytest.raises(png.PngFormatError):
-        png.decode_png(jpeg)
+        png.decode_png(mp3ish)
