@@ -1826,3 +1826,165 @@ def q130_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("mean_luma"),
         F.size("features").alias("n_feats"),
     ).orderBy("doc_id")
+
+
+def _bpe_chars_sql(col: str) -> str:
+    """DuckDB: word -> space-joined character representation."""
+    return (
+        f"array_to_string(list_transform(range(1, length({col}) + 1), "
+        f"i -> {col}[i:i]), ' ')"
+    )
+
+
+def _bpe_round_sql(prev: str, k: int) -> str:
+    """One unrolled BPE merge round as DuckDB CTE fragments."""
+    return f"""
+    p{k} AS (
+      SELECT l[i] || ' ' || l[i + 1] AS pair, SUM(cnt) AS pair_count
+      FROM (SELECT cnt, string_split(rep, ' ') AS l FROM {prev}),
+           unnest(range(1, len(l))) AS u(i)
+      GROUP BY 1
+    ),
+    t{k} AS (
+      SELECT pair, pair_count FROM p{k}
+      ORDER BY pair_count DESC, pair LIMIT 1
+    ),
+    w{k} AS (
+      SELECT cnt,
+             trim(replace(' ' || rep || ' ',
+                          ' ' || (SELECT pair FROM t{k}) || ' ',
+                          ' ' || replace((SELECT pair FROM t{k}), ' ', '')
+                              || ' ')) AS rep
+      FROM {prev}
+    )"""
+
+
+@declared(
+    "q131_bpe_learn",
+    oracle=f"""
+    WITH words AS (
+      SELECT token AS word, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+      WHERE token <> '' GROUP BY token
+    ),
+    w0 AS (SELECT cnt, {_bpe_chars_sql('word')} AS rep FROM words),
+    {_bpe_round_sql('w0', 1)},
+    {_bpe_round_sql('w1', 2)},
+    {_bpe_round_sql('w2', 3)}
+    SELECT * FROM (
+      SELECT 1 AS step, (SELECT pair FROM t1) AS pair,
+             (SELECT CAST(pair_count AS BIGINT) FROM t1) AS pair_count,
+             (SELECT CAST(SUM(cnt * len(string_split(rep, ' '))) AS BIGINT)
+              FROM w1) AS corpus_tokens
+      UNION ALL
+      SELECT 2, (SELECT pair FROM t2), (SELECT CAST(pair_count AS BIGINT) FROM t2),
+             (SELECT CAST(SUM(cnt * len(string_split(rep, ' '))) AS BIGINT)
+              FROM w2)
+      UNION ALL
+      SELECT 3, (SELECT pair FROM t3), (SELECT CAST(pair_count AS BIGINT) FROM t3),
+             (SELECT CAST(SUM(cnt * len(string_split(rep, ' '))) AS BIGINT)
+              FROM w3)
+    ) ORDER BY step
+    """,
+)
+def q131_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE vocabulary learning (the tokenizer-TRAINING op a
+    large-scale pipeline runs before tokenizing anything): three unrolled
+    merge rounds -- weighted adjacent-pair counts over the distinct-word
+    table, global argmax with a deterministic tie-break, then a
+    vectorized merge of the winning pair in every word.
+
+    Merge rule (documented precisely, identical in both engines): symbols
+    are space-joined and the pair is merged by ONE literal left-to-right
+    ``replace`` of ``' a b '`` -- the delimiter consumption makes chained
+    repeats (``a b a b``) merge alternately, i.e. the first-occurrence-
+    greedy variant of textbook BPE. Counts are integers throughout, so
+    parity is exact.
+
+    Scale notes: every round iterates over the DISTINCT-WORD table (at
+    100 TB that is vocabulary-sized, ~1e7-1e8 rows, NOT corpus-sized) --
+    the corpus is touched exactly once to build word counts. Pair counting
+    is a map-side-combined aggregate; the winning pair is a 1-row
+    broadcast; the merge is a JVM-side string replace in one codegen span.
+    This is the textbook distributed-BPE layout (corpus-frequency
+    weighted, fixed rounds; a production learner runs the same loop to
+    30k-100k merges with the word table cached).
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    rep0 = F.concat_ws(
+        " ",
+        F.transform(
+            F.sequence(F.lit(1), F.length("word")),
+            lambda i: F.substring(F.col("word"), i, 1),
+        ),
+    )
+    cur = words.select("cnt", rep0.alias("rep")).localCheckpoint(eager=False)
+
+    step_rows = []
+    for step in (1, 2, 3):
+        arr = F.split("rep", " ")
+        pairs = (
+            cur.select(
+                "cnt",
+                F.explode(
+                    F.when(
+                        F.size(arr) >= 2,
+                        F.transform(
+                            F.sequence(F.lit(1), F.size(arr) - 1),
+                            lambda i: F.concat_ws(
+                                " ",
+                                F.element_at(arr, i),
+                                F.element_at(arr, i + 1),
+                            ),
+                        ),
+                    ).otherwise(F.array().cast("array<string>"))
+                ).alias("pair"),
+            )
+            .groupBy("pair")
+            .agg(F.sum("cnt").alias("pair_count"))
+        )
+        top = pairs.orderBy(F.desc("pair_count"), "pair").limit(1)
+        merged = (
+            cur.crossJoin(F.broadcast(top))
+            .select(
+                "cnt",
+                F.trim(
+                    F.replace(
+                        F.concat(F.lit(" "), F.col("rep"), F.lit(" ")),
+                        F.concat(F.lit(" "), F.col("pair"), F.lit(" ")),
+                        F.concat(
+                            F.lit(" "),
+                            F.replace(F.col("pair"), F.lit(" "), F.lit("")),
+                            F.lit(" "),
+                        ),
+                    )
+                ).alias("rep"),
+            )
+            # each round's output feeds the next: checkpoint keeps the
+            # lineage (and the 1-row broadcast) from compounding
+            .localCheckpoint(eager=False)
+        )
+        tokens_after = merged.agg(
+            F.sum(F.col("cnt") * F.size(F.split("rep", " ")))
+            .cast("long")
+            .alias("corpus_tokens")
+        )
+        step_rows.append(
+            top.crossJoin(F.broadcast(tokens_after)).select(
+                F.lit(step).alias("step"),
+                "pair",
+                "pair_count",
+                "corpus_tokens",
+            )
+        )
+        cur = merged
+    out = step_rows[0]
+    for extra in step_rows[1:]:
+        out = out.unionAll(extra)
+    return out.orderBy("step")

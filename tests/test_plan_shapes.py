@@ -372,6 +372,7 @@ BOUNDED_BNLJ = {
     "q122_mix_rebalance": 1,
     "q123_leakage_safe_split": 1,
     "q126_important_parts": 1,  # 1-row global-threshold scalar broadcast
+    "q131_bpe_learn": 3,  # one 1-row winning-pair broadcast per merge round
 }
 
 
