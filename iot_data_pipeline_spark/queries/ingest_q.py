@@ -411,11 +411,13 @@ def q53_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     staged = staged_fixture("q53_events", sf_dir, _build_staged)
     schema = spark.read.parquet(staged).schema
 
-    def stream() -> DataFrame:
-        return spark.readStream.schema(schema).parquet(staged)
-
-    purchases = stream().filter(F.col("event_type") == "purchase")
-    clicks = stream().filter(F.col("event_type") == "click")
+    # ONE file-stream source feeding both join sides: deriving purchases
+    # and clicks from the same source node lets each micro-batch list and
+    # scan the staged parquet once instead of twice (two readStream calls
+    # would plan two independent sources).
+    src = spark.readStream.schema(schema).parquet(staged)
+    purchases = src.filter(F.col("event_type") == "purchase")
+    clicks = src.filter(F.col("event_type") == "click")
     joined = interval_join_streams(
         purchases, clicks, key="user_id", lookback="10 minutes"
     ).select(
