@@ -125,11 +125,57 @@ def bench_extras():
     # "approximate" join goes quadratic where the hand-built band join
     # stays linear. The hand-built pipeline is also the only oracle-able
     # one: MLlib's hash family is seeded JVM-side.)
+    def b_media_decode(spark, sf_dir):
+        # Real-decode media throughput: synthesize one 32x32 RGB JPEG per
+        # document row worker-side (vendored T.81 codec), then run the
+        # strict decode kernel (Huffman + numpy IDCT + YCbCr->RGB + luma
+        # grid). Times the end-to-end binary-column media path the
+        # multimodal operators claim; images/sec lands in the summary.
+        import pandas as pd
+        import pyspark.sql.types as T
+
+        from iot_data_pipeline_spark.operators.multimodal import extract_features
+        from iot_data_pipeline_spark.sources.readers import read_table as _rt
+
+        # filter, not limit(): limit would collapse to one partition and
+        # serialize the decode kernels; the filter keeps the scan parallel.
+        docs = (
+            _rt(spark, sf_dir, "documents")
+            .select("doc_id")
+            .filter(F.col("doc_id") < 2000)
+            .repartition(8)
+        )
+
+        def synth(batches):
+            from iot_data_pipeline_spark.operators import jpeg as _jpeg
+
+            for pdf in batches:
+                blobs = []
+                for doc_id in pdf["doc_id"]:
+                    i = int(doc_id)
+                    rgb = bytes([(i * 11) % 256, (i * 17) % 256, (i * 23) % 256])
+                    blobs.append(
+                        _jpeg.encode_jpeg(32, 32, 3, rgb * (32 * 32), quality=90)
+                    )
+                yield pd.DataFrame({"media_id": pdf["doc_id"], "content": blobs})
+
+        media = docs.mapInPandas(
+            synth,
+            schema=T.StructType(
+                [
+                    T.StructField("media_id", T.LongType()),
+                    T.StructField("content", T.BinaryType()),
+                ]
+            ),
+        )
+        return extract_features(media, dim=16, mode="strict")
+
     return {
         "b01_approx_agg": b_approx_agg,
         "b02_ann_pandas": b_ann_pandas,
         "b03_hll_sketches": b_hll_sketches,
         "b04_pipeline_throughput": b_pipeline_throughput,
+        "b05_media_decode": b_media_decode,
     }
 
 
