@@ -886,9 +886,9 @@ def q126_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-part sum against a global sum, and float summation order differs
     between engines, which could flip boundary parts; decimal arithmetic
     is exact and order-independent, so the gate is deterministic. The
-    global total is one extra reduce over the already-shuffled per-part
-    aggregate; the threshold broadcast-joins back (scalar), no second
-    scan of lineitem.
+    per-part aggregate is localCheckpointed so BOTH its consumers (the
+    global total and the gated output) read the materialized frame -- the
+    plan-shape test pins that lineitem is scanned exactly once.
     """
     li = read_table(spark, sf_dir, "lineitem")
     supp = read_table(spark, sf_dir, "supplier")
@@ -902,7 +902,11 @@ def q126_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_partkey", F.col("l_extendedprice").cast("decimal(18,2)").alias("val")
         )
     )
-    per_part = nat.groupBy("l_partkey").agg(F.sum("val").alias("part_val"))
+    per_part = (
+        nat.groupBy("l_partkey")
+        .agg(F.sum("val").alias("part_val"))
+        .localCheckpoint(eager=False)
+    )
     threshold = per_part.agg(
         (F.sum("part_val") * F.expr("CAST(0.001 AS DECIMAL(4,3))")).alias("threshold")
     )

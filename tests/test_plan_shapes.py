@@ -390,3 +390,55 @@ def test_no_unbounded_nested_loop_joins(spark, sf_dir, name):
         f"{name}: {n} nested-loop/cartesian joins "
         f"(allowed {BOUNDED_BNLJ.get(name, 0)})"
     )
+
+
+def test_q125_dims_broadcast_and_part_filter_pushes(spark, sf_dir):
+    # TPC-H Q2 shape: supplier/nation/region/part are all broadcast; the
+    # p_size predicate must reach the part parquet scan; the per-part MIN
+    # is a window over the partkey shuffle, never a re-join of a subquery.
+    df = q("q125_min_cost_supplier", spark, sf_dir)
+    plan = formatted_plan(df)
+    assert broadcast_join_count(df) >= 4
+    import re
+
+    pushed = " ".join(re.findall(r"PushedFilters: \[([^\]]*)\]", plan))
+    assert "p_size" in pushed, plan
+
+
+def test_q126_threshold_is_single_row_broadcast(spark, sf_dir):
+    # The global-threshold gate must be a 1-row broadcast against the
+    # CHECKPOINTED per-part frame: the returned plan reads the
+    # materialized aggregate on both branches and never re-scans lineitem
+    # (this test caught the original formulation doing exactly that).
+    df = q("q126_important_parts", spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Scan parquet" not in plan, plan
+    assert "ExistingRDD" in plan, plan
+
+
+def test_q127_distinct_pairs_collapse_before_join(spark, sf_dir):
+    # The (partkey, suppkey) DISTINCT must aggregate (partial+final)
+    # BEFORE the part join, and the blocklist is a broadcast anti join.
+    df = q("q127_supplier_part_counts", spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+
+
+def test_q128_host_extraction_stays_in_codegen(spark, sf_dir):
+    # Host regexp + blocklist anti join + quota window: the only exchange
+    # before the final audit aggregate is the host shuffle the window and
+    # the groupBy both reuse.
+    df = q("q128_domain_quota", spark, sf_dir)
+    assert wholestage_codegen_count(df) >= 1
+    # host hash exchange (reused by window + audit agg) and the final
+    # order-by range exchange; each prints twice in a formatted plan.
+    assert shuffle_count(df) <= 4, formatted_plan(df)
+
+
+def test_q131_merge_rounds_bounded_broadcasts(spark, sf_dir):
+    # Each BPE round's winning pair is a 1-row broadcast; the word table
+    # is never re-scanned from parquet after the initial count (the
+    # checkpoint boundary holds the iterated state).
+    df = q("q131_bpe_learn", spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastNestedLoopJoin") <= 3, plan
