@@ -487,10 +487,20 @@ class _BitWriter:
             if b == 0xFF:
                 self.out.append(0x00)  # byte stuffing
 
-    def flush(self) -> bytes:
+    def byte_align(self) -> None:
+        """Pad to a byte boundary with 1-bits (T.81 F.1.2.3); an 0xFF pad
+        byte gets stuffed like any entropy byte."""
         if self.n:
             pad = 8 - self.n
-            self.write((1 << pad) - 1, pad)  # pad with 1-bits (T.81 F.1.2.3)
+            self.write((1 << pad) - 1, pad)
+
+    def append_marker(self, marker: int) -> None:
+        """Emit a raw (unstuffed) marker into the entropy stream."""
+        self.byte_align()
+        self.out.extend(bytes([0xFF, marker]))
+
+    def flush(self) -> bytes:
+        self.byte_align()
         return bytes(self.out)
 
 
@@ -550,11 +560,24 @@ def encode_jpeg(
     channels: int,
     pixels: bytes | bytearray,
     quality: int = 90,
+    subsampling: str = "444",
+    restart_interval: int = 0,
 ) -> bytes:
     """Encode flat 8-bit row-major samples -> baseline JPEG bytes
-    (greyscale or 4:4:4 YCbCr, Annex K tables, deterministic output)."""
+    (greyscale or YCbCr, Annex K tables, deterministic output).
+
+    ``subsampling``: ``'444'`` (one block per component per MCU) or
+    ``'420'`` (2x2 luma blocks per MCU, chroma averaged over 2x2 with the
+    codec's floor(x+0.5) rounding -- the dominant wild-corpus layout).
+    ``restart_interval``: emit DRI + RSTn every N MCUs (0 = none); both
+    exist chiefly so the DECODER's sampling/restart paths have real
+    roundtrip coverage rather than dead branches."""
     if channels not in (1, 3):
         raise JpegFormatError(f"unsupported channel count {channels}")
+    if subsampling not in ("444", "420"):
+        raise JpegFormatError(f"unsupported subsampling {subsampling!r}")
+    if subsampling == "420" and channels == 1:
+        subsampling = "444"  # greyscale has no chroma to subsample
     if len(pixels) != width * height * channels:
         raise JpegFormatError("pixel buffer does not match dimensions")
     arr = np.frombuffer(bytes(pixels), dtype=np.uint8).reshape(
@@ -577,28 +600,61 @@ def encode_jpeg(
     dc_c = _build_encode_table(*DC_CHROMA_SPEC)
     ac_c = _build_encode_table(*AC_CHROMA_SPEC)
 
-    # Pad each plane to 8-multiples by edge replication.
-    ph = -(-height // 8) * 8
-    pw = -(-width // 8) * 8
-    padded = []
-    for p in planes:
-        pp = np.pad(p, ((0, ph - height), (0, pw - width)), mode="edge")
-        padded.append(pp - 128.0)
+    # Pad planes by edge replication: luma to the MCU multiple, chroma
+    # (after any subsampling) to 8.
+    lh, lv = (2, 2) if subsampling == "420" else (1, 1)
+    mcu_h, mcu_w = 8 * lv, 8 * lh
+    ph = -(-height // mcu_h) * mcu_h
+    pw = -(-width // mcu_w) * mcu_w
+
+    def pad(p: np.ndarray, th: int, tw: int) -> np.ndarray:
+        return np.pad(
+            p, ((0, th - p.shape[0]), (0, tw - p.shape[1])), mode="edge"
+        )
+
+    luma = pad(planes[0], ph, pw) - 128.0
+    chroma = []
+    for p in planes[1:]:
+        pp = pad(p, ph, pw)
+        if subsampling == "420":
+            pp = _round_half_up(
+                (pp[0::2, 0::2] + pp[0::2, 1::2] + pp[1::2, 0::2] + pp[1::2, 1::2])
+                / 4.0
+            )
+        chroma.append(pp - 128.0)
 
     writer = _BitWriter()
     preds = [0] * channels
-    for by in range(0, ph, 8):
-        for bx in range(0, pw, 8):
-            for ci, p in enumerate(padded):
-                is_luma = ci == 0
+    rst_count = 0
+    mcu_index = 0
+    for by in range(0, ph, mcu_h):
+        for bx in range(0, pw, mcu_w):
+            if restart_interval and mcu_index and mcu_index % restart_interval == 0:
+                writer.append_marker(0xD0 + rst_count % 8)
+                rst_count += 1
+                preds = [0] * channels
+            for j in range(lv):
+                for i in range(lh):
+                    y0, x0 = by + 8 * j, bx + 8 * i
+                    preds[0] = _encode_block(
+                        writer,
+                        luma[y0 : y0 + 8, x0 : x0 + 8],
+                        q_luma,
+                        preds[0],
+                        dc_l,
+                        ac_l,
+                    )
+            for ci, p in enumerate(chroma, start=1):
+                cy, cx = (by // lv, bx // lh)
                 preds[ci] = _encode_block(
                     writer,
-                    p[by : by + 8, bx : bx + 8],
-                    q_luma if is_luma else q_chroma,
+                    p[cy : cy + 8, cx : cx + 8],
+                    q_chroma,
                     preds[ci],
-                    dc_l if is_luma else dc_c,
-                    ac_l if is_luma else ac_c,
+                    dc_c,
+                    ac_c,
                 )
+            mcu_index += 1
     scan = writer.flush()
 
     def seg(marker: int, body: bytes) -> bytes:
@@ -617,9 +673,12 @@ def encode_jpeg(
     out += dqt(0, q_luma)
     if channels == 3:
         out += dqt(1, q_chroma)
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
     sof_comps = b""
     for ci in range(channels):
-        sof_comps += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])
+        hv = ((lh << 4) | lv) if ci == 0 else 0x11
+        sof_comps += bytes([ci + 1, hv, 0 if ci == 0 else 1])
     out += seg(0xC0, struct.pack(">BHHB", 8, height, width, channels) + sof_comps)
     out += dht(0, 0, DC_LUMA_SPEC)
     out += dht(1, 0, AC_LUMA_SPEC)

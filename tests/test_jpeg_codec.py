@@ -124,3 +124,46 @@ def test_resize_kernel_normalizes_jpeg_to_png(spark):
     w, h, ch, pix = png.decode_png(bytes(row["resized"]))
     assert (w, h, ch) == (4, 4, 3)
     assert bytes(pix) == bytes(_expected_solid_rgb(40, 80, 120)) * 16
+
+
+def test_420_solid_matches_444_exactly():
+    # flat chroma planes are invariant under 2x2 averaging, so 4:2:0 and
+    # 4:4:4 must decode to identical pixels for solid colors
+    for rgb in [(10, 200, 40), (7, 91, 203)]:
+        pix = bytes(rgb) * (16 * 16)
+        b420 = jpeg.encode_jpeg(16, 16, 3, pix, quality=100, subsampling="420")
+        b444 = jpeg.encode_jpeg(16, 16, 3, pix, quality=100, subsampling="444")
+        assert jpeg.decode_jpeg(b420)[3] == jpeg.decode_jpeg(b444)[3]
+
+
+@pytest.mark.parametrize("dims", [(17, 13), (9, 9), (1, 1), (8, 24)])
+def test_420_preserves_luma_on_arbitrary_dims(dims):
+    # chroma is averaged 2x2 (lossy on noise BY DESIGN); the luma channel
+    # must survive subsampling within rounding. Also exercises the
+    # decoder's 2x2 upsample + crop on non-MCU-multiple dimensions.
+    w, h = dims
+    rnd = np.random.RandomState(w * 100 + h)
+    # mid-range pixels keep the chroma-averaged reconstruction inside
+    # [0,255]: clamping would otherwise shift luma on saturated noise
+    # (real behavior, but not the property under test)
+    pix = rnd.randint(96, 160, (h, w, 3), dtype=np.uint8)
+    blob = jpeg.encode_jpeg(w, h, 3, pix.tobytes(), quality=100, subsampling="420")
+    rw, rh, rch, out = jpeg.decode_jpeg(blob)
+    assert (rw, rh, rch) == (w, h, 3)
+    arr = np.frombuffer(bytes(out), dtype=np.uint8).reshape(h, w, 3).astype(float)
+    want_y = 0.299 * pix[..., 0] + 0.587 * pix[..., 1] + 0.114 * pix[..., 2]
+    got_y = 0.299 * arr[..., 0] + 0.587 * arr[..., 1] + 0.114 * arr[..., 2]
+    assert np.abs(got_y - want_y).max() <= 3.0
+
+
+@pytest.mark.parametrize("sub", ["444", "420"])
+@pytest.mark.parametrize("interval", [1, 2, 5])
+def test_restart_intervals_decode_identically(sub, interval):
+    rnd = np.random.RandomState(42)
+    pix = rnd.randint(0, 256, (24, 32, 3), dtype=np.uint8).tobytes()
+    with_rst = jpeg.encode_jpeg(
+        32, 24, 3, pix, quality=100, subsampling=sub, restart_interval=interval
+    )
+    without = jpeg.encode_jpeg(32, 24, 3, pix, quality=100, subsampling=sub)
+    assert b"\xff\xdd" in with_rst and b"\xff\xdd" not in without
+    assert jpeg.decode_jpeg(with_rst)[3] == jpeg.decode_jpeg(without)[3]
