@@ -1988,3 +1988,76 @@ def q131_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
     for extra in step_rows[1:]:
         out = out.unionAll(extra)
     return out.orderBy("step")
+
+
+@declared(
+    "q133_image_dedup",
+    oracle="""
+    -- Expected dHashes derived in closed form from the synthesized
+    -- patterns: pattern k paints column x with (sx*(k+1)*16) % 256 where
+    -- sx is the 16->9 nearest-resample source column
+    -- (sx = min(x*16//9, 15) = 0,1,3,5,7,8,10,12,14); every row is
+    -- identical, so the 8 row-bits repeat 8 times. See
+    -- operators/imagehash.py for the bit rule (left < right).
+    WITH expected(pattern_class, dhash) AS (
+      VALUES (0, CAST(-1 AS BIGINT)),
+             (1, CAST(-578721382704613385 AS BIGINT)),
+             (2, CAST(-1302123111085380115 AS BIGINT)),
+             (3, CAST(-3038287259199220267 AS BIGINT))
+    ),
+    members AS (
+      SELECT doc_id % 4 AS pattern_class, COUNT(*) AS n_images
+      FROM documents WHERE doc_id < 300 GROUP BY 1
+    )
+    SELECT e.pattern_class, e.dhash, CAST(m.n_images AS BIGINT) AS n_images
+    FROM expected e JOIN members m USING (pattern_class)
+    ORDER BY e.pattern_class
+    """,
+)
+def q133_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image dedup over REAL decoded pixels (B48 x B45): per
+    row a 16x16 greyscale PNG is synthesized worker-side with one of 4
+    column patterns, then hashed with dHash (decode -> luma -> 9x8
+    nearest resample -> neighbor-difference bits) and grouped -- images
+    with the same visual pattern land in the same dedup class, and the
+    oracle pins the exact 64-bit hash of every class in closed form.
+
+    Scale notes: the shuffle carries (8-byte hash, id), never pixels; the
+    kernel is mapInPandas over Arrow batches. Near-dup at hamming
+    distance d extends this by pigeonhole banding (d+1 exact-match bands
+    -> equi-join), the same LSH shape as operators/dedup.py.
+    """
+    from iot_data_pipeline_spark.operators.imagehash import dhash_images
+
+    docs = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+
+    def synth(batches):
+        import pandas as pd
+
+        from iot_data_pipeline_spark.operators import png as _png
+
+        for pdf in batches:
+            blobs = []
+            for doc_id in pdf["doc_id"]:
+                k = int(doc_id) % 4
+                row = bytes(((x * (k + 1) * 16) % 256) for x in range(16))
+                blobs.append(_png.encode_png(16, 16, 1, row * 16))
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "content": blobs})
+
+    import pyspark.sql.types as T
+
+    media = docs.select("doc_id").mapInPandas(
+        synth,
+        schema=T.StructType(
+            [
+                T.StructField("media_id", T.LongType()),
+                T.StructField("content", T.BinaryType()),
+            ]
+        ),
+    )
+    hashed = dhash_images(media)
+    return (
+        hashed.groupBy((F.col("media_id") % 4).alias("pattern_class"), "dhash")
+        .agg(F.count(F.lit(1)).alias("n_images"))
+        .orderBy("pattern_class")
+    )

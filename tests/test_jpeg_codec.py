@@ -167,3 +167,28 @@ def test_restart_intervals_decode_identically(sub, interval):
     without = jpeg.encode_jpeg(32, 24, 3, pix, quality=100, subsampling=sub)
     assert b"\xff\xdd" in with_rst and b"\xff\xdd" not in without
     assert jpeg.decode_jpeg(with_rst)[3] == jpeg.decode_jpeg(without)[3]
+
+
+def test_dhash_collides_across_codecs_and_respects_nulls(spark):
+    """The SAME image stored as PNG and as quality-100 JPEG must produce
+    the same dHash (that is what makes it a perceptual dedup key, not a
+    byte digest); NULL payloads pass through as NULL."""
+    from iot_data_pipeline_spark.operators import png
+    from iot_data_pipeline_spark.operators.imagehash import (
+        dhash_bytes,
+        dhash_images,
+    )
+
+    row = bytes(((x * 16) % 256) for x in range(16))
+    pixels = row * 16
+    as_png = png.encode_png(16, 16, 1, pixels)
+    as_jpeg = jpeg.encode_jpeg(16, 16, 1, pixels, quality=100)
+    assert dhash_bytes(as_png) == dhash_bytes(as_jpeg)
+
+    df = spark.createDataFrame(
+        [(0, bytearray(as_png)), (1, bytearray(as_jpeg)), (2, None)],
+        "media_id long, content binary",
+    )
+    got = {r["media_id"]: r["dhash"] for r in dhash_images(df).collect()}
+    assert got[0] == got[1] == dhash_bytes(as_png)
+    assert got[2] is None
