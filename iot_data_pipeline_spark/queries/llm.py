@@ -2061,3 +2061,147 @@ def q133_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_images"))
         .orderBy("pattern_class")
     )
+
+
+@declared(
+    "q134_image_neardup",
+    oracle="""
+    -- 8 closed-form dHashes: 4 base column patterns (q133) and, for every
+    -- second image of each class, a variant whose top TWO source rows use
+    -- the next class's pattern -- after the 16->8 nearest resample that
+    -- changes only resized row 0, i.e. only the top hash byte (band 7),
+    -- so base and variant always share 7 of 8 bands and the pigeonhole
+    -- band join must find every base~variant pair. Hamming distances:
+    -- class 0 -> 1, classes 1-3 -> 3.
+    WITH members AS (
+      SELECT doc_id,
+             doc_id % 4 AS pattern_class,
+             (doc_id // 4) % 2 AS is_variant,
+             CASE doc_id % 4
+               WHEN 0 THEN CASE (doc_id // 4) % 2
+                 WHEN 0 THEN CAST(-1 AS BIGINT)
+                 ELSE CAST(-576460752303423489 AS BIGINT) END
+               WHEN 1 THEN CASE (doc_id // 4) % 2
+                 WHEN 0 THEN CAST(-578721382704613385 AS BIGINT)
+                 ELSE CAST(-1299297323083892745 AS BIGINT) END
+               WHEN 2 THEN CASE (doc_id // 4) % 2
+                 WHEN 0 THEN CAST(-1302123111085380115 AS BIGINT)
+                 ELSE CAST(-3031505367995650579 AS BIGINT) END
+               ELSE CASE (doc_id // 4) % 2
+                 WHEN 0 THEN CAST(-3038287259199220267 AS BIGINT)
+                 ELSE CAST(-11868309606246955 AS BIGINT) END
+             END AS dhash
+      FROM documents WHERE doc_id < 300
+    )
+    SELECT a.pattern_class,
+           CAST(bit_count(xor(a.dhash, b.dhash)) AS INTEGER) AS hamming,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM members a JOIN members b
+      ON a.pattern_class = b.pattern_class AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.dhash, b.dhash)) <= 7
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def q134_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming-banded image NEAR-dup join over real decoded pixels (the
+    scale path of q133): each 64-bit dHash splits into 8 one-byte bands;
+    by pigeonhole, any pair within hamming distance 7 shares at least one
+    exact band, so candidates come from a band equi-join (the same LSH
+    shape as MinHash, operators/dedup.py) and only candidates pay the
+    xor+popcount verify. Variants are synthesized so base~variant pairs
+    differ ONLY in band 7 (top two source rows swap to the next class's
+    pattern, which survives the 16->8 resample as resized row 0 alone).
+
+    The oracle verifies the same pairs from closed-form hashes with a
+    within-class quadratic join -- affordable at oracle scale, which is
+    exactly why the engine side must NOT do it: the banded join is linear
+    in band-bucket sizes. Distances are integers; parity is exact.
+
+    Scale notes: candidates shuffle (8-byte hash, id) pairs; the verify
+    is bit_count(xor) in the JVM; no pixel ever reaches a join. At d<=7
+    with 8 bands recall is exact (pigeonhole), not probabilistic.
+    """
+    from iot_data_pipeline_spark.operators.imagehash import dhash_images
+
+    docs = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+
+    def synth(batches):
+        import pandas as pd
+
+        from iot_data_pipeline_spark.operators import png as _png
+
+        for pdf in batches:
+            blobs = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                k = i % 4
+                variant = (i // 4) % 2
+                base_row = bytes(((x * (k + 1) * 16) % 256) for x in range(16))
+                top_row = (
+                    bytes(((x * (((k + 1) % 4) + 1) * 16) % 256) for x in range(16))
+                    if variant
+                    else base_row
+                )
+                blobs.append(
+                    _png.encode_png(16, 16, 1, top_row * 2 + base_row * 14)
+                )
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "content": blobs})
+
+    import pyspark.sql.types as T
+
+    media = docs.select("doc_id").mapInPandas(
+        synth,
+        schema=T.StructType(
+            [
+                T.StructField("media_id", T.LongType()),
+                T.StructField("content", T.BinaryType()),
+            ]
+        ),
+    )
+    hashed = dhash_images(media).select(
+        F.col("media_id"), (F.col("media_id") % 4).alias("pattern_class"), "dhash"
+    )
+    bands = hashed.select(
+        "media_id",
+        "pattern_class",
+        "dhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.shiftright("dhash", 8 * b)
+                        .bitwiseAND(F.lit(255))
+                        .alias("band_val"),
+                    )
+                    for b in range(8)
+                ]
+            )
+        ).alias("band"),
+    ).select("media_id", "pattern_class", "dhash", "band.*")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.pattern_class").alias("pattern_class"),
+            F.col("a.media_id").alias("id_a"),
+            F.col("b.media_id").alias("id_b"),
+            F.col("a.dhash").alias("ha"),
+            F.col("b.dhash").alias("hb"),
+        )
+        .distinct()  # a pair sharing k bands appears k times
+    )
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (
+        cand.filter(ham <= 7)
+        .filter(F.col("pattern_class") == (F.col("id_b") % 4))  # same class only
+        .groupBy("pattern_class", ham.cast("int").alias("hamming"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("pattern_class", "hamming")
+    )
