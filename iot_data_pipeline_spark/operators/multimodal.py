@@ -353,3 +353,88 @@ def extract_audio_features(
         ]
     )
     return df.select(id_col, content_col).mapInPandas(run, schema=out_schema)
+
+
+def sample_video_frames(
+    df: DataFrame,
+    every_n: int = 1,
+    content_col: str = "content",
+    id_col: str = "media_id",
+    mode: str = "strict",
+) -> DataFrame:
+    """REAL video frame sampling: decode each payload as a YUV4MPEG2 clip
+    (vendored container codec, operators/y4m.py), keep every
+    ``every_n``-th frame, and emit one row per sampled frame with its
+    Rec.601-luma mean -- ``(id, frame_idx, n_frames, mean_luma)``.
+
+    This supersedes :func:`sample_frames`' timestamp-only plan for the
+    uncompressed tier: container parse, plane slicing and per-frame
+    statistics all execute for real inside the Arrow-batched kernel.
+    Compressed video (H.264/VP9/AV1) still raises NotImplementedError --
+    on a real cluster an ffmpeg/pyav kernel drops into this exact
+    mapInPandas signature. mode='fake' keeps plumbing testable on
+    arbitrary payloads (deterministic bytes-derived pseudo-frames).
+
+    Scale notes: payload bytes never leave the executor; the fan-out from
+    clip to frames happens inside the kernel so one input row yields
+    len(frames)/every_n output rows without a JVM-side explode of the
+    binary column (which would copy the payload per frame).
+    """
+    if every_n < 1:
+        raise ValueError(f"every_n must be >= 1, got {every_n}")
+    if mode not in ("strict", "fake"):
+        raise ValueError(f"mode must be strict|fake, got {mode!r}")
+
+    def kernel(payload: bytes) -> list[tuple[int, int, float]]:
+        if mode == "fake":
+            n = max(1, payload[0] if payload else 1)
+            return [
+                (k, n, float(payload[k % max(1, len(payload))]) if payload else 0.0)
+                for k in range(0, n, every_n)
+            ]
+        from iot_data_pipeline_spark.operators import y4m
+
+        if payload.startswith(b"YUV4MPEG2 "):
+            clip = y4m.decode_y4m(payload)
+            return [
+                (k, clip.n_frames, y4m.mean_luma(clip.frames[k]))
+                for k in range(0, clip.n_frames, every_n)
+            ]
+        raise NotImplementedError(
+            "only YUV4MPEG2 (uncompressed) video decode is vendored in "
+            "this environment; compressed codecs (H.264/VP9/AV1) plug an "
+            "ffmpeg kernel into this same signature on a real cluster, "
+            "or run with mode='fake'"
+        )
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            ids, idxs, counts, lumas = [], [], [], []
+            for mid, payload in zip(pdf[id_col], pdf[content_col]):
+                if payload is None:
+                    continue
+                for k, n, lum in kernel(bytes(payload)):
+                    ids.append(mid)
+                    idxs.append(k)
+                    counts.append(n)
+                    lumas.append(lum)
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int64"),
+                    "n_frames": pd.Series(counts, dtype="int64"),
+                    "mean_luma": pd.Series(lumas, dtype="float64"),
+                }
+            )
+
+    out_schema = T.StructType(
+        [
+            next(f for f in df.schema.fields if f.name == id_col),
+            T.StructField("frame_idx", T.LongType()),
+            T.StructField("n_frames", T.LongType()),
+            T.StructField("mean_luma", T.DoubleType()),
+        ]
+    )
+    return df.select(id_col, content_col).mapInPandas(run, schema=out_schema)

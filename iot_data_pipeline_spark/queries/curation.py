@@ -871,3 +871,83 @@ def q129_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@declared(
+    "q132_ngram_perplexity",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    big AS (
+      SELECT doc_id, w[CAST(i AS INT)] AS w1, w[CAST(i AS INT) + 1] AS w2
+      FROM words, LATERAL UNNEST(range(1, len(w))) AS t(i)
+    ),
+    c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM big GROUP BY w1, w2),
+    c1 AS (SELECT w1, COUNT(*) AS c1 FROM big GROUP BY w1),
+    docbig AS (
+      SELECT doc_id, w1, w2, COUNT(*) AS cd FROM big GROUP BY doc_id, w1, w2
+    )
+    SELECT d.doc_id,
+           CAST(SUM(d.cd) AS BIGINT) AS n_bigrams,
+           ROUND(-SUM(d.cd * (log2(CAST(c12.c12 AS DOUBLE))
+                              - log2(CAST(c1.c1 AS DOUBLE)))) / SUM(d.cd), 4)
+             AS bits_per_bigram
+    FROM docbig d
+    JOIN c12 ON d.w1 = c12.w1 AND d.w2 = c12.w2
+    JOIN c1 ON d.w1 = c1.w1
+    GROUP BY d.doc_id
+    HAVING SUM(d.cd) > 0
+    ORDER BY d.doc_id
+    """,
+)
+def q132_ngram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style corpus-LM quality score: train a word-bigram language
+    model on the corpus itself (two hash aggregates over the bigram
+    stream), then score every document by its cross-entropy under that
+    model -- bits per bigram, low = in-distribution, high = outlier /
+    boilerplate / junk. The standard cheap stand-in for the KenLM
+    perplexity filter in web-corpus curation.
+
+    Exactness: all counts are integers; the only floats are log2 of
+    integer counts, summed per doc and rounded AFTER the final division
+    (SURVEY.md section 2.3 rule 1).
+
+    Scale plan: the model tables (c12, c1) are vocabulary-bounded, not
+    corpus-bounded, so both broadcast; the per-doc aggregate is one
+    shuffle on doc_id with map-side partials. The bigram explode is the
+    inherent cost and it is linear, map-side, and codegen'd (no UDFs).
+    Generalizes the reference's per-record quality gate
+    (reference app/app.py:33-56) from field checks to distributional
+    checks.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    big = docs.select(
+        "doc_id",
+        F.explode(
+            F.arrays_zip(
+                F.slice(w, 1, F.greatest(F.size(w) - 1, F.lit(0))).alias("w1"),
+                F.slice(w, 2, F.greatest(F.size(w) - 1, F.lit(0))).alias("w2"),
+            )
+        ).alias("bg"),
+    ).select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    c12 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = big.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    docbig = big.groupBy("doc_id", "w1", "w2").agg(
+        F.count(F.lit(1)).alias("cd")
+    )
+    bits = F.col("cd") * (
+        F.log2(F.col("c12").cast("double")) - F.log2(F.col("c1").cast("double"))
+    )
+    return (
+        docbig.join(F.broadcast(c12), ["w1", "w2"])
+        .join(F.broadcast(c1), ["w1"])
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cd").cast("bigint").alias("n_bigrams"),
+            F.round(-F.sum(bits) / F.sum("cd"), 4).alias("bits_per_bigram"),
+        )
+        .filter(F.col("n_bigrams") > 0)
+        .orderBy("doc_id")
+    )

@@ -2205,3 +2205,83 @@ def q134_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_pairs"))
         .orderBy("pattern_class", "hamming")
     )
+
+
+@declared(
+    "q135_y4m_frames",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, 4 + doc_id % 3 AS n_frames
+      FROM documents WHERE doc_id < 300
+    ),
+    frames AS (
+      SELECT doc_id, CAST(k AS BIGINT) AS frame_idx, n_frames
+      FROM base, LATERAL UNNEST(range(0, n_frames, 2)) AS t(k)
+    )
+    SELECT doc_id, frame_idx, CAST(n_frames AS BIGINT) AS n_frames,
+           ROUND(CAST((doc_id * 7 + frame_idx * 31) % 256 AS DOUBLE), 4)
+             AS mean_luma
+    FROM frames ORDER BY doc_id, frame_idx
+    """,
+)
+def q135_y4m_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video decode in the oracle gate (B48 video tier, completing
+    the PNG/WAV/JPEG set): per row a multi-frame YUV4MPEG2 clip is
+    synthesized worker-side (vendored public-format codec,
+    operators/y4m.py -- 16x16 C420jpeg, frame k solid luma
+    (doc_id*7 + k*31) % 256), shipped through the binary media column,
+    then ``sample_video_frames(every_n=2, mode='strict')`` parses the
+    container, slices planes, and computes each sampled frame's mean
+    luma for real. A solid plane's mean is its byte value exactly, so
+    the DuckDB oracle states the closed form.
+
+    Scale notes: synth and decode are mapInPandas kernels over Arrow
+    batches; the clip->frame fan-out happens inside the kernel so the
+    binary payload is never exploded JVM-side (no per-frame payload
+    copies). Compressed video stays refused (NotImplementedError) --
+    the documented honest boundary.
+    """
+    from iot_data_pipeline_spark.operators.multimodal import sample_video_frames
+
+    docs = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+
+    def synth(batches):
+        import pandas as pd
+
+        from iot_data_pipeline_spark.operators import y4m as _y4m
+
+        w = h = 16
+        chroma = (w // 2) * (h // 2)
+        for pdf in batches:
+            blobs = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                frames = [
+                    _y4m.Y4mFrame(
+                        bytes([(i * 7 + k * 31) % 256]) * (w * h),
+                        b"\x80" * chroma,
+                        b"\x80" * chroma,
+                    )
+                    for k in range(4 + i % 3)
+                ]
+                blobs.append(_y4m.encode_y4m(w, h, frames, "C420jpeg", (25, 1)))
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "content": blobs})
+
+    import pyspark.sql.types as T
+
+    media = docs.select("doc_id").mapInPandas(
+        synth,
+        schema=T.StructType(
+            [
+                T.StructField("media_id", T.LongType()),
+                T.StructField("content", T.BinaryType()),
+            ]
+        ),
+    )
+    frames = sample_video_frames(media, every_n=2, mode="strict")
+    return frames.select(
+        F.col("media_id").alias("doc_id"),
+        "frame_idx",
+        "n_frames",
+        F.round(F.col("mean_luma"), 4).alias("mean_luma"),
+    ).orderBy("doc_id", "frame_idx")
