@@ -223,6 +223,7 @@ def global_scan(
     ranks: bool = False,
     ntile: int | None = None,
     num_partitions: int | None = None,
+    total_cols: dict[str, str] | None = None,
 ) -> DataFrame:
     """One-pass combined two-phase scan: running sums (``sum_cols`` maps
     output name -> value column) and/or ranking functions over one total
@@ -232,6 +233,12 @@ def global_scan(
     ``global_running_sum``/``global_ranks`` each pay their own shuffle;
     a query needing both (rank + cumulative share, e.g. coverage curves)
     should use this instead.
+
+    ``total_cols`` (output name -> ``sum_cols`` key) attaches each GRAND
+    total as a literal column: the two-phase scan already reduces the
+    per-partition totals at the driver, so callers needing "share of
+    total" get it for free instead of re-aggregating the input (which
+    would re-scan the whole upstream plan).
     """
     asc = ascending or [True] * len(order_cols)
     cols = [F.col(c) if a else F.col(c).desc() for c, a in zip(order_cols, asc)]
@@ -306,4 +313,10 @@ def global_scan(
             out_df = out_df.withColumn("ntile", tile.cast("int"))
         if not ranks:
             out_df = out_df.drop("rank", "dense_rank")
+    for out, key in (total_cols or {}).items():
+        if key not in sums:
+            raise ValueError(f"total_cols key {key!r} not in sum_cols")
+        grand = sum_acc[key]
+        lit = F.lit(int(grand)) if float(grand).is_integer() else F.lit(grand)
+        out_df = out_df.withColumn(out, lit)
     return out_df.drop("_pid", "_roff", "_doff")

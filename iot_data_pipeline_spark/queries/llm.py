@@ -2285,3 +2285,110 @@ def q135_y4m_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_frames",
         F.round(F.col("mean_luma"), 4).alias("mean_luma"),
     ).orderBy("doc_id", "frame_idx")
+
+
+@declared(
+    "q136_semdedup",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS emb,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+               AS nrm,
+             (CASE WHEN embedding[1] > 0 THEN 8 ELSE 0 END
+              + CASE WHEN embedding[2] > 0 THEN 4 ELSE 0 END
+              + CASE WHEN embedding[3] > 0 THEN 2 ELSE 0 END
+              + CASE WHEN embedding[4] > 0 THEN 1 ELSE 0 END) AS cell
+      FROM embeddings
+    ),
+    removed AS (
+      SELECT DISTINCT b.cell, b.vec_id
+      FROM e a JOIN e b
+        ON a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE ROUND(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm), 4) >= 0.82
+    ),
+    cells AS (
+      SELECT cell, COUNT(*) AS n_vectors FROM e GROUP BY cell
+    )
+    SELECT c.cell, c.n_vectors,
+           COALESCE(r.n_removed, 0) AS n_removed,
+           c.n_vectors - COALESCE(r.n_removed, 0) AS n_kept
+    FROM cells c
+    LEFT JOIN (SELECT cell, COUNT(*) AS n_removed FROM removed GROUP BY cell) r
+      ON c.cell = r.cell
+    ORDER BY c.cell
+    """,
+)
+def q136_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023 shape): cluster
+    the embedding space cheaply, then prune within each cluster any
+    vector whose cosine similarity to a LOWER-ID clustermate meets the
+    threshold -- keep-first semantics, deterministic, no iteration.
+    Complements q26 (bucketed near-dup pairs) by producing the corpus-
+    curation *decision* (kept/removed per cluster), not just the pairs.
+
+    Clustering here is 4-bit sign quantization (16 cells) standing in
+    for trained k-means centroids exactly as in q31; the pair join is
+    equi on cell, so cost is sum of squared cell sizes, not N^2 -- and
+    the cell count is the scaling knob (more sign bits / more centroids
+    at larger N keeps cells bounded, the SemDeDup paper's own recipe).
+
+    The threshold compares the ROUNDED cosine (4dp) so the decision
+    boundary is identical across engines (SURVEY.md section 2.3 rule 1).
+
+    Scale notes: one hash-shuffle on cell for the self-join, two hash
+    aggregates after; no cross join, no driver-side work, no UDFs --
+    dot products ride F.aggregate/F.zip_with codegen.
+    """
+    emb = read_table(spark, sf_dir, "embeddings")
+    as_double = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    dot = lambda x, y: F.aggregate(  # noqa: E731
+        F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0), lambda s, v: s + v
+    )
+    cell = (
+        F.when(F.element_at("embedding", 1) > 0, 8).otherwise(0)
+        + F.when(F.element_at("embedding", 2) > 0, 4).otherwise(0)
+        + F.when(F.element_at("embedding", 3) > 0, 2).otherwise(0)
+        + F.when(F.element_at("embedding", 4) > 0, 1).otherwise(0)
+    )
+    e = emb.select(
+        "vec_id",
+        as_double.alias("emb"),
+        F.sqrt(dot(as_double, as_double)).alias("nrm"),
+        cell.alias("cell"),
+    )
+    a = e.select(
+        F.col("cell"),
+        F.col("vec_id").alias("id_a"),
+        F.col("emb").alias("emb_a"),
+        F.col("nrm").alias("nrm_a"),
+    )
+    b = e.select(
+        F.col("cell"),
+        F.col("vec_id").alias("id_b"),
+        F.col("emb").alias("emb_b"),
+        F.col("nrm").alias("nrm_b"),
+    )
+    cos = F.round(
+        dot(F.col("emb_a"), F.col("emb_b")) / (F.col("nrm_a") * F.col("nrm_b")), 4
+    )
+    removed = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(cos >= 0.82)
+        .select("cell", F.col("id_b").alias("vec_id"))
+        .distinct()
+    )
+    cells = e.groupBy("cell").agg(F.count(F.lit(1)).alias("n_vectors"))
+    rem = removed.groupBy("cell").agg(F.count(F.lit(1)).alias("n_removed"))
+    return (
+        cells.join(rem, "cell", "left")
+        .select(
+            "cell",
+            "n_vectors",
+            F.coalesce(F.col("n_removed"), F.lit(0)).alias("n_removed"),
+            (F.col("n_vectors") - F.coalesce(F.col("n_removed"), F.lit(0))).alias(
+                "n_kept"
+            ),
+        )
+        .orderBy("cell")
+    )

@@ -442,3 +442,31 @@ def test_q131_merge_rounds_bounded_broadcasts(spark, sf_dir):
     df = q("q131_bpe_learn", spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("BroadcastNestedLoopJoin") <= 3, plan
+
+
+def test_q132_model_tables_broadcast(spark, sf_dir):
+    # Both LM model tables (c12 bigram counts, c1 unigram counts) are
+    # vocabulary-bounded, so they must broadcast against the per-doc
+    # bigram stream -- a sort-merge here would shuffle the whole corpus
+    # twice more at 100 TB.
+    df = q("q132_ngram_perplexity", spark, sf_dir)
+    plan = formatted_plan(df)
+    assert broadcast_join_count(df) >= 2, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_q135_video_fanout_stays_in_kernel(spark, sf_dir):
+    # The clip->frame fan-out happens inside the mapInPandas kernel: the
+    # plan must NOT contain a JVM-side Generate/explode of the binary
+    # payload column (which would copy each clip once per frame).
+    df = q("q135_y4m_frames", spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Generate" not in plan, plan
+
+
+def test_q136_pair_join_is_hash_on_cell(spark, sf_dir):
+    # The SemDeDup candidate join must be an equi hash join on the cell
+    # key -- never a nested-loop/cartesian over all vector pairs.
+    df = q("q136_semdedup", spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Cartesian" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
