@@ -1859,6 +1859,86 @@ def _bpe_round_sql(prev: str, k: int) -> str:
     )"""
 
 
+def _bpe_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequency-weighted distinct-word table -- the ONLY pass the
+    BPE queries make over the corpus itself; every merge round after it
+    iterates vocabulary-sized data."""
+    docs = read_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def _bpe_rep0():
+    """word -> space-joined character symbols (round-0 representation)."""
+    return F.concat_ws(
+        " ",
+        F.transform(
+            F.sequence(F.lit(1), F.length("word")),
+            lambda i: F.substring(F.col("word"), i, 1),
+        ),
+    )
+
+
+def _bpe_merge_round(cur: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """One BPE merge round over a frame carrying (..., cnt, rep).
+
+    Returns ``(top, merged)``: the 1-row winning pair (pair, pair_count)
+    and the frame with that pair merged in every row's ``rep`` -- same
+    columns as ``cur``, localCheckpointed so chained rounds don't
+    compound lineage. Shared by the learner (q131) and the encoder
+    (q137): both must merge with the identical rule or their oracles
+    diverge.
+    """
+    arr = F.split("rep", " ")
+    pairs = (
+        cur.select(
+            "cnt",
+            F.explode(
+                F.when(
+                    F.size(arr) >= 2,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(arr) - 1),
+                        lambda i: F.concat_ws(
+                            " ",
+                            F.element_at(arr, i),
+                            F.element_at(arr, i + 1),
+                        ),
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            ).alias("pair"),
+        )
+        .groupBy("pair")
+        .agg(F.sum("cnt").alias("pair_count"))
+    )
+    top = pairs.orderBy(F.desc("pair_count"), "pair").limit(1)
+    keep = [c for c in cur.columns if c != "rep"]
+    merged = (
+        cur.crossJoin(F.broadcast(top))
+        .select(
+            *keep,
+            F.trim(
+                F.replace(
+                    F.concat(F.lit(" "), F.col("rep"), F.lit(" ")),
+                    F.concat(F.lit(" "), F.col("pair"), F.lit(" ")),
+                    F.concat(
+                        F.lit(" "),
+                        F.replace(F.col("pair"), F.lit(" "), F.lit("")),
+                        F.lit(" "),
+                    ),
+                )
+            ).alias("rep"),
+        )
+        # each round's output feeds the next: checkpoint keeps the
+        # lineage (and the 1-row broadcast) from compounding
+        .localCheckpoint(eager=False)
+    )
+    return top, merged
+
+
 @declared(
     "q131_bpe_learn",
     oracle=f"""
@@ -1910,66 +1990,14 @@ def q131_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
     weighted, fixed rounds; a production learner runs the same loop to
     30k-100k merges with the word table cached).
     """
-    docs = read_table(spark, sf_dir, "documents")
-    words = (
-        docs.select(F.explode(F.split("text", " ")).alias("word"))
-        .filter(F.col("word") != "")
-        .groupBy("word")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+    words = _bpe_word_counts(spark, sf_dir)
+    cur = words.select("cnt", _bpe_rep0().alias("rep")).localCheckpoint(
+        eager=False
     )
-    rep0 = F.concat_ws(
-        " ",
-        F.transform(
-            F.sequence(F.lit(1), F.length("word")),
-            lambda i: F.substring(F.col("word"), i, 1),
-        ),
-    )
-    cur = words.select("cnt", rep0.alias("rep")).localCheckpoint(eager=False)
 
     step_rows = []
     for step in (1, 2, 3):
-        arr = F.split("rep", " ")
-        pairs = (
-            cur.select(
-                "cnt",
-                F.explode(
-                    F.when(
-                        F.size(arr) >= 2,
-                        F.transform(
-                            F.sequence(F.lit(1), F.size(arr) - 1),
-                            lambda i: F.concat_ws(
-                                " ",
-                                F.element_at(arr, i),
-                                F.element_at(arr, i + 1),
-                            ),
-                        ),
-                    ).otherwise(F.array().cast("array<string>"))
-                ).alias("pair"),
-            )
-            .groupBy("pair")
-            .agg(F.sum("cnt").alias("pair_count"))
-        )
-        top = pairs.orderBy(F.desc("pair_count"), "pair").limit(1)
-        merged = (
-            cur.crossJoin(F.broadcast(top))
-            .select(
-                "cnt",
-                F.trim(
-                    F.replace(
-                        F.concat(F.lit(" "), F.col("rep"), F.lit(" ")),
-                        F.concat(F.lit(" "), F.col("pair"), F.lit(" ")),
-                        F.concat(
-                            F.lit(" "),
-                            F.replace(F.col("pair"), F.lit(" "), F.lit("")),
-                            F.lit(" "),
-                        ),
-                    )
-                ).alias("rep"),
-            )
-            # each round's output feeds the next: checkpoint keeps the
-            # lineage (and the 1-row broadcast) from compounding
-            .localCheckpoint(eager=False)
-        )
+        top, merged = _bpe_merge_round(cur)
         tokens_after = merged.agg(
             F.sum(F.col("cnt") * F.size(F.split("rep", " ")))
             .cast("long")
@@ -2391,4 +2419,93 @@ def q136_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .orderBy("cell")
+    )
+
+
+def _bpe_apply_sql(prev: str, k: int) -> str:
+    """Apply the already-learned merge t{k} to an apply-chain CTE that
+    carries the word (the learner chain drops it)."""
+    return f"""
+    a{k} AS (
+      SELECT word,
+             trim(replace(' ' || rep || ' ',
+                          ' ' || (SELECT pair FROM t{k}) || ' ',
+                          ' ' || replace((SELECT pair FROM t{k}), ' ', '')
+                              || ' ')) AS rep
+      FROM a{k - 1}
+    )"""
+
+
+@declared(
+    "q137_bpe_encode",
+    oracle=f"""
+    WITH words AS (
+      SELECT token AS word, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+      WHERE token <> '' GROUP BY token
+    ),
+    w0 AS (SELECT cnt, {_bpe_chars_sql('word')} AS rep FROM words),
+    {_bpe_round_sql('w0', 1)},
+    {_bpe_round_sql('w1', 2)},
+    {_bpe_round_sql('w2', 3)},
+    a0 AS (SELECT word, {_bpe_chars_sql('word')} AS rep FROM words),
+    {_bpe_apply_sql('a0', 1)},
+    {_bpe_apply_sql('a1', 2)},
+    {_bpe_apply_sql('a2', 3)},
+    encoded AS (
+      SELECT word, len(string_split(rep, ' ')) AS n_tok FROM a3
+    ),
+    tok AS (
+      SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word
+      FROM documents
+    )
+    SELECT t.lang,
+           CAST(COUNT(DISTINCT t.doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(e.n_tok) AS BIGINT) AS n_tokens,
+           ROUND(CAST(SUM(e.n_tok) AS DOUBLE) / COUNT(*), 4)
+             AS tokens_per_word
+    FROM tok t JOIN encoded e ON t.word = e.word
+    GROUP BY t.lang ORDER BY t.lang
+    """,
+)
+def q137_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer APPLICATION (the encode stage that runs
+    after q131's learner): the 3 learned merges are replayed over the
+    DISTINCT-word table (vocabulary-sized memoization -- exactly how
+    production tokenizers cache word -> token-ids), then the encoded
+    lengths broadcast-join back onto the corpus token stream for per-
+    language token accounting. The merge rule is byte-identical to the
+    learner's (shared ``_bpe_merge_round``), so learn->apply is
+    self-consistent in both engines.
+
+    Scale notes: the corpus is scanned once (word counts) plus once for
+    the final accounting join; every merge round iterates the vocabulary,
+    not the corpus; the encoded table is vocabulary-bounded and
+    broadcasts. This is the canonical "tokenize 100 TB" layout -- the
+    per-word work is memoized, the per-token work is one hash join.
+    """
+    words = _bpe_word_counts(spark, sf_dir)
+    cur = words.select("word", "cnt", _bpe_rep0().alias("rep")).localCheckpoint(
+        eager=False
+    )
+    for _ in (1, 2, 3):
+        _, cur = _bpe_merge_round(cur)
+    encoded = cur.select("word", F.size(F.split("rep", " ")).alias("n_tok"))
+    docs = read_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("word")
+    ).filter(F.col("word") != "")
+    return (
+        tok.join(F.broadcast(encoded), "word")
+        .groupBy("lang")
+        .agg(
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+            F.round(
+                F.sum("n_tok").cast("double") / F.count(F.lit(1)), 4
+            ).alias("tokens_per_word"),
+        )
+        .orderBy("lang")
     )

@@ -470,3 +470,13 @@ def test_q136_pair_join_is_hash_on_cell(spark, sf_dir):
     df = q("q136_semdedup", spark, sf_dir)
     plan = formatted_plan(df)
     assert "Cartesian" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_q137_encoded_vocab_broadcasts(spark, sf_dir):
+    # The word -> token-count memo table is vocabulary-bounded: it must
+    # broadcast onto the corpus token stream, never sort-merge (which
+    # would shuffle the full exploded corpus by word at 100 TB).
+    df = q("q137_bpe_encode", spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
