@@ -1916,21 +1916,30 @@ def _bpe_merge_round(cur: DataFrame) -> tuple[DataFrame, DataFrame]:
     )
     top = pairs.orderBy(F.desc("pair_count"), "pair").limit(1)
     keep = [c for c in cur.columns if c != "rep"]
+    # LEFT join against the 0-or-1-row winner: when NO pair exists at all
+    # (every word already a single symbol -- fully merged vocabulary), the
+    # round must be an identity pass, not annihilate the table (a
+    # crossJoin against the empty winner returned 0 rows; caught by the
+    # hypothesis fuzz on a 1-char vocabulary).
     merged = (
-        cur.crossJoin(F.broadcast(top))
+        cur.join(F.broadcast(top), F.lit(True), "left")
         .select(
             *keep,
-            F.trim(
-                F.replace(
-                    F.concat(F.lit(" "), F.col("rep"), F.lit(" ")),
-                    F.concat(F.lit(" "), F.col("pair"), F.lit(" ")),
-                    F.concat(
-                        F.lit(" "),
-                        F.replace(F.col("pair"), F.lit(" "), F.lit("")),
-                        F.lit(" "),
-                    ),
+            F.when(F.col("pair").isNull(), F.col("rep"))
+            .otherwise(
+                F.trim(
+                    F.replace(
+                        F.concat(F.lit(" "), F.col("rep"), F.lit(" ")),
+                        F.concat(F.lit(" "), F.col("pair"), F.lit(" ")),
+                        F.concat(
+                            F.lit(" "),
+                            F.replace(F.col("pair"), F.lit(" "), F.lit("")),
+                            F.lit(" "),
+                        ),
+                    )
                 )
-            ).alias("rep"),
+            )
+            .alias("rep"),
         )
         # each round's output feeds the next: checkpoint keeps the
         # lineage (and the 1-row broadcast) from compounding
