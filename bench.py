@@ -14,6 +14,7 @@ matching how a long-lived cluster session behaves.
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import time
@@ -220,6 +221,11 @@ def main() -> int:
         per_query[name] = round(dt, 3)
         total += dt
         print(f"# {name}: {dt:.3f}s", flush=True)
+        # Drop Python-side refs promptly so the JVM ContextCleaner can
+        # reclaim localCheckpoint RDDs / broadcasts between queries --
+        # without this the session accumulates executor blocks over 150
+        # queries and the tail of the run measurably degrades.
+        gc.collect()
 
     summary = {
         "metric": "total_declared_query_wall",
