@@ -134,8 +134,12 @@ def neardup_pairs_pandas(
     vec_col: str = "embedding",
     block_col: str = "label",
     threshold: float = 0.75,
+    keep_block: bool = False,
 ) -> DataFrame:
     """All-pairs cosine near-dup within blocks, one numpy matmul per block.
+    ``keep_block=True`` carries the block key in the output (consumers
+    that aggregate per block, e.g. SemDeDup's per-cell removal counts,
+    then need no join back to recover it).
 
     The block column is the blocking key (a semantic label here; an LSH
     bucket or IVF cell at 100 TB) -- Spark shuffles once on it, then each
@@ -152,10 +156,11 @@ def neardup_pairs_pandas(
 
     def pairs(pdf: pd.DataFrame) -> pd.DataFrame:
         n = len(pdf)
+        cols = {"vec_a": "int64", "vec_b": "int64", "sim": "float64"}
+        if keep_block:
+            cols = {block_col: "int64", **cols}
         if n < 2:
-            return pd.DataFrame({"vec_a": [], "vec_b": [], "sim": []}).astype(
-                {"vec_a": "int64", "vec_b": "int64", "sim": "float64"}
-            )
+            return pd.DataFrame({c: [] for c in cols}).astype(cols)
         m = np.array(list(pdf[vec_col]), dtype="float64")
         g = m @ m.T
         nrm = np.sqrt(np.diag(g))
@@ -166,12 +171,20 @@ def neardup_pairs_pandas(
         ids, sims = ids[order], sims[np.ix_(order, order)]
         iu, ju = np.triu_indices(n, k=1)
         keep = sims[iu, ju] >= threshold
-        return pd.DataFrame(
-            {"vec_a": ids[iu[keep]], "vec_b": ids[ju[keep]], "sim": sims[iu, ju][keep]}
-        )
+        out = {
+            "vec_a": ids[iu[keep]],
+            "vec_b": ids[ju[keep]],
+            "sim": sims[iu, ju][keep],
+        }
+        if keep_block:
+            out = {block_col: np.repeat(pdf[block_col].iloc[0], keep.sum()), **out}
+        return pd.DataFrame(out)
 
+    out_schema = "vec_a long, vec_b long, sim double"
+    if keep_block:
+        out_schema = f"{block_col} long, " + out_schema
     return df.select(id_col, vec_col, block_col).groupBy(block_col).applyInPandas(
-        pairs, schema="vec_a long, vec_b long, sim double"
+        pairs, schema=out_schema
     )
 
 

@@ -2376,45 +2376,23 @@ def q136_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregates after; no cross join, no driver-side work, no UDFs --
     dot products ride F.aggregate/F.zip_with codegen.
     """
+    from iot_data_pipeline_spark.operators.similarity import neardup_pairs_pandas
+
     emb = read_table(spark, sf_dir, "embeddings")
-    as_double = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    dot = lambda x, y: F.aggregate(  # noqa: E731
-        F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0), lambda s, v: s + v
-    )
     cell = (
         F.when(F.element_at("embedding", 1) > 0, 8).otherwise(0)
         + F.when(F.element_at("embedding", 2) > 0, 4).otherwise(0)
         + F.when(F.element_at("embedding", 3) > 0, 2).otherwise(0)
         + F.when(F.element_at("embedding", 4) > 0, 1).otherwise(0)
     )
-    e = emb.select(
-        "vec_id",
-        as_double.alias("emb"),
-        F.sqrt(dot(as_double, as_double)).alias("nrm"),
-        cell.alias("cell"),
+    e = emb.select("vec_id", "embedding", cell.alias("cell"))
+    # pair generation = one numpy Gram matrix per cell (the q26 kernel):
+    # same ROUND(cos,4) >= t decision, ~10-50x the HOF-fold throughput,
+    # and the shuffle is one exchange on cell either way.
+    pairs = neardup_pairs_pandas(
+        e, block_col="cell", threshold=0.82, keep_block=True
     )
-    a = e.select(
-        F.col("cell"),
-        F.col("vec_id").alias("id_a"),
-        F.col("emb").alias("emb_a"),
-        F.col("nrm").alias("nrm_a"),
-    )
-    b = e.select(
-        F.col("cell"),
-        F.col("vec_id").alias("id_b"),
-        F.col("emb").alias("emb_b"),
-        F.col("nrm").alias("nrm_b"),
-    )
-    cos = F.round(
-        dot(F.col("emb_a"), F.col("emb_b")) / (F.col("nrm_a") * F.col("nrm_b")), 4
-    )
-    removed = (
-        a.join(b, "cell")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .filter(cos >= 0.82)
-        .select("cell", F.col("id_b").alias("vec_id"))
-        .distinct()
-    )
+    removed = pairs.select("cell", F.col("vec_b").alias("vec_id")).distinct()
     cells = e.groupBy("cell").agg(F.count(F.lit(1)).alias("n_vectors"))
     rem = removed.groupBy("cell").agg(F.count(F.lit(1)).alias("n_removed"))
     return (
