@@ -618,3 +618,247 @@ def q73_predicate_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey")
     )
+
+
+@declared(
+    "q138_salted_join",
+    oracle="""
+    WITH dim AS (
+      SELECT event_type, length(event_type) AS weight
+      FROM (SELECT DISTINCT event_type FROM events)
+    )
+    SELECT e.event_type,
+           COUNT(*) AS n_events,
+           ROUND(SUM(e.value * d.weight), 2) AS weighted_value
+    FROM events e JOIN dim d ON e.event_type = d.event_type
+    GROUP BY e.event_type ORDER BY e.event_type
+    """,
+)
+def q138_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe JOIN twin of q55's salted aggregation: events carries
+    only 5 distinct event_type keys, so an unsalted shuffle join lands
+    each key on ONE reducer no matter the cluster size.
+    ``salted_join`` (operators/skew.py) salts the fact side 16 ways and
+    replicates the dim rows across the salts -- the hot key's probe work
+    spreads over 16 tasks. The oracle is the plain join: salting must be
+    invisible in the result.
+
+    This is the middle tier between broadcast (dim fits in memory) and
+    AQE skew-split (which only helps after a sort-merge materializes the
+    skew); at 100 TB it is the shape for joining a skewed fact against a
+    per-key-bounded-but-too-big-to-broadcast right side.
+    """
+    from iot_data_pipeline_spark.operators.skew import salted_join
+
+    ev = read_table(spark, sf_dir, "events").select("event_type", "value")
+    dim = (
+        ev.select("event_type")
+        .distinct()
+        .select("event_type", F.length("event_type").alias("weight"))
+    )
+    joined = salted_join(ev, dim, ["event_type"], n_salts=16)
+    return (
+        joined.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value") * F.col("weight")), 2).alias(
+                "weighted_value"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+@declared(
+    "q139_posting_lists",
+    oracle="""
+    WITH tok AS (
+      SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+      FROM documents
+    ),
+    idx AS (
+      SELECT token,
+             CAST(COUNT(*) AS BIGINT) AS df,
+             array_to_string(list_sort(list(doc_id))[1:5], ',') AS postings
+      FROM tok WHERE token <> '' GROUP BY token
+    )
+    SELECT token, df, postings FROM idx
+    WHERE df >= 50 ORDER BY token
+    """,
+)
+def q139_posting_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build (the search-serving complement of q116's
+    BM25): per token, document frequency plus the head of its sorted
+    posting list (first 5 doc_ids) -- the artifact a retrieval system
+    materializes from a curated corpus.
+
+    Scale notes: the (doc, token) distinct and the per-token aggregate
+    are the same two shuffles any index build pays; posting heads are
+    capped BEFORE leaving the aggregate (sort_array + slice on the
+    grouped array), so no unbounded strings ride the shuffle or the
+    result. Whole posting lists at 100 TB would be written sharded by
+    token range -- same plan, partitioned sink.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    tok = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .distinct()
+    )
+    return (
+        tok.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("df"),
+            F.concat_ws(
+                ",",
+                F.slice(F.sort_array(F.collect_list("doc_id")), 1, 5),
+            ).alias("postings"),
+        )
+        .filter(F.col("df") >= 50)
+        .orderBy("token")
+    )
+
+
+def _pagerank_round_sql(prev: str, k: int) -> str:
+    """One unrolled PageRank iteration as DuckDB CTE fragments (damping
+    0.85, dangling mass redistributed uniformly)."""
+    return f"""
+    contrib{k} AS (
+      SELECT e.dst AS node, SUM(p.pr / p.outdeg) AS inflow
+      FROM {prev} p JOIN edges e ON e.src = p.node
+      GROUP BY e.dst
+    ),
+    dangling{k} AS (
+      SELECT COALESCE(SUM(pr), 0) AS mass FROM {prev} WHERE outdeg = 0
+    ),
+    pr{k} AS (
+      SELECT n.node, n.outdeg,
+             0.15 / (SELECT cnt FROM n_nodes)
+             + 0.85 * (COALESCE(c.inflow, 0)
+                       + (SELECT mass FROM dangling{k})
+                         / (SELECT cnt FROM n_nodes)) AS pr
+      FROM {prev} n LEFT JOIN contrib{k} c ON n.node = c.node
+    )"""
+
+
+@declared(
+    "q140_pagerank",
+    oracle=f"""
+    WITH tok AS (
+      SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+      FROM documents WHERE doc_id < 120
+    ),
+    rare AS (
+      SELECT token FROM tok WHERE token <> ''
+      GROUP BY token HAVING COUNT(*) BETWEEN 2 AND 6
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+      FROM tok a JOIN tok b ON a.token = b.token AND a.doc_id <> b.doc_id
+      WHERE a.token IN (SELECT token FROM rare)
+    ),
+    edges AS (SELECT src, dst FROM pairs),
+    nodes AS (SELECT DISTINCT doc_id AS node FROM documents WHERE doc_id < 120),
+    n_nodes AS (SELECT COUNT(*) AS cnt FROM nodes),
+    deg AS (SELECT src AS node, COUNT(*) AS outdeg FROM edges GROUP BY src),
+    pr0 AS (
+      SELECT n.node, COALESCE(d.outdeg, 0) AS outdeg,
+             1.0 / (SELECT cnt FROM n_nodes) AS pr
+      FROM nodes n LEFT JOIN deg d ON n.node = d.node
+    ),
+    {_pagerank_round_sql('pr0', 1)},
+    {_pagerank_round_sql('pr1', 2)},
+    {_pagerank_round_sql('pr2', 3)}
+    SELECT node AS doc_id, ROUND(pr * 1000, 4) AS pr_permille
+    FROM pr3 ORDER BY pr_permille DESC, doc_id LIMIT 20
+    """,
+)
+def q140_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration PageRank over a derived document link graph (the
+    web-graph quality signal crawl-curation pipelines attach to
+    pretraining documents): docs sharing a RARE token (df 2..6) link to
+    each other; 3 damped iterations (d=0.85) with dangling mass
+    redistributed uniformly; top-20 by rank.
+
+    Exactness: both engines run the same unrolled dataflow -- per-node
+    inflow sums over identical edge sets, IEEE doubles with identical
+    literals, ROUND after the last iteration (SURVEY section 2.3 rule 1).
+
+    Scale notes: the classic distributed PageRank layout -- one shuffle
+    per iteration (contrib groupBy dst), ranks and degrees co-partitioned
+    by node, dangling mass and N as 1-row broadcasts, localCheckpoint per
+    round to pin lineage. Edge derivation is rare-token blocked (bounded
+    fan-out by construction: df <= 6 caps any token at 30 pairs).
+    """
+    docs = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    tok = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .distinct()
+    )
+    rare = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter((F.col("df") >= 2) & (F.col("df") <= 6))
+        .select("token")
+    )
+    rtok = tok.join(F.broadcast(rare), "token")
+    edges = (
+        rtok.alias("a")
+        .join(rtok.alias("b"), "token")
+        .filter(F.col("a.doc_id") != F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    nodes = docs.select(F.col("doc_id").alias("node")).distinct()
+    n_nodes_df = nodes.agg(F.count(F.lit(1)).alias("cnt"))
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("outdeg")
+    )
+    pr = (
+        nodes.join(deg, "node", "left")
+        .join(F.broadcast(n_nodes_df))
+        .select(
+            "node",
+            F.coalesce(F.col("outdeg"), F.lit(0)).alias("outdeg"),
+            (F.lit(1.0) / F.col("cnt")).alias("pr"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(3):
+        contrib = (
+            pr.join(edges, pr["node"] == edges["src"])
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.col("pr") / F.col("outdeg")).alias("inflow"))
+        )
+        dangling = pr.filter(F.col("outdeg") == 0).agg(
+            F.coalesce(F.sum("pr"), F.lit(0.0)).alias("mass")
+        )
+        pr = (
+            pr.select("node", "outdeg")
+            .join(contrib, "node", "left")
+            .join(F.broadcast(dangling))
+            .join(F.broadcast(n_nodes_df))
+            .select(
+                "node",
+                "outdeg",
+                (
+                    F.lit(0.15) / F.col("cnt")
+                    + F.lit(0.85)
+                    * (
+                        F.coalesce(F.col("inflow"), F.lit(0.0))
+                        + F.col("mass") / F.col("cnt")
+                    )
+                ).alias("pr"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return (
+        pr.select(
+            F.col("node").alias("doc_id"),
+            F.round(F.col("pr") * 1000, 4).alias("pr_permille"),
+        )
+        .orderBy(F.desc("pr_permille"), "doc_id")
+        .limit(20)
+    )

@@ -480,3 +480,31 @@ def test_q137_encoded_vocab_broadcasts(spark, sf_dir):
     plan = formatted_plan(df)
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_q138_salt_key_joins_and_reaggregates(spark, sf_dir):
+    # The salted join must join on (event_type, __salt) -- the salt key
+    # reaching the join condition is what spreads the hot key -- and the
+    # final aggregate must still be partial+final.
+    df = q("q138_salted_join", spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "__salt" in plan, plan
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_q139_postings_capped_inside_aggregate(spark, sf_dir):
+    # Posting heads are sliced inside the aggregate projection: no Window
+    # operator (a per-token row_number would re-sort the token stream) and
+    # no second pass over the corpus.
+    df = q("q139_posting_lists", spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Window" not in plan, plan
+
+
+def test_q140_no_unbounded_joins(spark, sf_dir):
+    # Iterations join rank<->edges co-partitioned by node; the only
+    # conditionless joins are 1-row broadcasts (N, dangling mass). A
+    # CartesianProduct anywhere means an unbounded pair blow-up.
+    df = q("q140_pagerank", spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan, plan
