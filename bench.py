@@ -144,7 +144,7 @@ def bench_extras():
             _rt(spark, sf_dir, "documents")
             .select("doc_id")
             .filter(F.col("doc_id") < 2000)
-            .repartition(8)
+            .repartition(32)  # one decode task per core
         )
 
         def synth(batches):

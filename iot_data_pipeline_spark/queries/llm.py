@@ -2496,3 +2496,127 @@ def q137_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@declared(
+    "q141_quality_aware_dedup",
+    oracle=f"""
+    WITH RECURSIVE {CORPUS_NEAR_CTE.strip()},
+    shingled AS (
+      SELECT doc_id, lang, unnest(
+        list_transform(
+          range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+          i -> string_split(text, ' ')[i] || ' ' ||
+               string_split(text, ' ')[i+1] || ' ' ||
+               string_split(text, ' ')[i+2])) AS shingle
+      FROM corpus
+    ),
+    shashes AS (
+      SELECT DISTINCT doc_id, lang, {{h}} AS h
+      FROM shingled
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shashes GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+      FROM shashes a JOIN shashes b
+        ON a.h = b.h AND a.lang = b.lang AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE ROUND(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 4)
+            >= 0.5
+    ),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(node, lab) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.node
+    ),
+    comp AS (SELECT node, MIN(lab) AS component FROM reach GROUP BY node),
+    assigned AS (
+      SELECT c.doc_id, c.text,
+             COALESCE(p.component, c.doc_id) AS rep
+      FROM corpus c LEFT JOIN comp p ON c.doc_id = p.node
+    ),
+    scored AS (
+      SELECT doc_id, rep,
+             ROUND(0.5 * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                          / len(string_split(text, ' ')))
+                   + 0.3 * least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100, 1.0)
+                   + 0.2 * least((CAST(length(text) - len(string_split(text, ' ')) + 1
+                                      AS DOUBLE)
+                                  / len(string_split(text, ' '))) / 8, 1.0),
+                   4) AS quality
+      FROM assigned
+    ),
+    ranked AS (
+      SELECT doc_id, rep, quality,
+             ROW_NUMBER() OVER (PARTITION BY rep
+                                ORDER BY quality DESC, doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY rep) AS group_n
+      FROM scored
+    )
+    SELECT doc_id, rep, CAST(group_n AS BIGINT) AS group_n, quality
+    FROM ranked WHERE rn = 1 AND group_n > 1
+    ORDER BY rep
+    """.format(h=ORACLE_HASH.format("shingle")),
+)
+def q141_quality_aware_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware near-dup dedup KEEP decision: within each near-dup
+    cluster (q52's connected components over the cached q25 pair graph),
+    keep the member with the HIGHEST q28 quality score (ties on the
+    4dp-rounded score break by doc_id) -- the production choice, versus
+    q22/q136's keep-first: when a crawl holds three mutilated copies and
+    one clean one, the clean one survives.
+
+    Output is one row per multi-member cluster: the kept doc, its
+    cluster representative, cluster size, and the winning quality.
+
+    Scale notes: reuses the session-cached pair graph (one shingle
+    pipeline for q52/q100/q123/q141 together); quality is per-row column
+    arithmetic computed only on cluster members' text; the argmax is one
+    window over rep-partitioned rows (cluster-count sized, tiny next to
+    the corpus).
+    """
+    from iot_data_pipeline_spark.operators.graph import connected_components
+
+    corpus = _corpus_near(spark, sf_dir).select("doc_id", "text")
+    pairs = _ngram_pairs_cached(spark, sf_dir)
+    comp = connected_components(pairs, src="doc_a", dst="doc_b")
+    assigned = corpus.join(
+        comp.withColumnRenamed("node", "doc_id"), "doc_id", "left"
+    ).select(
+        "doc_id",
+        "text",
+        F.coalesce(F.col("component"), F.col("doc_id")).alias("rep"),
+    )
+    toks = F.split("text", " ")
+    n_tokens = F.size(toks).cast("long")
+    n_distinct = F.size(F.array_distinct(toks)).cast("long")
+    n_chars = F.length("text")
+    quality = F.round(
+        0.5 * (n_distinct.cast("double") / n_tokens)
+        + 0.3 * F.least(n_tokens.cast("double") / 100, F.lit(1.0))
+        + 0.2
+        * F.least(
+            ((n_chars - n_tokens + 1).cast("double") / n_tokens) / 8, F.lit(1.0)
+        ),
+        4,
+    )
+    scored = assigned.select("doc_id", "rep", quality.alias("quality"))
+    w = Window.partitionBy("rep").orderBy(F.desc("quality"), "doc_id")
+    wn = Window.partitionBy("rep")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .withColumn("group_n", F.count(F.lit(1)).over(wn))
+        .filter((F.col("rn") == 1) & (F.col("group_n") > 1))
+        .select("doc_id", "rep", F.col("group_n").cast("bigint").alias("group_n"), "quality")
+        .orderBy("rep")
+    )
