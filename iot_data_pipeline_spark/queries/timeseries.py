@@ -257,3 +257,84 @@ def q75_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("user_id", "valid_from", "event_id")
         .drop("event_id")
     )
+
+
+@declared(
+    "q142_ewma",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, value, ts, event_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rdesc
+      FROM events
+    ),
+    seq AS (
+      SELECT user_id, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS i
+      FROM ranked WHERE rdesc <= 40
+    ),
+    run AS (
+      SELECT user_id, i,
+             SUM(value * power(0.8, -i)) OVER (
+               PARTITION BY user_id ORDER BY i ROWS UNBOUNDED PRECEDING)
+             / SUM(power(0.8, -i)) OVER (
+               PARTITION BY user_id ORDER BY i ROWS UNBOUNDED PRECEDING)
+               AS ewma
+      FROM seq
+    ),
+    last AS (
+      SELECT user_id, i, ewma,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY i DESC) AS rl
+      FROM run
+    )
+    SELECT user_id, CAST(i AS BIGINT) AS n_obs, ROUND(ewma, 4) AS ewma_value
+    FROM last WHERE rl = 1 ORDER BY user_id
+    """,
+)
+def q142_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average per device stream (the
+    smoothing/monitoring primitive next to q65's rolling z-score):
+    pandas-``ewm(alpha=0.2, adjust=True)`` semantics in pure window
+    algebra -- s_i = sum_j (1-a)^(i-j) x_j / sum_j (1-a)^(i-j) -- via
+    running sums of value*(1-a)^(-j); the (1-a)^i factors cancel in the
+    ratio, so no per-row renormalization. Series capped to the most
+    recent 40 observations per key, which both bounds the (1-a)^(-j)
+    dynamic range (1.25^40 ~ 7.5e3: safe doubles) and matches how a
+    monitor actually windows its input.
+
+    Scale notes: two window passes over the SAME (user_id, ts) shuffle
+    partitioning (rank-cap, then running sums) -- one exchange total;
+    output is one row per key. No UDFs, no iteration: the recursive EWMA
+    definition is rewritten into prefix sums, the same trick as
+    operators/prefix.py.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    w_desc = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    capped = ev.withColumn("rdesc", F.row_number().over(w_desc)).filter(
+        F.col("rdesc") <= 40
+    )
+    w_asc = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = capped.withColumn("i", F.row_number().over(w_asc))
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ewma = F.sum(F.col("value") * F.pow(F.lit(0.8), -F.col("i"))).over(
+        w_run
+    ) / F.sum(F.pow(F.lit(0.8), -F.col("i"))).over(w_run)
+    w_last = Window.partitionBy("user_id").orderBy(F.desc("i"))
+    return (
+        seq.withColumn("ewma", ewma)
+        .withColumn("rl", F.row_number().over(w_last))
+        .filter(F.col("rl") == 1)
+        .select(
+            "user_id",
+            F.col("i").cast("bigint").alias("n_obs"),
+            F.round("ewma", 4).alias("ewma_value"),
+        )
+        .orderBy("user_id")
+    )
