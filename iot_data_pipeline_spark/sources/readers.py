@@ -175,3 +175,33 @@ def read_binary_files(
     if glob is not None:
         reader = reader.option("pathGlobFilter", glob)
     return reader.load(path)
+
+
+def read_parquet_evolving(
+    spark: SparkSession,
+    path: str,
+    target_schema: T.StructType,
+) -> DataFrame:
+    """Schema-evolution read with contract enforcement: merge the footers
+    of every file generation under ``path`` (``mergeSchema`` -- columns
+    added over time union instead of erroring), then align the result to
+    ``target_schema``: missing columns materialize as typed NULLs,
+    columns outside the contract are dropped, and every kept column is
+    cast to the contract type.
+
+    This is the standard "old files lack the new column / stray writer
+    added an extra one" read for a long-lived data lake. Scale notes:
+    mergeSchema unions FOOTERS (metadata, driver-side), not data; the
+    NULL backfill and casts are per-row projections in the same codegen
+    span as the scan, and column pruning still reaches parquet for
+    contract columns.
+    """
+    df = spark.read.option("mergeSchema", "true").parquet(path)
+    present = {f.name: f for f in df.schema.fields}
+    cols = []
+    for field in target_schema.fields:
+        if field.name in present:
+            cols.append(F.col(field.name).cast(field.dataType).alias(field.name))
+        else:
+            cols.append(F.lit(None).cast(field.dataType).alias(field.name))
+    return df.select(*cols)

@@ -217,3 +217,33 @@ def test_analyze_table_feeds_cbo_estimates(spark, sf_dir, tmp_path):
         spark.sql("DROP TABLE IF EXISTS stats_orders")
         for k in CBO_CONF:
             spark.conf.unset(k)
+
+
+def test_read_parquet_evolving_backfills_and_enforces(spark, tmp_path):
+    """Schema evolution: batch 1 lacks a later column, batch 2 adds it plus
+    a stray column outside the contract. The evolving read unions footers,
+    NULL-backfills the missing column for old rows, drops the stray one,
+    and casts everything to the contract types."""
+    from pyspark.sql import types as T
+
+    from iot_data_pipeline_spark.sources.readers import read_parquet_evolving
+
+    p = str(tmp_path / "lake")
+    spark.createDataFrame([(1, "a")], "id long, a string").write.parquet(p)
+    spark.createDataFrame(
+        [(2, "b", 9, "stray")], "id long, a string, b int, junk string"
+    ).write.mode("append").parquet(p)
+
+    contract = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("a", T.StringType()),
+            T.StructField("b", T.LongType()),  # wider than the written int
+        ]
+    )
+    out = read_parquet_evolving(spark, p, contract)
+    assert [f.name for f in out.schema.fields] == ["id", "a", "b"]
+    assert dict(out.dtypes)["b"] == "bigint"
+    rows = {r.id: r for r in out.collect()}
+    assert rows[1].b is None and rows[2].b == 9
+    assert not hasattr(rows[2], "junk")
