@@ -2620,3 +2620,144 @@ def q141_quality_aware_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "rep", F.col("group_n").cast("bigint").alias("group_n"), "quality")
         .orderBy("rep")
     )
+
+
+_EMB_SQL = (
+    "list_transform(range(1, 9), d -> "
+    "CAST(" + ORACLE_HASH.format("'emb:' || chunk || ':' || CAST(d AS VARCHAR)")
+    + " % 2001 - 1000 AS DOUBLE) / 1000.0)"
+)
+
+
+@declared(
+    "q143_rag_retrieval",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      WHERE doc_id < 200
+    ),
+    chunks AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+             array_to_string(t[CAST(i * 16 + 1 AS INT):CAST((i + 1) * 16 AS INT)], ' ')
+               AS chunk
+      FROM toks, LATERAL UNNEST(range(0, (len(t) + 15) // 16)) AS u(i)
+    ),
+    emb AS (
+      SELECT doc_id, chunk_idx, {_EMB_SQL} AS e FROM chunks
+    ),
+    celled AS (
+      SELECT doc_id, chunk_idx, e,
+             sqrt(list_dot_product(e, e)) AS nrm,
+             (CASE WHEN e[1] > 0 THEN 4 ELSE 0 END
+              + CASE WHEN e[2] > 0 THEN 2 ELSE 0 END
+              + CASE WHEN e[3] > 0 THEN 1 ELSE 0 END) AS cell
+      FROM emb
+    ),
+    q AS (SELECT * FROM celled WHERE doc_id < 3),
+    scored AS (
+      SELECT q.doc_id AS q_doc, q.chunk_idx AS q_chunk,
+             c.doc_id AS hit_doc, c.chunk_idx AS hit_chunk,
+             ROUND(list_dot_product(q.e, c.e) / (q.nrm * c.nrm), 4) AS sim
+      FROM q JOIN celled c
+        ON q.cell = c.cell AND q.doc_id <> c.doc_id
+      WHERE q.nrm > 0 AND c.nrm > 0
+    )
+    SELECT q_doc, q_chunk, hit_doc, hit_chunk, sim FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY q_doc, q_chunk
+        ORDER BY sim DESC, hit_doc, hit_chunk) AS rn
+      FROM scored
+    ) WHERE rn <= 3 ORDER BY q_doc, q_chunk, rn
+    """,
+)
+def q143_rag_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end RAG index-and-retrieve composition: documents are
+    chunked into 16-token windows JVM-side (sequence + slice, no UDTF in
+    the scale path), each chunk gets a deterministic hash-embedding
+    (8 dims of portable_hash -- the cross-engine stand-in for a model
+    encoder; on a real cluster a pandas-UDF encoder drops into the same
+    column), chunks are IVF-celled by sign bits, and each query chunk
+    (docs 0-2) retrieves its top-3 nearest foreign chunks within its
+    cell by rounded cosine.
+
+    Scale notes: chunk fan-out is a JVM explode (rows multiply, text is
+    sliced not copied per token); the candidate join is equi on cell
+    (the q31 IVF contract: no cross join); the query side is a filter of
+    the same celled frame, so Catalyst broadcasts the small side. Top-k
+    is a per-query-chunk window on the rounded score with full
+    tie-breaks (SURVEY section 2.3 rule 1).
+    """
+    docs = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    toks = F.split("text", " ")
+    n_chunks = F.floor((F.size(toks) + 15) / 16).cast("int")
+    chunks = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.struct(
+                    i.cast("long").alias("chunk_idx"),
+                    F.concat_ws(" ", F.slice(toks, i * 16 + 1, 16)).alias(
+                        "chunk"
+                    ),
+                ),
+            )
+        ).alias("c"),
+    ).select("doc_id", F.col("c.chunk_idx").alias("chunk_idx"), F.col("c.chunk").alias("chunk"))
+    emb = F.transform(
+        F.sequence(F.lit(1), F.lit(8)),
+        lambda d: (
+            portable_hash(
+                F.concat(
+                    F.lit("emb:"), F.col("chunk"), F.lit(":"), d.cast("string")
+                )
+            )
+            % 2001
+            - 1000
+        ).cast("double")
+        / 1000.0,
+    )
+    dot = lambda x, y: F.aggregate(  # noqa: E731
+        F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0), lambda s, v: s + v
+    )
+    with_emb = chunks.select("doc_id", "chunk_idx", emb.alias("e"))
+    cell = (
+        F.when(F.element_at("e", 1) > 0, 4).otherwise(0)
+        + F.when(F.element_at("e", 2) > 0, 2).otherwise(0)
+        + F.when(F.element_at("e", 3) > 0, 1).otherwise(0)
+    )
+    celled = with_emb.select(
+        "doc_id",
+        "chunk_idx",
+        "e",
+        F.sqrt(dot(F.col("e"), F.col("e"))).alias("nrm"),
+        cell.alias("cell"),
+    ).filter(F.col("nrm") > 0)
+    q = celled.filter(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("q_doc"),
+        F.col("chunk_idx").alias("q_chunk"),
+        F.col("e").alias("qe"),
+        F.col("nrm").alias("qnrm"),
+        F.col("cell").alias("qcell"),
+    )
+    sim = F.round(dot(F.col("qe"), F.col("e")) / (F.col("qnrm") * F.col("nrm")), 4)
+    scored = (
+        celled.join(F.broadcast(q), F.col("qcell") == F.col("cell"))
+        .filter(F.col("q_doc") != F.col("doc_id"))
+        .select(
+            "q_doc",
+            "q_chunk",
+            F.col("doc_id").alias("hit_doc"),
+            F.col("chunk_idx").alias("hit_chunk"),
+            sim.alias("sim"),
+        )
+    )
+    w = Window.partitionBy("q_doc", "q_chunk").orderBy(
+        F.desc("sim"), "hit_doc", "hit_chunk"
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("q_doc", "q_chunk", "hit_doc", "hit_chunk", "sim")
+        .orderBy("q_doc", "q_chunk", F.desc("sim"), "hit_doc", "hit_chunk")
+    )

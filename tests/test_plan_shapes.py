@@ -508,3 +508,14 @@ def test_q140_no_unbounded_joins(spark, sf_dir):
     df = q("q140_pagerank", spark, sf_dir)
     plan = formatted_plan(df)
     assert "CartesianProduct" not in plan, plan
+
+
+def test_q143_rag_candidates_equi_join_no_python(spark, sf_dir):
+    # The retrieval join must be equi on the IVF cell with the query side
+    # broadcast, and the hash-embedding must be pure JVM expression work:
+    # no Python workers anywhere in the plan.
+    df = q("q143_rag_retrieval", spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
