@@ -2761,3 +2761,212 @@ def q143_rag_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("q_doc", "q_chunk", "hit_doc", "hit_chunk", "sim")
         .orderBy("q_doc", "q_chunk", F.desc("sim"), "hit_doc", "hit_chunk")
     )
+
+
+@declared(
+    "q144_lsh_recall_audit",
+    oracle=f"""
+    WITH {CORPUS_NEAR_CTE.strip()},
+    {SHINGLES_CTE.strip()},
+    hashed AS (
+      SELECT doc_id, {ORACLE_HASH.format("shingle")} AS h FROM shingles
+    ),
+    sigs AS (
+      SELECT doc_id,
+           {_minhash_sig_sql()}
+      FROM hashed GROUP BY doc_id
+    ),
+    bands AS (
+      {_minhash_band_keys_sql()}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+                               AND a.doc_id < b.doc_id
+    ),
+    shashes AS (
+      SELECT DISTINCT doc_id, lang, {ORACLE_HASH.format("shingle")} AS h
+      FROM shingles
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shashes GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+      FROM shashes a JOIN shashes b
+        ON a.h = b.h AND a.lang = b.lang AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    exact AS (
+      SELECT doc_a, doc_b
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE ROUND(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 4)
+            >= 0.5
+    ),
+    hit AS (
+      SELECT COUNT(*) AS n_hit FROM exact e
+      WHERE EXISTS (SELECT 1 FROM cand c
+                    WHERE c.doc_a = e.doc_a AND c.doc_b = e.doc_b)
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM exact) AS n_exact,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM cand) AS n_candidates,
+           (SELECT CAST(n_hit AS BIGINT) FROM hit) AS n_hit,
+           ROUND(CAST((SELECT n_hit FROM hit) AS DOUBLE)
+                 / NULLIF((SELECT COUNT(*) FROM exact), 0), 4) AS recall,
+           ROUND(CAST((SELECT n_hit FROM hit) AS DOUBLE)
+                 / NULLIF((SELECT COUNT(*) FROM cand), 0), 4) AS precision
+    """,
+)
+def q144_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measure, don't guess: the approximate tier audited against the
+    exact one. MinHash-LSH candidates (q23) are scored against the exact
+    3-gram-Jaccard >= 0.5 ground truth (q25): candidate recall (what the
+    banding missed) and candidate precision (how much verification work
+    the bands hand downstream). The number a pipeline owner needs before
+    trusting the cheap tier at 100 TB -- and the audit itself is
+    distributed: two pair sets, one semi join, three scalar aggregates.
+
+    (Precision here is CANDIDATE precision by design: q23's bands are
+    lang-agnostic while the ground truth is lang-blocked, so the audit
+    also surfaces cross-lang false candidates the verify step must pay
+    for.)
+    """
+    # exact side = the session-cached q25 pair graph (same frame that
+    # q52/q123/q141 consume -- one shingle pipeline for all five).
+    exact = _ngram_pairs_cached(spark, sf_dir)
+    cand = q23_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    n_exact = exact.agg(F.count(F.lit(1)).cast("bigint").alias("n_exact"))
+    n_cand = cand.agg(F.count(F.lit(1)).cast("bigint").alias("n_candidates"))
+    n_hit = (
+        exact.join(cand, ["doc_a", "doc_b"], "left_semi")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_hit"))
+    )
+    return (
+        n_exact.crossJoin(F.broadcast(n_cand))
+        .crossJoin(F.broadcast(n_hit))
+        .select(
+            "n_exact",
+            "n_candidates",
+            "n_hit",
+            F.round(
+                F.col("n_hit").cast("double")
+                / F.nullif(F.col("n_exact"), F.lit(0)),
+                4,
+            ).alias("recall"),
+            F.round(
+                F.col("n_hit").cast("double")
+                / F.nullif(F.col("n_candidates"), F.lit(0)),
+                4,
+            ).alias("precision"),
+        )
+    )
+
+
+@declared(
+    "q145_prefix_filter_join",
+    oracle=f"""
+    WITH tok AS (
+      SELECT DISTINCT doc_id, lang, {ORACLE_HASH.format("t")} AS h
+      FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS t
+            FROM documents) WHERE t <> ''
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+      FROM tok a JOIN tok b
+        ON a.h = b.h AND a.lang = b.lang AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           ROUND(CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter), 4)
+             AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE ROUND(CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter), 4) >= 0.6
+    ORDER BY doc_a, doc_b
+    """,
+)
+def q145_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-set similarity join via PREFIX FILTERING (the
+    PPJoin/AllPairs family) -- the exact-tier alternative to LSH: order
+    every document's token set by global rarity, explode only the first
+    n - ceil(0.59*n) + 1 tokens (any pair with Jaccard >= 0.59 must
+    collide inside these prefixes -- the filter has NO false negatives),
+    equi-join prefixes to get candidates, then verify each candidate
+    with an array-intersect over the two full token sets.
+
+    The oracle does NOT mirror the mechanics: it computes ground truth
+    directly from the all-shared-token join -- so a prefix too short to
+    guarantee completeness shows up as a hash mismatch, making the
+    filter's exactness claim itself the thing under test. (Filter slack:
+    prefixes sized for raw Jaccard 0.59 while the emitted threshold is
+    rounded >= 0.6, so round-up boundary pairs cannot escape.)
+
+    Scale notes: prefix explode shrinks the candidate stream ~40% per
+    doc at t=0.6 and concentrates it on RARE tokens, so the equi-join's
+    bucket sizes collapse (the hot frequent-token buckets are exactly
+    the ones the prefix drops); verification joins candidate pairs to
+    two vocabulary-sorted arrays and intersects JVM-side -- per-pair
+    cost bounded by doc token count, zero Python.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    tok = (
+        docs.select(
+            "doc_id", "lang", F.explode(F.split("text", " ")).alias("t")
+        )
+        .filter(F.col("t") != "")
+        .select("doc_id", "lang", portable_hash(F.col("t")).alias("h"))
+        .distinct()
+    )
+    dfreq = tok.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    w_doc = Window.partitionBy("doc_id").orderBy("df", "h")
+    w_n = Window.partitionBy("doc_id")
+    ranked = (
+        tok.join(F.broadcast(dfreq), "h")
+        .withColumn("pos", F.row_number().over(w_doc))
+        .withColumn("n", F.count(F.lit(1)).over(w_n))
+    )
+    # integer-exact prefix length for t=0.59: n - ceil(0.59 n) + 1
+    prefix_len = F.col("n") - F.floor((59 * F.col("n") + 99) / 100) + 1
+    prefix = ranked.filter(F.col("pos") <= prefix_len).select(
+        "doc_id", "lang", "h"
+    )
+    cand = (
+        prefix.alias("a")
+        .join(
+            prefix.alias("b"),
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    docsets = tok.groupBy("doc_id").agg(
+        F.sort_array(F.collect_set("h")).alias("hs"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    sa = docsets.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("hs").alias("hs_a"),
+        F.col("n").alias("n_a"),
+    )
+    sb = docsets.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("hs").alias("hs_b"),
+        F.col("n").alias("n_b"),
+    )
+    n_inter = F.size(F.array_intersect("hs_a", "hs_b"))
+    jac = F.round(
+        n_inter.cast("double") / (F.col("n_a") + F.col("n_b") - n_inter), 4
+    )
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.6)
+        .orderBy("doc_a", "doc_b")
+    )
