@@ -189,15 +189,48 @@ def main() -> int:
     def run_to_noop(df) -> None:
         df.write.format("noop").mode("overwrite").save()
 
-    # Warm-up: JVM + whole-stage-codegen compile + parquet footer caching.
+    # Warm-up: absorb every one-time engine cost so per-query numbers
+    # reflect steady-state execution (the docstring contract). Each item
+    # below was measured as a multi-second first-use penalty landing on
+    # whichever query happened to run it first:
+    #   q05          -> JVM, codegen, parquet footers
+    #   collate      -> ICU collator class loading (~7s)
+    #   window/explode -> WindowExec + Generate codegen paths
+    #   mapInPandas  -> Python worker pool + Arrow serde init
+    #   micro-stream -> streaming engine (offset/commit logs, state store
+    #                   providers; ~4s measured on the first stream)
     try:
         run_to_noop(REGISTRY["q05_revenue_per_nation"].fn(spark, SF_DIR))
-        # First collation use loads ICU collator classes (~7s one-time,
-        # measured); warm it on one row so q95 times steady-state work.
         spark.sql(
             "SELECT count(DISTINCT collate(c, 'UTF8_LCASE')) "
             "FROM VALUES ('a'), ('A') t(c)"
         ).collect()
+        spark.sql(
+            "SELECT x, row_number() OVER (PARTITION BY x % 2 ORDER BY x), "
+            "sum(x) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) "
+            "FROM (SELECT explode(sequence(1, 64)) AS x)"
+        ).collect()
+        spark.range(64).mapInPandas(lambda it: it, "id long").collect()
+        from iot_data_pipeline_spark.queries.staging import fresh_dir
+
+        wdir = fresh_dir("bench_warm")
+        src = os.path.join(wdir, "src")
+        spark.range(8).selectExpr(
+            "id", "timestamp_micros(CAST(id * 1000000 AS LONG)) AS ts"
+        ).coalesce(1).write.parquet(src)
+        (
+            spark.readStream.schema("id long, ts timestamp")
+            .parquet(src)
+            .withWatermark("ts", "1 minute")
+            .groupBy("id")
+            .count()
+            .writeStream.format("noop")
+            .option("checkpointLocation", os.path.join(wdir, "ckpt"))
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
     except Exception as exc:  # warm-up failure must not kill the run
         print(f"# warmup failed: {exc}", flush=True)
 
