@@ -2865,10 +2865,11 @@ def q144_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 @declared(
     "q145_prefix_filter_join",
     oracle=f"""
-    WITH tok AS (
-      SELECT DISTINCT doc_id, lang, {ORACLE_HASH.format("t")} AS h
-      FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS t
-            FROM documents) WHERE t <> ''
+    WITH {CORPUS_NEAR_CTE.strip()},
+    {SHINGLES_CTE.strip()},
+    tok AS (
+      SELECT DISTINCT doc_id, lang, {ORACLE_HASH.format("shingle")} AS h
+      FROM shingles
     ),
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
     inter AS (
@@ -2888,10 +2889,11 @@ def q144_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q145_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact token-set similarity join via PREFIX FILTERING (the
-    PPJoin/AllPairs family) -- the exact-tier alternative to LSH: order
-    every document's token set by global rarity, explode only the first
-    n - ceil(0.59*n) + 1 tokens (any pair with Jaccard >= 0.59 must
+    """Exact SHINGLE-set similarity join via PREFIX FILTERING (the
+    PPJoin/AllPairs family) -- the exact-tier alternative to q23's LSH
+    over the same near-dup corpus: order every document's 3-gram shingle
+    set by global rarity, explode only the first
+    n - ceil(0.59*n) + 1 shingles (any pair with Jaccard >= 0.59 must
     collide inside these prefixes -- the filter has NO false negatives),
     equi-join prefixes to get candidates, then verify each candidate
     with an array-intersect over the two full token sets.
@@ -2903,22 +2905,19 @@ def q145_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefixes sized for raw Jaccard 0.59 while the emitted threshold is
     rounded >= 0.6, so round-up boundary pairs cannot escape.)
 
-    Scale notes: prefix explode shrinks the candidate stream ~40% per
-    doc at t=0.6 and concentrates it on RARE tokens, so the equi-join's
-    bucket sizes collapse (the hot frequent-token buckets are exactly
-    the ones the prefix drops); verification joins candidate pairs to
-    two vocabulary-sorted arrays and intersects JVM-side -- per-pair
-    cost bounded by doc token count, zero Python.
+    Scale notes: prefix filtering needs the join key's frequency
+    distribution to be heavy-tailed -- rare keys must be genuinely rare.
+    SHINGLES give that (30k+ distinct values on this corpus); raw
+    unigram tokens do not (a 31-word vocabulary makes every "rare" token
+    hot: the first formulation of this query measured 43s at sf0.1 on
+    tokens vs ~1s on shingles -- the same lesson a 100 TB corpus teaches
+    about picking the similarity unit). The prefix explode shrinks the
+    candidate stream ~40% per doc at t=0.6 and drops exactly the hot
+    buckets; verification joins candidate pairs to two sorted hash
+    arrays and intersects JVM-side -- per-pair cost bounded by shingle
+    count, zero Python.
     """
-    docs = read_table(spark, sf_dir, "documents")
-    tok = (
-        docs.select(
-            "doc_id", "lang", F.explode(F.split("text", " ")).alias("t")
-        )
-        .filter(F.col("t") != "")
-        .select("doc_id", "lang", portable_hash(F.col("t")).alias("h"))
-        .distinct()
-    )
+    tok = _shingle_hashes(_corpus_near(spark, sf_dir), distinct=True)
     dfreq = tok.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
     w_doc = Window.partitionBy("doc_id").orderBy("df", "h")
     w_n = Window.partitionBy("doc_id")
