@@ -862,3 +862,89 @@ def q140_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pr_permille"), "doc_id")
         .limit(20)
     )
+
+
+@declared(
+    "q146_cdc_apply",
+    oracle="""
+    WITH base AS (
+      SELECT user_id, value FROM (
+        SELECT user_id, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE ts < TIMESTAMP '2024-06-01'
+      ) WHERE rn = 1
+    ),
+    latest_change AS (
+      SELECT user_id, value,
+             CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op
+      FROM (
+        SELECT user_id, value, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE ts >= TIMESTAMP '2024-06-01'
+      ) WHERE rn = 1
+    )
+    SELECT user_id,
+           ROUND(CASE WHEN c.op = 'U' THEN c.value ELSE b.value END, 2)
+             AS final_value,
+           CASE WHEN c.op IS NULL THEN 'kept_base' ELSE 'upserted' END
+             AS status
+    FROM base b FULL JOIN latest_change c USING (user_id)
+    WHERE COALESCE(c.op, 'U') <> 'D'
+    ORDER BY user_id
+    """,
+)
+def q146_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full CDC apply -- the piece q64's upsert-only merge lacks: a
+    changelog with upserts AND deletes applied to a base snapshot with
+    last-writer-wins per key (total order: ts, event_id). 'error'
+    events play the delete op; the latest op per key decides whether
+    the key survives with the change value, survives with its base
+    value, or is tombstoned out. This is the Debezium-style snapshot
+    maintenance loop expressed on plain DataFrames.
+
+    Scale plan: both sides reduce to one row per key BEFORE the full
+    outer join (rank-prune windows over the (user_id, ts) shuffle), so
+    the join carries keys, not history; deletes drop in the same
+    projection. At 100 TB the changelog side is a micro-batch -- tiny
+    against the snapshot -- and the same plan broadcast-joins it.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    cutoff = F.lit("2024-06-01").cast("timestamp")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    base = (
+        ev.filter(F.col("ts") < cutoff)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("value").alias("base_value"))
+    )
+    latest = (
+        ev.filter(F.col("ts") >= cutoff)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("value").alias("chg_value"),
+            F.when(F.col("event_type") == "error", "D").otherwise("U").alias(
+                "op"
+            ),
+        )
+    )
+    return (
+        base.join(latest, "user_id", "full")
+        .filter(F.coalesce(F.col("op"), F.lit("U")) != "D")
+        .select(
+            "user_id",
+            F.round(
+                F.when(F.col("op") == "U", F.col("chg_value")).otherwise(
+                    F.col("base_value")
+                ),
+                2,
+            ).alias("final_value"),
+            F.when(F.col("op").isNull(), "kept_base")
+            .otherwise("upserted")
+            .alias("status"),
+        )
+        .orderBy("user_id")
+    )
