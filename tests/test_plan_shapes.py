@@ -520,3 +520,30 @@ def test_q143_rag_candidates_equi_join_no_python(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_q142_single_key_exchange(spark, sf_dir):
+    # Rank-cap, re-rank, running sums, and last-row pick all share the
+    # (user_id) hash partitioning: at most that one hash exchange plus
+    # the final presentation sort may appear.
+    df = q("q142_ewma", spark, sf_dir)
+    assert shuffle_count(df) <= 4, formatted_plan(df)
+
+
+def test_q145_candidates_shrink_before_verify(spark, sf_dir):
+    # The prefix explode must feed an equi hash join (candidates), never
+    # a nested loop; verification joins are equi on doc ids.
+    df = q("q145_prefix_filter_join", spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_q146_rank_prune_before_full_join(spark, sf_dir):
+    # Both CDC sides reduce to one row per key BEFORE the full outer
+    # join: two rank windows upstream, and the join itself is a hash
+    # join (SortMergeJoin FullOuter also acceptable), not nested-loop.
+    df = q("q146_cdc_apply", spark, sf_dir)
+    plan = formatted_plan(df)
+    assert plan.count("Window") >= 2, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
