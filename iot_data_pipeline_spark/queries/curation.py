@@ -951,3 +951,78 @@ def q132_ngram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_bigrams") > 0)
         .orderBy("doc_id")
     )
+
+
+@declared(
+    "q147_curation_dashboard",
+    oracle="""
+    WITH scored AS (
+      SELECT source,
+             md5(text) AS digest,
+             len(string_split(text, ' ')) AS n_tokens,
+             ROUND(0.5 * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                          / len(string_split(text, ' ')))
+                   + 0.3 * least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100, 1.0)
+                   + 0.2 * least((CAST(length(text) - len(string_split(text, ' ')) + 1
+                                      AS DOUBLE)
+                                  / len(string_split(text, ' '))) / 8, 1.0),
+                   4) AS quality
+      FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) - COUNT(DISTINCT digest) AS BIGINT) AS exact_dup_docs,
+           ROUND(1.0 - CAST(COUNT(DISTINCT digest) AS DOUBLE) / COUNT(*), 4)
+             AS dup_rate,
+           ROUND(AVG(quality), 4) AS avg_quality,
+           ROUND(AVG(CAST(n_tokens AS DOUBLE)), 2) AS avg_tokens
+    FROM scored GROUP BY source ORDER BY source
+    """,
+)
+def q147_curation_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus health rollup -- the dashboard a curation team
+    watches per crawl batch: document count, exact-duplicate count and
+    rate (text digests), mean q28 quality, mean token length. One
+    grouped aggregate composing the dedup and quality primitives; the
+    digest distinct-count is the only state beyond constant counters,
+    and it shuffles 16-byte digests, never text.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_tokens = F.size(toks).cast("long")
+    n_distinct = F.size(F.array_distinct(toks)).cast("long")
+    n_chars = F.length("text")
+    quality = F.round(
+        0.5 * (n_distinct.cast("double") / n_tokens)
+        + 0.3 * F.least(n_tokens.cast("double") / 100, F.lit(1.0))
+        + 0.2
+        * F.least(
+            ((n_chars - n_tokens + 1).cast("double") / n_tokens) / 8, F.lit(1.0)
+        ),
+        4,
+    )
+    scored = docs.select(
+        "source",
+        F.md5("text").alias("digest"),
+        n_tokens.alias("n_tokens"),
+        quality.alias("quality"),
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            (F.count(F.lit(1)) - F.countDistinct("digest"))
+            .cast("bigint")
+            .alias("exact_dup_docs"),
+            F.round(
+                1.0
+                - F.countDistinct("digest").cast("double") / F.count(F.lit(1)),
+                4,
+            ).alias("dup_rate"),
+            F.round(F.avg("quality"), 4).alias("avg_quality"),
+            F.round(F.avg(F.col("n_tokens").cast("double")), 2).alias(
+                "avg_tokens"
+            ),
+        )
+        .orderBy("source")
+    )
