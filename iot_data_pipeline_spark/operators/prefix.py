@@ -267,7 +267,17 @@ def global_scan(
     stats = {r["_pid"]: r.asDict() for r in local.groupBy("_pid").agg(*aggs).collect()}
 
     offsets, rows_acc, dist_acc = {}, 0, 0
-    sum_acc = {out: 0.0 for out in sums}
+    # per-column integrality (same contract as global_running_sum): integral
+    # value columns accumulate through exact Python int and ship LONG
+    # offsets/literals; floating columns stay double throughout -- so the
+    # output schema depends only on the input dtype, never on whether a
+    # particular total happens to be integral-valued.
+    dtypes = dict(df.dtypes)
+    integral = {
+        out: dtypes[src] in ("tinyint", "smallint", "int", "bigint")
+        for out, src in sums.items()
+    }
+    sum_acc = {out: (0 if integral[out] else 0.0) for out in sums}
     for p in sorted(stats):
         offsets[p] = {
             "_roff": rows_acc,
@@ -281,11 +291,19 @@ def global_scan(
     total = rows_acc
     spark = df.sparkSession
     schema = "_pid int, _roff long, _doff long" + "".join(
-        f", _off_{out} double" for out in sums
+        f", _off_{out} {'long' if integral[out] else 'double'}" for out in sums
     )
     off_df = spark.createDataFrame(
         [
-            (p, o["_roff"], o["_doff"], *[float(o[f"_off_{out}"]) for out in sums])
+            (
+                p,
+                o["_roff"],
+                o["_doff"],
+                *[
+                    (int if integral[out] else float)(o[f"_off_{out}"])
+                    for out in sums
+                ],
+            )
             for p, o in offsets.items()
         ],
         schema,
@@ -317,6 +335,10 @@ def global_scan(
         if key not in sums:
             raise ValueError(f"total_cols key {key!r} not in sum_cols")
         grand = sum_acc[key]
-        lit = F.lit(int(grand)) if float(grand).is_integer() else F.lit(grand)
+        # literal type follows the value column's dtype, not the value:
+        # integral columns accumulated through int (exact past 2^53) and
+        # emit LONG; floating columns always emit DOUBLE even when the
+        # grand total happens to be integral-valued.
+        lit = F.lit(int(grand)) if integral[key] else F.lit(float(grand))
         out_df = out_df.withColumn(out, lit)
     return out_df.drop("_pid", "_roff", "_doff")

@@ -154,11 +154,25 @@ def neardup_pairs_pandas(
     import numpy as np
     import pandas as pd
 
+    # the block key's output type follows the input schema (an LSH bucket is
+    # a long, the default 'label' demo key may be a string) instead of a
+    # hardcoded long, so keep_block works with any hashable block column.
+    block_dt = df.schema[block_col].dataType.simpleString()
+    block_pd = {
+        "tinyint": "int8",
+        "smallint": "int16",
+        "int": "int32",
+        "bigint": "int64",
+        "float": "float32",
+        "double": "float64",
+        "boolean": "bool",
+    }.get(block_dt, "object")
+
     def pairs(pdf: pd.DataFrame) -> pd.DataFrame:
         n = len(pdf)
         cols = {"vec_a": "int64", "vec_b": "int64", "sim": "float64"}
         if keep_block:
-            cols = {block_col: "int64", **cols}
+            cols = {block_col: block_pd, **cols}
         if n < 2:
             return pd.DataFrame({c: [] for c in cols}).astype(cols)
         m = np.array(list(pdf[vec_col]), dtype="float64")
@@ -182,7 +196,7 @@ def neardup_pairs_pandas(
 
     out_schema = "vec_a long, vec_b long, sim double"
     if keep_block:
-        out_schema = f"{block_col} long, " + out_schema
+        out_schema = f"{block_col} {block_dt}, " + out_schema
     return df.select(id_col, vec_col, block_col).groupBy(block_col).applyInPandas(
         pairs, schema=out_schema
     )

@@ -724,12 +724,16 @@ def _pagerank_round_sql(prev: str, k: int) -> str:
     0.85, dangling mass redistributed uniformly)."""
     return f"""
     contrib{k} AS (
-      SELECT e.dst AS node, SUM(p.pr / p.outdeg) AS inflow
+      SELECT e.dst AS node,
+             CAST(SUM(CAST(p.pr / p.outdeg AS DECIMAL(28,18))) AS DOUBLE)
+               AS inflow
       FROM {prev} p JOIN edges e ON e.src = p.node
       GROUP BY e.dst
     ),
     dangling{k} AS (
-      SELECT COALESCE(SUM(pr), 0) AS mass FROM {prev} WHERE outdeg = 0
+      SELECT COALESCE(CAST(SUM(CAST(pr AS DECIMAL(28,18))) AS DOUBLE), 0)
+               AS mass
+      FROM {prev} WHERE outdeg = 0
     ),
     pr{k} AS (
       SELECT n.node, n.outdeg,
@@ -781,8 +785,10 @@ def q140_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     redistributed uniformly; top-20 by rank.
 
     Exactness: both engines run the same unrolled dataflow -- per-node
-    inflow sums over identical edge sets, IEEE doubles with identical
-    literals, ROUND after the last iteration (SURVEY section 2.3 rule 1).
+    inflow and dangling-mass sums accumulate in DECIMAL(28,18) (q112's
+    order-independence trick, so Spark's partial-aggregation order cannot
+    perturb the result), identical IEEE literals elsewhere, ROUND after
+    the last iteration (SURVEY section 2.3 rule 1).
 
     Scale notes: the classic distributed PageRank layout -- one shuffle
     per iteration (contrib groupBy dst), ranks and degrees co-partitioned
@@ -830,10 +836,21 @@ def q140_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         contrib = (
             pr.join(edges, pr["node"] == edges["src"])
             .groupBy(F.col("dst").alias("node"))
-            .agg(F.sum(F.col("pr") / F.col("outdeg")).alias("inflow"))
+            .agg(
+                # DECIMAL partial sums (q112's trick): the per-node inflow
+                # is independent of partial-aggregation order, so the
+                # result cannot drift with partitioning or diverge from
+                # the oracle at ROUND boundaries.
+                F.sum((F.col("pr") / F.col("outdeg")).cast("decimal(28,18)"))
+                .cast("double")
+                .alias("inflow")
+            )
         )
         dangling = pr.filter(F.col("outdeg") == 0).agg(
-            F.coalesce(F.sum("pr"), F.lit(0.0)).alias("mass")
+            F.coalesce(
+                F.sum(F.col("pr").cast("decimal(28,18)")).cast("double"),
+                F.lit(0.0),
+            ).alias("mass")
         )
         pr = (
             pr.select("node", "outdeg")

@@ -1851,10 +1851,12 @@ def _bpe_round_sql(prev: str, k: int) -> str:
     ),
     w{k} AS (
       SELECT cnt,
-             trim(replace(' ' || rep || ' ',
-                          ' ' || (SELECT pair FROM t{k}) || ' ',
-                          ' ' || replace((SELECT pair FROM t{k}), ' ', '')
-                              || ' ')) AS rep
+             COALESCE(
+               trim(replace(' ' || rep || ' ',
+                            ' ' || (SELECT pair FROM t{k}) || ' ',
+                            ' ' || replace((SELECT pair FROM t{k}), ' ', '')
+                                || ' ')),
+               rep) AS rep
       FROM {prev}
     )"""
 
@@ -2415,11 +2417,13 @@ def _bpe_apply_sql(prev: str, k: int) -> str:
     return f"""
     a{k} AS (
       SELECT word,
-             trim(replace(' ' || rep || ' ',
-                          ' ' || (SELECT pair FROM t{k}) || ' ',
-                          ' ' || replace((SELECT pair FROM t{k}), ' ', '')
-                              || ' ')) AS rep
-      FROM a{k - 1}
+             COALESCE(
+               trim(replace(' ' || rep || ' ',
+                            ' ' || (SELECT pair FROM t{k}) || ' ',
+                            ' ' || replace((SELECT pair FROM t{k}), ' ', '')
+                                || ' ')),
+               rep) AS rep
+      FROM {prev}
     )"""
 
 

@@ -14,17 +14,39 @@ at least once per run, and no state leaks across driver rounds.
 
 Streaming checkpoints and sinks are NEVER cached -- only source fixtures.
 A checkpoint reused across runs would make the stream a no-op.
+
+Every directory handed out (cached fixtures AND fresh_dir outputs) is
+registered for removal at process exit: scratch prefers RAM-backed
+/dev/shm, where leaked fixtures are leaked memory, so long pytest/bench
+sessions must not accumulate them.
 """
 
 from __future__ import annotations
 
+import atexit
 import itertools
 import os
+import shutil
 import tempfile
 from collections.abc import Callable
 
 _CACHE: dict[tuple[str, str], str] = {}
 _SEQ = itertools.count()
+_CREATED: list[str] = []
+
+# conservative upper bound for one staged fixture / checkpoint dir at the
+# driver's scale factors; if tmpfs has less free space than this, fall
+# back to disk rather than risk exhausting shared memory mid-run.
+_MIN_FREE_BYTES = 512 * 1024 * 1024
+
+
+@atexit.register
+def _cleanup() -> None:
+    """Remove every scratch dir this process created (tmpfs is memory)."""
+    for d in _CREATED:
+        shutil.rmtree(d, ignore_errors=True)
+    _CREATED.clear()
+    _CACHE.clear()
 
 
 def _scratch_base() -> str | None:
@@ -36,11 +58,25 @@ def _scratch_base() -> str | None:
     commit I/O). tmpfs removes that. This affects ONLY the correctness/
     bench probe surface -- production pipelines pass their own durable
     checkpoint/output locations through the run_* APIs (a streaming
-    checkpoint on tmpfs would not survive a node restart)."""
+    checkpoint on tmpfs would not survive a node restart).
+
+    Falls back to the tempfile default (TMPDIR or /tmp) when /dev/shm is
+    absent, unwritable, or below the free-space floor -- exhausting tmpfs
+    would fail arbitrary later allocations, not just ours."""
     base = "/dev/shm"
     if os.path.isdir(base) and os.access(base, os.W_OK):
-        return base
+        try:
+            if shutil.disk_usage(base).free >= _MIN_FREE_BYTES:
+                return base
+        except OSError:
+            pass
     return None  # tempfile default (TMPDIR or /tmp)
+
+
+def _tracked_mkdtemp(prefix: str) -> str:
+    d = tempfile.mkdtemp(prefix=prefix, dir=_scratch_base())
+    _CREATED.append(d)
+    return d
 
 
 def staged_fixture(kind: str, sf_dir: str, build: Callable[[str], None]) -> str:
@@ -48,7 +84,7 @@ def staged_fixture(kind: str, sf_dir: str, build: Callable[[str], None]) -> str:
     building it with ``build(dir)`` on first use in this process."""
     key = (kind, sf_dir)
     if key not in _CACHE:
-        d = tempfile.mkdtemp(prefix=f"idp_{kind}_", dir=_scratch_base())
+        d = _tracked_mkdtemp(f"idp_{kind}_")
         build(d)
         _CACHE[key] = d
     return _CACHE[key]
@@ -56,7 +92,7 @@ def staged_fixture(kind: str, sf_dir: str, build: Callable[[str], None]) -> str:
 
 def fresh_dir(kind: str) -> str:
     """A unique NON-cached work dir (checkpoints, sinks, outputs)."""
-    return tempfile.mkdtemp(prefix=f"idp_{kind}_", dir=_scratch_base())
+    return _tracked_mkdtemp(f"idp_{kind}_")
 
 
 def unique_name(prefix: str) -> str:
