@@ -108,37 +108,49 @@ def decode_png(payload: bytes) -> tuple[int, int, int, bytearray]:
     if len(raw) != expected:
         raise PngFormatError("IDAT length does not match dimensions")
 
-    out = bytearray(stride * height)
-    prev_start = -1
+    # Per-row unfilter. None/Sub/Up rows (everything our own encoder and
+    # most tools emit) are numpy-vectorized: Sub's left-neighbor recurrence
+    # is a per-channel cumulative sum mod 256, Up is elementwise add with
+    # the previous output row. Average/Paeth keep the scalar loop -- their
+    # left-dependency mixes with the up-row through >>1 / the Paeth
+    # predictor, which has no closed prefix form; they stay correct, just
+    # on the slow path.
+    import numpy as np
+
+    rawa = np.frombuffer(bytes(raw), dtype=np.uint8)
+    out_np = np.empty((height, stride), dtype=np.uint8)
     for y in range(height):
         fbyte = raw[y * (stride + 1)]
         line_off = y * (stride + 1) + 1
-        cur_start = y * stride
+        line = rawa[line_off : line_off + stride]
         if fbyte == 0:  # None
-            out[cur_start : cur_start + stride] = raw[line_off : line_off + stride]
-        elif fbyte == 1:  # Sub
-            for x in range(stride):
-                left = out[cur_start + x - channels] if x >= channels else 0
-                out[cur_start + x] = (raw[line_off + x] + left) & 0xFF
+            out_np[y] = line
+        elif fbyte == 1:  # Sub: per-channel cumsum mod 256
+            cur = line.reshape(-1, channels).astype(np.int64)
+            out_np[y] = (
+                (np.cumsum(cur, axis=0) & 0xFF).astype(np.uint8).reshape(-1)
+            )
         elif fbyte == 2:  # Up
-            for x in range(stride):
-                up = out[prev_start + x] if y else 0
-                out[cur_start + x] = (raw[line_off + x] + up) & 0xFF
-        elif fbyte == 3:  # Average
-            for x in range(stride):
-                left = out[cur_start + x - channels] if x >= channels else 0
-                up = out[prev_start + x] if y else 0
-                out[cur_start + x] = (raw[line_off + x] + ((left + up) >> 1)) & 0xFF
-        elif fbyte == 4:  # Paeth
-            for x in range(stride):
-                left = out[cur_start + x - channels] if x >= channels else 0
-                up = out[prev_start + x] if y else 0
-                ul = out[prev_start + x - channels] if (y and x >= channels) else 0
-                out[cur_start + x] = (raw[line_off + x] + _paeth(left, up, ul)) & 0xFF
+            if y:
+                out_np[y] = line + out_np[y - 1]  # uint8 wraparound == mod 256
+            else:
+                out_np[y] = line
+        elif fbyte in (3, 4):  # Average / Paeth: scalar (sequential in x)
+            prev = bytes(out_np[y - 1]) if y else bytes(stride)
+            row = bytearray(stride)
+            if fbyte == 3:
+                for x in range(stride):
+                    left = row[x - channels] if x >= channels else 0
+                    row[x] = (line[x] + ((left + prev[x]) >> 1)) & 0xFF
+            else:
+                for x in range(stride):
+                    left = row[x - channels] if x >= channels else 0
+                    ul = prev[x - channels] if x >= channels else 0
+                    row[x] = (line[x] + _paeth(left, prev[x], ul)) & 0xFF
+            out_np[y] = np.frombuffer(bytes(row), dtype=np.uint8)
         else:
             raise PngFormatError(f"bad filter byte {fbyte}")
-        prev_start = cur_start
-    return width, height, channels, out
+    return width, height, channels, bytearray(out_np.tobytes())
 
 
 def encode_png(
@@ -183,17 +195,14 @@ def resize_nearest(
     new_h: int,
 ) -> bytearray:
     """Nearest-neighbor resample (deterministic integer sampling grid)."""
-    out = bytearray(new_w * new_h * channels)
-    for y in range(new_h):
-        sy = min(y * height // new_h, height - 1)
-        src_row = sy * width * channels
-        dst_row = y * new_w * channels
-        for x in range(new_w):
-            sx = min(x * width // new_w, width - 1)
-            s = src_row + sx * channels
-            d = dst_row + x * channels
-            out[d : d + channels] = pixels[s : s + channels]
-    return out
+    import numpy as np
+
+    arr = np.frombuffer(bytes(pixels), dtype=np.uint8).reshape(
+        height, width, channels
+    )
+    sy = np.minimum(np.arange(new_h) * height // new_h, height - 1)
+    sx = np.minimum(np.arange(new_w) * width // new_w, width - 1)
+    return bytearray(arr[np.ix_(sy, sx)].tobytes())
 
 
 def luma_grid_features(
@@ -203,26 +212,28 @@ def luma_grid_features(
     (g = ceil(sqrt(dim))), flattened and truncated to ``dim``, each in
     [0, 1]. Luma uses integer Rec.601 weights so results are identical
     across platforms."""
+    import numpy as np
+
     g = 1
     while g * g < dim:
         g += 1
-    sums = [0] * (g * g)
-    counts = [0] * (g * g)
-    for y in range(height):
-        gy = min(y * g // height, g - 1)
-        row = y * width * channels
-        for x in range(width):
-            p = row + x * channels
-            if channels >= 3:
-                luma = (
-                    299 * pixels[p] + 587 * pixels[p + 1] + 114 * pixels[p + 2]
-                ) // 1000
-            else:
-                luma = pixels[p]
-            cell = gy * g + min(x * g // width, g - 1)
-            sums[cell] += luma
-            counts[cell] += 1
-    feats = [
-        (sums[i] / counts[i] / 255.0) if counts[i] else 0.0 for i in range(g * g)
-    ]
-    return feats[:dim]
+    arr = (
+        np.frombuffer(bytes(pixels), dtype=np.uint8)
+        .reshape(height, width, channels)
+        .astype(np.int64)
+    )
+    if channels >= 3:
+        luma = (299 * arr[:, :, 0] + 587 * arr[:, :, 1] + 114 * arr[:, :, 2]) // 1000
+    else:
+        luma = arr[:, :, 0]
+    gy = np.minimum(np.arange(height) * g // height, g - 1)
+    gx = np.minimum(np.arange(width) * g // width, g - 1)
+    cell = (gy[:, None] * g + gx[None, :]).ravel()
+    # luma sums are integers exactly representable in float64 (<= 2^53),
+    # so bincount-with-weights reproduces the scalar int accumulation
+    sums = np.bincount(cell, weights=luma.ravel(), minlength=g * g)
+    counts = np.bincount(cell, minlength=g * g)
+    feats = np.where(
+        counts > 0, sums / np.maximum(counts, 1) / 255.0, 0.0
+    )
+    return [float(v) for v in feats[:dim]]
