@@ -171,12 +171,32 @@ def bench_extras():
         )
         return extract_features(media, dim=16, mode="strict")
 
+    def b_rag_encoder(spark, sf_dir):
+        # q143's promised encoder drop-in point, exercised for real: the
+        # IDENTICAL chunk -> embed -> IVF-cell -> top-k plan
+        # (llm.rag_chunks / llm.rag_retrieve), but the embedding column
+        # comes from a model-shaped pandas-UDF encoder (hashed-bigram
+        # features -> 2-layer numpy MLP, operators/encoder.py) instead of
+        # the hash stand-in. The Python stage is confined to the encode
+        # column (plan-pinned: tests/test_plan_shapes.py).
+        from iot_data_pipeline_spark.operators.encoder import mlp_encode
+        from iot_data_pipeline_spark.queries.llm import rag_chunks, rag_retrieve
+
+        # embed-once: rag_retrieve consumes its input on BOTH join sides,
+        # and unlike the free hash embedding a model encoder must not run
+        # per-consumer -- persist() pins the embedded frame so the Python
+        # stage executes exactly once (the timing includes that
+        # materialization; everything downstream is JVM-only).
+        emb = mlp_encode(rag_chunks(spark, sf_dir)).persist()
+        return rag_retrieve(emb)
+
     return {
         "b01_approx_agg": b_approx_agg,
         "b02_ann_pandas": b_ann_pandas,
         "b03_hll_sketches": b_hll_sketches,
         "b04_pipeline_throughput": b_pipeline_throughput,
         "b05_media_decode": b_media_decode,
+        "b06_rag_encoder": b_rag_encoder,
     }
 
 

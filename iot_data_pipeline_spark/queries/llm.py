@@ -2633,9 +2633,7 @@ _EMB_SQL = (
 )
 
 
-@declared(
-    "q143_rag_retrieval",
-    oracle=f"""
+_Q143_ORACLE = f"""
     WITH toks AS (
       SELECT doc_id, string_split(text, ' ') AS t FROM documents
       WHERE doc_id < 200
@@ -2672,29 +2670,17 @@ _EMB_SQL = (
         ORDER BY sim DESC, hit_doc, hit_chunk) AS rn
       FROM scored
     ) WHERE rn <= 3 ORDER BY q_doc, q_chunk, rn
-    """,
-)
-def q143_rag_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end RAG index-and-retrieve composition: documents are
-    chunked into 16-token windows JVM-side (sequence + slice, no UDTF in
-    the scale path), each chunk gets a deterministic hash-embedding
-    (8 dims of portable_hash -- the cross-engine stand-in for a model
-    encoder; on a real cluster a pandas-UDF encoder drops into the same
-    column), chunks are IVF-celled by sign bits, and each query chunk
-    (docs 0-2) retrieves its top-3 nearest foreign chunks within its
-    cell by rounded cosine.
-
-    Scale notes: chunk fan-out is a JVM explode (rows multiply, text is
-    sliced not copied per token); the candidate join is equi on cell
-    (the q31 IVF contract: no cross join); the query side is a filter of
-    the same celled frame, so Catalyst broadcasts the small side. Top-k
-    is a per-query-chunk window on the rounded score with full
-    tie-breaks (SURVEY section 2.3 rule 1).
     """
+
+
+def rag_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> (doc_id, chunk_idx, chunk): 16-token windows, all
+    JVM-side (sequence + slice explode -- rows multiply, text is sliced,
+    never copied per token). Shared by q143 and the bench encoder twin."""
     docs = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     toks = F.split("text", " ")
     n_chunks = F.floor((F.size(toks) + 15) / 16).cast("int")
-    chunks = docs.select(
+    return docs.select(
         "doc_id",
         F.explode(
             F.transform(
@@ -2708,23 +2694,21 @@ def q143_rag_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("c"),
     ).select("doc_id", F.col("c.chunk_idx").alias("chunk_idx"), F.col("c.chunk").alias("chunk"))
-    emb = F.transform(
-        F.sequence(F.lit(1), F.lit(8)),
-        lambda d: (
-            portable_hash(
-                F.concat(
-                    F.lit("emb:"), F.col("chunk"), F.lit(":"), d.cast("string")
-                )
-            )
-            % 2001
-            - 1000
-        ).cast("double")
-        / 1000.0,
-    )
+
+
+def rag_retrieve(with_emb: DataFrame) -> DataFrame:
+    """(doc_id, chunk_idx, e) -> top-3 foreign neighbors per query chunk
+    (docs 0-2), IVF-celled by the embedding's first three sign bits.
+
+    This is the encoder drop-in point the q143 docstring promises: ANY
+    frame carrying an 8-dim ``e`` column enters the identical
+    cell-equi-join + broadcast + windowed-top-k plan -- the hash
+    stand-in (q143, cross-engine oracle-able) and a model-shaped
+    pandas-UDF encoder (bench b06) differ only in how ``e`` is computed.
+    """
     dot = lambda x, y: F.aggregate(  # noqa: E731
         F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0), lambda s, v: s + v
     )
-    with_emb = chunks.select("doc_id", "chunk_idx", emb.alias("e"))
     cell = (
         F.when(F.element_at("e", 1) > 0, 4).otherwise(0)
         + F.when(F.element_at("e", 2) > 0, 2).otherwise(0)
@@ -2765,6 +2749,40 @@ def q143_rag_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("q_doc", "q_chunk", "hit_doc", "hit_chunk", "sim")
         .orderBy("q_doc", "q_chunk", F.desc("sim"), "hit_doc", "hit_chunk")
     )
+
+
+@declared("q143_rag_retrieval", oracle=_Q143_ORACLE)
+def q143_rag_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end RAG index-and-retrieve composition: documents are
+    chunked into 16-token windows JVM-side (rag_chunks), each chunk gets
+    a deterministic hash-embedding (8 dims of portable_hash -- the
+    cross-engine stand-in for a model encoder; the bench twin
+    b06_rag_encoder drops a model-shaped pandas-UDF encoder into the
+    same column), chunks are IVF-celled by sign bits, and each query
+    chunk (docs 0-2) retrieves its top-3 nearest foreign chunks within
+    its cell by rounded cosine (rag_retrieve).
+
+    Scale notes: chunk fan-out is a JVM explode; the candidate join is
+    equi on cell (the q31 IVF contract: no cross join); the query side
+    is a filter of the same celled frame, so Catalyst broadcasts the
+    small side. Top-k is a per-query-chunk window on the rounded score
+    with full tie-breaks (SURVEY section 2.3 rule 1).
+    """
+    chunks = rag_chunks(spark, sf_dir)
+    emb = F.transform(
+        F.sequence(F.lit(1), F.lit(8)),
+        lambda d: (
+            portable_hash(
+                F.concat(
+                    F.lit("emb:"), F.col("chunk"), F.lit(":"), d.cast("string")
+                )
+            )
+            % 2001
+            - 1000
+        ).cast("double")
+        / 1000.0,
+    )
+    return rag_retrieve(chunks.select("doc_id", "chunk_idx", emb.alias("e")))
 
 
 @declared(

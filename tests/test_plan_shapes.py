@@ -547,3 +547,51 @@ def test_q146_rank_prune_before_full_join(spark, sf_dir):
     plan = formatted_plan(df)
     assert plan.count("Window") >= 2, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_b06_encoder_python_stage_confined(spark, sf_dir):
+    # The bench encoder twin (b06_rag_encoder): a model-shaped pandas-UDF
+    # encoder drops into q143's retrieval plan. The Python stage must be
+    # confined to computing the embedding column inside the persisted
+    # embed step -- every ArrowEvalPython occurrence sits within the
+    # cached relation's subtree (one per InMemoryTableScan repr), no
+    # row-at-a-time BatchEvalPython, and retrieval stays an equi
+    # broadcast join.
+    from iot_data_pipeline_spark.operators.encoder import mlp_encode
+    from iot_data_pipeline_spark.queries.llm import rag_chunks, rag_retrieve
+
+    emb = mlp_encode(rag_chunks(spark, sf_dir)).persist()
+    try:
+        df = rag_retrieve(emb)
+        df.write.format("noop").mode("overwrite").save()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        scans = plan.count("InMemoryTableScan")
+        assert scans >= 2, plan  # both join sides read the cached embed
+        assert plan.count("ArrowEvalPython") <= scans, plan
+        assert "BatchEvalPython" not in plan, plan
+        assert "CartesianProduct" not in plan, plan
+        assert "BroadcastHashJoin" in plan, plan
+    finally:
+        emb.unpersist()
+
+
+def test_b06_encoder_deterministic(spark, sf_dir):
+    # Seeded weights regenerate identically on every worker: two
+    # independent runs produce identical embeddings.
+    from iot_data_pipeline_spark.operators.encoder import mlp_encode
+    from iot_data_pipeline_spark.queries.llm import rag_chunks
+
+    a = {
+        (r["doc_id"], r["chunk_idx"]): tuple(r["e"])
+        for r in mlp_encode(rag_chunks(spark, sf_dir)).collect()
+    }
+    b = {
+        (r["doc_id"], r["chunk_idx"]): tuple(r["e"])
+        for r in mlp_encode(rag_chunks(spark, sf_dir)).collect()
+    }
+    assert a == b
+    # embeddings are L2-normalized and non-degenerate
+    import math
+
+    for v in list(a.values())[:20]:
+        assert abs(math.sqrt(sum(x * x for x in v)) - 1.0) < 1e-9
