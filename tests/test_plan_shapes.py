@@ -374,6 +374,7 @@ BOUNDED_BNLJ = {
     "q126_important_parts": 1,  # 1-row global-threshold scalar broadcast
     "q131_bpe_learn": 3,  # one 1-row winning-pair broadcast per merge round
     "q144_lsh_recall_audit": 2,  # three 1-row count aggregates cross-joined
+    "q148_ivf_recall_audit": 1,  # bounded query-set broadcast (exact side)
 }
 
 
