@@ -50,6 +50,7 @@ def connected_components(
     dst: str = "dst",
     max_iter: int = 25,
     local_threshold: int = 200_000,
+    algorithm: str = "label",
 ) -> DataFrame:
     """(node, component) for every node appearing in ``edges``;
     ``component`` is the smallest node id reachable from the node.
@@ -66,6 +67,17 @@ def connected_components(
     - **large edge set**: distributed min-label propagation; each
       iteration is one join + min-aggregate shuffle, converging in
       O(graph diameter) rounds with a one-row convergence probe.
+
+    ``algorithm`` picks the distributed path: ``"label"`` (default)
+    min-label propagation, ``"star"`` alternating large-star/small-star
+    contraction (:func:`connected_components_star`). Tradeoff: label
+    propagation pays ONE cheap shuffle per round but needs O(diameter)
+    rounds -- the right choice for dedup match graphs, whose components
+    are dense and shallow (diameter <= ~3). Star contraction pays two
+    heavier phases per round but converges in O(log n) rounds
+    independent of diameter -- the right choice for arbitrary graphs
+    (long chains, web graphs) where diameter, not size, is the enemy.
+    Both are property-tested equivalent on random graphs.
     """
     # Materialize the edge list FIRST: it is usually the output of an
     # expensive upstream pipeline (similarity self-join), and the two
@@ -90,6 +102,11 @@ def connected_components(
             sorted(comp.items()), "node long, component long"
         )
 
+    if algorithm == "star":
+        return _star_contraction(sym, max_iter)
+    if algorithm != "label":
+        raise ValueError(f"unknown algorithm {algorithm!r} (label|star)")
+
     labels = (
         sym.select(F.col("a").alias("node"))
         .distinct()
@@ -112,3 +129,133 @@ def connected_components(
             break
         prev_sum = cur_sum
     return labels
+
+
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components by alternating large-star/small-star
+    contraction (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC'14 -- public algorithm): converges in O(log n) rounds
+    regardless of graph diameter, where min-label propagation needs
+    O(diameter) rounds.
+
+    Each round runs two phases over the symmetric neighbor list:
+
+    - **large-star**: every node u computes m = min(neighbors(u) + {u})
+      and re-points each STRICTLY LARGER neighbor v at m (plus u itself);
+      long chains fold toward small ids in halving steps.
+    - **small-star**: u re-points its smaller-or-equal neighbors (and
+      itself) at the min of that subset; stars flatten.
+
+    Both phases preserve the component partition (every emitted edge
+    connects nodes already connected through u), so the fixpoint -- an
+    edge set of (node, component-min) stars -- labels every node with
+    the smallest reachable id, exactly like min-label propagation
+    (property-tested equivalent on random graphs, including chain
+    graphs where the round-count difference shows).
+
+    Cost model: two groupBy+join shuffles per round vs label
+    propagation's one, but O(log n) vs O(diameter) rounds -- use this
+    for arbitrary/deep graphs, the default for shallow dedup clusters.
+    Fixpoint detection: (count, xxhash64-sum) signature of the canonical
+    edge set; ``localCheckpoint`` cuts lineage per round.
+    """
+    raw = edges.select(
+        F.col(src).alias("a"), F.col(dst).alias("b")
+    ).localCheckpoint(eager=True)
+    # contract parity with the label path: every node APPEARING in edges
+    # gets a row, including nodes whose only edge is a self-loop
+    all_nodes = (
+        raw.select(F.col("a").alias("node"))
+        .unionByName(raw.select(F.col("b").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    pairs = raw.filter(F.col("a") != F.col("b"))
+    sym = (
+        pairs.unionByName(pairs.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    spark = edges.sparkSession
+    if sym.isEmpty():
+        return all_nodes.withColumn("component", F.col("node"))
+
+    def signature(e: DataFrame) -> tuple:
+        # bit_xor, not sum: the edge set is distinct, so xor of per-edge
+        # hashes is an order-independent set fingerprint that cannot
+        # overflow under ANSI arithmetic
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.bit_xor(
+                F.xxhash64(F.least("a", "b"), F.greatest("a", "b"))
+            ).alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    cur = sym
+    prev_sig = None
+    for _ in range(max_iter):
+        # ---- large-star: m(u) = min(G(u) + {u}); (v, m) for v > u, (u, m)
+        nbr_min = cur.groupBy("a").agg(F.min("b").alias("mb"))
+        m = nbr_min.select("a", F.least("a", "mb").alias("m"))
+        joined = cur.join(m, "a")
+        large = (
+            joined.filter(F.col("b") > F.col("a"))
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .unionByName(m.select(F.col("a"), F.col("m").alias("b")))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+        lsym = large.unionByName(
+            large.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        ).distinct()
+
+        # ---- small-star over the large-star output: m over v <= u only
+        small_nbrs = lsym.filter(F.col("b") < F.col("a"))
+        sm = small_nbrs.groupBy("a").agg(F.min("b").alias("m"))
+        small = (
+            small_nbrs.join(sm, "a")
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .unionByName(sm.select(F.col("a"), F.col("m").alias("b")))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        cur = small.unionByName(
+            small.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        ).distinct()
+        sig = signature(small)
+        if sig == prev_sig:
+            cur = small
+            break
+        prev_sig = sig
+        cur = cur.localCheckpoint(eager=True)
+    else:
+        # loop exhausted max_iter without a stable signature; cur is the
+        # symmetric set -- reduce to the directed star form for labeling
+        cur = cur.filter(F.col("b") < F.col("a"))
+
+    # fixpoint edges are (node, component-min) stars; nodes with no
+    # surviving edge (self-loop-only) label themselves
+    labels = (
+        cur.select(F.col("a").alias("node"), F.col("b").alias("component"))
+        .unionByName(
+            cur.select(F.col("b").alias("node"), F.col("b").alias("component"))
+        )
+        .groupBy("node")
+        .agg(F.min("component").alias("component"))
+    )
+    return all_nodes.join(labels, "node", "left").select(
+        "node", F.coalesce("component", F.col("node")).alias("component")
+    )
+
+
+def _star_contraction(sym: DataFrame, max_iter: int) -> DataFrame:
+    """Dispatch shim for :func:`connected_components` (input already
+    symmetric and deduped -- reuse it directly as the edge frame)."""
+    return connected_components_star(sym, src="a", dst="b", max_iter=max_iter)

@@ -579,3 +579,65 @@ def test_global_scan_combines_sums_and_ranks(spark, sf_dir):
         assert abs(g[k]["run_v"] - x[k]["run_v"]) < 1e-6, k
         for c in ("rank", "dense_rank", "row_number", "ntile"):
             assert g[k][c] == x[k][c], (k, c)
+
+
+def _uf_ground_truth(pairs):
+    from iot_data_pipeline_spark.operators.graph import _union_find_local
+
+    return _union_find_local(pairs)
+
+
+def test_star_contraction_matches_union_find_random_graphs(spark):
+    # Property: large-star/small-star contraction labels every node with
+    # its component minimum, on graphs of varying density -- including
+    # the long-chain case where min-label propagation's O(diameter)
+    # round count is worst and star contraction's O(log n) shines.
+    import random
+
+    from iot_data_pipeline_spark.operators.graph import connected_components_star
+
+    cases = []
+    rng = random.Random(0xC0FFEE)
+    for trial in range(6):
+        n = rng.randrange(5, 40)
+        n_edges = rng.randrange(1, 3 * n)
+        cases.append(
+            [(rng.randrange(n), rng.randrange(n)) for _ in range(n_edges)]
+        )
+    cases.append([(i, i + 1) for i in range(60)])  # 60-deep chain
+    cases.append([(0, i) for i in range(1, 30)])  # star
+    cases.append([(i, i) for i in range(5)] + [(7, 9)])  # self loops + edge
+
+    for pairs in cases:
+        clean = [(a, b) for a, b in pairs if a != b]
+        want = _uf_ground_truth(clean)
+        # nodes whose only edge is a self-loop are their own component
+        for a, b in pairs:
+            want.setdefault(a, a)
+            want.setdefault(b, b)
+        edges = spark.createDataFrame(
+            [(a, b) for a, b in pairs] or [(0, 0)], "src long, dst long"
+        )
+        got = {
+            r["node"]: r["component"]
+            for r in connected_components_star(edges).collect()
+        }
+        assert got == want, (sorted(got.items()), sorted(want.items()))
+
+
+def test_star_dispatch_from_connected_components(spark):
+    from iot_data_pipeline_spark.operators.graph import connected_components
+
+    pairs = [(1, 2), (2, 3), (10, 11), (5, 5)]
+    edges = spark.createDataFrame(pairs, "src long, dst long")
+    label = {
+        r["node"]: r["component"]
+        for r in connected_components(edges, local_threshold=0).collect()
+    }
+    star = {
+        r["node"]: r["component"]
+        for r in connected_components(
+            edges, local_threshold=0, algorithm="star"
+        ).collect()
+    }
+    assert label == star == {1: 1, 2: 1, 3: 1, 5: 5, 10: 10, 11: 10}
