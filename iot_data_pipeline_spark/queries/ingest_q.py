@@ -436,6 +436,10 @@ def q53_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             joined.writeStream.format("memory")
             .queryName(sink)
             .outputMode("append")
+            # explicit RAM-backed checkpoint (staging._scratch_base):
+            # without it Spark creates a temp checkpoint under /tmp
+            # (ext4), paying fsync on every state-store commit
+            .option("checkpointLocation", fresh_dir("q53_ckpt"))
             .trigger(availableNow=True)
             .start()
             .awaitTermination()
