@@ -3128,3 +3128,158 @@ def q148_ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+@declared(
+    "q149_ivf_multiprobe_audit",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS emb,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm,
+             (CASE WHEN embedding[1] > 0 THEN 4 ELSE 0 END
+              + CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END
+              + CASE WHEN embedding[3] > 0 THEN 1 ELSE 0 END) AS cell
+      FROM embeddings
+    ),
+    queries AS (SELECT * FROM e WHERE vec_id < 5),
+    exact AS (
+      SELECT query_id, vec_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY ROUND(list_dot_product(q.emb, c.emb)
+                                / (q.nrm * c.nrm), 4) DESC, c.vec_id) AS rn
+        FROM queries q JOIN e c ON q.vec_id <> c.vec_id
+      ) WHERE rn <= 3
+    ),
+    probes AS (
+      SELECT vec_id AS query_id, u.probe
+      FROM queries,
+           UNNEST([cell, xor(cell, 1), xor(cell, 2), xor(cell, 4)]) AS u(probe)
+    ),
+    cand AS (
+      SELECT DISTINCT p.query_id, c.vec_id
+      FROM probes p JOIN e c ON p.probe = c.cell
+      WHERE p.query_id <> c.vec_id
+    ),
+    csz AS (
+      SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_candidates
+      FROM cand GROUP BY query_id
+    ),
+    stats AS (
+      SELECT ex.query_id,
+             CAST(COUNT(*) AS BIGINT) AS n_exact,
+             CAST(COUNT(cd.vec_id) AS BIGINT) AS n_hit
+      FROM exact ex
+      LEFT JOIN cand cd
+        ON ex.query_id = cd.query_id AND ex.vec_id = cd.vec_id
+      GROUP BY ex.query_id
+    )
+    SELECT s.query_id, s.n_exact,
+           CAST(COALESCE(c.n_candidates, 0) AS BIGINT) AS n_candidates,
+           s.n_hit,
+           ROUND(CAST(s.n_hit AS DOUBLE) / s.n_exact, 4) AS recall,
+           ROUND(CAST(s.n_hit AS DOUBLE) / NULLIF(c.n_candidates, 0), 4)
+             AS precision
+    FROM stats s LEFT JOIN csz c ON s.query_id = c.query_id
+    ORDER BY s.query_id
+    """,
+)
+def q149_ivf_multiprobe_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe IVF, audited: q148 measured single-probe sign-bit
+    recall at ~27%, the classic fix is probing the neighbor cells most
+    likely to hold the query's true neighbors -- here the query's own
+    cell plus the three cells at sign-bit Hamming distance 1 (nprobe=4
+    of 8). Same audit frame as q148 (per-query candidate recall and
+    precision vs exact top-3), so the two queries read side by side as
+    the recall/cost curve: 4x the probed cells buys the recall lift, at
+    ~4x candidate volume.
+
+    Scale notes: multi-probe stays an EQUI join -- the probe-cell list
+    is exploded on the (tiny, broadcast) query side, never the corpus
+    side, so the corpus shuffles zero extra rows and the candidate join
+    key is still a single int. The exact ground-truth side is q148's
+    whitelisted bounded-broadcast serving shape.
+    """
+    emb = read_table(spark, sf_dir, "embeddings")
+    as_double = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    dot = lambda x, y: F.aggregate(  # noqa: E731
+        F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0), lambda s, v: s + v
+    )
+    cell = (
+        F.when(F.element_at("embedding", 1) > 0, 4).otherwise(0)
+        + F.when(F.element_at("embedding", 2) > 0, 2).otherwise(0)
+        + F.when(F.element_at("embedding", 3) > 0, 1).otherwise(0)
+    )
+    e = emb.select(
+        "vec_id",
+        as_double.alias("emb"),
+        F.sqrt(dot(as_double, as_double)).alias("nrm"),
+        cell.alias("cell"),
+    )
+    qf = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("qemb"),
+        F.col("nrm").alias("qnrm"),
+        F.col("cell").alias("qcell"),
+    )
+    sim = F.round(
+        dot(F.col("qemb"), F.col("emb")) / (F.col("qnrm") * F.col("nrm")), 4
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), "vec_id")
+    exact = (
+        e.crossJoin(F.broadcast(qf))
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select("query_id", "vec_id", sim.alias("sim"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("query_id", "vec_id")
+    )
+    probes = qf.select(
+        "query_id",
+        F.explode(
+            F.array(
+                F.col("qcell"),
+                F.col("qcell").bitwiseXOR(F.lit(1)),
+                F.col("qcell").bitwiseXOR(F.lit(2)),
+                F.col("qcell").bitwiseXOR(F.lit(4)),
+            )
+        ).alias("probe"),
+    )
+    cand = (
+        e.join(F.broadcast(probes), F.col("probe") == F.col("cell"))
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select("query_id", "vec_id")
+        .distinct()
+    )
+    csz = cand.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_candidates")
+    )
+    stats = (
+        exact.join(cand.withColumn("hit", F.lit(1)), ["query_id", "vec_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_exact"),
+            F.count("hit").cast("bigint").alias("n_hit"),
+        )
+    )
+    return (
+        stats.join(csz, "query_id", "left")
+        .select(
+            "query_id",
+            "n_exact",
+            F.coalesce(F.col("n_candidates"), F.lit(0))
+            .cast("bigint")
+            .alias("n_candidates"),
+            "n_hit",
+            F.round(F.col("n_hit").cast("double") / F.col("n_exact"), 4).alias(
+                "recall"
+            ),
+            F.round(
+                F.col("n_hit").cast("double")
+                / F.nullif(F.col("n_candidates"), F.lit(0)),
+                4,
+            ).alias("precision"),
+        )
+        .orderBy("query_id")
+    )
