@@ -965,3 +965,63 @@ def q146_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@declared(
+    "q150_chain_components",
+    oracle="""
+    WITH ev AS (
+      SELECT event_id, user_id % 64 AS bucket
+      FROM events WHERE event_id < 10000
+    ),
+    sized AS (
+      SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+             MIN(event_id) AS component
+      FROM ev GROUP BY bucket
+    )
+    SELECT component, n_nodes FROM sized
+    WHERE n_nodes >= 2
+    ORDER BY component
+    """,
+)
+def q150_chain_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed star-contraction connected components on DEEP graphs:
+    events (capped at event_id < 10000 so the graph is constant-size
+    across scale factors) are chained consecutively within user buckets
+    (user_id % 64) -- 64 path components ~150 nodes deep, the
+    diameter regime where min-label propagation's O(diameter) rounds
+    lose to large-star/small-star's O(log n)
+    (operators/graph.connected_components_star; q52 covers the shallow
+    dedup-cluster regime with the default path).
+
+    The oracle derives the answer from the generative structure instead
+    of re-running a graph algorithm: a chain over a bucket's events is
+    one component whose id is the bucket's min event_id and whose size
+    is the bucket's event count -- so the hash-match independently
+    verifies the contraction's fixpoint labeling, not a reimplementation
+    of it.
+
+    Scale notes: edge derivation is one window over the bucket
+    partitioning (no shuffle beyond the bucket hash); the contraction
+    runs ~log2(depth) rounds of two groupBy+join phases each, lineage
+    cut per round. Output is one row per component.
+    """
+    from iot_data_pipeline_spark.operators.graph import connected_components_star
+
+    ev = (
+        read_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 10000)
+        .select("event_id", (F.col("user_id") % 64).alias("bucket"), "ts")
+    )
+    w = Window.partitionBy("bucket").orderBy("ts", "event_id")
+    edges = (
+        ev.withColumn("prev", F.lag("event_id").over(w))
+        .filter(F.col("prev").isNotNull())
+        .select(F.col("prev").alias("src"), F.col("event_id").alias("dst"))
+    )
+    cc = connected_components_star(edges)
+    return (
+        cc.groupBy("component")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+        .orderBy("component")
+    )
