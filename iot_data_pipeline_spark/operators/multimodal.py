@@ -73,6 +73,35 @@ def _fake_features(payload: bytes, dim: int) -> list[float]:
     return out[:dim]
 
 
+def _decode_image_features(payload: bytes, dim: int) -> list[float]:
+    """Shared strict-mode image dispatch: magic-sniff the codec (PNG,
+    baseline JPEG, or GIF87a/89a — all vendored, spec-implemented), decode
+    to pixels, and reduce to the Rec.601 luma-grid feature vector. GIF's
+    palette indices are expanded to RGB before the luma pass (integer-only,
+    so features stay bit-identical across platforms)."""
+    from iot_data_pipeline_spark.operators import gif, jpeg, png
+
+    if png.is_png(payload):
+        w, h, ch, pixels = png.decode_png(payload)
+        return png.luma_grid_features(w, h, ch, pixels, dim)
+    if jpeg.is_jpeg(payload):
+        w, h, ch, pixels = jpeg.decode_jpeg(payload)
+        return png.luma_grid_features(w, h, ch, pixels, dim)
+    if gif.is_gif(payload):
+        import numpy as np
+
+        w, h, palette, indices = gif.decode_gif(payload)
+        pal = np.asarray(palette, dtype=np.uint8)
+        flat = pal[np.frombuffer(bytes(indices), dtype=np.uint8)]
+        return png.luma_grid_features(w, h, 3, bytearray(flat.tobytes()), dim)
+    raise NotImplementedError(
+        "only PNG, baseline JPEG, and GIF decode are vendored in this "
+        "environment; other codecs (progressive JPEG/audio/video) plug "
+        "into this kernel on a real cluster, or run with mode='fake' "
+        "for the deterministic test kernel"
+    )
+
+
 def extract_features(
     df: DataFrame,
     content_col: str = "content",
@@ -87,9 +116,10 @@ def extract_features(
     payloads yield NULL features (dirty-data tolerance, same posture as the
     corrupt-record channel).
 
-    mode='strict' really decodes PNG payloads (vendored stdlib codec,
-    operators/png.py) and refuses anything else; mode='fake' runs the
-    deterministic digest stand-in for arbitrary bytes.
+    mode='strict' really decodes PNG, baseline JPEG, and GIF payloads
+    (vendored spec codecs: operators/png.py, jpeg.py, gif.py) and refuses
+    anything else; mode='fake' runs the deterministic digest stand-in for
+    arbitrary bytes.
     """
     if mode not in ("strict", "fake"):
         raise ValueError(f"mode must be strict|fake, got {mode!r}")
@@ -97,20 +127,7 @@ def extract_features(
     def kernel(payload: bytes) -> list[float]:
         if mode == "fake":
             return _fake_features(payload, dim)
-        from iot_data_pipeline_spark.operators import jpeg, png
-
-        if png.is_png(payload):
-            w, h, ch, pixels = png.decode_png(payload)
-            return png.luma_grid_features(w, h, ch, pixels, dim)
-        if jpeg.is_jpeg(payload):
-            w, h, ch, pixels = jpeg.decode_jpeg(payload)
-            return png.luma_grid_features(w, h, ch, pixels, dim)
-        raise NotImplementedError(
-            "only PNG and baseline JPEG decode are vendored in this "
-            "environment; other codecs (progressive JPEG/audio/video) plug "
-            "into this kernel on a real cluster, or run with mode='fake' "
-            "for the deterministic test kernel"
-        )
+        return _decode_image_features(payload, dim)
 
     def run(batches: Iterator) -> Iterator:
         import pandas as pd
@@ -155,7 +172,7 @@ def resize_images(
 
     def kernel(payload: bytes) -> bytes:
         if mode == "strict":
-            from iot_data_pipeline_spark.operators import jpeg, png
+            from iot_data_pipeline_spark.operators import gif, jpeg, png
 
             if png.is_png(payload):
                 w, h, ch, pixels = png.decode_png(payload)
@@ -163,10 +180,21 @@ def resize_images(
                 # JPEG in, PNG out: re-encoding lossy JPEG would degrade
                 # again, so resized media normalizes to lossless PNG.
                 w, h, ch, pixels = jpeg.decode_jpeg(payload)
+            elif gif.is_gif(payload):
+                # GIF in, PNG out: palette expanded to RGB truecolor
+                # (resampling palette indices would invent colors).
+                import numpy as np
+
+                w, h, palette, indices = gif.decode_gif(payload)
+                pal = np.asarray(palette, dtype=np.uint8)
+                pixels = bytearray(
+                    pal[np.frombuffer(bytes(indices), dtype=np.uint8)].tobytes()
+                )
+                ch = 3
             else:
                 raise NotImplementedError(
-                    "only PNG and baseline JPEG resize are vendored in this "
-                    "environment; run with mode='fake' for the "
+                    "only PNG, baseline JPEG, and GIF resize are vendored "
+                    "in this environment; run with mode='fake' for the "
                     "deterministic test kernel"
                 )
             return png.encode_png(
@@ -246,7 +274,8 @@ def extract_features_arrow(
     skip the pandas object-column materialization entirely -- for
     binary-heavy media batches this removes one full copy per batch
     versus ``mapInPandas``. Same contract: NULL payload -> NULL features,
-    strict mode decodes PNG for real and refuses other codecs.
+    strict mode decodes PNG/baseline-JPEG/GIF for real and refuses other
+    codecs.
     """
     if mode not in ("strict", "fake"):
         raise ValueError(f"mode must be strict|fake, got {mode!r}")
@@ -259,19 +288,7 @@ def extract_features_arrow(
     def kernel(payload: bytes) -> list[float]:
         if mode == "fake":
             return _fake_features(payload, dim)
-        from iot_data_pipeline_spark.operators import jpeg, png
-
-        if png.is_png(payload):
-            w, h, ch, pixels = png.decode_png(payload)
-            return png.luma_grid_features(w, h, ch, pixels, dim)
-        if jpeg.is_jpeg(payload):
-            w, h, ch, pixels = jpeg.decode_jpeg(payload)
-            return png.luma_grid_features(w, h, ch, pixels, dim)
-        raise NotImplementedError(
-            "only PNG and baseline JPEG decode are vendored in this "
-            "environment; run with mode='fake' for the deterministic "
-            "test kernel"
-        )
+        return _decode_image_features(payload, dim)
 
     def run(batches):
         import pyarrow as pa

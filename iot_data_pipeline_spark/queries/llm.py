@@ -3283,3 +3283,103 @@ def q149_ivf_multiprobe_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+@declared(
+    "q151_gif_decode",
+    oracle="""
+    WITH grid AS (
+      SELECT d.doc_id, tx.x, ty.y,
+             ((tx.x * ty.y + d.doc_id) % 4) AS ix
+      FROM documents d, range(16) tx(x), range(16) ty(y)
+      WHERE d.doc_id < 200
+    ),
+    lum AS (
+      SELECT doc_id,
+             (ty_cell * 2 + tx_cell) AS cell,
+             (299 * ((doc_id * 13 + ix * 40) % 256)
+              + 587 * ((doc_id * 7 + ix * 40) % 256)
+              + 114 * ((doc_id * 29 + ix * 40) % 256)) // 1000 AS l
+      FROM (SELECT doc_id, ix, (x // 8) AS tx_cell, (y // 8) AS ty_cell
+            FROM grid)
+    )
+    SELECT doc_id,
+           ROUND(CAST(CAST(AVG(CASE WHEN cell = 0 THEN l END) / 255.0
+                           AS REAL) AS DOUBLE), 6) AS c00,
+           ROUND(CAST(CAST(AVG(CASE WHEN cell = 1 THEN l END) / 255.0
+                           AS REAL) AS DOUBLE), 6) AS c01,
+           ROUND(CAST(CAST(AVG(CASE WHEN cell = 2 THEN l END) / 255.0
+                           AS REAL) AS DOUBLE), 6) AS c10,
+           ROUND(CAST(CAST(AVG(CASE WHEN cell = 3 THEN l END) / 255.0
+                           AS REAL) AS DOUBLE), 6) AS c11
+    FROM lum GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def q151_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF decode in the oracle gate (B48's compressed-image modality;
+    completes the vendored codec family png/jpeg/wav/y4m with a
+    dictionary-compressed format): per row a 16x16 4-color paletted GIF89a
+    is synthesized worker-side -- pixel index (x*y + doc_id) % 4, palette
+    channel c_k = (doc_id*{13,7,29} + ix*40) % 256 -- LZW-compressed by the
+    vendored encoder, shipped as a binary media column, and decoded back by
+    ``extract_features(mode='strict')``: magic-sniff -> variable-width LZW
+    decompress -> palette expand -> Rec.601 luma 2x2 grid.
+
+    The multiplicative index pattern makes each grid cell's mean DIFFERENT
+    (unlike an additive pattern, which is translation-invariant across
+    cells), so a decode that scrambles pixel ORDER -- not just values --
+    fails the oracle. Cell means are integer sums / 64 / 255.0; both
+    engines quantize through float32 (Spark's array<float>, DuckDB
+    CAST AS REAL) so the 6-decimal compare is exact, not tolerance-based.
+
+    Scale notes: synth and decode are mapInPandas kernels over Arrow
+    batches; payload bytes never leave the executor; LZW is per-image
+    bounded work. The reference has no media path (`app/app.py:1-149`) --
+    this extends SURVEY section 2.2 B48.
+    """
+    from iot_data_pipeline_spark.operators.multimodal import extract_features
+
+    docs = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+
+    def synth(batches):
+        import pandas as pd
+
+        from iot_data_pipeline_spark.operators import gif as _gif
+
+        for pdf in batches:
+            blobs = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                palette = [
+                    (
+                        (d * 13 + ix * 40) % 256,
+                        (d * 7 + ix * 40) % 256,
+                        (d * 29 + ix * 40) % 256,
+                    )
+                    for ix in range(4)
+                ]
+                indices = bytes(
+                    (x * y + d) % 4 for y in range(16) for x in range(16)
+                )
+                blobs.append(_gif.encode_gif(16, 16, palette, indices))
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "content": blobs})
+
+    import pyspark.sql.types as T
+
+    media = docs.select("doc_id").mapInPandas(
+        synth,
+        schema=T.StructType(
+            [
+                T.StructField("media_id", T.LongType()),
+                T.StructField("content", T.BinaryType()),
+            ]
+        ),
+    )
+    feats = extract_features(media, dim=4, mode="strict")
+    return feats.select(
+        F.col("media_id").alias("doc_id"),
+        F.round(F.col("features")[0].cast("double"), 6).alias("c00"),
+        F.round(F.col("features")[1].cast("double"), 6).alias("c01"),
+        F.round(F.col("features")[2].cast("double"), 6).alias("c10"),
+        F.round(F.col("features")[3].cast("double"), 6).alias("c11"),
+    ).orderBy("doc_id")

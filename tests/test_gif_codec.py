@@ -1,0 +1,115 @@
+"""Vendored GIF codec (operators/gif.py): variable-width LZW + block
+stream parsing, and its routing through the strict-mode media kernel
+(B48's compressed-image modality)."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from iot_data_pipeline_spark.operators import gif
+
+
+def _roundtrip(w, h, npal, seed):
+    rnd = random.Random(seed)
+    pal = [
+        (rnd.randrange(256), rnd.randrange(256), rnd.randrange(256))
+        for _ in range(npal)
+    ]
+    idx = bytes(rnd.randrange(npal) for _ in range(w * h))
+    blob = gif.encode_gif(w, h, pal, idx)
+    assert gif.is_gif(blob)
+    dw, dh, dpal, didx = gif.decode_gif(blob)
+    assert (dw, dh) == (w, h)
+    assert dpal[:npal] == pal
+    assert bytes(didx) == idx
+
+
+@pytest.mark.parametrize("npal", [2, 3, 4, 7, 16, 100, 256])
+def test_gif_roundtrip_palette_sizes(npal):
+    _roundtrip(13, 7, npal, seed=npal)  # odd sizes catch stride bugs
+
+
+def test_gif_roundtrip_fuzz_width_boundaries():
+    """Random images sized so the LZW dictionary crosses every code-width
+    bump (the off-by-one that variable-width codecs classically get wrong)."""
+    rnd = random.Random(42)
+    for trial in range(60):
+        w = rnd.randint(1, 50)
+        h = rnd.randint(1, 50)
+        _roundtrip(w, h, rnd.choice([2, 4, 8, 64]), seed=1000 + trial)
+
+
+def test_gif_lzw_dictionary_overflow_clears():
+    """A 250x250 random image rolls the dictionary past 4096 codes, forcing
+    the mid-stream clear/reset path in both encoder and decoder."""
+    rnd = random.Random(9)
+    idx = bytes(rnd.randrange(4) for _ in range(250 * 250))
+    blob = gif.encode_gif(250, 250, [(i, i, i) for i in range(4)], idx)
+    assert bytes(gif.decode_gif(blob)[3]) == idx
+
+
+def test_gif_lzw_kwkwk_and_runs():
+    """Long single-symbol runs exercise the KwKwK (code == next unassigned
+    entry) decoder case continuously."""
+    idx = bytes([0] * 5000 + [1, 0, 0, 1, 1, 0] * 2000)
+    blob = gif.encode_gif(100, 170, [(1, 2, 3), (4, 5, 6)], idx)
+    assert bytes(gif.decode_gif(blob)[3]) == idx
+
+
+def test_gif_compresses_constant_image():
+    """LZW is real compression, not byte plumbing: a constant 64x64 image
+    must shrink far below 1 byte/pixel."""
+    blob = gif.encode_gif(64, 64, [(9, 9, 9), (1, 1, 1)], bytes(64 * 64))
+    assert len(blob) < 64 * 64 / 10
+    assert bytes(gif.decode_gif(blob)[3]) == bytes(64 * 64)
+
+
+def test_gif_extension_blocks_skipped():
+    """Graphic-control/comment extensions (0x21) before the image descriptor
+    are skipped via their sub-block chains, per spec."""
+    blob = gif.encode_gif(3, 2, [(0, 0, 0), (255, 255, 255)], bytes([1, 0, 1, 0, 1, 0]))
+    # splice a comment extension right after the global color table
+    cut = 13 + 3 * (2 << (blob[10] & 0x07))
+    ext = b"\x21\xfe\x05hello\x00"
+    spliced = blob[:cut] + ext + blob[cut:]
+    dw, dh, _, didx = gif.decode_gif(spliced)
+    assert (dw, dh) == (3, 2)
+    assert bytes(didx) == bytes([1, 0, 1, 0, 1, 0])
+
+
+def test_gif_interlace_refused():
+    blob = bytearray(gif.encode_gif(4, 4, [(0, 0, 0), (1, 1, 1)], bytes(16)))
+    cut = 13 + 3 * (2 << (blob[10] & 0x07))  # image descriptor starts here
+    assert blob[cut] == 0x2C
+    blob[cut + 9] |= 0x40  # set interlace flag
+    with pytest.raises(gif.GifFormatError, match="interlaced"):
+        gif.decode_gif(bytes(blob))
+
+
+def test_gif_truncated_refused():
+    blob = gif.encode_gif(8, 8, [(0, 0, 0), (1, 1, 1)], bytes(64))
+    with pytest.raises(gif.GifFormatError):
+        gif.decode_gif(blob[:10])
+    with pytest.raises(gif.GifFormatError):
+        gif.decode_gif(b"NOTAGIF" + blob)
+
+
+def test_strict_kernel_routes_gif():
+    """The shared strict-mode dispatch decodes a GIF payload into the same
+    luma-grid feature space as PNG/JPEG."""
+    from iot_data_pipeline_spark.operators.multimodal import (
+        _decode_image_features,
+    )
+    from iot_data_pipeline_spark.operators import png
+
+    # identical gray image as GIF and PNG must yield identical features
+    pal = [(40, 40, 40), (200, 200, 200)]
+    idx = bytes((x ^ y) & 1 for y in range(8) for x in range(8))
+    gif_blob = gif.encode_gif(8, 8, pal, idx)
+    rgb = b"".join(bytes(pal[i]) for i in idx)
+    png_blob = png.encode_png(8, 8, 3, rgb)
+    assert _decode_image_features(gif_blob, 4) == _decode_image_features(
+        png_blob, 4
+    )
