@@ -1026,3 +1026,146 @@ def q147_curation_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@declared(
+    "q153_bloom_incremental_dedup",
+    oracle="""
+    WITH hist AS (
+      SELECT md5(text) AS dg FROM documents WHERE doc_id % 2 = 0
+    ),
+    bloom AS (
+      SELECT ((CAST(('0x' || substr(md5(dg || '#' || tk.i), 1, 15)) AS BIGINT)
+               % 1000000007) % 8192) // 32 AS word,
+             CAST(bit_or(1 << (((CAST(('0x' || substr(md5(dg || '#' || tk.i),
+                                                      1, 15)) AS BIGINT)
+                                 % 1000000007) % 8192) % 32)) AS BIGINT)
+               AS bits
+      FROM hist, range(3) tk(i)
+      GROUP BY 1
+    ),
+    batch AS (
+      SELECT doc_id, source, md5(text) AS dg
+      FROM documents WHERE doc_id % 3 = 0
+    ),
+    probes AS (
+      SELECT b.doc_id, b.source, b.dg, tk.i,
+             ((CAST(('0x' || substr(md5(b.dg || '#' || tk.i), 1, 15)) AS BIGINT)
+               % 1000000007) % 8192) AS bit
+      FROM batch b, range(3) tk(i)
+    ),
+    hits AS (
+      SELECT p.doc_id, p.source, p.dg,
+             CAST(SUM(CASE WHEN (COALESCE(bl.bits, 0)
+                                 & (1 << (p.bit % 32))) <> 0
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_set
+      FROM probes p LEFT JOIN bloom bl ON bl.word = p.bit // 32
+      GROUP BY p.doc_id, p.source, p.dg
+    ),
+    verdicts AS (
+      SELECT h.doc_id, h.source,
+             CASE WHEN h.n_set = 3 THEN 1 ELSE 0 END AS maybe,
+             CASE WHEN EXISTS (SELECT 1 FROM hist x WHERE x.dg = h.dg)
+                  THEN 1 ELSE 0 END AS is_dup
+      FROM hits h
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_batch,
+           CAST(SUM(maybe) AS BIGINT) AS n_maybe,
+           CAST(SUM(is_dup) AS BIGINT) AS n_true_dup,
+           CAST(SUM(maybe) - SUM(is_dup) AS BIGINT) AS n_false_pos
+    FROM verdicts
+    GROUP BY source ORDER BY source
+    """,
+)
+def q153_bloom_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter pre-screen for incremental dedup -- the constant-size
+    tier BELOW q119's digest-index join: the historical corpus is folded
+    into an 8192-bit Bloom filter (k=3 portable-hash probes, bits packed
+    into 256 x 32-bit words via bit_or), and an arriving batch is screened
+    against it. Output per source: batch size, bloom-positives, true
+    duplicates (exact digest join, the audit branch), and false positives.
+    The construction is replicated bit-for-bit in the DuckDB oracle, which
+    therefore also PROVES the no-false-negative invariant on this corpus
+    (n_maybe >= n_true_dup row by row).
+
+    Scale story: the filter is ~1 KB regardless of history size and builds
+    with one map-side-combined shuffle (bit_or is commutative/associative
+    -- the same mergeability argument as b03's HLL sketches); the batch
+    probe is a broadcast join against <= 256 counter rows, so the arriving
+    batch never shuffles. At 100 TB you size m to the digest cardinality
+    (m/n ~ 10 bits/key keeps FP < 1%) and only bloom-positives proceed to
+    the exact q119 index join -- the classic two-tier membership plan.
+    Word width is 32 bits so `1 << bit` stays positive in both engines'
+    signed-64 arithmetic (no sign-bit portability edge).
+
+    Reference parity: the reference re-reads the full corpus per run
+    (`app/app.py:29-43`); an incremental arrival path needs exactly this
+    membership structure.
+    """
+    from iot_data_pipeline_spark.functions.hashing import portable_hash
+
+    m = 8192
+    docs = read_table(spark, sf_dir, "documents")
+    hist = docs.filter(F.col("doc_id") % 2 == 0).select(
+        F.md5("text").alias("dg")
+    )
+
+    def bit_at(dg: "F.Column", i: int) -> "F.Column":
+        return portable_hash(F.concat(dg, F.lit(f"#{i}"))) % m
+
+    bloom = (
+        hist.select(
+            F.explode(F.array(*[bit_at(F.col("dg"), i) for i in range(3)])).alias(
+                "bit"
+            )
+        )
+        .groupBy((F.col("bit") / 32).cast("long").alias("word"))
+        .agg(
+            F.bit_or(F.expr("shiftleft(1L, CAST(bit % 32 AS INT))"))
+            .cast("long")
+            .alias("bits")
+        )
+    )
+    batch = docs.filter(F.col("doc_id") % 3 == 0).select(
+        "doc_id", "source", F.md5("text").alias("dg")
+    )
+    probes = batch.select(
+        "doc_id",
+        "source",
+        "dg",
+        F.explode(F.array(*[bit_at(F.col("dg"), i) for i in range(3)])).alias("bit"),
+    )
+    hits = (
+        probes.withColumn("word", (F.col("bit") / 32).cast("long"))
+        .join(F.broadcast(bloom), "word", "left")
+        .withColumn(
+            "set",
+            (
+                F.coalesce(F.col("bits"), F.lit(0).cast("long")).bitwiseAND(
+                    F.expr("shiftleft(1L, CAST(bit % 32 AS INT))")
+                )
+                != 0
+            ).cast("int"),
+        )
+        .groupBy("doc_id", "source", "dg")
+        .agg(F.sum("set").alias("n_set"))
+    )
+    verdicts = hits.join(
+        hist.distinct().withColumn("is_dup", F.lit(1)), "dg", "left"
+    ).select(
+        "doc_id",
+        "source",
+        (F.col("n_set") == 3).cast("int").alias("maybe"),
+        F.coalesce(F.col("is_dup"), F.lit(0)).alias("is_dup"),
+    )
+    return (
+        verdicts.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_batch"),
+            F.sum("maybe").cast("bigint").alias("n_maybe"),
+            F.sum("is_dup").cast("bigint").alias("n_true_dup"),
+            (F.sum("maybe") - F.sum("is_dup")).cast("bigint").alias("n_false_pos"),
+        )
+        .orderBy("source")
+    )

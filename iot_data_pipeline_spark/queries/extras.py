@@ -1025,3 +1025,106 @@ def q150_chain_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
         .orderBy("component")
     )
+
+
+@declared(
+    "q152_cms_heavy_hitters",
+    oracle="""
+    WITH ev AS (
+      SELECT CAST(user_id AS VARCHAR) AS k FROM events
+    ),
+    counters AS (
+      SELECT td.d AS depth,
+             (CAST(('0x' || substr(md5(k || '#' || td.d), 1, 15)) AS BIGINT)
+              % 1000000007) % 128 AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM ev, range(3) td(d)
+      GROUP BY 1, 2
+    ),
+    exact AS (
+      SELECT k, CAST(COUNT(*) AS BIGINT) AS exact_cnt
+      FROM ev GROUP BY k
+      ORDER BY exact_cnt DESC, k LIMIT 20
+    ),
+    est AS (
+      SELECT e.k, e.exact_cnt, CAST(MIN(c.c) AS BIGINT) AS cms_est
+      FROM exact e
+      CROSS JOIN range(3) td(d)
+      JOIN counters c
+        ON c.depth = td.d
+       AND c.bucket = (CAST(('0x' || substr(md5(e.k || '#' || td.d), 1, 15))
+                            AS BIGINT) % 1000000007) % 128
+      GROUP BY e.k, e.exact_cnt
+    )
+    SELECT k AS user_id, exact_cnt, cms_est,
+           cms_est - exact_cnt AS overestimate
+    FROM est
+    ORDER BY exact_cnt DESC, user_id
+    """,
+)
+def q152_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy hitters over the event stream -- the
+    mergeable frequency sketch (Cormode & Muthukrishnan 2005) that finds
+    hot keys WITHOUT per-key state: depth 3 x width 128 counters, bucket
+    h_i(k) = portable_hash(k || '#' || i) % 128, estimate = min over
+    depths. The oracle rebuilds the identical sketch in SQL (same md5
+    bucket hash), so the distributed counter construction -- not a
+    tolerance band -- is what's checked; exact counts ride along so every
+    row also exhibits the CMS >= exact one-sided error guarantee.
+
+    Scale story: the counter table is 384 rows REGARDLESS of input size --
+    one map-side-combined shuffle, then a broadcast of the sketch to probe
+    estimates. At 100 TB the sketch is what you keep (mergeable across
+    partitions/days like b03's HLL); the exact-count branch here exists to
+    audit the sketch and would be sampled or dropped at full scale.
+    Heavy-hitter probes take the top-20 exact keys with an explicit
+    (count, key) tiebreak so the cutoff is deterministic in both engines.
+
+    Reference parity: the reference keeps no frequency state at all
+    (`app/app.py:44-66` is stateless per-record transform); this is the
+    north-star sketch tier next to b01's approx aggregates and b03's HLL,
+    but oracle-checked exactly.
+    """
+    from iot_data_pipeline_spark.functions.hashing import portable_hash
+
+    width = 128
+    ev = read_table(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("k")
+    )
+
+    def bucket(key: F.Column, d: int) -> F.Column:
+        return portable_hash(F.concat(key, F.lit(f"#{d}"))) % width
+
+    counters = (
+        ev.select(
+            F.posexplode(
+                F.array(*[bucket(F.col("k"), d) for d in range(3)])
+            ).alias("depth", "bucket")
+        )
+        .groupBy("depth", "bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    exact = (
+        ev.groupBy("k")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_cnt"))
+        .orderBy(F.desc("exact_cnt"), "k")
+        .limit(20)
+    )
+    probes = exact.select(
+        "k",
+        "exact_cnt",
+        F.posexplode(
+            F.array(*[bucket(F.col("k"), d) for d in range(3)])
+        ).alias("depth", "bucket"),
+    )
+    est = (
+        probes.join(F.broadcast(counters), ["depth", "bucket"])
+        .groupBy("k", "exact_cnt")
+        .agg(F.min("c").cast("bigint").alias("cms_est"))
+    )
+    return est.select(
+        F.col("k").alias("user_id"),
+        "exact_cnt",
+        "cms_est",
+        (F.col("cms_est") - F.col("exact_cnt")).alias("overestimate"),
+    ).orderBy(F.desc("exact_cnt"), "user_id")
