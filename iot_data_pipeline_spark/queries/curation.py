@@ -1169,3 +1169,162 @@ def q153_bloom_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@declared(
+    "q155_url_canonicalize",
+    oracle=r"""
+    WITH seeded AS (
+      SELECT doc_id,
+             'site' || CAST(doc_id % 20 AS VARCHAR) || '.example.com' AS h,
+             '/p/' || CAST(doc_id % 50 AS VARCHAR) AS pth
+      FROM documents
+    ),
+    urls AS (
+      SELECT doc_id,
+             CASE doc_id % 5
+               WHEN 0 THEN 'https://' || h || pth
+               WHEN 1 THEN 'HTTPS://WWW.' || h || pth || '#frag'
+               WHEN 2 THEN 'https://' || h || ':443' || pth
+                           || '?utm_source=feed&fbclid=xyz'
+               WHEN 3 THEN 'https://' || h || pth || '?b=2&a=1'
+               ELSE 'http://' || h || ':80' || pth || '?a=1&b=2&gclid=g'
+             END AS url
+      FROM seeded
+    ),
+    parts AS (
+      SELECT doc_id, url,
+             lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme,
+             lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1)) AS hostport,
+             regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1) AS pth,
+             regexp_extract(url, '\?([^#]*)', 1) AS qs
+      FROM urls
+    ),
+    normed AS (
+      SELECT doc_id, scheme, pth,
+             regexp_replace(
+               regexp_replace(hostport, '^www\.', ''),
+               CASE WHEN scheme = 'https' THEN ':443$' ELSE ':80$' END,
+               '') AS host,
+             CASE WHEN qs = '' THEN ''
+                  ELSE COALESCE(array_to_string(
+                         list_sort(list_filter(
+                           string_split(qs, '&'),
+                           p -> NOT regexp_matches(
+                                  p, '^(utm_[^=]*|fbclid|gclid)='))),
+                         '&'), '')
+             END AS params
+      FROM parts
+    ),
+    canon AS (
+      SELECT doc_id, host,
+             scheme || '://' || host || pth
+               || CASE WHEN params = '' THEN '' ELSE '?' || params END
+               AS curl
+      FROM normed
+    )
+    SELECT host,
+           CAST(COUNT(*) AS BIGINT) AS n_urls,
+           CAST(COUNT(DISTINCT curl) AS BIGINT) AS n_canonical,
+           CAST(COUNT(*) - COUNT(DISTINCT curl) AS BIGINT) AS n_dup_variants
+    FROM canon
+    GROUP BY host ORDER BY host
+    """,
+)
+def q155_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization dedup -- the crawl-curation step BEFORE content
+    dedup: syntactic variants of one logical URL (scheme/host case, www.
+    prefix, default :443/:80 ports, fragments, tracking params, query-param
+    order) must collapse to one canonical key or the crawler re-fetches and
+    the corpus double-counts. Variants are seeded deterministically from
+    doc_id (5 variant families per logical page); canonicalization is
+    lower(scheme/host) + strip www./default port + drop fragment + drop
+    utm_*/fbclid/gclid + sort surviving params; output per host: raw URLs,
+    canonical URLs, and collapsed variant count.
+
+    All steps are JVM-side regexp/array expressions in the scan projection
+    (the lambda param filter runs in codegen, not Python); the only shuffle
+    is the final per-host aggregate -- COUNT(DISTINCT curl) is Spark's
+    two-phase expand-aggregate, partials map-side. At 100 TB the canonical
+    key would feed q22's exact dedup or q153's Bloom screen directly; this
+    query IS the key function, oracle-checked against an independent SQL
+    restatement (Spark: array_sort/filter HOFs; DuckDB: list_sort/
+    list_filter).
+
+    Reference parity: none -- the reference has no URL handling; this is
+    north-star crawl curation next to q128's domain quotas.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    h = F.concat(
+        F.lit("site"), (F.col("doc_id") % 20).cast("string"), F.lit(".example.com")
+    )
+    pth = F.concat(F.lit("/p/"), (F.col("doc_id") % 50).cast("string"))
+    url = (
+        F.when(F.col("doc_id") % 5 == 0, F.concat(F.lit("https://"), h, pth))
+        .when(
+            F.col("doc_id") % 5 == 1,
+            F.concat(F.lit("HTTPS://WWW."), h, pth, F.lit("#frag")),
+        )
+        .when(
+            F.col("doc_id") % 5 == 2,
+            F.concat(
+                F.lit("https://"), h, F.lit(":443"), pth,
+                F.lit("?utm_source=feed&fbclid=xyz"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 5 == 3,
+            F.concat(F.lit("https://"), h, pth, F.lit("?b=2&a=1")),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("http://"), h, F.lit(":80"), pth, F.lit("?a=1&b=2&gclid=g")
+            )
+        )
+    )
+    parts = docs.select(
+        "doc_id",
+        F.lower(F.regexp_extract(url, r"^([A-Za-z]+)://", 1)).alias("scheme"),
+        F.lower(F.regexp_extract(url, r"^[A-Za-z]+://([^/?#]+)", 1)).alias(
+            "hostport"
+        ),
+        F.regexp_extract(url, r"^[A-Za-z]+://[^/?#]+([^?#]*)", 1).alias("pth"),
+        F.regexp_extract(url, r"\?([^#]*)", 1).alias("qs"),
+    )
+    host = F.regexp_replace(
+        F.regexp_replace(F.col("hostport"), r"^www\.", ""),
+        F.when(F.col("scheme") == "https", F.lit(":443$")).otherwise(F.lit(":80$")),
+        F.lit(""),
+    )
+    params = F.when(F.col("qs") == "", F.lit("")).otherwise(
+        F.array_join(
+            F.array_sort(
+                F.filter(
+                    F.split("qs", "&"),
+                    lambda p: ~p.rlike("^(utm_[^=]*|fbclid|gclid)="),
+                )
+            ),
+            "&",
+        )
+    )
+    canon = parts.select(
+        host.alias("host"),
+        F.concat(
+            F.col("scheme"),
+            F.lit("://"),
+            host,
+            F.col("pth"),
+            F.when(params == "", F.lit("")).otherwise(F.concat(F.lit("?"), params)),
+        ).alias("curl"),
+    )
+    return (
+        canon.groupBy("host")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_urls"),
+            F.countDistinct("curl").cast("bigint").alias("n_canonical"),
+            (F.count(F.lit(1)) - F.countDistinct("curl"))
+            .cast("bigint")
+            .alias("n_dup_variants"),
+        )
+        .orderBy("host")
+    )

@@ -3383,3 +3383,140 @@ def q151_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("features")[2].cast("double"), 6).alias("c10"),
         F.round(F.col("features")[3].cast("double"), 6).alias("c11"),
     ).orderBy("doc_id")
+
+
+_Q154_ORACLE = f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      WHERE doc_id < 200
+    ),
+    chunks AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+             array_to_string(t[CAST(i * 16 + 1 AS INT):CAST((i + 1) * 16 AS INT)], ' ')
+               AS chunk
+      FROM toks, LATERAL UNNEST(range(0, (len(t) + 15) // 16)) AS u(i)
+    ),
+    emb AS (
+      SELECT doc_id, chunk_idx, chunk, {{emb_sql}} AS e FROM chunks
+    ),
+    celled AS (
+      SELECT doc_id, chunk_idx, chunk, e,
+             sqrt(list_dot_product(e, e)) AS nrm,
+             (CASE WHEN e[1] > 0 THEN 4 ELSE 0 END
+              + CASE WHEN e[2] > 0 THEN 2 ELSE 0 END
+              + CASE WHEN e[3] > 0 THEN 1 ELSE 0 END) AS cell
+      FROM emb
+    ),
+    q AS (SELECT * FROM celled WHERE doc_id < 3),
+    scored AS (
+      SELECT q.doc_id AS q_doc, q.chunk_idx AS q_chunk,
+             c.doc_id AS hit_doc, c.chunk_idx AS hit_chunk,
+             ROUND(list_dot_product(q.e, c.e) / (q.nrm * c.nrm), 4) AS sim,
+             q.chunk AS q_text, c.chunk AS h_text
+      FROM q JOIN celled c
+        ON q.cell = c.cell AND q.doc_id <> c.doc_id
+      WHERE q.nrm > 0 AND c.nrm > 0
+    ),
+    stage1 AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY q_doc, q_chunk
+          ORDER BY sim DESC, hit_doc, hit_chunk) AS rn
+        FROM scored
+      ) WHERE rn <= 3
+    ),
+    reranked AS (
+      SELECT q_doc, q_chunk, hit_doc, hit_chunk, sim,
+             ROUND(
+               CAST(len(list_intersect(list_distinct(string_split(q_text, ' ')),
+                                       list_distinct(string_split(h_text, ' '))))
+                    AS DOUBLE)
+               / len(list_distinct(list_concat(string_split(q_text, ' '),
+                                               string_split(h_text, ' ')))),
+               4) AS ce_score
+      FROM stage1
+    )
+    SELECT q_doc, q_chunk, hit_doc, hit_chunk, sim AS bi_sim, ce_score FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY q_doc, q_chunk
+        ORDER BY ce_score DESC, sim DESC, hit_doc, hit_chunk) AS rr
+      FROM reranked
+    ) WHERE rr = 1 ORDER BY q_doc, q_chunk
+    """.format(emb_sql=_EMB_SQL)
+
+
+@declared("q154_rag_rerank", oracle=_Q154_ORACLE)
+def q154_rag_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval with reranking -- the serving pattern every RAG
+    stack runs: q143's cheap bi-encoder tier (hash embeddings + IVF cells)
+    nominates top-3 candidates per query chunk, then an expensive
+    'cross-encoder' tier re-scores each (query, candidate) PAIR and keeps
+    the winner. The pair scorer here is token-set Jaccard between the two
+    chunk texts (deterministic and SQL-restatable -- the cross-engine
+    stand-in for a model cross-encoder, same posture as q143's hash
+    embeddings; a pandas-UDF model kernel drops into the ce_score column
+    exactly like b06_rag_encoder does for embeddings).
+
+    Scale notes: the expensive tier touches ONLY stage-1 survivors (<= 3
+    pairs per query chunk), which is the whole point of the architecture
+    -- rerank cost is O(queries x k), not O(queries x corpus). Chunk
+    texts are joined back to the candidate list by (doc_id, chunk_idx)
+    with the tiny candidate side broadcast; ties broken (ce_score, sim,
+    hit_doc, hit_chunk) per SURVEY section 2.3 rule 1.
+    """
+    chunks = rag_chunks(spark, sf_dir)
+    emb = F.transform(
+        F.sequence(F.lit(1), F.lit(8)),
+        lambda d: (
+            portable_hash(
+                F.concat(
+                    F.lit("emb:"), F.col("chunk"), F.lit(":"), d.cast("string")
+                )
+            )
+            % 2001
+            - 1000
+        ).cast("double")
+        / 1000.0,
+    )
+    stage1 = rag_retrieve(chunks.select("doc_id", "chunk_idx", emb.alias("e")))
+    qtext = chunks.select(
+        F.col("doc_id").alias("q_doc"),
+        F.col("chunk_idx").alias("q_chunk"),
+        F.col("chunk").alias("q_text"),
+    )
+    htext = chunks.select(
+        F.col("doc_id").alias("hit_doc"),
+        F.col("chunk_idx").alias("hit_chunk"),
+        F.col("chunk").alias("h_text"),
+    )
+    paired = (
+        F.broadcast(stage1)
+        .join(qtext, ["q_doc", "q_chunk"])
+        .join(htext, ["hit_doc", "hit_chunk"])
+    )
+    qt = F.array_distinct(F.split("q_text", " "))
+    ht = F.array_distinct(F.split("h_text", " "))
+    reranked = paired.withColumn(
+        "ce_score",
+        F.round(
+            F.size(F.array_intersect(qt, ht)).cast("double")
+            / F.size(F.array_union(qt, ht)),
+            4,
+        ),
+    )
+    w = Window.partitionBy("q_doc", "q_chunk").orderBy(
+        F.desc("ce_score"), F.desc("sim"), "hit_doc", "hit_chunk"
+    )
+    return (
+        reranked.withColumn("rr", F.row_number().over(w))
+        .filter(F.col("rr") == 1)
+        .select(
+            "q_doc",
+            "q_chunk",
+            "hit_doc",
+            "hit_chunk",
+            F.col("sim").alias("bi_sim"),
+            "ce_score",
+        )
+        .orderBy("q_doc", "q_chunk")
+    )
