@@ -214,14 +214,19 @@ def bench_extras():
 
         from iot_data_pipeline_spark.operators.skew import salted_join
 
+        # x8 JVM-side inflation: the hot key must carry enough rows that the
+        # single-straggler-task cost dominates scheduling noise, otherwise
+        # the salted-vs-naive comparison measures jitter, not skew (a 0.3s
+        # naive run once flipped the assertion on a loaded machine).
         ev = read_table(spark, sf_dir, "events")
         left = ev.select(
+            F.explode(F.sequence(F.lit(1), F.lit(8))).alias("rep"),
             F.when(F.pmod("event_id", 10) < 9, F.lit(0))
             .otherwise(F.pmod("event_id", 1000))
             .cast("long")
             .alias("k"),
             "value",
-        )
+        ).drop("rep")
         right = spark.range(1000).select(
             F.col("id").alias("k"), (F.col("id") * 2 + 1).alias("w")
         )

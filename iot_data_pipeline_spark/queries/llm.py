@@ -3520,3 +3520,157 @@ def q154_rag_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("q_doc", "q_chunk")
     )
+
+
+def _band_keys_sql_for(sigs_table: str) -> str:
+    rows = []
+    per_band = N_MINHASH // N_BANDS
+    for b in range(N_BANDS):
+        cols = ", ".join(f"sig_{b * per_band + j}" for j in range(per_band))
+        rows.append(
+            f"SELECT doc_id, {b} AS band, concat_ws(',', {cols}) AS key "
+            f"FROM {sigs_table}"
+        )
+    return "\n      UNION ALL\n      ".join(rows)
+
+
+_Q156_ORACLE = f"""
+    WITH hist AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0
+    ),
+    batch AS (
+      SELECT doc_id + 100000 AS doc_id,
+             array_to_string(
+               (string_split(text, ' '))[1:greatest(len(string_split(text, ' ')) - 3, 0)],
+               ' ') AS text
+      FROM documents WHERE doc_id % 10 = 0
+      UNION ALL
+      SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+    ),
+    corpus AS (
+      SELECT 'h' AS side, doc_id, text FROM hist
+      UNION ALL
+      SELECT 'b' AS side, doc_id, text FROM batch
+    ),
+    shingled AS (
+      SELECT side, doc_id, unnest(
+        list_transform(
+          range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+          i -> string_split(text, ' ')[i] || ' ' ||
+               string_split(text, ' ')[i+1] || ' ' ||
+               string_split(text, ' ')[i+2])) AS shingle
+      FROM corpus
+    ),
+    hashed AS (
+      SELECT side, doc_id, {ORACLE_HASH.format("shingle")} AS h FROM shingled
+    ),
+    sigs AS (
+      SELECT side, doc_id,
+           {_minhash_sig_sql()}
+      FROM hashed GROUP BY side, doc_id
+    ),
+    hsigs AS (SELECT * EXCLUDE (side) FROM sigs WHERE side = 'h'),
+    bsigs AS (SELECT * EXCLUDE (side) FROM sigs WHERE side = 'b'),
+    hbands AS (
+      {_band_keys_sql_for("hsigs")}
+    ),
+    bbands AS (
+      {_band_keys_sql_for("bsigs")}
+    ),
+    cand AS (
+      SELECT DISTINCT b.doc_id AS batch_doc, h.doc_id AS hist_doc
+      FROM bbands b JOIN hbands h ON b.band = h.band AND b.key = h.key
+    )
+    SELECT bt.doc_id AS batch_doc,
+           CAST(COUNT(c.hist_doc) AS BIGINT) AS n_index_hits,
+           CASE WHEN COUNT(c.hist_doc) > 0 THEN 1 ELSE 0 END AS is_near_dup
+    FROM batch bt LEFT JOIN cand c ON c.batch_doc = bt.doc_id
+    GROUP BY bt.doc_id
+    HAVING COUNT(c.hist_doc) > 0
+    ORDER BY batch_doc
+    """
+
+
+@declared("q156_incremental_lsh", oracle=_Q156_ORACLE)
+def q156_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup screening of an arriving batch against a
+    persisted MinHash-LSH index -- the q119 pattern (incremental exact
+    dedup via digest index) lifted to the q23 near-dup tier: the
+    historical corpus's band keys ARE the index; an arriving batch is
+    signed with the identical hash family and probed by band-bucket
+    equi-join, so each new doc learns its near-duplicate predecessors
+    without any batch-vs-history all-pairs work. The batch deliberately
+    mixes truncated copies of history docs (must hit) with unseen odd-id
+    docs (may hit only by LSH coincidence); emitted rows are the flagged
+    docs with their index-hit counts.
+
+    Scale story: at 100 TB the ``hbands`` frame is a *persisted* table
+    (written once, partitioned by (band, key-prefix)); per-arrival cost is
+    shingle+sign the BATCH only, then one equi-join against the index --
+    linear in batch size, never touching history text. Signatures for
+    both sides here derive in one shared pass (same-plan guarantee that
+    index and probe use the identical hash family). The band join
+    shuffles 8-byte ids + band keys, not text (the q23 rule).
+
+    Reference parity: the reference re-reads everything per run
+    (`app/app.py:29-43`); SURVEY section 2.2 B45 names incremental
+    near-dup as the scale path.
+    """
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    hist = docs.filter(F.col("doc_id") % 2 == 0).withColumn("side", F.lit("h"))
+    toks = F.split("text", " ")
+    trunc = F.concat_ws(
+        " ", F.slice(toks, 1, F.greatest(F.size(toks) - 3, F.lit(0)))
+    )
+    batch = (
+        docs.filter(F.col("doc_id") % 10 == 0)
+        .select((F.col("doc_id") + 100000).alias("doc_id"), trunc.alias("text"))
+        .unionByName(docs.filter(F.col("doc_id") % 2 == 1))
+        .withColumn("side", F.lit("b"))
+    )
+    corpus = hist.unionByName(batch)
+    hashed = _shingle_hashes(
+        corpus.withColumnRenamed("side", "lang"), distinct=False
+    ).select("doc_id", F.col("lang").alias("side"), "h")
+    per_band = N_MINHASH // N_BANDS
+    sigs = hashed.groupBy("side", "doc_id").agg(
+        *[
+            F.min((F.lit(37 + 61 * i) * F.col("h") + F.lit(91 + 17 * i)) % MOD).alias(
+                f"sig_{i}"
+            )
+            for i in range(N_MINHASH)
+        ]
+    )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    ",", *[f"sig_{b * per_band + j}" for j in range(per_band)]
+                ).alias("key"),
+            )
+            for b in range(N_BANDS)
+        ]
+    )
+    bands = (
+        sigs.select("side", "doc_id", F.explode(band_structs).alias("bk"))
+        .select("side", "doc_id", "bk.band", "bk.key")
+        .localCheckpoint(eager=True)
+    )
+    hbands = bands.filter(F.col("side") == "h").select(
+        F.col("doc_id").alias("hist_doc"), "band", "key"
+    )
+    bbands = bands.filter(F.col("side") == "b").select(
+        F.col("doc_id").alias("batch_doc"), "band", "key"
+    )
+    cand = (
+        bbands.join(hbands, ["band", "key"])
+        .select("batch_doc", "hist_doc")
+        .distinct()
+    )
+    return (
+        cand.groupBy("batch_doc")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_index_hits"))
+        .withColumn("is_near_dup", F.lit(1))
+        .orderBy("batch_doc")
+    )

@@ -597,3 +597,40 @@ def test_b06_encoder_deterministic(spark, sf_dir):
 
     for v in list(a.values())[:20]:
         assert abs(math.sqrt(sum(x * x for x in v)) - 1.0) < 1e-9
+
+
+def test_q152_sketch_broadcast_and_partial_agg(spark, sf_dir):
+    # The CMS counter build must partial-aggregate (shuffle carries <=384
+    # counter rows per task, not one row per event), and the probe join
+    # against the sketch must broadcast -- never shuffle the batch side.
+    df = q("q152_cms_heavy_hitters", spark, sf_dir)
+    plan = formatted_plan(df)
+    assert plan.count("HashAggregate") >= 2
+    assert broadcast_join_count(df) >= 1
+    assert "SortMergeJoin" not in plan
+
+
+def test_q153_bloom_filter_broadcast_probe(spark, sf_dir):
+    # The Bloom word table (<=256 rows) broadcasts to the arriving batch;
+    # the batch itself must not shuffle for the membership probe.
+    df = q("q153_bloom_incremental_dedup", spark, sf_dir)
+    assert broadcast_join_count(df) >= 1
+
+
+def test_q154_rerank_candidates_broadcast(spark, sf_dir):
+    # Stage-1 survivors (<=3 per query chunk) are the small side of both
+    # text joins: the full chunk corpus must never sort-merge against them.
+    df = q("q154_rag_rerank", spark, sf_dir)
+    assert broadcast_join_count(df) >= 2
+
+
+def test_q155_url_canonicalization_stays_jvm_side(spark, sf_dir):
+    # Canonicalization is regexp/array expressions in the scan projection:
+    # no Python workers (no mapInPandas/BatchEvalPython) and exactly the
+    # one per-host aggregate exchange (countDistinct expands to two
+    # hash-aggregate pairs over the same exchange).
+    df = q("q155_url_canonicalize", spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
+    # agg exchange + distinct expand + output sort, nothing else
+    assert plan.count(") Exchange") <= 3
