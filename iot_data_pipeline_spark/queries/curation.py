@@ -1328,3 +1328,187 @@ def q155_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("host")
     )
+
+
+@declared(
+    "q157_padding_waste",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      FROM documents
+    ),
+    naive AS (
+      SELECT *, (ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) - 1)
+                // 8 AS batch
+      FROM toks
+    ),
+    bucketed AS (
+      SELECT *, (ROW_NUMBER() OVER (PARTITION BY source
+                                    ORDER BY n_tok, doc_id) - 1)
+                // 8 AS batch
+      FROM toks
+    ),
+    nb AS (
+      SELECT 'arrival_order' AS strategy, source, batch,
+             CAST(COUNT(*) * MAX(n_tok) AS BIGINT) AS padded,
+             CAST(SUM(n_tok) AS BIGINT) AS useful
+      FROM naive GROUP BY source, batch
+      UNION ALL
+      SELECT 'length_bucketed' AS strategy, source, batch,
+             CAST(COUNT(*) * MAX(n_tok) AS BIGINT) AS padded,
+             CAST(SUM(n_tok) AS BIGINT) AS useful
+      FROM bucketed GROUP BY source, batch
+    )
+    SELECT strategy,
+           CAST(COUNT(*) AS BIGINT) AS n_batches,
+           CAST(SUM(useful) AS BIGINT) AS useful_tokens,
+           CAST(SUM(padded) AS BIGINT) AS padded_tokens,
+           ROUND(1.0 - SUM(useful) / CAST(SUM(padded) AS DOUBLE), 4)
+             AS waste_ratio
+    FROM nb GROUP BY strategy ORDER BY strategy
+    """,
+)
+def q157_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Padding-waste audit for batched inference/training: documents are
+    grouped into 8-doc batches two ways -- arrival order vs sorted by
+    token length within source -- and each strategy's padded-token bill
+    (every batch pads to its own max length) is compared. Length
+    bucketing is the standard serving trick; this query MEASURES the
+    waste it removes on this corpus rather than asserting it.
+
+    Scale notes: both strategies use per-source windows (a real pipeline
+    buckets within shard/source anyway -- a global sort would be the
+    `operators/prefix.py` two-phase shape if ever needed); token counts
+    are a JVM split-size, text never shuffles -- the window carries
+    (source, n_tok, doc_id) only. Two window passes + one aggregate; the
+    waste accounting is exact integer arithmetic.
+
+    Reference parity: none (reference has no batching concept) --
+    north-star serving-efficiency op beside q117's sequence packing.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "source", F.size(F.split("text", " ")).cast("long").alias("n_tok")
+    )
+    w_naive = Window.partitionBy("source").orderBy("doc_id")
+    w_buck = Window.partitionBy("source").orderBy("n_tok", "doc_id")
+
+    def batched(df: DataFrame, w, strategy: str) -> DataFrame:
+        return (
+            df.withColumn("batch", ((F.row_number().over(w) - 1) / 8).cast("long"))
+            .groupBy("source", "batch")
+            .agg(
+                (F.count(F.lit(1)) * F.max("n_tok")).cast("bigint").alias("padded"),
+                F.sum("n_tok").cast("bigint").alias("useful"),
+            )
+            .withColumn("strategy", F.lit(strategy))
+        )
+
+    nb = batched(toks, w_naive, "arrival_order").unionByName(
+        batched(toks, w_buck, "length_bucketed")
+    )
+    return (
+        nb.groupBy("strategy")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_batches"),
+            F.sum("useful").cast("bigint").alias("useful_tokens"),
+            F.sum("padded").cast("bigint").alias("padded_tokens"),
+            F.round(
+                1.0 - F.sum("useful") / F.sum("padded").cast("double"), 4
+            ).alias("waste_ratio"),
+        )
+        .orderBy("strategy")
+    )
+
+
+@declared(
+    "q158_span_corruption",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      WHERE doc_id < 100
+    ),
+    marked AS (
+      SELECT doc_id, len(t) AS n_tokens,
+             list_transform(range(0, len(t)),
+               p -> CASE WHEN (p + doc_id) % 10 = 0 THEN '<X> ' || t[p + 1]
+                         WHEN (p + doc_id) % 10 = 1 THEN NULL
+                         ELSE t[p + 1] END) AS corrupted_parts,
+             list_transform(range(0, len(t)),
+               p -> CASE WHEN (p + doc_id) % 10 = 0 THEN '<X> ' || t[p + 1]
+                         WHEN (p + doc_id) % 10 = 1 THEN t[p + 1]
+                         ELSE NULL END) AS target_parts,
+             len(list_filter(range(0, len(t)),
+                             p -> (p + doc_id) % 10 = 0)) AS n_spans,
+             len(list_filter(range(0, len(t)),
+                             p -> (p + doc_id) % 10 <= 1)) AS n_masked
+      FROM toks
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(n_spans AS BIGINT) AS n_spans,
+           CAST(n_masked AS BIGINT) AS n_masked,
+           md5(array_to_string(list_filter(corrupted_parts, x -> x IS NOT NULL),
+                               ' ')) AS corrupted_md5,
+           md5(array_to_string(list_filter(target_parts, x -> x IS NOT NULL),
+                               ' ')) AS target_md5
+    FROM marked ORDER BY doc_id
+    """,
+)
+def q158_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-corruption augmentation (the T5/UL2 denoising objective's data
+    prep): deterministic spans -- positions p with (p + doc_id) % 10 in
+    {0, 1}, i.e. one 2-token span per 10 tokens -- are cut out of each
+    document; the corrupted input keeps a sentinel at each span start and
+    the target carries sentinel + original span tokens. Corruption rate
+    and span starts are pure arithmetic on the position (no RNG: the
+    'randomness' at deploy is a portable hash of (doc_id, p), exactly the
+    q48/q94 hash-decision pattern), so BOTH assembled strings are
+    restatable in SQL and checked by md5, not length heuristics.
+
+    Scale notes: everything is per-row array HOF work in the scan
+    projection -- transform/filter/join over the token array, zero
+    shuffles before the ORDER BY, zero Python. Token arrays are sliced
+    views of the split; the corrupted/target strings materialize once
+    per row. This is the map stage a denoising-objective training
+    pipeline fuses right before q117's sequence packing.
+
+    Reference parity: none -- north-star augmentation op
+    (SURVEY section 2.2 B47 text family).
+    """
+    docs = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    t = F.split("text", " ")
+    pos = F.sequence(F.lit(0), F.size(t) - 1)
+    tok_at = lambda p: F.element_at(t, (p + 1).cast("int"))  # noqa: E731
+    sent = lambda p: F.concat(F.lit("<X> "), tok_at(p))  # noqa: E731
+    corrupted_parts = F.transform(
+        pos,
+        lambda p: F.when((p + F.col("doc_id")) % 10 == 0, sent(p))
+        .when((p + F.col("doc_id")) % 10 == 1, F.lit(None).cast("string"))
+        .otherwise(tok_at(p)),
+    )
+    target_parts = F.transform(
+        pos,
+        lambda p: F.when((p + F.col("doc_id")) % 10 == 0, sent(p))
+        .when((p + F.col("doc_id")) % 10 == 1, tok_at(p))
+        .otherwise(F.lit(None).cast("string")),
+    )
+    n_spans = F.size(
+        F.filter(pos, lambda p: (p + F.col("doc_id")) % 10 == 0)
+    )
+    n_masked = F.size(
+        F.filter(pos, lambda p: (p + F.col("doc_id")) % 10 <= 1)
+    )
+    return docs.select(
+        "doc_id",
+        F.size(t).cast("bigint").alias("n_tokens"),
+        n_spans.cast("bigint").alias("n_spans"),
+        n_masked.cast("bigint").alias("n_masked"),
+        F.md5(
+            F.array_join(F.filter(corrupted_parts, lambda x: x.isNotNull()), " ")
+        ).alias("corrupted_md5"),
+        F.md5(
+            F.array_join(F.filter(target_parts, lambda x: x.isNotNull()), " ")
+        ).alias("target_md5"),
+    ).orderBy("doc_id")

@@ -3674,3 +3674,84 @@ def q156_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("is_near_dup", F.lit(1))
         .orderBy("batch_doc")
     )
+
+
+@declared(
+    "q159_audio_spectral_probe",
+    oracle="""
+    WITH samples AS (
+      SELECT d.doc_id, tn.n,
+             ((d.doc_id * 31 + tn.n * tn.n * 7) % 2001) - 1000 AS x
+      FROM documents d, range(64) tn(n)
+      WHERE d.doc_id < 150
+    )
+    SELECT doc_id,
+           CAST(ABS(SUM(x)) AS BIGINT) AS dc_mag,
+           CAST(ABS(SUM(CASE WHEN n % 2 = 0 THEN x ELSE -x END)) AS BIGINT)
+             AS nyquist_mag,
+           CAST(COUNT(*) AS BIGINT) AS n_samples
+    FROM samples GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def q159_audio_spectral_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spectral probe features over REAL decoded audio (extends q124's
+    time-domain features with frequency-domain ones): per row a 64-sample
+    PCM WAV -- x_n = ((doc_id*31 + 7n^2) % 2001) - 1000 -- is synthesized,
+    RIFF-encoded, decoded back by the vendored parser, and probed at the
+    two DFT bins whose twiddle factors are EXACTLY +-1: DC (bin 0, plain
+    sum) and Nyquist (bin N/2, alternating sum). Those bins are integer
+    arithmetic end-to-end, so the oracle states them in closed form with
+    no float tolerance -- deliberately unlike interior bins, whose
+    irrational twiddles would make cross-engine bit-parity depend on libm
+    (documented boundary: a production FFT kernel -- numpy.fft over the
+    same decoded arrays -- drops into this exact mapInPandas signature and
+    is what you'd deploy; these two bins are its verifiable skeleton).
+
+    Scale notes: synth/decode/probe all run inside one Arrow-batched
+    kernel; the probe is a vectorized numpy dot with a +-1 vector per
+    batch, not per sample; payloads never leave the executor.
+    """
+    import pyspark.sql.types as T
+
+    docs = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        from iot_data_pipeline_spark.operators import audio as _audio
+
+        alt = np.where(np.arange(64) % 2 == 0, 1, -1).astype(np.int64)
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n = np.arange(64, dtype=np.int64)
+                x = ((d * 31 + 7 * n * n) % 2001) - 1000
+                blob = _audio.encode_wav([int(v) for v in x])
+                _, _, decoded = _audio.decode_wav(blob)
+                arr = np.asarray(decoded, dtype=np.int64)
+                rows.append(
+                    (
+                        d,
+                        int(abs(arr.sum())),
+                        int(abs((arr * alt).sum())),
+                        int(arr.size),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "dc_mag", "nyquist_mag", "n_samples"]
+            )
+
+    out = docs.select("doc_id").mapInPandas(
+        kernel,
+        schema=T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("dc_mag", T.LongType()),
+                T.StructField("nyquist_mag", T.LongType()),
+                T.StructField("n_samples", T.LongType()),
+            ]
+        ),
+    )
+    return out.orderBy("doc_id")
