@@ -119,10 +119,15 @@ def extract_features(
     mode='strict' really decodes PNG, baseline JPEG, and GIF payloads
     (vendored spec codecs: operators/png.py, jpeg.py, gif.py) and refuses
     anything else; mode='fake' runs the deterministic digest stand-in for
-    arbitrary bytes.
+    arbitrary bytes; mode='tolerant' decodes like strict but routes
+    failures instead of failing the job -- bad payloads yield NULL
+    features plus the error CLASS NAME in a ``decode_error`` column (the
+    media twin of the corrupt-record dead-letter channel, reference
+    `app/app.py:60-66`; class name, not message text, so the column is
+    deterministic and oracle-checkable).
     """
-    if mode not in ("strict", "fake"):
-        raise ValueError(f"mode must be strict|fake, got {mode!r}")
+    if mode not in ("strict", "fake", "tolerant"):
+        raise ValueError(f"mode must be strict|fake|tolerant, got {mode!r}")
 
     def kernel(payload: bytes) -> list[float]:
         if mode == "fake":
@@ -133,18 +138,35 @@ def extract_features(
         import pandas as pd
 
         for pdf in batches:
-            feats = [
-                None if payload is None else kernel(bytes(payload))
-                for payload in pdf[content_col]
-            ]
-            yield pd.DataFrame({id_col: pdf[id_col], "features": feats})
+            feats = []
+            errs = []
+            for payload in pdf[content_col]:
+                if payload is None:
+                    feats.append(None)
+                    errs.append(None)
+                    continue
+                if mode != "tolerant":
+                    feats.append(kernel(bytes(payload)))
+                    errs.append(None)
+                    continue
+                try:
+                    feats.append(kernel(bytes(payload)))
+                    errs.append(None)
+                except Exception as exc:  # noqa: BLE001 -- routed, not raised
+                    feats.append(None)
+                    errs.append(type(exc).__name__)
+            out = {id_col: pdf[id_col], "features": feats}
+            if mode == "tolerant":
+                out["decode_error"] = errs
+            yield pd.DataFrame(out)
 
-    out_schema = T.StructType(
-        [
-            next(f for f in df.schema.fields if f.name == id_col),
-            T.StructField("features", T.ArrayType(T.FloatType())),
-        ]
-    )
+    fields = [
+        next(f for f in df.schema.fields if f.name == id_col),
+        T.StructField("features", T.ArrayType(T.FloatType())),
+    ]
+    if mode == "tolerant":
+        fields.append(T.StructField("decode_error", T.StringType()))
+    out_schema = T.StructType(fields)
     return df.select(id_col, content_col).mapInPandas(run, schema=out_schema)
 
 

@@ -3755,3 +3755,112 @@ def q159_audio_spectral_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return out.orderBy("doc_id")
+
+
+@declared(
+    "q160_media_dead_letter",
+    oracle="""
+    WITH cls AS (
+      SELECT doc_id,
+             CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+                             WHEN 2 THEN 'wav' ELSE 'corrupt' END AS payload_class
+      FROM documents WHERE doc_id < 240
+    )
+    SELECT payload_class,
+           CAST(COUNT(*) AS BIGINT) AS n_payloads,
+           CAST(SUM(CASE WHEN payload_class IN ('png', 'gif')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_decoded,
+           CAST(SUM(CASE WHEN payload_class IN ('wav', 'corrupt')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_routed,
+           CASE payload_class
+             WHEN 'wav' THEN 'NotImplementedError'
+             WHEN 'corrupt' THEN 'PngFormatError'
+           END AS error_kind,
+           ROUND(AVG(CASE WHEN payload_class IN ('png', 'gif')
+                          THEN ((doc_id * 19) % 256) // 1 / 255.0 END), 6)
+             AS mean_luma
+    FROM cls
+    GROUP BY payload_class ORDER BY payload_class
+    """,
+)
+def q160_media_dead_letter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dirty-media tolerance in the decode kernel (the media twin of the
+    reference's corrupt-record dead-letter channel, `app/app.py:60-66`,
+    A13): a mixed payload stream -- solid-gray PNGs, solid-gray GIFs, WAV
+    payloads (wrong modality for an image kernel), and truncated PNGs --
+    runs through ``extract_features(mode='tolerant')``, which yields NULL
+    features plus the error CLASS NAME instead of failing the job. The
+    audit aggregates per payload class: decode counts, routed counts, the
+    error kind (exact string -- class names are deterministic), and the
+    mean luma of successfully decoded images (gray level (doc_id*19)%256,
+    so the oracle states it in closed form; grayscale makes the Rec.601
+    weighting drop out: luma == gray for PNG and GIF alike).
+
+    Scale story: one bad blob must never kill a 100 TB media scan --
+    tolerance lives INSIDE the Arrow kernel (per-payload try/route, zero
+    extra passes), and the error column is a plain string the downstream
+    dead-letter sink filters on, exactly like the JSONL corrupt-record
+    path (q13). Decode work for routed rows stops at the first header
+    violation, so poison payloads are cheap, not just survivable.
+    """
+    from iot_data_pipeline_spark.operators.multimodal import extract_features
+
+    docs = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 240)
+
+    def synth(batches):
+        import pandas as pd
+
+        from iot_data_pipeline_spark.operators import audio as _audio
+        from iot_data_pipeline_spark.operators import gif as _gif
+        from iot_data_pipeline_spark.operators import png as _png
+
+        for pdf in batches:
+            blobs = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                g = (d * 19) % 256
+                if d % 4 == 0:
+                    blobs.append(_png.encode_png(4, 4, 3, bytes([g] * 48)))
+                elif d % 4 == 1:
+                    blobs.append(
+                        _gif.encode_gif(4, 4, [(g, g, g), (0, 0, 0)], bytes(16))
+                    )
+                elif d % 4 == 2:
+                    blobs.append(_audio.encode_wav([1000] * 64))
+                else:
+                    blobs.append(b"\x89PNG\r\n\x1a\n" + b"garbagegarbage")
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "content": blobs})
+
+    import pyspark.sql.types as T
+
+    media = docs.select("doc_id").mapInPandas(
+        synth,
+        schema=T.StructType(
+            [
+                T.StructField("media_id", T.LongType()),
+                T.StructField("content", T.BinaryType()),
+            ]
+        ),
+    )
+    feats = extract_features(media, dim=1, mode="tolerant")
+    classed = feats.select(
+        F.col("media_id").alias("doc_id"),
+        F.element_at("features", 1).cast("double").alias("f0"),
+        "decode_error",
+        F.when(F.col("media_id") % 4 == 0, "png")
+        .when(F.col("media_id") % 4 == 1, "gif")
+        .when(F.col("media_id") % 4 == 2, "wav")
+        .otherwise("corrupt")
+        .alias("payload_class"),
+    )
+    return (
+        classed.groupBy("payload_class")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_payloads"),
+            F.count("f0").cast("bigint").alias("n_decoded"),
+            F.count("decode_error").cast("bigint").alias("n_routed"),
+            F.min("decode_error").alias("error_kind"),
+            F.round(F.avg("f0"), 6).alias("mean_luma"),
+        )
+        .orderBy("payload_class")
+    )

@@ -113,3 +113,29 @@ def test_strict_kernel_routes_gif():
     assert _decode_image_features(gif_blob, 4) == _decode_image_features(
         png_blob, 4
     )
+
+
+def test_tolerant_mode_routes_bad_payloads(spark):
+    """mode='tolerant': decode failures become NULL features + the error
+    class name, never a job failure (the media dead-letter posture)."""
+    from iot_data_pipeline_spark.operators import png
+    from iot_data_pipeline_spark.operators.multimodal import extract_features
+
+    good = png.encode_png(2, 2, 3, bytes(12))
+    rows = [
+        (0, bytearray(good)),
+        (1, bytearray(b"\x89PNG\r\n\x1a\ngarbage")),  # truncated PNG
+        (2, bytearray(b"not media")),  # unknown codec
+        (3, None),  # NULL passthrough
+    ]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    out = {
+        r["media_id"]: r
+        for r in extract_features(df, dim=2, mode="tolerant").collect()
+    }
+    assert out[0]["features"] is not None and out[0]["decode_error"] is None
+    assert out[1]["features"] is None
+    assert out[1]["decode_error"] == "PngFormatError"
+    assert out[2]["features"] is None
+    assert out[2]["decode_error"] == "NotImplementedError"
+    assert out[3]["features"] is None and out[3]["decode_error"] is None
