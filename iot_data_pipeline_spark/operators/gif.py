@@ -8,10 +8,12 @@ zero dependencies. GIF matters to the codec family because its pixel data is
 exercises a dictionary-based compressed stream, not just byte plumbing
 (PNG's inflate is delegated to zlib; here the decompressor is ours).
 
-Scope: non-interlaced single-frame GIF87a/89a with a global or local color
-table; extensions (graphic control, comment, application) are skipped per
-spec. Interlaced images and animation composition raise ``GifFormatError``
-— refused honestly, same posture as progressive JPEG in ``jpeg.py``.
+Scope: non-interlaced GIF87a/89a; ``decode_gif`` reads the first frame
+(global or local color table), ``decode_gif_frames`` reads full-screen
+animation frames under the global table; extensions (graphic control,
+comment, application) are skipped per spec. Interlacing and
+partial-region disposal composition raise ``GifFormatError`` — refused
+honestly, same posture as progressive JPEG in ``jpeg.py``.
 
 The encoder emits real variable-width LZW (dictionary up to 4096 codes,
 deferred clear), so encode→decode round-trips are a true compression test.
@@ -241,3 +243,127 @@ def decode_gif(
             raise GifFormatError("no color table for image")
         return iw, ih, palette, indices
     raise GifFormatError("no image descriptor before trailer")
+
+
+def encode_gif_animation(
+    width: int,
+    height: int,
+    palette: list[tuple[int, int, int]],
+    frames: list[bytes],
+    delay_cs: int = 4,
+) -> bytes:
+    """Encode full-frame animation frames as a GIF89a with a NETSCAPE2.0
+    loop extension and a graphic-control extension (delay, no disposal)
+    before each frame -- the standard animated-GIF block layout."""
+    if not frames:
+        raise GifFormatError("animation needs at least one frame")
+    if not 1 <= len(palette) <= 256:
+        raise GifFormatError(f"palette size {len(palette)} out of range")
+    depth = 1
+    while (1 << depth) < len(palette):
+        depth += 1
+    table = list(palette) + [(0, 0, 0)] * ((1 << depth) - len(palette))
+    mcs = max(depth, 2)
+    out = bytearray()
+    out += b"GIF89a"
+    out += struct.pack("<HHBBB", width, height, 0x80 | (depth - 1), 0, 0)
+    out += b"".join(bytes(c) for c in table)
+    # NETSCAPE2.0 application extension: loop forever
+    out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"
+    for frame in frames:
+        if len(frame) != width * height:
+            raise GifFormatError("frame size does not match dimensions")
+        if max(frame, default=0) >= (1 << depth):
+            raise GifFormatError("pixel index exceeds palette")
+        # graphic control: disposal 0, no transparency
+        out += b"\x21\xf9\x04\x00" + struct.pack("<H", delay_cs) + b"\x00\x00"
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, 0)
+        out.append(mcs)
+        lzw = lzw_compress(frame, mcs)
+        for i in range(0, len(lzw), 255):
+            chunk = lzw[i : i + 255]
+            out.append(len(chunk))
+            out += chunk
+        out.append(0)
+    out += b"\x3b"
+    return bytes(out)
+
+
+def decode_gif_frames(
+    payload: bytes,
+) -> tuple[int, int, list[tuple[int, int, int]], list[bytearray]]:
+    """Decode ALL image descriptors -> ``(width, height, palette, frames)``.
+
+    Like :func:`decode_gif` but keeps walking the block stream after the
+    first frame. Scope limits (refused honestly): frames must be
+    full-logical-screen (no partial-region composition/disposal) and
+    non-interlaced; the global color table applies to every frame.
+    """
+    if not is_gif(payload):
+        raise GifFormatError("bad GIF signature")
+    if len(payload) < 13:
+        raise GifFormatError("truncated logical screen descriptor")
+    sw, sh, flags, _, _ = struct.unpack("<HHBBB", payload[6:13])
+    pos = 13
+    palette: list[tuple[int, int, int]] = []
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        raw = payload[pos : pos + 3 * n]
+        if len(raw) < 3 * n:
+            raise GifFormatError("truncated global color table")
+        palette = [(raw[i], raw[i + 1], raw[i + 2]) for i in range(0, 3 * n, 3)]
+        pos += 3 * n
+    frames: list[bytearray] = []
+    while pos < len(payload):
+        marker = payload[pos]
+        pos += 1
+        if marker == 0x3B:
+            break
+        if marker == 0x21:
+            pos += 1
+            while pos < len(payload) and payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if marker != 0x2C:
+            raise GifFormatError(f"unexpected block marker 0x{marker:02x}")
+        if pos + 9 > len(payload):
+            raise GifFormatError("truncated image descriptor")
+        ix, iy, iw, ih, iflags = struct.unpack("<HHHHB", payload[pos : pos + 9])
+        pos += 9
+        if (ix, iy, iw, ih) != (0, 0, sw, sh):
+            raise GifFormatError(
+                "partial-region animation frames (disposal composition) "
+                "not supported; frames must cover the logical screen"
+            )
+        if iflags & 0x40:
+            raise GifFormatError("interlaced GIF not supported")
+        if iflags & 0x80:
+            raise GifFormatError(
+                "per-frame local color tables not supported in animation "
+                "decode; use the global table"
+            )
+        if pos >= len(payload):
+            raise GifFormatError("missing LZW minimum code size")
+        mcs = payload[pos]
+        pos += 1
+        if not 2 <= mcs <= 8:
+            raise GifFormatError(f"LZW minimum code size {mcs} out of range")
+        data = bytearray()
+        while pos < len(payload) and payload[pos] != 0:
+            n = payload[pos]
+            data.extend(payload[pos + 1 : pos + 1 + n])
+            pos += 1 + n
+        pos += 1  # block terminator
+        indices = lzw_decompress(bytes(data), mcs)
+        if len(indices) < iw * ih:
+            raise GifFormatError(
+                f"decoded {len(indices)} indices for {iw}x{ih} frame"
+            )
+        del indices[iw * ih :]
+        frames.append(indices)
+    if not frames:
+        raise GifFormatError("no image descriptor before trailer")
+    if not palette:
+        raise GifFormatError("no color table for image")
+    return sw, sh, palette, frames

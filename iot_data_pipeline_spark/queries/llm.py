@@ -3864,3 +3864,90 @@ def q160_media_dead_letter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("payload_class")
     )
+
+
+@declared(
+    "q161_gif_animation_sample",
+    oracle="""
+    WITH frames AS (
+      SELECT d.doc_id, tf.f
+      FROM documents d, range(6) tf(f)
+      WHERE d.doc_id < 150 AND tf.f % 2 = 0
+    ),
+    cells AS (
+      SELECT doc_id, f, tx.x, ty.y,
+             ((tx.x + ty.y * 2 + doc_id + f) % 4) AS ix
+      FROM frames, range(8) tx(x), range(8) ty(y)
+    )
+    SELECT doc_id,
+           CAST(f AS BIGINT) AS frame_idx,
+           ROUND(AVG(CAST(((doc_id * 13 + ix * 40) % 256) AS DOUBLE)), 4)
+             AS mean_gray,
+           CAST(6 AS BIGINT) AS n_frames_total
+    FROM cells
+    GROUP BY doc_id, f ORDER BY doc_id, frame_idx
+    """,
+)
+def q161_gif_animation_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Animated-GIF frame sampling (the GIF twin of q135's Y4M video
+    path): per row a 6-frame 8x8 animation is synthesized -- frame f's
+    pixel index is (x + 2y + doc_id + f) % 4 over a gray 4-level palette
+    g(ix) = (doc_id*13 + ix*40) % 256 -- encoded with per-frame
+    graphic-control extensions and a NETSCAPE loop block, decoded back by
+    ``decode_gif_frames`` (every frame LZW-decompressed under the shared
+    global table), and every SECOND frame is kept with its mean gray
+    level. Frame selection after decode mirrors video keyframe sampling;
+    the oracle states each sampled frame's mean in closed form, so a
+    decoder that miscounts frames, misorders them, or bleeds dictionary
+    state across frame boundaries fails the hash.
+
+    Scale notes: one Arrow-batched kernel synthesizes, decodes, and
+    samples; the frame explosion happens INSIDE the kernel (6 frames ->
+    3 rows per doc emitted), so unsampled frames never reach the plan.
+    """
+    import pyspark.sql.types as T
+
+    docs = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+
+    def kernel(batches):
+        import pandas as pd
+
+        from iot_data_pipeline_spark.operators import gif as _gif
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                pal = [((d * 13 + ix * 40) % 256,) * 3 for ix in range(4)]
+                frames = [
+                    bytes(
+                        (x + 2 * y + d + f) % 4
+                        for y in range(8)
+                        for x in range(8)
+                    )
+                    for f in range(6)
+                ]
+                blob = _gif.encode_gif_animation(8, 8, pal, frames)
+                w, h, dpal, dframes = _gif.decode_gif_frames(blob)
+                for f in range(0, len(dframes), 2):
+                    grays = [dpal[ix][0] for ix in dframes[f]]
+                    rows.append(
+                        (d, f, round(sum(grays) / len(grays), 4), len(dframes))
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "frame_idx", "mean_gray", "n_frames_total"],
+            )
+
+    out = docs.select("doc_id").mapInPandas(
+        kernel,
+        schema=T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("frame_idx", T.LongType()),
+                T.StructField("mean_gray", T.DoubleType()),
+                T.StructField("n_frames_total", T.LongType()),
+            ]
+        ),
+    )
+    return out.orderBy("doc_id", "frame_idx")

@@ -139,3 +139,47 @@ def test_tolerant_mode_routes_bad_payloads(spark):
     assert out[2]["features"] is None
     assert out[2]["decode_error"] == "NotImplementedError"
     assert out[3]["features"] is None and out[3]["decode_error"] is None
+
+
+def test_gif_animation_roundtrip_fuzz():
+    """Multi-frame encode/decode: every frame's indices survive, order
+    preserved, dictionary state must not bleed across frame boundaries."""
+    rnd = random.Random(3)
+    for trial in range(40):
+        w, h = rnd.randint(1, 24), rnd.randint(1, 24)
+        npal = rnd.choice([2, 4, 16])
+        pal = [(rnd.randrange(256),) * 3 for _ in range(npal)]
+        frames = [
+            bytes(rnd.randrange(npal) for _ in range(w * h))
+            for _ in range(rnd.randint(1, 6))
+        ]
+        blob = gif.encode_gif_animation(w, h, pal, frames)
+        dw, dh, dpal, dframes = gif.decode_gif_frames(blob)
+        assert (dw, dh) == (w, h)
+        assert [bytes(f) for f in dframes] == frames, trial
+
+
+def test_gif_animation_first_frame_via_single_decode():
+    """decode_gif (single-frame API) reads an animation's FIRST frame --
+    graphic-control and NETSCAPE extension blocks are skipped per spec."""
+    blob = gif.encode_gif_animation(
+        4, 4, [(0, 0, 0), (9, 9, 9)], [bytes([1] * 16), bytes(16)]
+    )
+    assert bytes(gif.decode_gif(blob)[3]) == bytes([1] * 16)
+
+
+def test_gif_animation_partial_region_refused():
+    """Frames not covering the logical screen (disposal composition) are a
+    documented boundary."""
+    import struct
+
+    blob = bytearray(
+        gif.encode_gif_animation(4, 4, [(0, 0, 0), (1, 1, 1)], [bytes(16)])
+    )
+    # image descriptor: after header(13) + GCT + NETSCAPE ext(19) + GCE(8)
+    pos = blob.index(b"\x2c")
+    ix, iy, iw, ih, fl = struct.unpack("<HHHHB", blob[pos + 1 : pos + 10])
+    assert (iw, ih) == (4, 4)
+    blob[pos + 5 : pos + 7] = struct.pack("<H", 2)  # shrink frame width
+    with pytest.raises(gif.GifFormatError, match="partial-region"):
+        gif.decode_gif_frames(bytes(blob))
