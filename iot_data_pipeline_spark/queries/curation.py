@@ -1512,3 +1512,112 @@ def q158_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_join(F.filter(target_parts, lambda x: x.isNotNull()), " ")
         ).alias("target_md5"),
     ).orderBy("doc_id")
+
+
+@declared(
+    "q162_vlm_interleave_audit",
+    oracle="""
+    WITH items AS (
+      SELECT doc_id, source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS text_tok,
+             CASE WHEN doc_id % 3 = 0 THEN 64 ELSE 0 END AS img_tok
+      FROM documents WHERE doc_id < 400
+    ),
+    placed AS (
+      SELECT doc_id, source, text_tok, img_tok,
+             SUM(text_tok + img_tok) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM items
+    ),
+    audited AS (
+      SELECT source,
+             (cum - text_tok - img_tok) // 256 AS window_id,
+             text_tok, img_tok,
+             CASE WHEN img_tok > 0
+                   AND (cum - img_tok) // 256 <> (cum - 1) // 256
+                  THEN 1 ELSE 0 END AS straddled
+      FROM placed
+    )
+    SELECT source,
+           CAST(MAX(window_id) + 1 AS BIGINT) AS n_windows,
+           CAST(SUM(text_tok) AS BIGINT) AS text_tokens,
+           CAST(SUM(CASE WHEN img_tok > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_images,
+           CAST(SUM(straddled) AS BIGINT) AS n_straddled_images
+    FROM audited GROUP BY source ORDER BY source
+    """,
+)
+def q162_vlm_interleave_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interleaved image-text sequence assembly for VLM training (the
+    multimodal extension of q117's text packing): each document
+    contributes its text tokens plus, for every third doc, a 64-token
+    image patch block appended after the text (the standard vision-token
+    budget convention); the per-source stream is laid into 256-token
+    training windows by running offset. The audit counts, per source,
+    the windows used, the token mix, and the VLM-specific failure mode:
+    IMAGES whose 64-token block straddles a window boundary -- those
+    cannot be attended as one unit and must be re-placed (or their
+    window padded) at materialization time. Straddle detection is pure
+    integer arithmetic on the prefix sums, so the oracle restates it
+    exactly.
+
+    Scale notes: the per-source running sum is one window over the
+    (source) shuffle carrying three ints per doc -- text and media bytes
+    never move; at 100 TB per-source streams use the
+    `operators/prefix.py` two-phase sweep exactly like q99/q117. The
+    straddle count is what decides between 'pad at boundary' and
+    'reorder images first' packing policies before a single byte of
+    pixel data is materialized.
+
+    Reference parity: none -- north-star multimodal training-data op
+    (SURVEY section 2.2 B48 family).
+    """
+    docs = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    items = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split("text", " ")).cast("bigint").alias("text_tok"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(64))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("img_tok"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    placed = items.withColumn(
+        "cum", F.sum(F.col("text_tok") + F.col("img_tok")).over(w)
+    )
+    audited = placed.select(
+        "source",
+        F.floor((F.col("cum") - F.col("text_tok") - F.col("img_tok")) / 256).alias(
+            "window_id"
+        ),
+        "text_tok",
+        "img_tok",
+        F.when(
+            (F.col("img_tok") > 0)
+            & (
+                F.floor((F.col("cum") - F.col("img_tok")) / 256)
+                != F.floor((F.col("cum") - 1) / 256)
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("straddled"),
+    )
+    return (
+        audited.groupBy("source")
+        .agg(
+            (F.max("window_id") + 1).cast("bigint").alias("n_windows"),
+            F.sum("text_tok").cast("bigint").alias("text_tokens"),
+            F.sum((F.col("img_tok") > 0).cast("int")).cast("bigint").alias(
+                "n_images"
+            ),
+            F.sum("straddled").cast("bigint").alias("n_straddled_images"),
+        )
+        .orderBy("source")
+    )
