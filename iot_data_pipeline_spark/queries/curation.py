@@ -1621,3 +1621,94 @@ def q162_vlm_interleave_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@declared(
+    "q163_importance_resampling",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             unnest(string_split(text, ' ')) AS token
+      FROM documents
+    ),
+    feat AS (
+      SELECT doc_id, lang,
+             (CAST(('0x' || substr(md5(token), 1, 15)) AS BIGINT)
+              % 1000000007) % 64 AS bucket
+      FROM toks WHERE token <> ''
+    ),
+    corpus_f AS (
+      SELECT bucket, CAST(COUNT(*) AS BIGINT) AS c FROM feat GROUP BY bucket
+    ),
+    target_f AS (
+      SELECT bucket, CAST(COUNT(*) AS BIGINT) AS t FROM feat
+      WHERE lang = 'en' GROUP BY bucket
+    ),
+    ratio AS (
+      SELECT cf.bucket,
+             ln((COALESCE(tf.t, 0) + 1.0) / (cf.c + 1.0)) AS lr
+      FROM corpus_f cf LEFT JOIN target_f tf USING (bucket)
+    ),
+    scored AS (
+      SELECT f.doc_id,
+             SUM(r.lr) / COUNT(*) AS raw
+      FROM feat f JOIN ratio r USING (bucket)
+      GROUP BY f.doc_id
+    )
+    SELECT doc_id, ROUND(raw, 4) AS log_importance
+    FROM scored
+    ORDER BY ROUND(raw, 4) DESC, doc_id LIMIT 20
+    """,
+)
+def q163_importance_resampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance-weighted data selection (the DSIR recipe -- Xie et al.
+    2023, 'Data Selection for Language Models via Importance Resampling'
+    -- with hashed features, public method): token features hash into 64
+    buckets; a bucket's log-importance is ln((target+1)/(corpus+1)) with
+    the English subset standing in for the target domain; each document
+    scores the length-normalized sum of its buckets' log-ratios, and the
+    top-20 by score are selected (ROUND-then-rank with doc_id tiebreak,
+    SURVEY section 2.3 rule 1 -- ranking on the rounded score keeps the
+    cutoff deterministic even where raw float order is libm-sensitive).
+
+    Scale notes: the feature table is the only corpus-sized frame; both
+    frequency tables are 64 rows (map-side combined) and their log-ratio
+    join BROADCASTS back onto the token stream -- the model never
+    shuffles with the data, the same shape as q132's bigram LM. Log
+    arithmetic follows q132's precedent (sums of ~1e2 libm logs, rounded
+    at 4 decimals after aggregation). At 100 TB the target estimator
+    would be a held-out domain sample; the selection keeps top-k by
+    weight exactly as here (TakeOrdered, no global sort).
+    """
+    from iot_data_pipeline_spark.functions.hashing import portable_hash
+
+    docs = read_table(spark, sf_dir, "documents")
+    feat = (
+        docs.select(
+            "doc_id", "lang", F.explode(F.split("text", " ")).alias("token")
+        )
+        .filter(F.col("token") != "")
+        .select("doc_id", "lang", (portable_hash(F.col("token")) % 64).alias("bucket"))
+    )
+    corpus_f = feat.groupBy("bucket").agg(F.count(F.lit(1)).alias("c"))
+    target_f = (
+        feat.filter(F.col("lang") == "en")
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("t"))
+    )
+    ratio = corpus_f.join(target_f, "bucket", "left").select(
+        "bucket",
+        F.log(
+            (F.coalesce(F.col("t"), F.lit(0)) + 1.0) / (F.col("c") + 1.0)
+        ).alias("lr"),
+    )
+    scored = (
+        feat.join(F.broadcast(ratio), "bucket")
+        .groupBy("doc_id")
+        .agg((F.sum("lr") / F.count(F.lit(1))).alias("raw"))
+    )
+    return (
+        scored.select("doc_id", F.round("raw", 4).alias("log_importance"))
+        .orderBy(F.desc("log_importance"), "doc_id")
+        .limit(20)
+    )
