@@ -1128,3 +1128,180 @@ def q152_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cms_est",
         (F.col("cms_est") - F.col("exact_cnt")).alias("overestimate"),
     ).orderBy(F.desc("exact_cnt"), "user_id")
+
+
+@declared(
+    "q164_ivm_join_view",
+    oracle="""
+    WITH final_state AS (
+      -- last-writer-wins per orderkey: the update batch re-sends every
+      -- key with o_orderkey % 3 = 0 AND % 2 = 0 at an uplifted price,
+      -- overwriting the insert batch's row for the same key
+      SELECT o_orderkey, o_custkey,
+             CASE WHEN o_orderkey % 3 = 0 AND o_orderkey % 2 = 0
+                  THEN o_totalprice * 1.1 ELSE o_totalprice END AS price
+      FROM orders
+    )
+    SELECT c.c_nationkey AS nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(f.price), 2) AS revenue
+    FROM final_state f JOIN customer c ON f.o_custkey = c.c_custkey
+    GROUP BY c.c_nationkey ORDER BY nationkey
+    """,
+)
+def q164_ivm_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance (IVM) of a join view under upsert
+    deltas -- the materialized ``orders JOIN customer`` view is NEVER
+    recomputed from scratch: orders arrive as two insert batches
+    followed by an UPDATE batch that re-sends already-present keys at an
+    uplifted price, and each delta folds in by the classic rule
+    ``V := (V ANTI-JOIN delta-keys) UNION (delta JOIN dim)`` -- the
+    upsert delete+insert, the same last-writer-wins contract as q146's
+    CDC apply but maintained against a *derived join view*, not a base
+    table. The oracle computes the view from the FINAL base state in one
+    shot, so the hash-match proves incremental == full recompute.
+
+    Scale notes: each maintenance step shuffles only the delta (the
+    existing view is anti-joined on the delta's key set, which
+    broadcasts when deltas are small -- the common case for incremental
+    loads); the dim side broadcasts into every delta join; the view is
+    localCheckpointed per step so lineage stays flat however many
+    batches arrive. This is the join-view counterpart of
+    streaming/rollup.py's incremental aggregate maintenance; at 100 TB
+    the view lives as a partitioned table and the anti-join becomes a
+    partition-pruned MERGE on the delta's key range.
+    """
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cust = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    # delta stream: two insert batches covering all keys, then an UPDATE
+    # batch re-sending the even keys of batch 0 at an uplifted price --
+    # those rows already sit in the view and must be replaced, which is
+    # what makes the anti-join step load-bearing
+    filters = [
+        F.col("o_orderkey") % 3 == 0,
+        F.col("o_orderkey") % 3 != 0,
+        (F.col("o_orderkey") % 3 == 0) & (F.col("o_orderkey") % 2 == 0),
+    ]
+    view = None
+    for b, flt in enumerate(filters):
+        price = (
+            F.col("o_totalprice") * 1.1 if b == 2 else F.col("o_totalprice")
+        )
+        delta = orders.filter(flt).select(
+            "o_orderkey", "o_custkey", price.alias("price")
+        )
+        joined = delta.join(
+            F.broadcast(cust), delta.o_custkey == cust.c_custkey
+        ).select("o_orderkey", "o_custkey", "price", "c_nationkey")
+        if view is None:
+            view = joined
+        else:
+            keys = delta.select("o_orderkey")
+            view = view.join(keys, "o_orderkey", "left_anti").unionByName(
+                joined
+            )
+        view = view.localCheckpoint(eager=False)
+    return (
+        view.groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.round(F.sum("price"), 2).alias("revenue"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+@declared(
+    "q165_spatial_radius_join",
+    oracle="""
+    WITH pts AS (
+      SELECT c_custkey AS id,
+             (c_custkey * 37) % 4000 AS x,
+             (c_custkey * 91) % 4000 AS y
+      FROM customer
+    ),
+    celled AS (
+      SELECT id, x, y, x // 100 AS cx, y // 100 AS cy FROM pts
+    ),
+    probes AS (
+      SELECT id, x, y, cx + dx.d AS cx, cy + dy.d AS cy
+      FROM celled, range(-1, 2) dx(d), range(-1, 2) dy(d)
+    ),
+    pairs AS (
+      SELECT a.id AS id_a, b.id AS id_b,
+             (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS d2
+      FROM probes a JOIN celled b ON a.cx = b.cx AND a.cy = b.cy
+                                  AND a.id < b.id
+      WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 10000
+    ),
+    dedup AS (SELECT DISTINCT id_a, id_b, d2 FROM pairs)
+    SELECT id_a, id_b, CAST(d2 AS BIGINT) AS d2 FROM dedup
+    ORDER BY id_a, id_b
+    """,
+)
+def q165_spatial_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial radius self-join via grid bucketing -- the blocked-join
+    family's geometric member: points (integer coordinate units seeded
+    from c_custkey on a 4000x4000 grid) pair up when within distance 100,
+    found by hashing each point to a 100-unit grid cell, exploding each
+    point to its 3x3 cell NEIGHBORHOOD on the probe side, equi-joining on
+    cell, and verifying exact squared distance -- never a cross join, and
+    integer arithmetic end-to-end so the oracle hash-matches without any
+    float tolerance. Cell size == radius guarantees no false negatives
+    (any pair within R spans at most adjacent cells); the 9x probe
+    explode is the same broadcast-side-only fan-out as q149's multi-probe
+    IVF cells.
+
+    Scale notes: cost is sum over cells of |cell| x |neighborhood| --
+    linear for bounded density (the geohash/S2 bucketing argument);
+    the shuffle carries (id, x, y, cell) ints. Skewed hot cells (cities)
+    would take the q138 salting treatment. Real geodesic distance drops
+    into the verify predicate (haversine on the JVM) without touching
+    the candidate plan; integer units here keep the oracle exact.
+    """
+    cust = read_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"),
+        ((F.col("c_custkey") * 37) % 4000).alias("x"),
+        ((F.col("c_custkey") * 91) % 4000).alias("y"),
+    )
+    celled = cust.select(
+        "id", "x", "y",
+        F.floor(F.col("x") / 100).alias("cx"),
+        F.floor(F.col("y") / 100).alias("cy"),
+    )
+    offsets = F.expr(
+        "explode(flatten(transform(sequence(-1, 1), "
+        "dx -> transform(sequence(-1, 1), dy -> struct(dx, dy)))))"
+    )
+    probes = celled.select(
+        "id", "x", "y", "cx", "cy", offsets.alias("o")
+    ).select(
+        "id", "x", "y",
+        (F.col("cx") + F.col("o.dx")).alias("cx"),
+        (F.col("cy") + F.col("o.dy")).alias("cy"),
+    )
+    a = probes.alias("a")
+    b = celled.alias("b")
+    d2 = (F.col("a.x") - F.col("b.x")) * (F.col("a.x") - F.col("b.x")) + (
+        F.col("a.y") - F.col("b.y")
+    ) * (F.col("a.y") - F.col("b.y"))
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.cx") == F.col("b.cx"))
+            & (F.col("a.cy") == F.col("b.cy"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .filter(d2 <= 10000)
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            d2.cast("bigint").alias("d2"),
+        )
+        .distinct()
+    )
+    return pairs.orderBy("id_a", "id_b")
