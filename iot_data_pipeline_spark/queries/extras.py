@@ -1305,3 +1305,101 @@ def q165_spatial_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return pairs.orderBy("id_a", "id_b")
+
+
+@declared(
+    "q166_fastss_typo_join",
+    oracle="""
+    WITH words AS (
+      SELECT DISTINCT w AS s FROM (
+        SELECT unnest(string_split(p_name, ' ')) AS w FROM part
+      ) WHERE length(w) >= 3
+    ),
+    strings AS (
+      SELECT s FROM words
+      UNION
+      SELECT s[1:1] || s[3:] AS s FROM words  -- seeded drop-2nd-char typos
+    ),
+    variants AS (
+      SELECT s, unnest(
+        list_prepend(s, list_transform(range(1, length(s) + 1),
+                                       i -> s[1:i-1] || s[i+1:]))) AS v
+      FROM strings
+    ),
+    cand AS (
+      SELECT DISTINCT a.s AS word_a, b.s AS word_b
+      FROM variants a JOIN variants b ON a.v = b.v AND a.s < b.s
+    )
+    SELECT word_a, word_b,
+           CAST(levenshtein(word_a, word_b) AS BIGINT) AS dist
+    FROM cand
+    WHERE levenshtein(word_a, word_b) <= 1
+    ORDER BY word_a, word_b
+    """,
+)
+def q166_fastss_typo_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance-1 similarity join via deletion neighborhoods (the
+    FastSS dictionary method, Bocek et al. 2007 -- public algorithm): two
+    strings are within edit distance 1 only if their delete-one-character
+    neighborhoods intersect, so candidates come from an EQUI-join on
+    neighborhood variants -- never an all-pairs Levenshtein sweep -- and
+    an exact ``levenshtein(a,b) <= 1`` verify (built into BOTH engines,
+    integer result) prunes the false positives the shared-variant filter
+    admits (e.g. transpositions). The string set is the part-name
+    vocabulary plus seeded drop-2nd-char typos, so the join provably has
+    work to do; output is the verified typo pair list.
+
+    Scale notes: a string of length L explodes to L+1 variants (bounded
+    fan-out, like shingling); the candidate join shuffles short variant
+    strings; verification touches only candidates. This is the
+    string-metric member of the blocked-join family (LSH q23, Hamming
+    bands q134, prefix filter q145, grid cells q165) -- for typo-level
+    dedup of entity names where token-level similarity is too coarse.
+    At larger edit distances the neighborhoods recurse (delete-k), with
+    candidate volume the exponential knob the verify step caps.
+    """
+    words = (
+        read_table(spark, sf_dir, "part")
+        .select(F.explode(F.split("p_name", " ")).alias("w"))
+        .filter(F.length("w") >= 3)
+        .distinct()
+    )
+    strings = words.select(F.col("w").alias("s")).union(
+        words.select(
+            F.concat(
+                F.substring("w", 1, 1), F.expr("substring(w, 3)")
+            ).alias("s")
+        )
+    ).distinct()
+    variants = strings.select(
+        "s",
+        F.explode(
+            F.concat(
+                F.array(F.col("s")),
+                F.transform(
+                    F.sequence(F.lit(1), F.length("s")),
+                    lambda i: F.concat(
+                        F.substring(F.col("s"), F.lit(1), i - 1),
+                        F.col("s").substr(i + 1, F.length("s")),
+                    ),
+                ),
+            )
+        ).alias("v"),
+    )
+    a = variants.alias("a")
+    b = variants.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.v") == F.col("b.v")) & (F.col("a.s") < F.col("b.s")),
+        )
+        .select(F.col("a.s").alias("word_a"), F.col("b.s").alias("word_b"))
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "dist", F.levenshtein("word_a", "word_b").cast("bigint")
+        )
+        .filter(F.col("dist") <= 1)
+        .orderBy("word_a", "word_b")
+    )
