@@ -566,3 +566,97 @@ def q74_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@declared(
+    "q167_incremental_rollup",
+    oracle="""
+    WITH src AS (
+      SELECT event_type, CAST(value AS DECIMAL(18,6)) AS v
+      FROM events WHERE event_id < 10000
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(v) AS DECIMAL(28,6)) AS total,
+           CAST(MIN(v) AS DECIMAL(18,6)) AS v_min,
+           CAST(MAX(v) AS DECIMAL(18,6)) AS v_max,
+           ROUND(CAST(SUM(v) AS DOUBLE) / COUNT(*), 4) AS v_avg
+    FROM src GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q167_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incremental-rollup subsystem (streaming/rollup.py) under the
+    oracle gate end-to-end: a 3-file parquet fixture streams through
+    ``start_incremental_rollup`` (file source, maxFilesPerTrigger=1, so
+    each file is its own micro-batch writing its own ``batch_id=N``
+    partial partition), history is then COMPACTED into one partition,
+    and ``read_rollup`` folds partials into totals -- which must equal a
+    one-shot aggregate over the same rows. Values are DECIMAL(18,6) so
+    the partial-fold addition order cannot drift from the oracle's
+    single-pass sum (the q112/q126 exactness rule); avg derives from the
+    exact sum at the end.
+
+    This is the always-fresh-dashboard shape at 100 TB: each micro-batch
+    writes O(batch) partials (never read-modify-write), replays are
+    idempotent by dynamic partition overwrite, compaction bounds read
+    fan-in -- and the hash-match proves fold(partials) == aggregate(all),
+    i.e. the mergeability contract itself.
+    """
+    import pyspark.sql.types as T
+
+    from iot_data_pipeline_spark.streaming.rollup import (
+        compact_rollup,
+        read_rollup,
+        start_incremental_rollup,
+    )
+
+    def _build(d: str) -> None:
+        src = (
+            read_table(spark, sf_dir, "events")
+            .filter(F.col("event_id") < 10000)
+            .select(
+                "event_id",
+                "event_type",
+                F.col("value").cast("decimal(18,6)").alias("v"),
+            )
+        )
+        for part in range(3):
+            src.filter(F.col("event_id") % 3 == part).coalesce(
+                1
+            ).write.mode("append").parquet(d)
+
+    raw = staged_fixture("q167_raw", sf_dir, _build)
+    work = fresh_dir("q167_run")
+    rollup_path = os.path.join(work, "rollup")
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("v", T.DecimalType(18, 6)),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(raw)
+    )
+    q = start_incremental_rollup(
+        stream,
+        rollup_path,
+        os.path.join(work, "ckpt"),
+        keys=["event_type"],
+        values=["v"],
+    )
+    q.awaitTermination()
+    compact_rollup(spark, rollup_path, keys=["event_type"], values=["v"])
+    folded = read_rollup(spark, rollup_path, keys=["event_type"], values=["v"])
+    return folded.select(
+        "event_type",
+        F.col("v_count").cast("bigint").alias("n"),
+        F.col("v_sum").cast("decimal(28,6)").alias("total"),
+        F.col("v_min").cast("decimal(18,6)").alias("v_min"),
+        F.col("v_max").cast("decimal(18,6)").alias("v_max"),
+        F.round(
+            F.col("v_sum").cast("double") / F.col("v_count").cast("double"), 4
+        ).alias("v_avg"),
+    ).orderBy("event_type")
