@@ -660,3 +660,176 @@ def q167_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("v_sum").cast("double") / F.col("v_count").cast("double"), 4
         ).alias("v_avg"),
     ).orderBy("event_type")
+
+
+@declared(
+    "q168_backfill_derived_zone",
+    oracle="""
+    WITH final_src AS (
+      SELECT event_id, event_id % 5 AS part,
+             CASE WHEN event_id % 5 = 2 THEN value + 100 ELSE value END AS value
+      FROM events WHERE event_id < 10000
+    )
+    SELECT part,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(ROUND(value * 1.8 + 32, 2)), 2) AS total_f
+    FROM final_src GROUP BY part ORDER BY part
+    """,
+)
+def q168_backfill_derived_zone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incremental-backfill subsystem (sources/backfill.py) under the
+    oracle gate: a partitioned source zone is derived once in full, then
+    ONE source partition is corrected upstream (part 2's values +100);
+    ``stale_partitions`` must detect exactly that partition from the
+    fingerprint manifest, and the second ``backfill`` recomputes only it
+    -- untouched partitions keep their original derived files. The final
+    derived zone is aggregated and hash-matched against the one-shot
+    derivation of the FINAL source state, so both a missed recompute
+    (stale part 2 data) and an over-eager one (recompute-all would still
+    match values -- the partition-list assert below pins the 'only'
+    claim) fail the gate.
+
+    Scale story: change detection is metadata-only (per-partition
+    fingerprints from file listing), recompute IO is proportional to the
+    corrected partitions, and untouched partitions' files are never
+    rewritten -- the upstream-correction repair path every derived lake
+    zone needs (SURVEY section 3.4 lifecycle).
+    """
+    src_dir = fresh_dir("q168_src")
+    dst_dir = fresh_dir("q168_dst")
+    base = (
+        read_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 10000)
+        .select("event_id", (F.col("event_id") % 5).alias("part"), "value")
+    )
+    base.write.mode("overwrite").partitionBy("part").parquet(src_dir)
+
+    def derive(df: DataFrame) -> DataFrame:
+        return df.select(
+            "event_id", "part", F.round(F.col("value") * 1.8 + 32, 2).alias("f")
+        )
+
+    from iot_data_pipeline_spark.sources.backfill import backfill
+
+    first = backfill(spark, src_dir, dst_dir, "part", derive)
+    # upstream correction lands in exactly one source partition
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            base.filter(F.col("part") == 2)
+            .withColumn("value", F.col("value") + 100)
+            .write.mode("overwrite")
+            .partitionBy("part")
+            .parquet(src_dir)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+    second = backfill(spark, src_dir, dst_dir, "part", derive)
+    assert sorted(first) == ["0", "1", "2", "3", "4"], first
+    assert second == ["2"], f"stale detection recomputed {second}"
+    derived = spark.read.parquet(dst_dir)
+    return (
+        derived.groupBy("part")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(F.sum("f"), 2).alias("total_f"),
+        )
+        .select(F.col("part").cast("bigint").alias("part"), "n", "total_f")
+        .orderBy("part")
+    )
+
+
+@declared(
+    "q169_zorder_rewrite",
+    oracle="""
+    SELECT event_id, user_id, CAST(value AS DOUBLE) AS value
+    FROM events
+    WHERE event_id < 10000 AND user_id % 100 < 3 AND event_id % 50 < 2
+    ORDER BY event_id
+    """,
+)
+def q169_zorder_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Z-order layout rewrite (sources/maintenance.rewrite_zordered)
+    under the oracle gate: events are rewritten clustered on the
+    interleaved (user_id, event_id) Z-curve, then read back through a
+    two-column predicate and hash-matched against the same predicate
+    over the original table -- layout maintenance must be CONTENT-
+    PRESERVING under any re-clustering (the min/max-span shrinkage that
+    makes the rewrite worthwhile is pinned separately by
+    tests/test_matview.py-style layout tests; correctness of the data
+    itself is what belongs in the driver gate).
+
+    Scale notes: the rewrite is range-partition + sort on the Z-value
+    (no global single-partition sort); read-back filters hit parquet
+    row-group min/max on BOTH columns because the curve interleaves
+    their bits -- the reason a lexicographic sort is not enough.
+    """
+    from iot_data_pipeline_spark.sources.maintenance import rewrite_zordered
+
+    out = fresh_dir("q169_z")
+    ev = (
+        read_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 10000)
+        .select("event_id", "user_id", "value")
+    )
+    rewrite_zordered(ev, out, ["user_id", "event_id"], n_files=8)
+    back = spark.read.parquet(out)
+    return (
+        back.filter((F.col("user_id") % 100 < 3) & (F.col("event_id") % 50 < 2))
+        .select("event_id", "user_id", F.col("value").cast("double").alias("value"))
+        .orderBy("event_id")
+    )
+
+
+@declared(
+    "q170_custom_datasource",
+    oracle="""
+    WITH idx AS (
+      SELECT i FROM range(2000) t(i)
+    ),
+    readings AS (
+      SELECT 'device-' || CAST(i % 25 AS VARCHAR) AS device_id,
+             ROUND((CAST(('0x' || substr(md5('sensor:' || i), 1, 12)) AS BIGINT)
+                    % 5000) / 100.0 - 10.0, 2) AS temperature,
+             ROUND((CAST(('0x' || substr(md5('sensor:' || i), 1, 12)) AS BIGINT)
+                    // 5000) % 10000 / 100.0, 2) AS humidity
+      FROM idx
+    )
+    SELECT device_id,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(temperature), 2) AS sum_temp,
+           ROUND(SUM(humidity), 2) AS sum_hum
+    FROM readings GROUP BY device_id ORDER BY device_id
+    """,
+)
+def q170_custom_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Spark 4 Python DataSource connector (sources/custom.py,
+    SURVEY B-custom) under the oracle gate: 2000 synthetic sensor rows
+    generated by the registered ``sensor_synthetic`` format across 8
+    planned input partitions, aggregated per device and hash-matched
+    against the generator's closed form restated in SQL (the reading is
+    a pure function of the row index through the same md5 hash both
+    engines compute). A connector that drops rows at partition
+    boundaries, double-reads an overlap, or drifts from its contract
+    fails the gate -- partition-count invariance is additionally
+    property-tested in tests/test_custom_source.py.
+    """
+    from iot_data_pipeline_spark.sources.custom import register_sensor_source
+
+    register_sensor_source(spark)
+    df = (
+        spark.read.format("sensor_synthetic")
+        .option("rows", "2000")
+        .option("partitions", "8")
+        .option("devices", "25")
+        .load()
+    )
+    return (
+        df.groupBy("device_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(F.sum("temperature"), 2).alias("sum_temp"),
+            F.round(F.sum("humidity"), 2).alias("sum_hum"),
+        )
+        .orderBy("device_id")
+    )
