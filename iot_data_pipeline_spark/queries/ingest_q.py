@@ -833,3 +833,54 @@ def q170_custom_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("device_id")
     )
+
+
+@declared(
+    "q171_compaction",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(event_id) AS BIGINT) AS id_sum
+    FROM events WHERE event_id < 10000
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q171_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction (sources/maintenance.compact_parquet) under
+    the oracle gate: the fixture is deliberately written as ~40 tiny
+    files (the reference's one-object-per-event pathology,
+    `lambda/s3_event_handler.py:44-48`, at lake scale), compacted to a
+    byte-size-derived handful, and the compacted zone's aggregate must
+    hash-match the original rows -- compaction is pure layout, zero
+    content drift. The file-count assert pins that compaction actually
+    compacted (a no-op rewrite would pass the content check).
+
+    Scale notes: target file count derives from a FileSystem status
+    listing (no data read), and the rewrite is one round-robin shuffle
+    that also heals size skew -- the janitor pass every continuously-fed
+    processed zone schedules.
+    """
+    from iot_data_pipeline_spark.sources.maintenance import compact_parquet
+
+    def _build(d: str) -> None:
+        ev = (
+            read_table(spark, sf_dir, "events")
+            .filter(F.col("event_id") < 10000)
+            .select("event_id", "event_type")
+        )
+        ev.repartition(40).write.mode("overwrite").parquet(d)
+
+    src = staged_fixture("q171_tiny_files", sf_dir, _build)
+    out = fresh_dir("q171_compacted")
+    n_files = compact_parquet(spark, src, out, target_file_bytes=1 << 20)
+    n_src = len([f for f in os.listdir(src) if f.endswith(".parquet")])
+    assert n_files < n_src, f"compaction did not reduce files: {n_files} >= {n_src}"
+    return (
+        spark.read.parquet(out)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("event_id").cast("bigint").alias("id_sum"),
+        )
+        .orderBy("event_type")
+    )

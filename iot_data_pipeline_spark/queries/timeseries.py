@@ -338,3 +338,75 @@ def q142_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@declared(
+    "q172_ohlc_resample",
+    oracle="""
+    WITH src AS (
+      SELECT user_id % 8 AS series,
+             time_bucket(INTERVAL 1 HOUR, ts) AS bucket,
+             CAST(epoch(ts) AS BIGINT) * 100000 + event_id AS ord,
+             value
+      FROM events WHERE event_id < 20000
+    )
+    SELECT series, CAST(bucket AS VARCHAR) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_ticks,
+           ROUND(arg_min(value, ord), 2) AS open,
+           ROUND(MAX(value), 2) AS high,
+           ROUND(MIN(value), 2) AS low,
+           ROUND(arg_max(value, ord), 2) AS close
+    FROM src GROUP BY series, bucket
+    ORDER BY series, bucket
+    """,
+)
+def q172_ohlc_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC downsampling (the finance/telemetry resample every
+    time-series store ships): per (series, hour bucket), open/close are
+    the values at the earliest/latest (ts, event_id) -- encoded as the
+    scalar key epoch*1e5 + event_id so ties are deterministic in both
+    engines (SURVEY section 2.3 rule 1; min_by/max_by on a tied plain
+    ts would be engine-arbitrary) -- and
+    high/low are plain extremes. One partial-aggregated shuffle on
+    (series, bucket): min_by/max_by are mergeable aggregates, so this
+    downsample composes with streaming/rollup.py's partial-fold layout
+    for always-fresh bars at 100 TB (counts/extremes merge exactly;
+    open/close merge by keeping the argument-extreme pair).
+
+    Extends the time-series family (q58 gap fill, q59 forward fill,
+    q65 rolling anomaly, q142 EWMA) with the bucket-reduce member.
+    """
+    ev = (
+        read_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 20000)
+        .select(
+            (F.col("user_id") % 8).alias("series"),
+            F.date_trunc("hour", "ts").alias("bucket"),
+            (
+                F.unix_timestamp("ts").cast("bigint") * 100000
+                + F.col("event_id")
+            ).alias("ord"),
+            "value",
+        )
+    )
+    key = F.col("ord")
+    return (
+        ev.groupBy("series", "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_ticks"),
+            F.round(F.min_by("value", key), 2).alias("open"),
+            F.round(F.max("value"), 2).alias("high"),
+            F.round(F.min("value"), 2).alias("low"),
+            F.round(F.max_by("value", key), 2).alias("close"),
+        )
+        .select(
+            "series",
+            F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+            "n_ticks",
+            "open",
+            "high",
+            "low",
+            "close",
+        )
+        .orderBy("series", "bucket")
+    )
