@@ -884,3 +884,58 @@ def q171_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@declared(
+    "q174_matview_time_travel",
+    oracle="""
+    WITH v0 AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events WHERE event_id < 5000 GROUP BY event_type
+    ),
+    v1 AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events WHERE event_id < 10000 GROUP BY event_type
+    )
+    SELECT 0 AS version, event_type, n FROM v0
+    UNION ALL
+    SELECT 1 AS version, event_type, n FROM v1
+    ORDER BY version, event_type
+    """,
+)
+def q174_matview_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The materialized-view subsystem (sources/matview.py) under the
+    oracle gate: the same view is refreshed twice from growing source
+    states (events < 5000, then < 10000); version 0 is read back by
+    PINNED time travel and version 1 through the published pointer, and
+    both snapshots must match their source state at refresh time -- the
+    atomic-publish contract (full write THEN pointer swap) means a
+    reader can never observe a half-written snapshot, and time travel
+    means history is immutable once published.
+
+    Scale notes: publication is one tiny-file rename regardless of
+    snapshot size; readers pin a version for the duration of a job and
+    vacuum reclaims unpinned history -- the lakehouse snapshot pattern
+    without a table-format dependency.
+    """
+    from iot_data_pipeline_spark.sources import matview
+
+    root = fresh_dir("q174_views")
+    name = "event_counts"
+    ev = read_table(spark, sf_dir, "events")
+    for cap in (5000, 10000):
+        snap = (
+            ev.filter(F.col("event_id") < cap)
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        )
+        matview.refresh(spark, root, name, snap)
+    v0 = matview.read(spark, root, name, version=0).withColumn(
+        "version", F.lit(0)
+    )
+    v1 = matview.read(spark, root, name).withColumn("version", F.lit(1))
+    return (
+        v0.unionByName(v1)
+        .select("version", "event_type", "n")
+        .orderBy("version", "event_type")
+    )

@@ -240,3 +240,75 @@ def q94_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@declared(
+    "q173_exact_stratified_split",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY md5('split:' || CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rk,
+             COUNT(*) OVER (PARTITION BY lang) AS n_lang
+      FROM documents
+    ),
+    assigned AS (
+      SELECT doc_id, lang,
+             CASE WHEN rk * 10 <= n_lang * 8 THEN 'train'
+                  WHEN rk * 10 <= n_lang * 9 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM ranked
+    )
+    SELECT lang, split, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc
+    FROM assigned GROUP BY lang, split ORDER BY lang, split
+    """,
+)
+def q173_exact_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-proportion stratified split (the counted counterpart of
+    q48/q49's hash-Bernoulli splits, whose per-stratum fractions only
+    hold in expectation): within each language stratum, docs are ranked
+    by a salted content hash (deterministic shuffle order -- no RNG, no
+    seed coordination) and the rank decides train/val/test at exactly
+    floor-8/1/1 per 10, so every stratum's proportions are guaranteed,
+    not probabilistic. The integer comparison ``rk*10 <= n*8`` avoids
+    float boundary drift between engines.
+
+    Scale notes: one window per stratum over (hash, doc_id) -- strata
+    are the partition keys, so no global sort; the count-over window
+    shares the same shuffle. Hash-ranked order also makes the split
+    STABLE under corpus append-with-resplit ONLY for unchanged strata
+    -- the docstring-level contract a leakage-safe pipeline needs to
+    know (contrast q123, which splits by near-dup cluster to prevent
+    leakage ACROSS the boundary).
+    """
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))),
+        "doc_id",
+    )
+    wc = Window.partitionBy("lang")
+    ranked = docs.select(
+        "doc_id",
+        "lang",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(wc).alias("n_lang"),
+    )
+    assigned = ranked.select(
+        "doc_id",
+        "lang",
+        F.when(F.col("rk") * 10 <= F.col("n_lang") * 8, "train")
+        .when(F.col("rk") * 10 <= F.col("n_lang") * 9, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    return (
+        assigned.groupBy("lang", "split")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.min("doc_id").cast("bigint").alias("first_doc"),
+        )
+        .orderBy("lang", "split")
+    )
