@@ -20,13 +20,21 @@ def asof_join(
     by: list[str] | None = None,
     direction: str = "backward",
     suffix: str = "_right",
+    tolerance=None,
 ) -> DataFrame:
     """For each left row, attach the single right row closest in time.
 
     ``direction='backward'`` keeps the latest right row with
     ``right_on <= left_on`` (the "state as of t" lookup); ``'forward'``
     keeps the earliest with ``right_on >= left_on``. ``by`` adds equi-keys
-    (e.g. device_id) that become the join's hash keys.
+    (e.g. device_id) that become the join's hash keys. ``tolerance``
+    (optional) bounds the match window: an expression addable to the on
+    column (a number for numeric keys, ``F.expr("INTERVAL 2 HOURS")`` for
+    timestamps) -- backward requires ``right_on >= left_on - tolerance``,
+    forward ``right_on <= left_on + tolerance`` (pandas merge_asof
+    semantics). At scale a tolerance is also what lets the candidate
+    pairing become a time-bucket equi-join (the q08 rewrite) instead of
+    an open-ended inequality.
 
     Plan shape: equi-join on ``by`` (hash, broadcastable) or a
     BroadcastNestedLoopJoin when ``by`` is empty, then one window to keep
@@ -52,8 +60,16 @@ def asof_join(
         cond = cond & (F.col(f"l.{k}") == F.col(f"r.{k}"))
     if direction == "backward":
         cond = cond & (F.col(f"r.{right_on}") <= F.col(f"l.{left_on}"))
+        if tolerance is not None:
+            cond = cond & (
+                F.col(f"r.{right_on}") >= F.col(f"l.{left_on}") - tolerance
+            )
     else:
         cond = cond & (F.col(f"r.{right_on}") >= F.col(f"l.{left_on}"))
+        if tolerance is not None:
+            cond = cond & (
+                F.col(f"r.{right_on}") <= F.col(f"l.{left_on}") + tolerance
+            )
 
     paired = l.join(r, cond, "inner").select(
         *lcols, *rcols, F.col(f"r.{right_on}").alias("__asof_ts")

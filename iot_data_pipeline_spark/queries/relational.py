@@ -699,3 +699,86 @@ def q47_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("totalprice"), "o_orderkey")
     )
+
+
+@declared(
+    "q08c_asof_forward_tolerance",
+    oracle="""
+    WITH l AS (
+      SELECT event_id, user_id % 50 AS k, ts
+      FROM events WHERE event_type = 'purchase' AND event_id < 20000
+    ),
+    r0 AS (
+      SELECT user_id % 50 AS k, ts, event_id, value
+      FROM events WHERE event_type = 'click'
+    ),
+    r AS (
+      SELECT k, ts,
+             arg_min(event_id, event_id) AS r_id,
+             arg_min(value, event_id) AS r_val
+      FROM r0 GROUP BY k, ts
+    ),
+    cand AS (
+      SELECT l.event_id, r.r_id, r.r_val,
+             ROW_NUMBER() OVER (PARTITION BY l.event_id
+                                ORDER BY r.ts, r.r_id) AS rn
+      FROM l JOIN r ON l.k = r.k
+                   AND r.ts >= l.ts
+                   AND r.ts <= l.ts + INTERVAL 2 HOUR
+    )
+    SELECT l.event_id,
+           c.r_id AS next_click_id,
+           ROUND(c.r_val, 2) AS next_click_value
+    FROM l LEFT JOIN (SELECT * FROM cand WHERE rn = 1) c USING (event_id)
+    ORDER BY l.event_id
+    """,
+)
+def q08c_asof_forward_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join with a tolerance bound (completes B15's API
+    surface to pandas ``merge_asof`` parity: direction + tolerance): each
+    purchase finds the EARLIEST click in its user bucket within the next
+    2 hours, or NULL -- the 'next response after stimulus, if timely'
+    lookup. The right side is pre-deduplicated to one row per (key, ts)
+    by min event_id so the as-of rank has no engine-arbitrary ties
+    (SURVEY section 2.3 rule 1), and unmatched purchases are retained by
+    a left join back over the operator's inner result.
+
+    Scale notes: the candidate pairing hash-joins on the bucket key; the
+    tolerance bounds each window partition's candidate count (an
+    unbounded forward scan would buffer arbitrarily far ahead) and is
+    what permits the time-bucket equi-join rewrite at 100 TB (q08's
+    hour-bucket trick applied to as-of).
+    """
+    from iot_data_pipeline_spark.operators.joins import asof_join
+
+    ev = read_table(spark, sf_dir, "events")
+    left = ev.filter(
+        (F.col("event_type") == "purchase") & (F.col("event_id") < 20000)
+    ).select("event_id", (F.col("user_id") % 50).alias("k"), "ts")
+    right = (
+        ev.filter(F.col("event_type") == "click")
+        .select((F.col("user_id") % 50).alias("k"), "ts", "event_id", "value")
+        .groupBy("k", "ts")
+        .agg(
+            F.min("event_id").alias("r_id"),
+            F.min_by("value", "event_id").alias("r_val"),
+        )
+    )
+    matched = asof_join(
+        left,
+        right.withColumnRenamed("ts", "r_ts"),
+        left_on="ts",
+        right_on="r_ts",
+        by=["k"],
+        direction="forward",
+        tolerance=F.expr("INTERVAL 2 HOURS"),
+    ).select("event_id", "r_id", "r_val")
+    return (
+        left.join(matched, "event_id", "left")
+        .select(
+            "event_id",
+            F.col("r_id").alias("next_click_id"),
+            F.round("r_val", 2).alias("next_click_value"),
+        )
+        .orderBy("event_id")
+    )

@@ -634,3 +634,24 @@ def test_q155_url_canonicalization_stays_jvm_side(spark, sf_dir):
     assert "EvalPython" not in plan and "MapInPandas" not in plan
     # agg exchange + distinct expand + output sort, nothing else
     assert plan.count(") Exchange") <= 3
+
+
+# (q164's per-delta broadcast joins are unobservable from the returned
+# frame: each maintenance step localCheckpoints, so the final plan reads
+# checkpointed RDDs -- its scale property is the fold rule itself, gated
+# by the oracle's incremental==full-recompute hash instead.)
+
+
+def test_q165_spatial_join_not_cartesian(spark, sf_dir):
+    # the radius join must plan as an equi-join on cell coordinates --
+    # a BNLJ/cartesian here would be quadratic at scale
+    plan = formatted_plan(q("q165_spatial_radius_join", spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q172_ohlc_partial_aggregation(spark, sf_dir):
+    # min_by/max_by OHLC must partial-aggregate: the shuffle carries one
+    # bar per (series, bucket) per task, not one row per tick
+    plan = formatted_plan(q("q172_ohlc_resample", spark, sf_dir))
+    assert plan.count("HashAggregate") >= 2
