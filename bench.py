@@ -241,9 +241,16 @@ def bench_extras():
             heavy = df.select(
                 F.sha2(F.concat_ws(",", "k", "value", "w"), 256).alias("d")
             )
-            t0 = _time.perf_counter()
-            heavy.write.format("noop").mode("overwrite").save()
-            return round(_time.perf_counter() - t0, 3)
+            # min of two runs: the comparison must survive GC/page-cache
+            # noise inside a 190-query bench session, and min-of-N is the
+            # standard way to measure the plan rather than the machine
+            best = None
+            for _ in range(2):
+                t0 = _time.perf_counter()
+                heavy.write.format("noop").mode("overwrite").save()
+                dt = _time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            return round(best, 3)
 
         conf = spark.conf
         saved_bc = conf.get("spark.sql.autoBroadcastJoinThreshold")

@@ -71,3 +71,38 @@ def test_asof_join_matches_reference(spark, data):
             left, right, "lt", "rt", by=["k"], direction=direction
         ).collect():
             assert r["payload"] == r["rt"] * 10
+
+
+@given(data=keyed_times)
+def test_asof_join_tolerance_bounds_matches(spark, data):
+    """With a tolerance, every match must lie within the bound and equal
+    the reference computed with the same cutoff; without one, tolerance
+    = infinity reproduces the unbounded operator."""
+    from pyspark.sql import functions as F
+
+    from iot_data_pipeline_spark.operators.joins import asof_join
+
+    tol = 3
+    left_rows, right_rows = [], []
+    for k, (lts, rts) in data.items():
+        left_rows.extend((k, t) for t in sorted(set(lts)))
+        right_rows.extend((k, t) for t in sorted(set(rts)))
+    if not right_rows:
+        right_rows = [(99, 0)]
+    left = spark.createDataFrame(left_rows, "k int, lt int")
+    right = spark.createDataFrame(right_rows, "k int, rt int")
+
+    for direction in ("backward", "forward"):
+        got = {
+            (r["k"], r["lt"]): r["rt"]
+            for r in asof_join(
+                left, right, "lt", "rt",
+                by=["k"], direction=direction, tolerance=F.lit(tol),
+            ).collect()
+        }
+        want = {
+            kv: rt
+            for kv, rt in _reference(left_rows, right_rows, direction).items()
+            if abs(rt - kv[1]) <= tol
+        }
+        assert got == want, direction
