@@ -237,15 +237,16 @@ def bench_extras():
             F.explode(F.sequence(F.lit(1), F.lit(32))).alias("w"),
         )
 
-        def run(df):
+        def run(df, reps=2):
             heavy = df.select(
                 F.sha2(F.concat_ws(",", "k", "value", "w"), 256).alias("d")
             )
-            # min of two runs: the comparison must survive GC/page-cache
-            # noise inside a 190-query bench session, and min-of-N is the
-            # standard way to measure the plan rather than the machine
+            # min of two runs for the ASSERTED pair: the comparison must
+            # survive GC/page-cache noise inside a 190-query bench session,
+            # and min-of-N measures the plan rather than the machine. The
+            # informational AQE variant runs once to bound bench wall.
             best = None
-            for _ in range(2):
+            for _ in range(reps):
                 t0 = _time.perf_counter()
                 heavy.write.format("noop").mode("overwrite").save()
                 dt = _time.perf_counter() - t0
@@ -263,7 +264,7 @@ def bench_extras():
                 salted_join(left, right, ["k"], n_salts=32)
             )
             conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
-            SKEW_STATS["unsalted_aqe_sec"] = run(left.join(right, "k"))
+            SKEW_STATS["unsalted_aqe_sec"] = run(left.join(right, "k"), reps=1)
         finally:
             conf.set("spark.sql.autoBroadcastJoinThreshold", saved_bc)
             conf.set("spark.sql.adaptive.skewJoin.enabled", saved_skew)
