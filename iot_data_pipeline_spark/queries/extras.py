@@ -1403,3 +1403,144 @@ def q166_fastss_typo_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("dist") <= 1)
         .orderBy("word_a", "word_b")
     )
+
+
+@declared(
+    "q175_drift_psi",
+    oracle="""
+    WITH a AS (
+      SELECT event_type, value FROM events
+      WHERE event_id % 2 = 0 AND event_id < 50000
+    ),
+    b AS (
+      SELECT event_type,
+             CASE WHEN event_type = 'purchase' THEN value * 1.25 + 40
+                  ELSE value END AS value
+      FROM events WHERE event_id % 2 = 1 AND event_id < 50000
+    ),
+    cuts AS (
+      SELECT event_type,
+             quantile_cont(value, [0.2, 0.4, 0.6, 0.8]) AS q
+      FROM a GROUP BY event_type
+    ),
+    abin AS (
+      SELECT a.event_type,
+             CASE WHEN value < q[1] THEN 0 WHEN value < q[2] THEN 1
+                  WHEN value < q[3] THEN 2 WHEN value < q[4] THEN 3
+                  ELSE 4 END AS bin
+      FROM a JOIN cuts USING (event_type)
+    ),
+    bbin AS (
+      SELECT b.event_type,
+             CASE WHEN value < q[1] THEN 0 WHEN value < q[2] THEN 1
+                  WHEN value < q[3] THEN 2 WHEN value < q[4] THEN 3
+                  ELSE 4 END AS bin
+      FROM b JOIN cuts USING (event_type)
+    ),
+    pa AS (
+      SELECT event_type, bin, COUNT(*) AS na,
+             SUM(COUNT(*)) OVER (PARTITION BY event_type) AS ta
+      FROM abin GROUP BY event_type, bin
+    ),
+    pb AS (
+      SELECT event_type, bin, COUNT(*) AS nb,
+             SUM(COUNT(*)) OVER (PARTITION BY event_type) AS tb
+      FROM bbin GROUP BY event_type, bin
+    ),
+    terms AS (
+      SELECT pa.event_type,
+             ((COALESCE(pb.nb, 0) + 1.0) / (pb_t.tb + 5.0)
+              - (pa.na + 1.0) / (pa.ta + 5.0))
+             * ln(((COALESCE(pb.nb, 0) + 1.0) / (pb_t.tb + 5.0))
+                  / ((pa.na + 1.0) / (pa.ta + 5.0))) AS term
+      FROM pa
+      LEFT JOIN pb ON pa.event_type = pb.event_type AND pa.bin = pb.bin
+      JOIN (SELECT event_type, MAX(tb) AS tb FROM pb GROUP BY event_type)
+        pb_t ON pa.event_type = pb_t.event_type
+    )
+    SELECT event_type, ROUND(SUM(term), 4) AS psi,
+           CASE WHEN SUM(term) > 0.2 THEN 1 ELSE 0 END AS drifted
+    FROM terms GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q175_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitoring between two data snapshots -- the
+    population stability index every production training pipeline
+    watches before retraining: snapshot A (even event ids) defines
+    per-type quintile cut points from its EXACT percentiles; both
+    snapshots histogram against those fixed cuts; PSI = sum over bins of
+    (pB - pA) * ln(pB / pA) with add-one smoothing (empty bins must not
+    produce infinities). Snapshot B's 'purchase' values are deliberately
+    shifted (x1.25 + 40), so exactly that type must cross the classic
+    0.2 drift threshold -- the audit has a known positive and known
+    negatives. Quantile parity follows q09's exact-percentile precedent;
+    log arithmetic follows q132's; bucket membership uses the SAME cut
+    values in both engines so boundary assignment is identical.
+
+    Scale notes: cut points are one exact-percentile aggregate over the
+    reference snapshot (percentile_approx at 100 TB -- same plan shape);
+    histogramming is a broadcast join of the per-type cut rows onto each
+    snapshot's scan; PSI folds per type from <= 5 bin rows. Nothing
+    shuffles but the two histogram aggregates.
+    """
+    ev = read_table(spark, sf_dir, "events").filter(F.col("event_id") < 50000)
+    a = ev.filter(F.col("event_id") % 2 == 0).select("event_type", "value")
+    b = ev.filter(F.col("event_id") % 2 == 1).select(
+        "event_type",
+        F.when(
+            F.col("event_type") == "purchase", F.col("value") * 1.25 + 40
+        )
+        .otherwise(F.col("value"))
+        .alias("value"),
+    )
+    cuts = a.groupBy("event_type").agg(
+        F.expr("percentile(value, array(0.2, 0.4, 0.6, 0.8))").alias("q")
+    )
+
+    def binned(df):
+        return (
+            df.join(F.broadcast(cuts), "event_type")
+            .select(
+                "event_type",
+                F.when(F.col("value") < F.col("q")[0], 0)
+                .when(F.col("value") < F.col("q")[1], 1)
+                .when(F.col("value") < F.col("q")[2], 2)
+                .when(F.col("value") < F.col("q")[3], 3)
+                .otherwise(4)
+                .alias("bin"),
+            )
+            .groupBy("event_type", "bin")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .withColumn(
+                "t", F.sum("n").over(Window.partitionBy("event_type"))
+            )
+        )
+    pa = binned(a).withColumnsRenamed({"n": "na", "t": "ta"})
+    pb = binned(b).withColumnsRenamed({"n": "nb", "t": "tb"})
+    tb = pb.groupBy("event_type").agg(F.max("tb").alias("tb"))
+    terms = (
+        pa.join(pb.select("event_type", "bin", "nb"), ["event_type", "bin"], "left")
+        .join(tb, "event_type")
+        .select(
+            "event_type",
+            (
+                (
+                    (F.coalesce(F.col("nb"), F.lit(0)) + 1.0)
+                    / (F.col("tb") + 5.0)
+                    - (F.col("na") + 1.0) / (F.col("ta") + 5.0)
+                )
+                * F.log(
+                    ((F.coalesce(F.col("nb"), F.lit(0)) + 1.0) / (F.col("tb") + 5.0))
+                    / ((F.col("na") + 1.0) / (F.col("ta") + 5.0))
+                )
+            ).alias("term"),
+        )
+    )
+    return (
+        terms.groupBy("event_type")
+        .agg(
+            F.round(F.sum("term"), 4).alias("psi"),
+            (F.sum("term") > 0.2).cast("int").alias("drifted"),
+        )
+        .orderBy("event_type")
+    )
