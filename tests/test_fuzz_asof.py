@@ -73,6 +73,9 @@ def test_asof_join_matches_reference(spark, data):
             assert r["payload"] == r["rt"] * 10
 
 
+@settings(
+    max_examples=12, deadline=None, suppress_health_check=[HealthCheck.too_slow]
+)
 @given(data=keyed_times)
 def test_asof_join_tolerance_bounds_matches(spark, data):
     """With a tolerance, every match must lie within the bound and equal
