@@ -3951,3 +3951,142 @@ def q161_gif_animation_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return out.orderBy("doc_id", "frame_idx")
+
+
+@declared(
+    "q176_retrieval_ndcg",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS emb,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm,
+             (CASE WHEN embedding[1] > 0 THEN 4 ELSE 0 END
+              + CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END
+              + CASE WHEN embedding[3] > 0 THEN 1 ELSE 0 END) AS cell
+      FROM embeddings
+    ),
+    queries AS (SELECT * FROM e WHERE vec_id < 8),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id, c.cell,
+             q.cell AS qcell,
+             ROUND(list_dot_product(q.emb, c.emb) / (q.nrm * c.nrm), 4) AS sim
+      FROM queries q JOIN e c ON q.vec_id <> c.vec_id
+    ),
+    exact AS (
+      SELECT query_id, vec_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, vec_id) AS erank
+      FROM scored
+    ),
+    rel AS (
+      SELECT query_id, vec_id,
+             CASE WHEN erank <= 3 THEN 4 - erank ELSE 0 END AS rel
+      FROM exact
+    ),
+    approx AS (
+      SELECT query_id, vec_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, vec_id) AS arank
+      FROM scored WHERE cell = qcell
+    ),
+    alist AS (SELECT * FROM approx WHERE arank <= 3),
+    gains AS (
+      SELECT a.query_id,
+             SUM(r.rel / log2(a.arank + 1.0)) AS dcg,
+             MAX(CASE WHEN r.rel = 3 THEN 1.0 / a.arank ELSE 0 END) AS mrr
+      FROM alist a JOIN rel r
+        ON a.query_id = r.query_id AND a.vec_id = r.vec_id
+      GROUP BY a.query_id
+    ),
+    idcg AS (
+      SELECT 3.0 / log2(2.0) + 2.0 / log2(3.0) + 1.0 / log2(4.0) AS v
+    )
+    SELECT q.vec_id AS query_id,
+           ROUND(COALESCE(g.dcg, 0) / (SELECT v FROM idcg), 4) AS ndcg3,
+           ROUND(COALESCE(g.mrr, 0), 4) AS mrr
+    FROM queries q LEFT JOIN gains g ON g.query_id = q.vec_id
+    ORDER BY query_id
+    """,
+)
+def q176_retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranked-retrieval quality metrics for the approximate tier --
+    nDCG@3 and MRR, the numbers a retrieval stack reports, not just
+    candidate recall (q148 counts hits; this scores ORDER): the exact
+    whole-corpus ranking defines graded relevance (top-1 -> 3, top-2 ->
+    2, top-3 -> 1, else 0), the IVF-cell tier produces its own ranked
+    top-3, and each query scores DCG over the approximate list's ranks
+    against the ideal DCG, plus reciprocal rank of the true best
+    neighbor. Queries whose cell ranking misses everything score 0 --
+    kept via left join (an audit that silently drops its failures is
+    not an audit).
+
+    Scale notes: same frame shapes as q148 (bounded query side
+    broadcast; cell equi-join for the approximate tier; per-query
+    reductions before the tiny metric join); log2 parity follows the
+    q132/q163 libm precedent with ROUND-after-aggregate.
+    """
+    emb = read_table(spark, sf_dir, "embeddings")
+    as_double = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    dot = lambda x, y: F.aggregate(  # noqa: E731
+        F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0), lambda s, v: s + v
+    )
+    cell = (
+        F.when(F.element_at("embedding", 1) > 0, 4).otherwise(0)
+        + F.when(F.element_at("embedding", 2) > 0, 2).otherwise(0)
+        + F.when(F.element_at("embedding", 3) > 0, 1).otherwise(0)
+    )
+    e = emb.select(
+        "vec_id",
+        as_double.alias("emb"),
+        F.sqrt(dot(as_double, as_double)).alias("nrm"),
+        cell.alias("cell"),
+    )
+    qf = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("qemb"),
+        F.col("nrm").alias("qnrm"),
+        F.col("cell").alias("qcell"),
+    )
+    sim = F.round(
+        dot(F.col("qemb"), F.col("emb")) / (F.col("qnrm") * F.col("nrm")), 4
+    )
+    scored = (
+        e.crossJoin(F.broadcast(qf))
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select("query_id", "vec_id", "cell", "qcell", sim.alias("sim"))
+        .localCheckpoint(eager=False)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), "vec_id")
+    rel = scored.withColumn("erank", F.row_number().over(w)).select(
+        "query_id",
+        "vec_id",
+        F.when(F.col("erank") <= 3, 4 - F.col("erank")).otherwise(0).alias("rel"),
+    )
+    alist = (
+        scored.filter(F.col("cell") == F.col("qcell"))
+        .withColumn("arank", F.row_number().over(w))
+        .filter(F.col("arank") <= 3)
+        .select("query_id", "vec_id", "arank")
+    )
+    gains = (
+        alist.join(rel, ["query_id", "vec_id"])
+        .groupBy("query_id")
+        .agg(
+            F.sum(F.col("rel") / F.log2(F.col("arank") + 1.0)).alias("dcg"),
+            F.max(
+                F.when(F.col("rel") == 3, 1.0 / F.col("arank")).otherwise(0.0)
+            ).alias("mrr"),
+        )
+    )
+    import math
+
+    idcg = 3.0 / math.log2(2.0) + 2.0 / math.log2(3.0) + 1.0 / math.log2(4.0)
+    return (
+        qf.select("query_id")
+        .join(gains, "query_id", "left")
+        .select(
+            "query_id",
+            F.round(F.coalesce(F.col("dcg"), F.lit(0.0)) / idcg, 4).alias("ndcg3"),
+            F.round(F.coalesce(F.col("mrr"), F.lit(0.0)), 4).alias("mrr"),
+        )
+        .orderBy("query_id")
+    )

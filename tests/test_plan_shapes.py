@@ -376,6 +376,7 @@ BOUNDED_BNLJ = {
     "q144_lsh_recall_audit": 2,  # three 1-row count aggregates cross-joined
     "q148_ivf_recall_audit": 1,  # bounded query-set broadcast (exact side)
     "q149_ivf_multiprobe_audit": 1,  # same exact-side serving shape
+    "q176_retrieval_ndcg": 1,  # same exact-side serving shape (metrics)
 }
 
 
