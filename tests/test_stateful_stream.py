@@ -199,3 +199,73 @@ def test_state_survives_checkpoint_restart(spark, tmp_path):
     r = rows[0]
     assert r["n_readings"] == 3
     assert r["last_temperature"] == 2.0
+
+
+def test_rocksdb_state_store_provider_parity(spark, tmp_path):
+    """The RocksDB state store -- the at-scale streaming state backend
+    (bounded heap, changelog checkpointing on a real cluster) -- must
+    produce the same final device states as the default HDFS-backed
+    provider for the identical stateful stream. This exercises the
+    bundled rocksdbjni path independent of the protobuf-gated
+    transformWithState variant: provider choice is pure configuration,
+    so any declared stateful query can switch backends untouched."""
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    recs = [
+        {"device_id": d, "temperature": float(i), "timestamp": f"2026-01-01T{10 + i % 10}:0{i % 6}:00Z"}
+        for i, d in enumerate("abcab" * 6)
+    ]
+    _write(raw, "f1.jsonl", recs[: len(recs) // 2])
+    _write(raw, "f2.jsonl", recs[len(recs) // 2 :])
+
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prior = spark.conf.get(provider_key, None)
+
+    def run(provider: str | None, sink: str):
+        if provider:
+            spark.conf.set(provider_key, provider)
+        stream = (
+            spark.readStream.schema(SENSOR_SCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .json(str(raw))
+            .select("device_id", "timestamp", "temperature")
+        )
+        q = (
+            apply_last_state_stream(stream)
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / f"ckpt_{sink}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(120)
+            if q.isActive:
+                q.stop()
+                raise TimeoutError("stateful stream did not drain")
+        finally:
+            if prior is None:
+                spark.conf.unset(provider_key)
+            else:
+                spark.conf.set(provider_key, prior)
+        return {
+            r["device_id"]: (r["last_ts"], r["last_temperature"], r["n_readings"])
+            for r in spark.sql(
+                f"""
+                SELECT device_id, last_ts, last_temperature, n_readings FROM (
+                  SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY device_id ORDER BY n_readings DESC) AS rn
+                  FROM {sink}) WHERE rn = 1
+                """
+            ).collect()
+        }
+
+    default = run(None, "rocks_parity_default")
+    rocks = run(
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+        "rocks_parity_rocksdb",
+    )
+    assert rocks == default
+    assert len(rocks) == 3  # all three devices surfaced a final state
