@@ -939,3 +939,114 @@ def q174_matview_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("version", "event_type", "n")
         .orderBy("version", "event_type")
     )
+
+
+@declared(
+    "q177_stream_outer_join",
+    oracle="""
+    WITH p AS (
+      SELECT event_id, ts, user_id, user_id % 50 AS user_bucket
+      FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (
+      SELECT ts, user_id, value FROM events WHERE event_type = 'click'
+    ),
+    pairs AS (
+      SELECT p.event_id, p.user_bucket, c.value
+      FROM p LEFT JOIN c
+        ON p.user_id = c.user_id
+       AND c.ts >= p.ts - INTERVAL 10 MINUTE
+       AND c.ts <= p.ts
+    )
+    SELECT user_bucket,
+           CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_purchases,
+           CAST(COUNT(value) AS BIGINT) AS n_pairs,
+           CAST(COUNT(DISTINCT CASE WHEN value IS NULL THEN event_id END)
+                AS BIGINT) AS n_unmatched,
+           ROUND(SUM(value), 2) AS click_value
+    FROM pairs GROUP BY user_bucket ORDER BY user_bucket
+    """,
+)
+def q177_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join -- the attribution join
+    that also KEEPS unattributed purchases (q53 emits matches only):
+    outer rows can only emit once the watermark proves no future click
+    can match, so a bounded run must advance the watermark PAST its own
+    newest data. The fixture stages real events in file 1 and two
+    trailing sentinel files (+2h, +4h, user_id = -1, filtered from
+    results) that exist purely to push the watermark forward across the
+    final micro-batches -- the file-source stand-in for the heartbeat
+    events a production topic emits for exactly this reason. The DuckDB
+    oracle is the batch left join with the same bounds, so both the
+    matched pairs AND the null-extended purchases are hash-checked.
+
+    Scale notes: same state-store shape as q53 (both sides watermarked,
+    eviction horizon from the interval bound); outer emission adds no
+    state -- it is the eviction path itself surfacing rows. 4 shuffle
+    partitions at this probe size (q53's knob).
+    """
+    def _build_staged(d: str) -> None:
+        ev = (
+            read_table(spark, sf_dir, "events")
+            .filter(F.col("event_type").isin("purchase", "click"))
+            .select("event_id", "ts", "user_id", "event_type", "value")
+        )
+        ev.coalesce(1).write.mode("overwrite").parquet(d)
+        row = ev.agg(F.max("ts").alias("m")).collect()[0]
+        for off, eid in ((2, -1), (4, -2)):
+            spark.createDataFrame(
+                [(eid, row["m"], -1, "purchase", 0.0), (eid, row["m"], -1, "click", 0.0)],
+                "event_id long, ts timestamp, user_id long, event_type string, value double",
+            ).withColumn("ts", F.col("ts") + F.expr(f"INTERVAL {off} HOURS")).coalesce(
+                1
+            ).write.mode("append").parquet(d)
+
+    staged = staged_fixture("q177_events", sf_dir, _build_staged)
+    schema = spark.read.parquet(staged).schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staged)
+    )
+    purchases = src.filter(F.col("event_type") == "purchase")
+    clicks = src.filter(F.col("event_type") == "click")
+    from iot_data_pipeline_spark.streaming.windows import interval_join_streams
+
+    joined = interval_join_streams(
+        purchases, clicks, key="user_id", lookback="10 minutes", how="leftOuter"
+    ).select(
+        F.col("l.event_id").alias("p_id"),
+        F.col("l.user_id").alias("user_id"),
+        F.col("r.value").alias("click_value_raw"),
+    )
+    sink = unique_name("q177_sink")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        (
+            joined.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .option("checkpointLocation", fresh_dir("q177_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return (
+        spark.table(sink)
+        .filter(F.col("user_id") >= 0)  # drop watermark sentinels
+        .groupBy((F.col("user_id") % 50).alias("user_bucket"))
+        .agg(
+            F.countDistinct("p_id").cast("bigint").alias("n_purchases"),
+            F.count("click_value_raw").cast("bigint").alias("n_pairs"),
+            F.countDistinct(
+                F.when(F.col("click_value_raw").isNull(), F.col("p_id"))
+            )
+            .cast("bigint")
+            .alias("n_unmatched"),
+            F.round(F.sum("click_value_raw"), 2).alias("click_value"),
+        )
+        .orderBy("user_bucket")
+    )

@@ -93,6 +93,7 @@ def interval_join_streams(
     ts_col: str = "ts",
     lookback: str = "10 minutes",
     watermark: str = "1 hour",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream interval join (B37 family): each left-side row pairs
     with right-side rows of the same ``key`` whose timestamp falls in
@@ -104,6 +105,15 @@ def interval_join_streams(
     evict buffered rows instead of holding every event forever. The
     join condition references the time columns directly so the state
     manager can derive the eviction horizon.
+
+    ``how='leftOuter'`` additionally emits each unmatched left row with
+    NULL right columns -- but only once the watermark PASSES the row's
+    match window (before that, a match could still arrive). Consequence
+    for bounded runs (``availableNow``): the outer rows for the newest
+    data only emit if a later micro-batch advances the watermark beyond
+    them -- the caller must feed trailing watermark-advancing events
+    (q177 does it with filtered sentinel rows), exactly the discipline a
+    production topic's heartbeat messages provide.
     """
     lw = left.withWatermark(ts_col, watermark).alias("l")
     rw = right.withWatermark(ts_col, watermark).alias("r")
@@ -114,4 +124,5 @@ def interval_join_streams(
             f"r.{ts_col} >= l.{ts_col} - interval {lookback} AND "
             f"r.{ts_col} <= l.{ts_col}"
         ),
+        how,
     )
