@@ -946,10 +946,11 @@ def q174_matview_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH p AS (
       SELECT event_id, ts, user_id, user_id % 50 AS user_bucket
-      FROM events WHERE event_type = 'purchase'
+      FROM events WHERE event_type = 'purchase' AND event_id < 200000
     ),
     c AS (
-      SELECT ts, user_id, value FROM events WHERE event_type = 'click'
+      SELECT ts, user_id, value FROM events
+      WHERE event_type = 'click' AND event_id < 200000
     ),
     pairs AS (
       SELECT p.event_id, p.user_bucket, c.value
@@ -986,9 +987,16 @@ def q177_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitions at this probe size (q53's knob).
     """
     def _build_staged(d: str) -> None:
+        # cap the probe (constant-size across SFs like the media queries):
+        # three stream-stream OUTER micro-batches buffer both sides in the
+        # state store, and the semantics under test are watermark/eviction
+        # behavior, not raw state volume (q53 covers the bigger inner probe)
         ev = (
             read_table(spark, sf_dir, "events")
-            .filter(F.col("event_type").isin("purchase", "click"))
+            .filter(
+                F.col("event_type").isin("purchase", "click")
+                & (F.col("event_id") < 200000)
+            )
             .select("event_id", "ts", "user_id", "event_type", "value")
         )
         ev.coalesce(1).write.mode("overwrite").parquet(d)
@@ -1021,7 +1029,10 @@ def q177_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sink = unique_name("q177_sink")
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    # 2 partitions: state-store instances = partitions x sides x batches,
+    # and this probe's cost is store open/commit across THREE micro-batches
+    # (outer emission needs the trailing watermark batches), not row volume
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
     try:
         (
             joined.writeStream.format("memory")
