@@ -1655,3 +1655,87 @@ def q178_scalable_exact_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "n", "median_value")
         .orderBy("event_type")
     )
+
+
+@declared(
+    "q179_table_fingerprint",
+    oracle="""
+    WITH rows_a AS (
+      SELECT (CAST(('0x' || substr(md5(
+               CAST(event_id AS VARCHAR) || US || event_type || US
+               || CAST(user_id AS VARCHAR) || US
+               || CAST(CAST(value AS DECIMAL(18,6)) AS VARCHAR)
+             ), 1, 15)) AS BIGINT)) AS h
+      FROM (SELECT *, chr(31) AS US FROM events WHERE event_id < 50000)
+    ),
+    rows_b AS (
+      SELECT (CAST(('0x' || substr(md5(
+               CAST(event_id AS VARCHAR) || US || event_type || US
+               || CAST(user_id AS VARCHAR) || US
+               || CAST(CAST(value AS DECIMAL(18,6)) AS VARCHAR)
+             ), 1, 15)) AS BIGINT)) AS h
+      FROM (SELECT *, chr(31) AS US FROM events
+            WHERE event_id < 50000 AND event_id <> 42) 
+    )
+    SELECT 'full_vs_full' AS comparison,
+           CAST((SELECT bit_xor(h) FROM rows_a)
+                = (SELECT bit_xor(h) FROM rows_a) AS INTEGER) AS match,
+           CAST((SELECT COUNT(*) FROM rows_a) AS BIGINT) AS n_rows
+    UNION ALL
+    SELECT 'full_vs_dropped_row' AS comparison,
+           CAST((SELECT bit_xor(h) FROM rows_a)
+                = (SELECT bit_xor(h) FROM rows_b) AS INTEGER) AS match,
+           CAST((SELECT COUNT(*) FROM rows_b) AS BIGINT) AS n_rows
+    ORDER BY comparison
+    """,
+)
+def q179_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive table fingerprint -- the anti-entropy check a
+    replication/migration pipeline runs to prove two copies hold the
+    SAME ROWS without sorting or moving either: per-row portable hash
+    over unit-separator-joined columns (floats canonicalized through
+    DECIMAL(18,6) so formatting can't differ), folded with bit_xor --
+    commutative/associative, so the fingerprint is partition- and
+    order-independent and mergeable per shard. The query fingerprints
+    the same slice twice (must match) and against a copy with one row
+    dropped (must differ) -- both the positive and the sensitivity are
+    under the oracle. XOR's known blind spot -- duplicate row PAIRS
+    cancel -- is why the row count rides alongside; count+xor together
+    detect any single-row drift.
+
+    Scale notes: one scan + one 8-byte-per-row map-side fold per table;
+    comparing two 100 TB copies costs two scans and exchanges ONE row.
+    Per-partition sub-fingerprints (group by shard key) localize a
+    mismatch without rescanning everything -- same mergeability as the
+    sketch tier (q152/q153/b03).
+    """
+    from iot_data_pipeline_spark.functions.hashing import portable_hash
+
+    us = F.lit("\x1f")
+    ev = read_table(spark, sf_dir, "events").filter(F.col("event_id") < 50000)
+
+    def hashed(df: DataFrame) -> DataFrame:
+        row = F.concat(
+            F.col("event_id").cast("string"), us,
+            F.col("event_type"), us,
+            F.col("user_id").cast("string"), us,
+            F.col("value").cast("decimal(18,6)").cast("string"),
+        )
+        return df.select(portable_hash(row).alias("h"))
+
+    def fingerprint(df: DataFrame):
+        r = hashed(df).agg(
+            F.bit_xor("h").alias("fp"), F.count(F.lit(1)).alias("n")
+        ).collect()[0]
+        return r["fp"], r["n"]
+
+    fp_a, n_a = fingerprint(ev)
+    fp_a2, _ = fingerprint(ev)
+    fp_b, n_b = fingerprint(ev.filter(F.col("event_id") != 42))
+    return spark.createDataFrame(
+        [
+            ("full_vs_dropped_row", int(fp_a == fp_b), n_b),
+            ("full_vs_full", int(fp_a == fp_a2), n_a),
+        ],
+        "comparison string, match int, n_rows long",
+    ).orderBy("comparison")
