@@ -678,3 +678,84 @@ def q106_referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for pr in probes[1:]:
         out = out.unionByName(pr)
     return out.orderBy("fk")
+
+
+@declared(
+    "q180_nested_reshape",
+    oracle="""
+    WITH items AS (
+      SELECT l_orderkey,
+             list(struct_pack(qty := l_quantity, price := l_extendedprice,
+                              flag := l_returnflag)
+                  ORDER BY l_linenumber) AS its
+      FROM lineitem WHERE l_orderkey < 1000
+      GROUP BY l_orderkey
+    ),
+    reshaped AS (
+      SELECT l_orderkey,
+             len(its) AS n_items,
+             len(list_filter(its, x -> x.flag = 'R')) AS n_returned,
+             ROUND(list_sum(list_transform(
+               list_filter(its, x -> x.qty > 10),
+               x -> x.qty * x.price)), 2) AS big_item_value
+      FROM items
+    )
+    SELECT l_orderkey,
+           CAST(n_items AS BIGINT) AS n_items,
+           CAST(n_returned AS BIGINT) AS n_returned,
+           COALESCE(big_item_value, 0.0) AS big_item_value
+    FROM reshaped
+    WHERE n_returned > 0 ORDER BY l_orderkey
+    """,
+)
+def q180_nested_reshape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deep nested-data idioms (the document-model counterpart of B35's
+    flat array HOFs): line items NEST into an array-of-structs per order
+    (sorted by line number so the nested layout is deterministic), the
+    inner structs are filtered/projected/folded WITHOUT re-exploding --
+    lambda field access, struct-predicate filters, transform-then-
+    aggregate -- and orders with returned items emerge flattened. This
+    is the shape JSON-lake pipelines live in: build the nested document
+    once, run the per-document logic as array expressions instead of a
+    second shuffle.
+
+    Scale notes: one shuffle builds the nested frame (sort_array makes
+    collect_list order-independent of partitioning -- SURVEY section 2.3
+    rule 1 applied to nesting); everything after is row-local codegen'd
+    array work. The fold is arithmetic on qty*price inside the array --
+    no explode, no join back. COALESCE pins the empty-filter sum (Spark
+    aggregate over empty -> 0.0 by seed; DuckDB list_sum -> NULL).
+    """
+    li = read_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 1000)
+    items = li.groupBy("l_orderkey").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("l_linenumber").alias("ln"),
+                    F.col("l_quantity").alias("qty"),
+                    F.col("l_extendedprice").alias("price"),
+                    F.col("l_returnflag").alias("flag"),
+                )
+            )
+        ).alias("its")
+    )
+    big_val = F.round(
+        F.aggregate(
+            F.filter(F.col("its"), lambda x: x["qty"] > 10),
+            F.lit(0.0),
+            lambda acc, x: acc + x["qty"] * x["price"],
+        ),
+        2,
+    )
+    return (
+        items.select(
+            "l_orderkey",
+            F.size("its").cast("bigint").alias("n_items"),
+            F.size(F.filter(F.col("its"), lambda x: x["flag"] == "R"))
+            .cast("bigint")
+            .alias("n_returned"),
+            F.coalesce(big_val, F.lit(0.0)).alias("big_item_value"),
+        )
+        .filter(F.col("n_returned") > 0)
+        .orderBy("l_orderkey")
+    )
