@@ -1739,3 +1739,70 @@ def q179_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "comparison string, match int, n_rows long",
     ).orderBy("comparison")
+
+
+@declared(
+    "q181_contribution_shares",
+    oracle="""
+    WITH rev AS (
+      SELECT r.r_name AS region, n.n_name AS nation,
+             SUM(o.o_totalprice) AS rev
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      GROUP BY r.r_name, n.n_name
+    )
+    SELECT region, nation,
+           ROUND(rev, 2) AS revenue,
+           ROUND(rev / SUM(rev) OVER (PARTITION BY region), 4)
+             AS share_of_region,
+           ROUND(rev / SUM(rev) OVER (), 4) AS share_of_total,
+           ROW_NUMBER() OVER (PARTITION BY region
+                              ORDER BY rev DESC, nation) AS rank_in_region
+    FROM rev ORDER BY region, rank_in_region
+    """,
+)
+def q181_contribution_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical contribution analysis (the percent-of-parent /
+    percent-of-total BI staple): per-nation revenue with its share of
+    the region, share of the grand total, and rank within region -- two
+    window grains over one aggregated frame. The global-share window
+    runs over the AGGREGATED rows (one per nation, ~25), not the fact
+    table, so the infamous single-partition global window is harmless
+    here -- the q99 prefix-sum machinery exists for when it would not
+    be. Shares divide doubles aggregated identically in both engines;
+    ranks carry the (rev DESC, nation) tiebreak.
+
+    Scale notes: the star join broadcasts all three dims; one shuffle
+    for the (region, nation) aggregate; window input is dimension-sized.
+    """
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    n = read_table(spark, sf_dir, "nation")
+    r = read_table(spark, sf_dir, "region")
+    rev = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(F.sum("o_totalprice").alias("rev"))
+    )
+    w_region = Window.partitionBy("region")
+    w_all = Window.partitionBy()
+    w_rank = Window.partitionBy("region").orderBy(F.desc("rev"), "nation")
+    return (
+        rev.select(
+            "region",
+            "nation",
+            F.round("rev", 2).alias("revenue"),
+            F.round(F.col("rev") / F.sum("rev").over(w_region), 4).alias(
+                "share_of_region"
+            ),
+            F.round(F.col("rev") / F.sum("rev").over(w_all), 4).alias(
+                "share_of_total"
+            ),
+            F.row_number().over(w_rank).alias("rank_in_region"),
+        )
+        .orderBy("region", "rank_in_region")
+    )
