@@ -656,3 +656,12 @@ def test_q172_ohlc_partial_aggregation(spark, sf_dir):
     # bar per (series, bucket) per task, not one row per tick
     plan = formatted_plan(q("q172_ohlc_resample", spark, sf_dir))
     assert plan.count("HashAggregate") >= 2
+
+
+def test_q181_star_dims_broadcast(spark, sf_dir):
+    # the three-dim star must broadcast every dim; the window inputs are
+    # the ~25 aggregated rows, never the fact table
+    df = q("q181_contribution_shares", spark, sf_dir)
+    plan = formatted_plan(df)
+    assert broadcast_join_count(df) >= 3
+    assert "SortMergeJoin" not in plan
