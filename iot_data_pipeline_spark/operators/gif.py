@@ -84,6 +84,13 @@ def lzw_compress(indices: bytes | bytearray, min_code_size: int) -> bytes:
         prefix = bytes([b])
     if prefix:
         emit(table[prefix], width)
+        # The decoder appends a table entry for this FINAL data code (it lags
+        # the encoder by one during the loop and catches up here), so its
+        # width bump can fire before it reads EOI. Mirror that bump: decoder
+        # widens when len(table) == (1 << width) - 1, and after the final
+        # append len(table) == next_code.
+        if next_code == (1 << width) - 1 and width < 12:
+            width += 1
     emit(end, width)
     if nbits:
         out.append(bitbuf & 0xFF)
@@ -241,6 +248,10 @@ def decode_gif(
         del indices[iw * ih :]
         if not palette:
             raise GifFormatError("no color table for image")
+        if max(indices, default=0) >= len(palette):
+            raise GifFormatError(
+                f"pixel index {max(indices)} exceeds palette of {len(palette)}"
+            )
         return iw, ih, palette, indices
     raise GifFormatError("no image descriptor before trailer")
 
@@ -366,4 +377,9 @@ def decode_gif_frames(
         raise GifFormatError("no image descriptor before trailer")
     if not palette:
         raise GifFormatError("no color table for image")
+    worst = max((max(f, default=0) for f in frames), default=0)
+    if worst >= len(palette):
+        raise GifFormatError(
+            f"pixel index {worst} exceeds palette of {len(palette)}"
+        )
     return sw, sh, palette, frames

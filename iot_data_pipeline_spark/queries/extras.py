@@ -13,6 +13,8 @@ partial-aggregated shuffle -- no new scale risks.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1592,7 +1594,12 @@ def q178_scalable_exact_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .collect()
     }
-    lo = {g: b[0] for g, b in bounds.items()}
+    # seed lo STRICTLY below the group min so the invariant
+    # count(<= lo) < k holds from round one: with lo == min, a group
+    # whose k-th smallest IS the min (constant-valued or min-heavy
+    # duplication) would never admit it through the final `value > lo`
+    # filter -- the lower median can equal the minimum
+    lo = {g: math.nextafter(b[0], -math.inf) for g, b in bounds.items()}
     hi = {g: b[1] for g, b in bounds.items()}
     k = {g: b[2] for g, b in bounds.items()}
     groups = sorted(bounds)
@@ -1774,15 +1781,19 @@ def q181_contribution_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
     be. Shares divide doubles aggregated identically in both engines;
     ranks carry the (rev DESC, nation) tiebreak.
 
-    Scale notes: the star join broadcasts all three dims; one shuffle
-    for the (region, nation) aggregate; window input is dimension-sized.
+    Scale notes: nation/region are TRUE dims (25/5 rows at every SF) and
+    are force-broadcast; customer is FACT-SIZED (grows linearly with SF
+    -- billions of rows at the 100 TB design point), so orders⋈customer
+    is left to the planner: a shuffle join at scale, an AQE-elected
+    broadcast at small SF. One shuffle for the (region, nation)
+    aggregate; window input is dimension-sized.
     """
     o = read_table(spark, sf_dir, "orders")
     c = read_table(spark, sf_dir, "customer")
     n = read_table(spark, sf_dir, "nation")
     r = read_table(spark, sf_dir, "region")
     rev = (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))

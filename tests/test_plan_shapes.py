@@ -659,9 +659,10 @@ def test_q172_ohlc_partial_aggregation(spark, sf_dir):
 
 
 def test_q181_star_dims_broadcast(spark, sf_dir):
-    # the three-dim star must broadcast every dim; the window inputs are
-    # the ~25 aggregated rows, never the fact table
+    # nation and region (true constant-size dims) must broadcast; the
+    # orders-customer edge is fact-fact and must NOT be pinned -- a
+    # sort-merge there is the correct shape at scale, and AQE may elect
+    # a broadcast at small SF. Window inputs are the ~25 aggregated
+    # rows, never the fact table.
     df = q("q181_contribution_shares", spark, sf_dir)
-    plan = formatted_plan(df)
-    assert broadcast_join_count(df) >= 3
-    assert "SortMergeJoin" not in plan
+    assert broadcast_join_count(df) >= 2
