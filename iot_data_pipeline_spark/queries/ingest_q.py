@@ -310,6 +310,74 @@ def q14_streaming_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @declared(
+    "q182_stream_enrichment",
+    oracle="""
+    WITH src AS (
+      SELECT 'device-' || CAST(user_id % 25 AS VARCHAR) AS device_id,
+             CASE WHEN event_id % 17 <> 0
+                  THEN ROUND((value / 10 - 5) * 9 / 5 + 32, 2) END AS temp_f
+      FROM events WHERE event_id % 20 = 0 AND event_id < 10000
+    ),
+    dim_device_location AS (
+      SELECT 'device-' || CAST(r AS VARCHAR) AS device_id,
+             'loc-' || CAST(r % 7 AS VARCHAR) AS location_id
+      FROM range(15) t(r)
+    )
+    SELECT COALESCE(d.location_id, 'unmapped') AS location_id,
+           CAST(COUNT(*) AS BIGINT) AS n_readings,
+           CAST(COUNT(s.temp_f) AS BIGINT) AS n_converted,
+           ROUND(SUM(s.temp_f), 2) AS sum_temp_f
+    FROM src s LEFT JOIN dim_device_location d ON s.device_id = d.device_id
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q182_stream_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static broadcast enrichment (reference README.md:13 run the
+    way the deployed pipeline runs it -- streaming): the q14 sensor files
+    flow through the checkpointed file-source ingest ONE FILE PER
+    MICRO-BATCH, and every micro-batch broadcast-left-joins the static
+    device->location dim (q04's dim) inside ``foreachBatch`` before the
+    partitioned parquet write. The oracle is the equivalent batch join
+    over the same derived records -- streaming enrichment must equal
+    batch enrichment exactly, including the NULL-location path for
+    unmapped devices 15-24.
+
+    Scale notes: the dim is broadcast per micro-batch (<=100 rows,
+    FIXTURES.md section 2), so the fact stream never shuffles for the
+    join -- the only enrichment plan that survives an unbounded stream;
+    ``maxFilesPerTrigger=1`` bounds micro-batch memory exactly as the
+    reference's one-task-per-file Lambda contract does
+    (lambda/s3_event_handler.py:52-64).
+    """
+    from iot_data_pipeline_spark.queries.base import dim_device_location
+
+    raw = staged_fixture(
+        "q14_raw", sf_dir, lambda d: _write_sensor_files(spark, sf_dir, d)
+    )
+    work = fresh_dir("q182_run")
+    out = os.path.join(work, "out")
+    run_ingest_available_now(
+        spark,
+        raw,
+        out,
+        os.path.join(work, "ckpt"),
+        config=PipelineConfig(fixed_clock=Q14_CLOCK),
+        dim_location=dim_device_location(spark),
+        max_files_per_trigger=1,
+    )
+    return (
+        spark.read.parquet(out)
+        .groupBy(F.coalesce("location_id", F.lit("unmapped")).alias("location_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_readings"),
+            F.count("temp_fahrenheit").alias("n_converted"),
+            F.round(F.sum("temp_fahrenheit"), 2).alias("sum_temp_f"),
+        )
+        .orderBy("location_id")
+    )
+
+
+@declared(
     "q51_csv_roundtrip",
     oracle="""
     SELECT r.r_name, COUNT(*) AS n_nations,
@@ -620,8 +688,11 @@ def q167_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("value").cast("decimal(18,6)").alias("v"),
             )
         )
-        for part in range(3):
-            src.filter(F.col("event_id") % 3 == part).coalesce(
+        # two files = two micro-batches: partial-merge across batches is
+        # the semantics under test and two partials prove the fold; a
+        # third batch only re-paid stream startup cost (round-4 advice)
+        for part in range(2):
+            src.filter(F.col("event_id") % 2 == part).coalesce(
                 1
             ).write.mode("append").parquet(d)
 
@@ -640,14 +711,21 @@ def q167_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", "1")
         .parquet(raw)
     )
-    q = start_incremental_rollup(
-        stream,
-        rollup_path,
-        os.path.join(work, "ckpt"),
-        keys=["event_type"],
-        values=["v"],
-    )
-    q.awaitTermination()
+    # ~8 event_type groups: 32 shuffle partitions would mean 32 near-empty
+    # tasks + files per micro-batch partial write (the q34/q177 knob)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = start_incremental_rollup(
+            stream,
+            rollup_path,
+            os.path.join(work, "ckpt"),
+            keys=["event_type"],
+            values=["v"],
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     compact_rollup(spark, rollup_path, keys=["event_type"], values=["v"])
     folded = read_rollup(spark, rollup_path, keys=["event_type"], values=["v"])
     return folded.select(
@@ -973,11 +1051,12 @@ def q177_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     that also KEEPS unattributed purchases (q53 emits matches only):
     outer rows can only emit once the watermark proves no future click
     can match, so a bounded run must advance the watermark PAST its own
-    newest data. The fixture stages real events in file 1 and two
-    trailing sentinel files (+2h, +4h, user_id = -1, filtered from
-    results) that exist purely to push the watermark forward across the
-    final micro-batches -- the file-source stand-in for the heartbeat
-    events a production topic emits for exactly this reason. The DuckDB
+    newest data. The fixture stages real events in file 1 and one
+    trailing sentinel file (+2h, user_id = -1, filtered from results)
+    that exists purely to push the watermark forward; the engine's
+    trailing no-data micro-batch then runs the eviction that emits the
+    outer rows -- the file-source stand-in for the heartbeat events a
+    production topic emits for exactly this reason. The DuckDB
     oracle is the batch left join with the same bounds, so both the
     matched pairs AND the null-extended purchases are hash-checked.
 
@@ -1001,7 +1080,12 @@ def q177_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         ev.coalesce(1).write.mode("overwrite").parquet(d)
         row = ev.agg(F.max("ts").alias("m")).collect()[0]
-        for off, eid in ((2, -1), (4, -2)):
+        # ONE trailing sentinel file (+2h): its batch advances the
+        # watermark past all real data, and the engine's trailing no-data
+        # micro-batch (noDataMicroBatches, on by default) then runs the
+        # eviction that emits the outer rows -- a second sentinel batch
+        # only re-paid store open/commit (round-4 advice)
+        for off, eid in ((2, -1),):
             spark.createDataFrame(
                 [(eid, row["m"], -1, "purchase", 0.0), (eid, row["m"], -1, "click", 0.0)],
                 "event_id long, ts timestamp, user_id long, event_type string, value double",
@@ -1030,8 +1114,9 @@ def q177_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     sink = unique_name("q177_sink")
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     # 2 partitions: state-store instances = partitions x sides x batches,
-    # and this probe's cost is store open/commit across THREE micro-batches
-    # (outer emission needs the trailing watermark batches), not row volume
+    # and this probe's cost is store open/commit across the data batch,
+    # the sentinel batch, and the trailing no-data eviction batch -- not
+    # row volume
     spark.conf.set("spark.sql.shuffle.partitions", "2")
     try:
         (

@@ -3286,6 +3286,232 @@ def q149_ivf_multiprobe_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @declared(
+    "q183_ivf_adaptive_probe",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS emb,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm,
+             (CASE WHEN embedding[1] > 0 THEN 4 ELSE 0 END
+              + CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END
+              + CASE WHEN embedding[3] > 0 THEN 1 ELSE 0 END) AS cell
+      FROM embeddings
+    ),
+    cell_sizes AS (
+      SELECT cell, CAST(COUNT(*) AS BIGINT) AS cell_n FROM e GROUP BY cell
+    ),
+    corpus AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM e),
+    queries AS (SELECT * FROM e WHERE vec_id < 5),
+    exact AS (
+      SELECT query_id, vec_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY ROUND(list_dot_product(q.emb, c.emb)
+                                / (q.nrm * c.nrm), 4) DESC, c.vec_id) AS rn
+        FROM queries q JOIN e c ON q.vec_id <> c.vec_id
+      ) WHERE rn <= 3
+    ),
+    ranked AS (
+      SELECT q.vec_id AS query_id,
+             xor(q.cell, m.mask) AS probe,
+             (CASE WHEN m.mask & 4 = 4 THEN abs(q.emb[1]) ELSE 0.0 END
+              + CASE WHEN m.mask & 2 = 2 THEN abs(q.emb[2]) ELSE 0.0 END
+              + CASE WHEN m.mask & 1 = 1 THEN abs(q.emb[3]) ELSE 0.0 END)
+               AS cost,
+             m.mask
+      FROM queries q, (SELECT UNNEST(range(8)) AS mask) m
+    ),
+    budgeted AS (
+      SELECT r.query_id, r.probe,
+             COALESCE(cs.cell_n, 0) AS this_n,
+             SUM(COALESCE(cs.cell_n, 0)) OVER (
+               PARTITION BY r.query_id ORDER BY r.cost, r.mask
+               ROWS UNBOUNDED PRECEDING) AS cum
+      FROM ranked r LEFT JOIN cell_sizes cs ON r.probe = cs.cell
+    ),
+    chosen AS (
+      SELECT query_id, probe FROM budgeted, corpus
+      WHERE cum - this_n < (7 * n + 9) // 10
+    ),
+    nprobes AS (
+      SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_probes
+      FROM chosen GROUP BY query_id
+    ),
+    cand AS (
+      SELECT DISTINCT p.query_id, c.vec_id
+      FROM chosen p JOIN e c ON p.probe = c.cell
+      WHERE p.query_id <> c.vec_id
+    ),
+    csz AS (
+      SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_candidates
+      FROM cand GROUP BY query_id
+    ),
+    stats AS (
+      SELECT ex.query_id,
+             CAST(COUNT(*) AS BIGINT) AS n_exact,
+             CAST(COUNT(cd.vec_id) AS BIGINT) AS n_hit
+      FROM exact ex
+      LEFT JOIN cand cd
+        ON ex.query_id = cd.query_id AND ex.vec_id = cd.vec_id
+      GROUP BY ex.query_id
+    )
+    SELECT s.query_id, p.n_probes, s.n_exact,
+           CAST(COALESCE(c.n_candidates, 0) AS BIGINT) AS n_candidates,
+           s.n_hit,
+           ROUND(CAST(s.n_hit AS DOUBLE) / s.n_exact, 4) AS recall,
+           ROUND(CAST(s.n_hit AS DOUBLE) / NULLIF(c.n_candidates, 0), 4)
+             AS precision
+    FROM stats s
+    LEFT JOIN csz c ON s.query_id = c.query_id
+    LEFT JOIN nprobes p ON s.query_id = p.query_id
+    ORDER BY s.query_id
+    """,
+)
+def q183_ivf_adaptive_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive budget-bounded multi-probe IVF, audited (the third point
+    on the q148/q149 recall/cost curve): instead of a FIXED probe count,
+    each query ranks all cells by boundary distance -- the flip cost of
+    a cell is the sum of |component| over the sign bits it flips (Lv et
+    al.'s multi-probe LSH ordering, VLDB'07) -- and probes cells in that
+    order until the cumulative candidate count reaches a budget of 70%
+    of the corpus. Measured on the driver testdata this lifts candidate
+    recall to 0.87-1.0 (sf0.01-0.1) from q148's 0.27 single-probe and
+    q149's 0.60 fixed-nprobe, at ~6x the single-cell candidate cost --
+    within the <=8x envelope. The honest caveat is IN the numbers:
+    these embeddings are weakly clustered (mean pairwise cosine ~0,
+    top-3 neighbor sims ~0.34), so high recall genuinely requires most
+    of the corpus; the audit exists to SHOW that, not hide it.
+
+    Scale notes: probe ranking runs entirely on the tiny broadcast query
+    side (8 masks per query exploded from a sequence); cell sizes come
+    from one GROUP BY over the corpus; candidate retrieval stays a
+    single-int equi-join, so the corpus never shuffles more than q148's
+    plan. The budget rule (cum BEFORE this cell < budget) is a window
+    cumsum over 8 rows/query -- driver-state-free, unlike a collect()ed
+    probe loop. Flip costs are fixed-order sums of exact doubles, so
+    the probe ORDER is bit-identical across engines (the property the
+    hash gate rides on).
+    """
+    emb = read_table(spark, sf_dir, "embeddings")
+    as_double = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    dot = lambda x, y: F.aggregate(  # noqa: E731
+        F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0), lambda s, v: s + v
+    )
+    cell = (
+        F.when(F.element_at("embedding", 1) > 0, 4).otherwise(0)
+        + F.when(F.element_at("embedding", 2) > 0, 2).otherwise(0)
+        + F.when(F.element_at("embedding", 3) > 0, 1).otherwise(0)
+    )
+    e = emb.select(
+        "vec_id",
+        as_double.alias("emb"),
+        F.sqrt(dot(as_double, as_double)).alias("nrm"),
+        cell.alias("cell"),
+    )
+    cell_sizes = e.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cell_n")
+    )
+    n_corpus = e.count()  # one scalar; the budget literal both sides derive
+    budget = (7 * n_corpus + 9) // 10
+    qf = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("qemb"),
+        F.col("nrm").alias("qnrm"),
+        F.col("cell").alias("qcell"),
+    )
+    sim = F.round(
+        dot(F.col("qemb"), F.col("emb")) / (F.col("qnrm") * F.col("nrm")), 4
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), "vec_id")
+    exact = (
+        e.crossJoin(F.broadcast(qf))
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select("query_id", "vec_id", sim.alias("sim"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("query_id", "vec_id")
+    )
+    mask = F.col("mask")
+    flip = lambda bit, idx: (  # noqa: E731
+        F.when(
+            mask.bitwiseAND(F.lit(bit)) == bit,
+            F.abs(F.element_at("qemb", idx)),
+        ).otherwise(F.lit(0.0))
+    )
+    ranked = (
+        qf.select("query_id", "qemb", "qcell")
+        .withColumn("mask", F.explode(F.sequence(F.lit(0), F.lit(7))))
+        .select(
+            "query_id",
+            F.col("qcell").bitwiseXOR(mask).alias("probe"),
+            (flip(4, 1) + flip(2, 2) + flip(1, 3)).alias("cost"),
+            "mask",
+        )
+    )
+    w_cum = (
+        Window.partitionBy("query_id")
+        .orderBy("cost", "mask")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    budgeted = (
+        ranked.join(F.broadcast(cell_sizes), ranked.probe == cell_sizes.cell, "left")
+        .select(
+            "query_id",
+            "probe",
+            F.coalesce("cell_n", F.lit(0)).alias("this_n"),
+            "cost",
+            "mask",
+        )
+        .withColumn("cum", F.sum("this_n").over(w_cum))
+    )
+    chosen = budgeted.filter(
+        F.col("cum") - F.col("this_n") < F.lit(budget)
+    ).select("query_id", "probe")
+    nprobes = chosen.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_probes")
+    )
+    cand = (
+        e.join(F.broadcast(chosen), F.col("probe") == F.col("cell"))
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select("query_id", "vec_id")
+        .distinct()
+    )
+    csz = cand.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_candidates")
+    )
+    stats = (
+        exact.join(cand.withColumn("hit", F.lit(1)), ["query_id", "vec_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_exact"),
+            F.count("hit").cast("bigint").alias("n_hit"),
+        )
+    )
+    return (
+        stats.join(csz, "query_id", "left")
+        .join(nprobes, "query_id", "left")
+        .select(
+            "query_id",
+            "n_probes",
+            "n_exact",
+            F.coalesce(F.col("n_candidates"), F.lit(0))
+            .cast("bigint")
+            .alias("n_candidates"),
+            "n_hit",
+            F.round(F.col("n_hit").cast("double") / F.col("n_exact"), 4).alias(
+                "recall"
+            ),
+            F.round(
+                F.col("n_hit").cast("double")
+                / F.nullif(F.col("n_candidates"), F.lit(0)),
+                4,
+            ).alias("precision"),
+        )
+        .orderBy("query_id")
+    )
+
+
+@declared(
     "q151_gif_decode",
     oracle="""
     WITH grid AS (

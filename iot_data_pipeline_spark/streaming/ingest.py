@@ -65,15 +65,21 @@ def start_sensor_ingest(
     config: PipelineConfig = PipelineConfig(),
     dim_location: DataFrame | None = None,
     available_now: bool = True,
+    max_files_per_trigger: int | None = None,
 ) -> StreamingQuery:
     """Start the streaming sensor pipeline; returns the StreamingQuery.
 
     Each micro-batch applies the exact batch transform (same code path as
     ``run_batch_pipeline`` -- streaming/batch parity by construction) and
     writes parquet partitioned by source file; corrupt rows go to
-    ``<out_dir>/_dead_letter`` keyed the same way.
+    ``<out_dir>/_dead_letter`` keyed the same way. When ``dim_location``
+    is given, every micro-batch broadcast-joins the static dim (stream-
+    static enrichment, reference README.md:13): the dim never shuffles
+    the stream, and each batch sees the dim as of its own execution.
     """
-    stream = read_sensor_stream(spark, raw_dir)
+    stream = read_sensor_stream(
+        spark, raw_dir, max_files_per_trigger=max_files_per_trigger
+    )
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         # Like sources.readers.split_corrupt, but keeping the per-file
@@ -122,10 +128,19 @@ def run_ingest_available_now(
     checkpoint_dir: str,
     config: PipelineConfig = PipelineConfig(),
     timeout_s: int = 300,
+    dim_location: DataFrame | None = None,
+    max_files_per_trigger: int | None = None,
 ) -> None:
     """Process-everything-then-stop convenience (the per-burst batch mode)."""
     q = start_sensor_ingest(
-        spark, raw_dir, out_dir, checkpoint_dir, config, available_now=True
+        spark,
+        raw_dir,
+        out_dir,
+        checkpoint_dir,
+        config,
+        dim_location=dim_location,
+        available_now=True,
+        max_files_per_trigger=max_files_per_trigger,
     )
     q.awaitTermination(timeout_s)
     if q.isActive:

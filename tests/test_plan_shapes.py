@@ -377,6 +377,7 @@ BOUNDED_BNLJ = {
     "q148_ivf_recall_audit": 1,  # bounded query-set broadcast (exact side)
     "q149_ivf_multiprobe_audit": 1,  # same exact-side serving shape
     "q176_retrieval_ndcg": 1,  # same exact-side serving shape (metrics)
+    "q183_ivf_adaptive_probe": 1,  # same exact-side serving shape
 }
 
 
