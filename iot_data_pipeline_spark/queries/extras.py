@@ -1166,7 +1166,10 @@ def q164_ivm_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale notes: each maintenance step shuffles only the delta (the
     existing view is anti-joined on the delta's key set, which
     broadcasts when deltas are small -- the common case for incremental
-    loads); the dim side broadcasts into every delta join; the view is
+    loads); the customer join carries NO hint -- customer is fact-sized
+    (grows with SF; the q181 lesson), so the planner broadcasts it at
+    small SF and shuffle-joins the delta at SFs where it no longer
+    fits, which stays delta-proportional either way; the view is
     localCheckpointed per step so lineage stays flat however many
     batches arrive. This is the join-view counterpart of
     streaming/rollup.py's incremental aggregate maintenance; at 100 TB
@@ -1197,7 +1200,7 @@ def q164_ivm_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderkey", "o_custkey", price.alias("price")
         )
         joined = delta.join(
-            F.broadcast(cust), delta.o_custkey == cust.c_custkey
+            cust, delta.o_custkey == cust.c_custkey
         ).select("o_orderkey", "o_custkey", "price", "c_nationkey")
         if view is None:
             view = joined

@@ -646,8 +646,10 @@ def q106_referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema (the nightly data-quality audit a lake runs before publishing
     a snapshot): per-FK row count and orphan count via left joins.
 
-    Scale plan: each probe is one left join with the PK side broadcast
-    when dim-shaped; fact-fact probes shuffle on the key once and
+    Scale plan: each probe is one left join; only constant-size PK
+    sides (nation) are force-broadcast -- part/supplier/customer/orders
+    grow with SF, so those probes carry no hint (planner broadcasts
+    while they fit, shuffles on the key once when they don't) and
     aggregate to two numbers map-side. The five probes are independent
     Spark jobs unioned at the end -- they parallelize across the cluster
     rather than serializing in one stage chain.
@@ -670,8 +672,8 @@ def q106_referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = [
         probe("customer->nation", "customer", "c_nationkey", "nation", "n_nationkey", True),
         probe("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey", False),
-        probe("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey", True),
-        probe("lineitem->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey", True),
+        probe("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey", False),
+        probe("lineitem->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey", False),
         probe("orders->customer", "orders", "o_custkey", "customer", "c_custkey", False),
     ]
     out = probes[0]

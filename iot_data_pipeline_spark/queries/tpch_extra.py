@@ -9,10 +9,15 @@ conditional aggregation over a join (Q14), disjunctive pushdown (Q19),
 scalar subquery + anti join (Q22), having-max via window (Q15), and a
 correlated per-key average (Q17).
 
-Scale notes: every query here shuffles only on its natural keys; `part`,
-`supplier`, `nation` are broadcast-size dims at any SF (they grow ~100x
-slower than lineitem); lineitem-side predicates are plain column
-comparisons, so they push to the parquet scan.
+Scale notes: every query here shuffles only on its natural keys.
+Broadcast discipline (the q181 lesson): only nation/region are
+force-broadcast -- they are CONSTANT-size (25/5 rows at every SF).
+`part`, `supplier`, `customer` all grow linearly with SF (SF x 200k/10k/
+150k rows -- billions at the 100 TB design point), so their joins carry
+no hint: Catalyst's size estimate elects a broadcast while they fit the
+threshold and AQE re-elects at runtime, but nothing pins a plan that
+OOMs at scale. Lineitem-side predicates are plain column comparisons,
+so they push to the parquet scan.
 """
 
 from __future__ import annotations
@@ -120,14 +125,15 @@ def q78_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14 shape: conditional aggregation (promo vs total revenue)
     over the lineitem-part join, bucketed by ship month.
 
-    `part` is the broadcast side (dims scale sublinearly vs lineitem);
-    the CASE folds into the aggregate so one pass computes both sums.
+    `part` joins without a hint (it grows with SF; the planner elects a
+    broadcast while it fits, nothing pins it at scale); the CASE folds
+    into the aggregate so one pass computes both sums.
     """
     lineitem = read_table(spark, sf_dir, "lineitem")
     part = read_table(spark, sf_dir, "part")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        lineitem.join(part, lineitem.l_partkey == part.p_partkey)
         .groupBy(
             fmt_ts(F.date_trunc("month", F.col("l_shipdate"))).alias("ship_month")
         )
@@ -178,7 +184,7 @@ def q79_disjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((brand == "Brand#34") & size.between(1, 50) & (qty >= 20) & (qty <= 40))
     )
     return (
-        lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        lineitem.join(part, lineitem.l_partkey == part.p_partkey)
         .filter(cond)
         .groupBy("p_brand")
         .agg(
@@ -267,7 +273,7 @@ def q81_top_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        rev.join(F.broadcast(supplier), rev.l_suppkey == supplier.s_suppkey)
+        rev.join(supplier, rev.l_suppkey == supplier.s_suppkey)
         .select("s_suppkey", "s_name", "total_rev")
         .orderBy(F.desc("total_rev"), "s_suppkey")
         .limit(5)
@@ -299,7 +305,8 @@ def q82_small_quantity_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     are EXACT in double regardless of summation order -> AVG is
     bit-identical across engines and the `<` comparison cannot flip.
     Scale: one shuffle on l_partkey serves both the average and the
-    join back; part stays broadcast.
+    join back; part joins unhinted (planner-elected broadcast while it
+    fits; part grows with SF).
     """
     lineitem = read_table(spark, sf_dir, "lineitem")
     part = read_table(spark, sf_dir, "part")
@@ -310,7 +317,7 @@ def q82_small_quantity_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         lineitem.join(pa, lineitem.l_partkey == pa.pa_partkey)
         .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
-        .join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        .join(part, lineitem.l_partkey == part.p_partkey)
         .groupBy("p_brand")
         .agg(
             F.count(F.lit(1)).alias("n_small"),
@@ -405,7 +412,7 @@ def q101_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("supp_nation") == "NATION_0") & (F.col("cust_nation") == "NATION_1")
     ) | ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_0"))
     return (
-        li.join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        li.join(supp, F.col("s_suppkey") == F.col("l_suppkey"))
         .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
         .join(cust, F.col("c_custkey") == F.col("o_custkey"))
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
@@ -453,8 +460,9 @@ def q101_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q102_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8 shape: one nation's share of PROMO-part revenue sold into
     EUROPE customers, per order year -- conditional-sum over a 7-table
-    star join. Every dim broadcasts; lineitem shuffles once on orderkey
-    (part/supplier joins are broadcast, so no extra fact shuffle)."""
+    star join. nation/region force-broadcast (constant-size);
+    part/supplier/customer join unhinted -- the planner broadcasts them
+    while they fit and shuffle-joins at SFs where they no longer do."""
     li = read_table(spark, sf_dir, "lineitem")
     orders = read_table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
@@ -473,8 +481,8 @@ def q102_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
-        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        li.join(part, F.col("p_partkey") == F.col("l_partkey"))
+        .join(supp, F.col("s_suppkey") == F.col("l_suppkey"))
         .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
         .join(cust, F.col("c_custkey") == F.col("o_custkey"))
         .join(F.broadcast(n1), F.col("c_nationkey") == F.col("c_nk"))
@@ -622,7 +630,7 @@ def q105_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "left_anti",
     )
     return (
-        sole_late.join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        sole_late.join(supp, F.col("s_suppkey") == F.col("l_suppkey"))
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")
@@ -707,11 +715,9 @@ def q108_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = read_table(spark, sf_dir, "nation")
     orders = read_table(spark, sf_dir, "orders")
     return (
-        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        li.join(part, F.col("p_partkey") == F.col("l_partkey"))
         .join(
-            F.broadcast(
-                supp.join(nation, F.col("n_nationkey") == F.col("s_nationkey"))
-            ),
+            supp.join(F.broadcast(nation), F.col("n_nationkey") == F.col("s_nationkey")),
             F.col("s_suppkey") == F.col("l_suppkey"),
         )
         .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
@@ -779,7 +785,7 @@ def q111_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         part_supp.join(part_tot, "l_partkey")
         .filter(F.col("qty") > 0.5 * F.col("tot"))
-        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(supp, F.col("s_suppkey") == F.col("l_suppkey"))
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("n_dominant_parts"))
         .orderBy(F.desc("n_dominant_parts"), "s_name")
@@ -820,8 +826,10 @@ def q125_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The spec's correlated scalar-MIN subquery is decorrelated into a
     window MIN over l_partkey -- one shuffle on the part key instead of a
-    re-join of the whole subquery, the classic distributed plan. Dims
-    (supplier/nation/region/part) are broadcast at any SF; the equality
+    re-join of the whole subquery, the classic distributed plan.
+    nation/region force-broadcast (constant-size); supplier/part join
+    unhinted (they grow with SF -- planner-elected broadcast while they
+    fit, shuffle join beyond). The equality
     compares the identical IEEE division both engines computed, so it is
     exact. (s_name, p_partkey) is unique per surviving row, making the
     LIMIT cutoff a total order.
@@ -835,7 +843,7 @@ def q125_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = read_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
     part = read_table(spark, sf_dir, "part").filter(F.col("p_size") == 15)
     eur = (
-        ps.join(F.broadcast(supp), ps.l_suppkey == supp.s_suppkey)
+        ps.join(supp, ps.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
         .withColumn(
@@ -844,7 +852,7 @@ def q125_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("supplycost") == F.col("min_cost"))
     )
     return (
-        eur.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        eur.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .select(
             "s_acctbal",
             "s_name",
@@ -896,7 +904,7 @@ def q126_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_name") == "NATION_7"
     )
     nat = (
-        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .select(
             "l_partkey", F.col("l_extendedprice").cast("decimal(18,2)").alias("val")
@@ -947,7 +955,8 @@ def q127_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     anti join).
 
     The DISTINCT pair projection collapses lineitem map-side before any
-    join; part and the supplier blocklist are broadcast, so the only
+    join; part and the supplier blocklist join unhinted (both grow with
+    SF -- planner-elected broadcast while they fit), so the only extra
     shuffle is the final count-distinct on the (brand, type, size) keys.
     """
     li = read_table(spark, sf_dir, "lineitem")
@@ -962,11 +971,11 @@ def q127_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         ps.join(
-            F.broadcast(bad_supp),
+            bad_supp,
             ps.l_suppkey == bad_supp.s_suppkey,
             "left_anti",
         )
-        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
