@@ -1567,20 +1567,29 @@ def q178_scalable_exact_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     memory (fine at q09's sizes, a wall at 100 TB group sizes), while
     this selection algorithm touches only COUNT aggregates. Per group,
     the lower median is the k-th smallest (k = ceil(n/2), DuckDB's
-    quantile_disc(0.5)); 10 rounds of 16-way multisection maintain the invariant
-    count(<= lo) < k <= count(<= hi), shrinking (lo, hi] by 16x per round (2^40 total) --
-    far below the spacing of distinct float64 data values -- and the
-    answer materializes as min(value > lo), all shuffle-free scans over
-    one cached projection.
+    quantile_disc(0.5)); rounds of 16-way multisection maintain the
+    invariant count(<= lo) < k <= count(<= hi), shrinking (lo, hi] by
+    16x per round, and the answer materializes as min(value > lo), all
+    shuffle-free scans over one cached projection.
+
+    Termination is PROVEN, not assumed: each round tracks c_lo =
+    count(<= lo) per group, and the loop exits as soon as every group
+    reaches c_lo == k-1 -- at that point min(value > lo) is the
+    (c_lo+1)-th = k-th smallest by construction, independent of value
+    spacing (an assumption-based fixed round count can under-resolve
+    adversarially close doubles). A 12-round cap (16^12 = 2^48
+    contraction of the initial range) bounds the worst case: beyond it,
+    (lo, hi] is a few ulps wide and the final filter still returns
+    min(value > lo) under the unbroken invariant.
 
     Scale notes: per round ONE count aggregate over the (group, value)
-    projection (cached once, lineage cut); state per group is three
-    numbers on the driver -- never a value buffer. Round count is fixed
-    (log16 of the value range over float spacing), not data-dependent:
-    the same 10 rounds serve 100 TB. This is the classic distributed
-    selection recipe (bisection on the value domain with rank
-    invariants) that q09's built-in cannot provide at extreme group
-    cardinality.
+    projection (cached once, lineage cut); state per group is four
+    numbers on the driver -- never a value buffer. On the driver
+    testdata the exit fires after 3-4 rounds; the same loop serves
+    100 TB because state and per-round cost are group-count-, not
+    row-count-, shaped. This is the classic distributed selection
+    recipe (bisection on the value domain with rank invariants) that
+    q09's built-in cannot provide at extreme group cardinality.
     """
     ev = (
         read_table(spark, sf_dir, "events")
@@ -1605,12 +1614,24 @@ def q178_scalable_exact_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     lo = {g: math.nextafter(b[0], -math.inf) for g, b in bounds.items()}
     hi = {g: b[1] for g, b in bounds.items()}
     k = {g: b[2] for g, b in bounds.items()}
+    c_lo = {g: 0 for g in bounds}  # count(value <= lo), 0 by the seed above
+    solved = {g: False for g in bounds}
     groups = sorted(bounds)
-    # 16-way multisection: 15 thresholds per round shrink (lo, hi] by 16x,
-    # so 10 rounds deliver the same 2^40 contraction as 40 bisection
-    # rounds at a quarter of the driver-job roundtrips
+    # 16-way multisection: 15 thresholds per round shrink (lo, hi] by 16x.
+    # Two PROVEN exits, checked per group from the same aggregate pass:
+    #  - c_lo == k-1: min(value > lo) is the (c_lo+1)-th = k-th smallest
+    #    (fires when the k-th value's multiplicity starts at rank k);
+    #  - the interval (lo, hi] holds ONE distinct data value (its min ==
+    #    its max): every rank in (c_lo, count(<=hi)] belongs to that
+    #    value, and c_lo < k <= count(<=hi) by the invariant -- so it IS
+    #    the k-th, whatever its multiplicity (fires when duplicates
+    #    straddle rank k, where the c_lo test cannot).
+    # The 12-round cap bounds adversarially close doubles: beyond it the
+    # final min(value > lo) still answers under the unbroken invariant.
     fan = 16
-    for _ in range(10):
+    for _ in range(12):
+        if all(solved.values()):
+            break
         mids = {
             g: [lo[g] + (hi[g] - lo[g]) * j / fan for j in range(1, fan)]
             for g in groups
@@ -1620,15 +1641,19 @@ def q178_scalable_exact_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         # every round (measured ~0.5 s/round); an identical plan over a
         # fresh 5-row local relation hits the codegen cache
         thr = spark.createDataFrame(
-            [(g, *mids[g]) for g in groups],
+            [(g, lo[g], hi[g], *mids[g]) for g in groups],
             ", ".join(
-                ["event_type string"]
+                ["event_type string", "blo double", "bhi double"]
                 + [f"m{j} double" for j in range(fan - 1)]
             ),
         )
         joined = ev.join(F.broadcast(thr), "event_type")
-        counts = {
-            r["event_type"]: [r[f"c{j}"] for j in range(fan - 1)]
+        in_iv = F.when(
+            (F.col("value") > F.col("blo")) & (F.col("value") <= F.col("bhi")),
+            F.col("value"),
+        )
+        rows = {
+            r["event_type"]: r
             for r in joined.groupBy("event_type")
             .agg(
                 *[
@@ -1636,19 +1661,29 @@ def q178_scalable_exact_median(spark: SparkSession, sf_dir: str) -> DataFrame:
                         (F.col("value") <= F.col(f"m{j}")).cast("long")
                     ).alias(f"c{j}")
                     for j in range(fan - 1)
-                ]
+                ],
+                F.min(in_iv).alias("iv_min"),
+                F.max(in_iv).alias("iv_max"),
             )
             .collect()
         }
         for g in groups:
-            c = counts.get(g, [0] * (fan - 1))
-            new_lo, new_hi = lo[g], hi[g]
+            if solved[g]:
+                continue
+            r = rows.get(g)
+            if r is not None and r["iv_min"] is not None and r["iv_min"] == r["iv_max"]:
+                solved[g] = True  # single distinct value spans rank k
+                continue
+            c = [r[f"c{j}"] for j in range(fan - 1)] if r is not None else [0] * (fan - 1)
+            new_lo, new_hi, new_c_lo = lo[g], hi[g], c_lo[g]
             for j in range(fan - 1):
                 if c[j] >= k[g]:
                     new_hi = mids[g][j]
                     break
                 new_lo = mids[g][j]
-            lo[g], hi[g] = new_lo, new_hi
+                new_c_lo = c[j]
+            lo[g], hi[g], c_lo[g] = new_lo, new_hi, new_c_lo
+            solved[g] = new_c_lo == k[g] - 1
     lo_col = F.coalesce(
         *[F.when(F.col("event_type") == g, F.lit(lo[g])) for g in groups]
     )
