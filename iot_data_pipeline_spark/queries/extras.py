@@ -1855,3 +1855,61 @@ def q181_contribution_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("region", "rank_in_region")
     )
+
+
+@declared(
+    "q184_salted_join_parity",
+    oracle="""
+    WITH l AS (
+      SELECT CASE WHEN event_id % 10 < 9 THEN 0 ELSE event_id % 1000 END AS k,
+             CAST(value AS DECIMAL(18,6)) AS v
+      FROM events
+    ),
+    r AS (SELECT r AS k, (r % 7 + 1) AS w FROM range(1000) t(r))
+    SELECT l.k % 10 AS k_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(l.v * r.w) AS DECIMAL(28,6)) AS weighted_sum
+    FROM l JOIN r ON l.k = r.k
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q184_salted_join_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The salted-join operator (operators/skew.py, bench-measured by
+    b07) under the driver's hash gate: events keyed 90%-hot (the b07
+    skew shape) salted-join a 1000-key dim with 32-way spread, and the
+    aggregate must hash-match the oracle's PLAIN join -- the operator's
+    exactness contract (salting may only re-partition work, never
+    change the pair set) proven by the gate rather than asserted by a
+    unit test. Completes the skew pair: q55 gates salted_agg, this
+    gates salted_join. Values go through DECIMAL(18,6) so the sum is
+    order-exact however the salt spreads partial aggregation.
+
+    Scale notes: the replicated right side costs n_salts x |dim| rows
+    (bounded, dim-shaped by contract); the hot key's probe side spreads
+    over 32 tasks instead of serializing on one reducer -- the
+    AQE-invisible output-amplified skew case measured in SCALE.md
+    section 3.
+    """
+    from iot_data_pipeline_spark.operators.skew import salted_join
+
+    ev = read_table(spark, sf_dir, "events").select(
+        F.when(F.pmod("event_id", 10) < 9, F.lit(0))
+        .otherwise(F.pmod("event_id", 1000))
+        .cast("long")
+        .alias("k"),
+        F.col("value").cast("decimal(18,6)").alias("v"),
+    )
+    dim = spark.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") % 7 + 1).alias("w")
+    )
+    return (
+        salted_join(ev, dim, ["k"], n_salts=32)
+        .groupBy(F.pmod("k", F.lit(10)).alias("k_bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.sum(F.col("v") * F.col("w"))
+            .cast("decimal(28,6)")
+            .alias("weighted_sum"),
+        )
+        .orderBy("k_bucket")
+    )

@@ -667,3 +667,30 @@ def test_q181_star_dims_broadcast(spark, sf_dir):
     # rows, never the fact table.
     df = q("q181_contribution_shares", spark, sf_dir)
     assert broadcast_join_count(df) >= 2
+
+
+def test_no_force_broadcast_of_scaling_tables():
+    # Source-level discipline check (the q181 lesson): F.broadcast() may
+    # wrap only sides bounded by construction -- nation/region, 1-row
+    # aggregates, top-k frames, query sets. customer/part/supplier/
+    # orders/lineitem grow linearly with SF; a pinned broadcast of any
+    # of them OOMs at the 100 TB design point even though it passes at
+    # test scale, so this greps the query sources rather than plans.
+    import pathlib
+    import re
+
+    qdir = (
+        pathlib.Path(__file__).resolve().parents[1]
+        / "iot_data_pipeline_spark"
+    )
+    # variable names bound to SF-scaling base tables across query modules
+    banned = re.compile(
+        r"F\.broadcast\(\s*(?:cust(?:omer)?|part|supp(?:lier)?|orders|"
+        r"lineitem|li|ps)\s*[),]"
+    )
+    hits = []
+    for path in qdir.rglob("*.py"):
+        for i, line in enumerate(path.read_text().splitlines(), 1):
+            if banned.search(line):
+                hits.append(f"{path.name}:{i}: {line.strip()}")
+    assert not hits, "force-broadcast of SF-scaling tables:\n" + "\n".join(hits)
