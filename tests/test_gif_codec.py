@@ -183,3 +183,49 @@ def test_gif_animation_partial_region_refused():
     blob[pos + 5 : pos + 7] = struct.pack("<H", 2)  # shrink frame width
     with pytest.raises(gif.GifFormatError, match="partial-region"):
         gif.decode_gif_frames(bytes(blob))
+
+
+def test_gif_roundtrip_fuzz_final_code_width_bump():
+    """Regression fuzz for the round-4 advisor finding: when the
+    decoder's table-append for the FINAL data code lands exactly on its
+    width-bump threshold, EOI must be written at the bumped width -- the
+    encoder previously emitted it one bit narrow and ~0.4% of random
+    small images failed to decode. 2000 draws over the failing
+    population (100-700 px, 2-8 colors) reproduced 8-12 failures before
+    the fix; zero after."""
+    rnd = random.Random(4242)
+    for trial in range(2000):
+        n = rnd.randint(2, 8)
+        npix = rnd.randint(100, 700)
+        w = rnd.randint(5, 30)
+        h = max(1, npix // w)
+        _roundtrip(w, h, n, seed=50_000 + trial)
+
+
+def test_gif_pixel_index_beyond_palette_refused():
+    """A stream whose decoded indices exceed the color table must raise
+    GifFormatError (round-4 advisor finding: it previously surfaced as a
+    bare numpy IndexError from the feature kernel) -- crafted as a
+    2-entry global table with mcs=2 indices up to 3."""
+    import struct
+
+    w, h = 4, 4
+    lzw = gif.lzw_compress(bytes([0, 1, 2, 3] * 4), 2)
+    blocks = bytearray()
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        blocks.append(len(chunk))
+        blocks.extend(chunk)
+    blocks.append(0)
+    payload = (
+        b"GIF89a"
+        + struct.pack("<HHBBB", w, h, 0x80, 0, 0)
+        + bytes([0, 0, 0, 255, 255, 255])
+        + b"\x2c"
+        + struct.pack("<HHHHB", 0, 0, w, h, 0)
+        + bytes([2])
+        + bytes(blocks)
+        + b"\x3b"
+    )
+    with pytest.raises(gif.GifFormatError, match="palette"):
+        gif.decode_gif(payload)
