@@ -694,3 +694,13 @@ def test_no_force_broadcast_of_scaling_tables():
             if banned.search(line):
                 hits.append(f"{path.name}:{i}: {line.strip()}")
     assert not hits, "force-broadcast of SF-scaling tables:\n" + "\n".join(hits)
+
+
+def test_unhinted_scaling_joins_still_broadcast_at_test_sf(spark, sf_dir):
+    # Companion to the source-grep discipline test: dropping the
+    # F.broadcast() hints on part/supplier/customer must NOT degrade
+    # small-SF plans -- Catalyst's parquet size stats elect the broadcast
+    # on their own below the threshold. If this fails, the threshold or
+    # stats pipeline changed and the sweep needs revisiting.
+    for name in ("q78_promo_revenue", "q102_market_share"):
+        assert broadcast_join_count(q(name, spark, sf_dir)) >= 1, name
