@@ -229,3 +229,40 @@ def test_gif_pixel_index_beyond_palette_refused():
     )
     with pytest.raises(gif.GifFormatError, match="palette"):
         gif.decode_gif(payload)
+
+
+# ---------------------------------------------------------------- raw LZW
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    mcs=st.integers(min_value=2, max_value=8),
+    data=st.data(),
+)
+def test_lzw_roundtrip_property(mcs, data):
+    """decompress(compress(x)) == x for arbitrary index streams at every
+    minimum code size -- the property the round-4 width-bump bug broke
+    on a 0.4% slice of inputs. Lengths span empty through dictionary
+    overflow; alphabet is the full [0, 2**mcs) range so code-width bumps
+    land at arbitrary stream offsets."""
+    n = data.draw(
+        st.one_of(
+            st.integers(min_value=0, max_value=64),
+            st.integers(min_value=400, max_value=900),
+            st.just(6000),  # rolls the 4096-entry dictionary -> clear
+        )
+    )
+    idx = bytes(
+        data.draw(
+            st.lists(
+                st.integers(min_value=0, max_value=(1 << mcs) - 1),
+                min_size=n,
+                max_size=n,
+            )
+        )
+    )
+    out = gif.lzw_decompress(gif.lzw_compress(idx, mcs), mcs)
+    assert bytes(out) == idx
