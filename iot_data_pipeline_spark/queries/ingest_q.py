@@ -1078,8 +1078,15 @@ def q177_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .select("event_id", "ts", "user_id", "event_type", "value")
         )
-        ev.coalesce(1).write.mode("overwrite").parquet(d)
-        row = ev.agg(F.max("ts").alias("m")).collect()[0]
+        from pyspark.sql import Observation
+
+        # piggyback max(ts) on the fixture write itself (df.observe):
+        # the sentinel needs it, and a separate agg would re-scan events
+        obs = Observation("q177_maxts")
+        ev.observe(obs, F.max("ts").alias("m")).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(d)
+        row = obs.get
         # ONE trailing sentinel file (+2h): its batch advances the
         # watermark past all real data, and the engine's trailing no-data
         # micro-batch (noDataMicroBatches, on by default) then runs the
