@@ -1,17 +1,23 @@
 """Minimal numpy-accelerated baseline JPEG codec (B48's second real image
 decode path, closing the round-2 "JPEG-dominated corpora" boundary).
 
-The sandbox has no image libraries, so this vendors a from-scratch baseline
-JPEG (ITU-T T.81) decoder/encoder on ``struct`` + ``numpy`` only. Scope:
+The sandbox has no image libraries, so this vendors a from-scratch JPEG
+(ITU-T T.81) decoder/encoder on ``struct`` + ``numpy`` only. Scope:
 
-- decode: baseline sequential DCT (SOF0), 8-bit, greyscale or YCbCr,
-  luma sampling factors up to 2x2 (4:4:4, 4:2:2, 4:2:0), restart
-  intervals. Progressive (SOF2), arithmetic coding, 12-bit, and CMYK
-  raise ``JpegFormatError`` rather than silently mis-decoding.
-- encode: baseline 4:4:4 / greyscale with the public Annex K quantization
-  and Huffman tables, libjpeg-style quality scaling (quality=100 =>
-  all-ones tables, which makes flat 8x8 blocks bit-exact through the
-  roundtrip -- the property the q130 oracle gate exploits).
+- decode: baseline sequential DCT (SOF0) AND progressive DCT (SOF2,
+  Huffman: spectral selection + successive approximation with EOB-run
+  coding, T.81 Annex G -- added round 5, closing the round-4 "honest
+  refusal" boundary), 8-bit, greyscale or YCbCr, luma sampling factors
+  up to 2x2 (4:4:4, 4:2:2, 4:2:0), restart intervals. Arithmetic
+  coding, 12-bit, and CMYK raise ``JpegFormatError`` rather than
+  silently mis-decoding.
+- encode: baseline 4:4:4 / 4:2:0 / greyscale with the public Annex K
+  quantization and Huffman tables, libjpeg-style quality scaling
+  (quality=100 => all-ones tables, which makes flat 8x8 blocks bit-exact
+  through the roundtrip -- the property the q130 oracle gate exploits);
+  ``progressive=True`` emits an SOF2 scan script producing the SAME
+  final coefficients, so progressive decode is differential-tested
+  against baseline decode pixel-for-pixel.
 
 Determinism contract: every rounding step uses ``floor(x + 0.5)`` (never
 banker's rounding), so the full decode math is expressible in closed form
@@ -42,8 +48,9 @@ __all__ = [
 
 
 class JpegFormatError(ValueError):
-    """Raised for payloads that are not baseline JPEG or use unsupported
-    features (progressive, arithmetic, 12-bit)."""
+    """Raised for payloads that are not supported JPEG (baseline or
+    progressive Huffman) or use unsupported features (arithmetic
+    coding, 12-bit, CMYK)."""
 
 
 #: Decompression-bomb guard, same rationale as png.MAX_DECODED_BYTES.
@@ -132,6 +139,18 @@ AC_CHROMA_SPEC = (
         0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
         0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
     ],
+)
+
+#: AC Huffman spec for the PROGRESSIVE encoder's scans: Annex K's
+#: baseline AC tables lack the EOBn run symbols (0x10..0xE0) progressive
+#: coding emits (real encoders ship optimized per-image tables here), so
+#: the progressive scans carry this flat table instead -- every (run,
+#: size<=10) symbol at code length 8 (176 codes; Kraft 176/256 < 1, a
+#: valid canonical prefix code). Wasteful on purpose: this encoder
+#: exists to round-trip-test the decoder, not to compress.
+PROG_AC_SPEC = (
+    [0, 0, 0, 0, 0, 0, 0, 176, 0, 0, 0, 0, 0, 0, 0, 0],
+    [(r << 4) | s for r in range(16) for s in range(11)],
 )
 
 #: Orthonormal DCT-II basis: A[u, x]; spatial = A.T @ coefs @ A.
@@ -259,9 +278,16 @@ def _extend(v: int, t: int) -> int:
 
 
 def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytearray]:
-    """Decode a baseline JPEG -> ``(width, height, channels, pixels)``,
-    ``pixels`` flat row-major 8-bit samples (RGB or greyscale) --
-    the same contract as :func:`png.decode_png`."""
+    """Decode a baseline (SOF0) or progressive (SOF2) JPEG ->
+    ``(width, height, channels, pixels)``, ``pixels`` flat row-major
+    8-bit samples (RGB or greyscale) -- the same contract as
+    :func:`png.decode_png`.
+
+    Progressive decode (T.81 Annex G, Huffman): coefficients accumulate
+    across scans -- spectral-selection bands and successive-approximation
+    bit planes (DC/AC first + refinement passes, EOB-run coding) -- and
+    dequant/IDCT run once at EOI over the completed coefficient planes.
+    """
     if not is_jpeg(payload):
         raise JpegFormatError("bad JPEG SOI signature")
     qtables: dict[int, np.ndarray] = {}
@@ -269,17 +295,23 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytearray]:
     comps: list[dict] = []
     width = height = 0
     restart_interval = 0
+    progressive = False
+    scans_seen = False
     pos = 2
     n = len(payload)
     while True:
-        if pos + 4 > n:
+        if pos + 2 > n:
             raise JpegFormatError("truncated segment stream")
         if payload[pos] != 0xFF:
             raise JpegFormatError("expected marker")
         marker = payload[pos + 1]
         pos += 2
-        if marker == 0xD9:  # EOI before SOS
+        if marker == 0xD9:  # EOI
+            if progressive and scans_seen:
+                return _finish_progressive(width, height, comps, qtables)
             raise JpegFormatError("no scan data before EOI")
+        if pos + 2 > n:
+            raise JpegFormatError("truncated segment stream")
         (seglen,) = struct.unpack(">H", payload[pos : pos + 2])
         seg = payload[pos + 2 : pos + seglen]
         if len(seg) != seglen - 2:
@@ -307,7 +339,8 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytearray]:
                 off += 17 + nv
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", seg[:2])
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+            progressive = marker == 0xC2
             prec, height, width, nc = struct.unpack(">BHHB", seg[:6])
             if prec != 8:
                 raise JpegFormatError(f"unsupported sample precision {prec}")
@@ -318,29 +351,48 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytearray]:
                 comps.append(
                     {"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq}
                 )
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            if progressive:
+                _alloc_progressive(comps, width, height)
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise JpegFormatError(
-                "only baseline sequential (SOF0) JPEG is supported; "
-                f"got SOF marker 0x{marker:02X} (progressive/extended)"
+                "only baseline (SOF0) and progressive (SOF2) JPEG are "
+                f"supported; got SOF marker 0x{marker:02X}"
             )
         elif marker == 0xCC:
             raise JpegFormatError("arithmetic coding unsupported")
         elif marker == 0xDA:  # SOS
+            scan_at = body_at + seglen - 2
+            if not progressive:
+                ns = seg[0]
+                if ns != len(comps):
+                    raise JpegFormatError("scan/frame component mismatch")
+                for s in range(ns):
+                    cs, tdta = seg[1 + 2 * s], seg[2 + 2 * s]
+                    for comp in comps:
+                        if comp["id"] == cs:
+                            comp["td"] = tdta >> 4
+                            comp["ta"] = tdta & 0x0F
+                return _decode_scan(
+                    payload, scan_at, width, height, comps, qtables,
+                    htables, restart_interval,
+                )
             ns = seg[0]
-            if ns != len(comps):
-                raise JpegFormatError("scan/frame component mismatch")
+            scan_comps = []
             for s in range(ns):
                 cs, tdta = seg[1 + 2 * s], seg[2 + 2 * s]
-                for comp in comps:
-                    if comp["id"] == cs:
-                        comp["td"] = tdta >> 4
-                        comp["ta"] = tdta & 0x0F
-            scan_at = body_at + seglen - 2
-            return _decode_scan(
-                payload, scan_at, width, height, comps, qtables, htables,
-                restart_interval,
+                match = [c for c in comps if c["id"] == cs]
+                if not match:
+                    raise JpegFormatError("scan references unknown component")
+                match[0]["td"] = tdta >> 4
+                match[0]["ta"] = tdta & 0x0F
+                scan_comps.append(match[0])
+            ss, se, ahal = seg[1 + 2 * ns], seg[2 + 2 * ns], seg[3 + 2 * ns]
+            pos = _decode_progressive_scan(
+                payload, scan_at, scan_comps, ss, se, ahal >> 4, ahal & 0x0F,
+                htables, restart_interval,
             )
+            scans_seen = True
         # else: APPn/COM -> skip
 
 
@@ -400,7 +452,15 @@ def _decode_scan(
                         c["coef"][by : by + 8, bx : bx + 8] = block * q
             mcu_index += 1
 
-    # Batched IDCT per component, then upsample and color-convert.
+    return _idct_output(width, height, comps, hmax, vmax)
+
+
+def _idct_output(
+    width: int, height: int, comps: list[dict], hmax: int, vmax: int
+) -> tuple[int, int, int, bytearray]:
+    """Shared decode tail: batched IDCT over each component's dequantized
+    coefficient plane (``c["coef"]``), upsample, color-convert."""
+    nc = len(comps)
     planes = []
     for c in comps:
         coef = c["coef"]
@@ -452,6 +512,257 @@ def _decode_block(
     out = np.zeros(64)
     out[ZIGZAG] = zz
     return out.reshape(8, 8)
+
+
+# --------------------------------------------------------------------------
+# Progressive decoder (T.81 Annex G, Huffman coding)
+
+
+def _alloc_progressive(comps: list[dict], width: int, height: int) -> None:
+    """Allocate per-component quantized-coefficient planes (zig-zag order)
+    plus the two block geometries progressive scans use: interleaved scans
+    traverse the MCU-padded grid, non-interleaved scans the component's
+    own ceil grid (T.81 A.2.2/A.2.3 -- the classic off-by-a-block trap)."""
+    nc = len(comps)
+    if not width or not height:
+        raise JpegFormatError("SOS before SOF2 frame header")
+    if width * height * nc > MAX_DECODED_BYTES:
+        raise JpegFormatError(
+            f"decoded size {width}x{height}x{nc} exceeds "
+            f"MAX_DECODED_BYTES ({MAX_DECODED_BYTES})"
+        )
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    if hmax not in (1, 2) or vmax not in (1, 2):
+        raise JpegFormatError("sampling factors beyond 2x2 unsupported")
+    mcus_x = -(-width // (8 * hmax))
+    mcus_y = -(-height // (8 * vmax))
+    for c in comps:
+        c["zz"] = np.zeros((mcus_y * c["v"], mcus_x * c["h"], 64), np.int64)
+        samples_w = -(-width * c["h"] // hmax)
+        samples_h = -(-height * c["v"] // vmax)
+        c["nbw"] = -(-samples_w // 8)
+        c["nbh"] = -(-samples_h // 8)
+        c["pred"] = 0
+        c["_geom"] = (hmax, vmax, mcus_x, mcus_y)
+
+
+def _next_marker(payload: bytes, pos: int) -> int:
+    """Position of the next real marker after an entropy-coded segment
+    (skipping 0xFF00 stuffing and stray RSTn)."""
+    n = len(payload)
+    while pos + 1 < n:
+        if payload[pos] == 0xFF:
+            nxt = payload[pos + 1]
+            if nxt == 0x00:
+                pos += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:
+                pos += 2
+                continue
+            return pos
+        pos += 1
+    raise JpegFormatError("entropy segment ran past end of payload")
+
+
+def _decode_progressive_scan(
+    payload: bytes,
+    pos: int,
+    scan_comps: list[dict],
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+    htables: dict,
+    restart_interval: int,
+) -> int:
+    """Decode ONE progressive scan into the components' ``zz`` planes;
+    returns the payload offset of the next marker."""
+    if not (0 <= ss <= se <= 63):
+        raise JpegFormatError(f"bad spectral band {ss}..{se}")
+    if ss == 0 and se != 0:
+        raise JpegFormatError("progressive DC scan must have Se = 0")
+    if ss > 0 and len(scan_comps) != 1:
+        raise JpegFormatError("progressive AC scans are single-component")
+    reader = _BitReader(payload, pos)
+    for c in scan_comps:
+        c["pred"] = 0
+    state = {"eobrun": 0}
+    rst_count = 0
+
+    def maybe_restart(unit_index: int) -> int:
+        nonlocal rst_count
+        if restart_interval and unit_index and unit_index % restart_interval == 0:
+            reader.align_and_expect_rst(rst_count % 8)
+            rst_count += 1
+            for c in scan_comps:
+                c["pred"] = 0
+            state["eobrun"] = 0
+        return unit_index + 1
+
+    if ss == 0:
+        # ---- DC scan: interleaved (MCU order) or single-component
+        if ah == 0:
+            for c in scan_comps:
+                if (0, c.get("td", 0)) not in htables:
+                    raise JpegFormatError("missing DC Huffman table")
+        unit = 0
+        if len(scan_comps) > 1:
+            hmax, vmax, mcus_x, mcus_y = scan_comps[0]["_geom"]
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
+                    unit = maybe_restart(unit)
+                    for c in scan_comps:
+                        for j in range(c["v"]):
+                            for i in range(c["h"]):
+                                _dc_pass(
+                                    reader, c,
+                                    c["zz"][my * c["v"] + j, mx * c["h"] + i],
+                                    ah, al, htables,
+                                )
+        else:
+            c = scan_comps[0]
+            for by in range(c["nbh"]):
+                for bx in range(c["nbw"]):
+                    unit = maybe_restart(unit)
+                    _dc_pass(reader, c, c["zz"][by, bx], ah, al, htables)
+    else:
+        # ---- AC scan: non-interleaved over the component's ceil grid
+        c = scan_comps[0]
+        if (1, c.get("ta", 0)) not in htables:
+            raise JpegFormatError("missing AC Huffman table")
+        ac_tbl = htables[(1, c["ta"])]
+        unit = 0
+        for by in range(c["nbh"]):
+            for bx in range(c["nbw"]):
+                unit = maybe_restart(unit)
+                if ah == 0:
+                    _ac_first_pass(reader, c["zz"][by, bx], ss, se, al,
+                                   ac_tbl, state)
+                else:
+                    _ac_refine_pass(reader, c["zz"][by, bx], ss, se, al,
+                                    ac_tbl, state)
+    return _next_marker(payload, reader.pos)
+
+
+def _dc_pass(
+    reader: _BitReader, comp: dict, zz: np.ndarray, ah: int, al: int,
+    htables: dict,
+) -> None:
+    if ah == 0:
+        t = _decode_symbol(reader, htables[(0, comp["td"])])
+        diff = _extend(reader.receive(t), t) if t else 0
+        comp["pred"] += diff
+        zz[0] = comp["pred"] << al
+    else:
+        # refinement: one raw bit; two's-complement OR restores the next
+        # magnitude bit for positive AND negative values (the first pass
+        # coded floor(dc >> al'), so lower bits of the raw value are 0)
+        if reader.read_bit():
+            zz[0] = int(zz[0]) | (1 << al)
+
+
+def _ac_first_pass(
+    reader: _BitReader, zz: np.ndarray, ss: int, se: int, al: int,
+    ac_tbl: dict, state: dict,
+) -> None:
+    if state["eobrun"] > 0:
+        state["eobrun"] -= 1
+        return
+    k = ss
+    while k <= se:
+        rs = _decode_symbol(reader, ac_tbl)
+        r, s = rs >> 4, rs & 0x0F
+        if s:
+            k += r
+            if k > se:
+                raise JpegFormatError("AC run past end of band")
+            zz[k] = _extend(reader.receive(s), s) << al
+            k += 1
+        else:
+            if r != 15:
+                state["eobrun"] = (1 << r) - 1
+                if r:
+                    state["eobrun"] += reader.receive(r)
+                return
+            k += 16  # ZRL
+    return
+
+
+def _ac_refine_pass(
+    reader: _BitReader, zz: np.ndarray, ss: int, se: int, al: int,
+    ac_tbl: dict, state: dict,
+) -> None:
+    p1 = 1 << al
+    m1 = -p1
+
+    def correct(k: int) -> None:
+        # history-nonzero coefficient: one correction bit appends the
+        # next magnitude bit (T.81 G.1.2.3)
+        if reader.read_bit():
+            v = int(zz[k])
+            if (v & p1) == 0:
+                zz[k] = v + (p1 if v >= 0 else m1)
+
+    k = ss
+    if state["eobrun"] == 0:
+        while k <= se:
+            rs = _decode_symbol(reader, ac_tbl)
+            r, s = rs >> 4, rs & 0x0F
+            newly = 0
+            if s == 0:
+                if r != 15:
+                    state["eobrun"] = 1 << r
+                    if r:
+                        state["eobrun"] += reader.receive(r)
+                    break
+                # ZRL: skip 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise JpegFormatError(
+                        "AC refinement symbol with size != 1"
+                    )
+                newly = p1 if reader.read_bit() else m1
+            while k <= se:
+                if int(zz[k]) != 0:
+                    correct(k)
+                else:
+                    if r == 0:
+                        if newly:
+                            zz[k] = newly
+                        k += 1
+                        break
+                    r -= 1
+                k += 1
+    if state["eobrun"] > 0:
+        # inside an EOB run: the band's remaining history-nonzero
+        # coefficients still carry correction bits
+        while k <= se:
+            if int(zz[k]) != 0:
+                correct(k)
+            k += 1
+        state["eobrun"] -= 1
+
+
+def _finish_progressive(
+    width: int, height: int, comps: list[dict], qtables: dict
+) -> tuple[int, int, int, bytearray]:
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    for c in comps:
+        if c["tq"] not in qtables:
+            raise JpegFormatError("missing quantization table")
+        q = qtables[c["tq"]]
+        zz = c["zz"].astype(np.float64)
+        bh, bw = zz.shape[0], zz.shape[1]
+        natural = np.zeros_like(zz)
+        natural[:, :, ZIGZAG] = zz  # per block: natural[ZIGZAG[i]] = zz[i]
+        c["coef"] = (
+            (natural.reshape(bh, bw, 8, 8) * q)
+            .transpose(0, 2, 1, 3)
+            .reshape(bh * 8, bw * 8)
+        )
+    return _idct_output(width, height, comps, hmax, vmax)
 
 
 # --------------------------------------------------------------------------
@@ -511,6 +822,20 @@ def _magnitude(v: int) -> tuple[int, int]:
     return t, bits
 
 
+def _seg(marker: int, body: bytes) -> bytes:
+    return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+
+def _dqt_seg(tq: int, tbl: np.ndarray) -> bytes:
+    zz = tbl.reshape(-1)[ZIGZAG].astype(np.uint8)
+    return _seg(0xDB, bytes([tq]) + zz.tobytes())
+
+
+def _dht_seg(tc: int, th: int, spec: tuple) -> bytes:
+    bits, vals = spec
+    return _seg(0xC4, bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals))
+
+
 def _encode_block(
     writer: _BitWriter,
     block: np.ndarray,
@@ -562,6 +887,7 @@ def encode_jpeg(
     quality: int = 90,
     subsampling: str = "444",
     restart_interval: int = 0,
+    progressive: bool = False,
 ) -> bytes:
     """Encode flat 8-bit row-major samples -> baseline JPEG bytes
     (greyscale or YCbCr, Annex K tables, deterministic output).
@@ -571,9 +897,20 @@ def encode_jpeg(
     codec's floor(x+0.5) rounding -- the dominant wild-corpus layout).
     ``restart_interval``: emit DRI + RSTn every N MCUs (0 = none); both
     exist chiefly so the DECODER's sampling/restart paths have real
-    roundtrip coverage rather than dead branches."""
+    roundtrip coverage rather than dead branches.
+
+    ``progressive=True`` emits SOF2 with a jpegtran-style scan script
+    (DC at Al=1, two AC spectral bands at Al=1, AC refinement to Al=0,
+    DC refinement) -- same final coefficients as baseline, so decoded
+    pixels are bit-identical to the baseline encoding; exists so the
+    DECODER's progressive paths (EOB runs, successive approximation)
+    have real round-trip coverage."""
     if channels not in (1, 3):
         raise JpegFormatError(f"unsupported channel count {channels}")
+    if progressive and restart_interval:
+        raise JpegFormatError(
+            "restart intervals unsupported with progressive encode"
+        )
     if subsampling not in ("444", "420"):
         raise JpegFormatError(f"unsupported subsampling {subsampling!r}")
     if subsampling == "420" and channels == 1:
@@ -623,6 +960,11 @@ def encode_jpeg(
             )
         chroma.append(pp - 128.0)
 
+    if progressive:
+        return _encode_progressive(
+            width, height, channels, luma, chroma, q_luma, q_chroma, lh, lv
+        )
+
     writer = _BitWriter()
     preds = [0] * channels
     rst_count = 0
@@ -657,16 +999,7 @@ def encode_jpeg(
             mcu_index += 1
     scan = writer.flush()
 
-    def seg(marker: int, body: bytes) -> bytes:
-        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
-
-    def dqt(tq: int, tbl: np.ndarray) -> bytes:
-        zz = tbl.reshape(-1)[ZIGZAG].astype(np.uint8)
-        return seg(0xDB, bytes([tq]) + zz.tobytes())
-
-    def dht(tc: int, th: int, spec: tuple) -> bytes:
-        bits, vals = spec
-        return seg(0xC4, bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals))
+    seg, dqt, dht = _seg, _dqt_seg, _dht_seg
 
     out = bytearray(_SOI)
     out += seg(0xE0, b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00")
@@ -690,5 +1023,270 @@ def encode_jpeg(
         sos_comps += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
     out += seg(0xDA, bytes([channels]) + sos_comps + b"\x00\x3f\x00")
     out += scan
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# --------------------------------------------------------------------------
+# Progressive encoder (T.81 Annex G scan script; exists to round-trip-test
+# the progressive decoder -- same quantized coefficients as baseline, so
+# decoded pixels match the baseline encoding bit-for-bit)
+
+
+def _quantize_grid(plane: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """Centered plane (multiple-of-8 dims) -> (BH, BW, 64) quantized
+    coefficients in zig-zag order (same FDCT/quant math as baseline)."""
+    bh, bw = plane.shape[0] // 8, plane.shape[1] // 8
+    blocks = plane.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3)
+    coefs = np.einsum("ux,mnxy,vy->mnuv", _A, blocks, _A, optimize=True)
+    quant = _round_half_up(coefs / q).astype(np.int64)
+    return quant.reshape(bh, bw, 64)[:, :, ZIGZAG]
+
+
+def _sig_trunc(v: int, al: int) -> int:
+    """Point-transform for AC first scans: magnitude shift, sign kept
+    (truncation toward zero, T.81 G.1.2.2 -- NOT the DC floor shift)."""
+    t = abs(v) >> al
+    return -t if v < 0 else t
+
+
+class _EobState:
+    """Deferred end-of-band run shared across a scan's blocks, with the
+    correction bits that ride on the run (refinement scans)."""
+
+    def __init__(self, writer: _BitWriter, ac_codes: dict):
+        self.writer = writer
+        self.ac_codes = ac_codes
+        self.run = 0
+        self.bits: list[int] = []
+
+    def bump(self, bits: list[int]) -> None:
+        self.run += 1
+        self.bits.extend(bits)
+        if self.run == 0x7FFF:
+            self.flush()
+
+    def flush(self) -> None:
+        if self.run:
+            r = self.run.bit_length() - 1
+            code, length = self.ac_codes[r << 4]
+            self.writer.write(code, length)
+            if r:
+                self.writer.write(self.run - (1 << r), r)
+            for b in self.bits:
+                self.writer.write(b, 1)
+            self.run = 0
+            self.bits = []
+
+
+def _emit_dc_scan(
+    writer: _BitWriter,
+    grids: list[np.ndarray],
+    metas: list[dict],
+    mcus_x: int,
+    mcus_y: int,
+    ah: int,
+    al: int,
+    dc_codes: list[dict],
+) -> None:
+    """Interleaved DC scan: first pass (ah=0) Huffman-codes diffs of the
+    floor-shifted DC; refinement emits one raw bit per block."""
+    preds = [0] * len(grids)
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci, grid in enumerate(grids):
+                h, v = metas[ci]["h"], metas[ci]["v"]
+                for j in range(v):
+                    for i in range(h):
+                        dc = int(grid[my * v + j, mx * h + i, 0])
+                        if ah == 0:
+                            sh = dc >> al  # floor shift (two's complement)
+                            t, bits = _magnitude(sh - preds[ci])
+                            preds[ci] = sh
+                            code, length = dc_codes[ci][t]
+                            writer.write(code, length)
+                            if t:
+                                writer.write(bits, t)
+                        else:
+                            writer.write((dc >> al) & 1, 1)
+
+
+def _emit_ac_first_scan(
+    writer: _BitWriter,
+    grid: np.ndarray,
+    nbh: int,
+    nbw: int,
+    ss: int,
+    se: int,
+    al: int,
+    ac_codes: dict,
+) -> None:
+    eob = _EobState(writer, ac_codes)
+    for by in range(nbh):
+        for bx in range(nbw):
+            band = [
+                _sig_trunc(int(grid[by, bx, k]), al) for k in range(ss, se + 1)
+            ]
+            nz = [i for i, t in enumerate(band) if t]
+            if not nz:
+                eob.bump([])
+                continue
+            eob.flush()
+            r = 0
+            for i in range(nz[-1] + 1):
+                t = band[i]
+                if t == 0:
+                    r += 1
+                    continue
+                while r > 15:
+                    code, length = ac_codes[0xF0]
+                    writer.write(code, length)
+                    r -= 16
+                s, bits = _magnitude(t)
+                code, length = ac_codes[(r << 4) | s]
+                writer.write(code, length)
+                writer.write(bits, s)
+                r = 0
+            if nz[-1] < se - ss:
+                eob.bump([])
+    eob.flush()
+
+
+def _emit_ac_refine_scan(
+    writer: _BitWriter,
+    grid: np.ndarray,
+    nbh: int,
+    nbw: int,
+    ss: int,
+    se: int,
+    al: int,
+    ac_codes: dict,
+) -> None:
+    """Refinement pass Ah=al+1 -> Al=al (T.81 G.1.2.3): newly-significant
+    coefficients run-code with size 1 + a sign bit; history-nonzero ones
+    append one correction bit, buffered so it rides with the next symbol
+    (or the deferred EOB run) exactly where the decoder's walk consumes
+    it."""
+    eob = _EobState(writer, ac_codes)
+    for by in range(nbh):
+        for bx in range(nbw):
+            vals = [int(grid[by, bx, k]) for k in range(ss, se + 1)]
+            ts = [abs(v) >> al for v in vals]
+            eobpos = max((i for i, t in enumerate(ts) if t == 1), default=-1)
+            r = 0
+            pending: list[int] = []
+            for i, v in enumerate(vals):
+                t = ts[i]
+                if t == 0:
+                    r += 1
+                    continue
+                while r > 15 and i <= eobpos:
+                    eob.flush()
+                    code, length = ac_codes[0xF0]
+                    writer.write(code, length)
+                    r -= 16
+                    for b in pending:
+                        writer.write(b, 1)
+                    pending = []
+                if t > 1:
+                    # history-nonzero: next magnitude bit only
+                    pending.append(t & 1)
+                    continue
+                eob.flush()
+                code, length = ac_codes[(r << 4) | 1]
+                writer.write(code, length)
+                writer.write(1 if v > 0 else 0, 1)
+                for b in pending:
+                    writer.write(b, 1)
+                pending = []
+                r = 0
+            if r > 0 or pending:
+                eob.bump(pending)
+    eob.flush()
+
+
+def _encode_progressive(
+    width: int,
+    height: int,
+    channels: int,
+    luma: np.ndarray,
+    chroma: list[np.ndarray],
+    q_luma: np.ndarray,
+    q_chroma: np.ndarray,
+    lh: int,
+    lv: int,
+) -> bytes:
+    hmax, vmax = lh, lv
+    mcus_x = luma.shape[1] // (8 * lh)
+    mcus_y = luma.shape[0] // (8 * lv)
+    grids = [_quantize_grid(luma, q_luma)]
+    metas = [{"id": 1, "h": lh, "v": lv, "tq": 0, "td": 0, "ta": 0}]
+    for ci, p in enumerate(chroma, start=2):
+        grids.append(_quantize_grid(p, q_chroma))
+        metas.append({"id": ci, "h": 1, "v": 1, "tq": 1, "td": 1, "ta": 1})
+    # non-interleaved (per-component ceil) grids for the AC scans --
+    # ceil(samples/8) where samples = ceil(dim * sampling / max_sampling)
+    for m in metas:
+        sw = -(-width * m["h"] // hmax)
+        sh = -(-height * m["v"] // vmax)
+        m["nbw"] = -(-sw // 8)
+        m["nbh"] = -(-sh // 8)
+
+    dc_codes = [
+        _build_encode_table(*(DC_LUMA_SPEC if m["td"] == 0 else DC_CHROMA_SPEC))
+        for m in metas
+    ]
+    # both components' AC scans share the flat progressive table (slot 0)
+    ac_codes = [_build_encode_table(*PROG_AC_SPEC) for _ in metas]
+    for m in metas:
+        m["ta"] = 0
+
+    out = bytearray(_SOI)
+    out += _seg(0xE0, b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00")
+    out += _dqt_seg(0, q_luma)
+    if channels == 3:
+        out += _dqt_seg(1, q_chroma)
+    sof_comps = b""
+    for m in metas:
+        sof_comps += bytes([m["id"], (m["h"] << 4) | m["v"], m["tq"]])
+    out += _seg(0xC2, struct.pack(">BHHB", 8, height, width, channels) + sof_comps)
+    out += _dht_seg(0, 0, DC_LUMA_SPEC)
+    out += _dht_seg(1, 0, PROG_AC_SPEC)
+    if channels == 3:
+        out += _dht_seg(0, 1, DC_CHROMA_SPEC)
+
+    def sos(scan_metas: list[dict], ss: int, se: int, ah: int, al: int) -> bytes:
+        body = bytes([len(scan_metas)])
+        for m in scan_metas:
+            body += bytes([m["id"], (m["td"] << 4) | m["ta"]])
+        body += bytes([ss, se, (ah << 4) | al])
+        return _seg(0xDA, body)
+
+    # ---- scan script: DC@Al=1; AC 1-5 and 6-63 first@Al=1 per comp;
+    #      AC refine ->Al=0 per comp; DC refine ->Al=0
+    out += sos(metas, 0, 0, 0, 1)
+    w = _BitWriter()
+    _emit_dc_scan(w, grids, metas, mcus_x, mcus_y, 0, 1, dc_codes)
+    out += w.flush()
+    for bands in ((1, 5), (6, 63)):
+        for ci, m in enumerate(metas):
+            out += sos([m], bands[0], bands[1], 0, 1)
+            w = _BitWriter()
+            _emit_ac_first_scan(
+                w, grids[ci], m["nbh"], m["nbw"], bands[0], bands[1], 1,
+                ac_codes[ci],
+            )
+            out += w.flush()
+    for ci, m in enumerate(metas):
+        out += sos([m], 1, 63, 1, 0)
+        w = _BitWriter()
+        _emit_ac_refine_scan(
+            w, grids[ci], m["nbh"], m["nbw"], 1, 63, 0, ac_codes[ci]
+        )
+        out += w.flush()
+    out += sos(metas, 0, 0, 1, 0)
+    w = _BitWriter()
+    _emit_dc_scan(w, grids, metas, mcus_x, mcus_y, 1, 0, dc_codes)
+    out += w.flush()
     out += b"\xff\xd9"
     return bytes(out)

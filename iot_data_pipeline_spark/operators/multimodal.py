@@ -6,14 +6,15 @@ batches so bytes never round-trip through Python row objects.
 
 Codec posture (two tiers, both clearly marked):
 
-- ``mode='strict'``: PNG and baseline JPEG payloads get a REAL decode via
-  the vendored codecs (``operators/png.py`` -- zlib inflate, scanline
-  unfiltering; ``operators/jpeg.py`` -- Huffman entropy decode, dequant,
-  IDCT, chroma upsample, YCbCr->RGB). Other payloads raise
-  NotImplementedError: progressive-JPEG/compressed-audio/video codecs are
-  not in this container, and the honest posture is to refuse rather than
-  fake. On a real cluster that branch is where libjpeg-turbo/ffmpeg
-  kernels plug in, same mapInPandas signature.
+- ``mode='strict'``: PNG and JPEG payloads -- baseline AND progressive
+  (SOF2) since round 5 -- get a REAL decode via the vendored codecs
+  (``operators/png.py`` -- zlib inflate, scanline unfiltering;
+  ``operators/jpeg.py`` -- Huffman entropy decode incl. progressive
+  scan accumulation, dequant, IDCT, chroma upsample, YCbCr->RGB).
+  Other payloads raise NotImplementedError: compressed-audio/video
+  codecs are not in this container, and the honest posture is to refuse
+  rather than fake. On a real cluster that branch is where
+  libjpeg-turbo/ffmpeg kernels plug in, same mapInPandas signature.
 - ``mode='fake'`` produces a deterministic digest-derived feature vector,
   which keeps the Spark-side contract -- schema, batch shape, partitioning,
   null handling -- real and testable end to end for arbitrary payloads.
@@ -95,10 +96,10 @@ def _decode_image_features(payload: bytes, dim: int) -> list[float]:
         flat = pal[np.frombuffer(bytes(indices), dtype=np.uint8)]
         return png.luma_grid_features(w, h, 3, bytearray(flat.tobytes()), dim)
     raise NotImplementedError(
-        "only PNG, baseline JPEG, and GIF decode are vendored in this "
-        "environment; other codecs (progressive JPEG/audio/video) plug "
-        "into this kernel on a real cluster, or run with mode='fake' "
-        "for the deterministic test kernel"
+        "only PNG, JPEG (baseline + progressive), and GIF decode are "
+        "vendored in this environment; other codecs (compressed "
+        "audio/video) plug into this kernel on a real cluster, or run "
+        "with mode='fake' for the deterministic test kernel"
     )
 
 
@@ -215,9 +216,9 @@ def resize_images(
                 ch = 3
             else:
                 raise NotImplementedError(
-                    "only PNG, baseline JPEG, and GIF resize are vendored "
-                    "in this environment; run with mode='fake' for the "
-                    "deterministic test kernel"
+                    "only PNG, JPEG (baseline + progressive), and GIF "
+                    "resize are vendored in this environment; run with "
+                    "mode='fake' for the deterministic test kernel"
                 )
             return png.encode_png(
                 width, height, ch, png.resize_nearest(w, h, ch, pixels, width, height)

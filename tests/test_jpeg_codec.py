@@ -64,17 +64,81 @@ def test_grayscale_odd_dimensions_padding():
     assert np.abs(garr.astype(int) - gpix.astype(int)).max() <= 1
 
 
-def test_progressive_and_malformed_refused():
-    pix = bytes((1, 2, 3)) * 64
-    blob = bytearray(jpeg.encode_jpeg(8, 8, 3, pix))
-    sof_at = bytes(blob).find(b"\xff\xc0")
-    blob[sof_at + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
-    with pytest.raises(jpeg.JpegFormatError, match="SOF"):
-        jpeg.decode_jpeg(bytes(blob))
+def test_malformed_refused():
     with pytest.raises(jpeg.JpegFormatError):
         jpeg.decode_jpeg(b"\xff\xd8\xff\xe0\x00\x10JFIF\x00" + bytes(64))
     with pytest.raises(jpeg.JpegFormatError):
         jpeg.decode_jpeg(b"not a jpeg at all")
+    # a baseline-SOS stream relabeled SOF2 violates the progressive scan
+    # rules (DC scan must have Se = 0) and must refuse, not mis-decode
+    pix = bytes((1, 2, 3)) * 64
+    blob = bytearray(jpeg.encode_jpeg(8, 8, 3, pix))
+    sof_at = bytes(blob).find(b"\xff\xc0")
+    blob[sof_at + 1] = 0xC2
+    with pytest.raises(jpeg.JpegFormatError):
+        jpeg.decode_jpeg(bytes(blob))
+
+
+def test_progressive_matches_baseline_pixels():
+    """Progressive decode (SOF2: spectral selection + successive
+    approximation + EOB runs) is differential-tested against baseline:
+    the progressive scan script encodes the SAME quantized coefficients,
+    so decoded pixels must match bit-for-bit."""
+    import random
+
+    rnd = random.Random(99)
+    for trial in range(25):
+        ch = rnd.choice([1, 3])
+        w, h = rnd.randint(1, 48), rnd.randint(1, 48)
+        sub = rnd.choice(["444", "420"]) if ch == 3 else "444"
+        q = rnd.choice([50, 90, 100])
+        px = bytes(rnd.randrange(256) for _ in range(w * h * ch))
+        base = jpeg.decode_jpeg(
+            jpeg.encode_jpeg(w, h, ch, px, quality=q, subsampling=sub)
+        )
+        prog = jpeg.decode_jpeg(
+            jpeg.encode_jpeg(
+                w, h, ch, px, quality=q, subsampling=sub, progressive=True
+            )
+        )
+        assert base[:3] == prog[:3], (trial, w, h, ch, sub, q)
+        assert bytes(base[3]) == bytes(prog[3]), (trial, w, h, ch, sub, q)
+
+
+def test_progressive_eob_runs_and_sparse_blocks():
+    """Flat and near-flat images drive multi-block EOB runs (EOBn
+    symbols) and refinement ZRL paths -- the progressive-specific coding
+    the random fuzz hits only occasionally."""
+    import random
+
+    rnd = random.Random(5)
+    for w, h, ch in ((64, 64, 1), (48, 32, 3), (17, 23, 3)):
+        flat = bytes([137]) * (w * h * ch)
+        arr = bytearray(flat)
+        for _ in range(4):  # a few spikes -> long EOB runs between them
+            arr[rnd.randrange(len(arr))] = 255
+        for px in (flat, bytes(arr)):
+            base = jpeg.decode_jpeg(jpeg.encode_jpeg(w, h, ch, px, quality=75))
+            prog = jpeg.decode_jpeg(
+                jpeg.encode_jpeg(w, h, ch, px, quality=75, progressive=True)
+            )
+            assert bytes(base[3]) == bytes(prog[3])
+
+
+def test_progressive_routes_through_strict_kernel():
+    # the multimodal strict kernel calls decode_jpeg, so SOF2 payloads
+    # decode through the same path with no routing change
+    from iot_data_pipeline_spark.operators.multimodal import (
+        _decode_image_features,
+    )
+
+    pix = bytes((10, 200, 30)) * (16 * 16)
+    blob = jpeg.encode_jpeg(16, 16, 3, pix, quality=100, progressive=True)
+    feats = _decode_image_features(blob, dim=4)
+    base = _decode_image_features(
+        jpeg.encode_jpeg(16, 16, 3, pix, quality=100), dim=4
+    )
+    assert feats == base
 
 
 def test_dimension_bomb_refused_fast():

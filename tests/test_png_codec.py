@@ -225,7 +225,7 @@ def test_non_image_payload_refused_with_documented_boundary(spark):
         lambda d: extract_features(d, dim=4, mode="strict"),
         lambda d: resize_images(d, 2, 2, mode="strict"),
     ):
-        with pytest.raises(Exception, match="only PNG, baseline JPEG"):
+        with pytest.raises(Exception, match="only PNG, JPEG"):
             op(df).collect()
     # Kernel-level twin (no Spark wrapping): message must name the boundary.
     with pytest.raises(png.PngFormatError):
