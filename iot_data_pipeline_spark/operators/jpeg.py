@@ -11,13 +11,14 @@ The sandbox has no image libraries, so this vendors a from-scratch JPEG
   up to 2x2 (4:4:4, 4:2:2, 4:2:0), restart intervals. Arithmetic
   coding, 12-bit, and CMYK raise ``JpegFormatError`` rather than
   silently mis-decoding.
-- encode: baseline 4:4:4 / 4:2:0 / greyscale with the public Annex K
-  quantization and Huffman tables, libjpeg-style quality scaling
+- encode: baseline 4:4:4 / 4:2:2 / 4:2:0 / greyscale with the public
+  Annex K quantization and Huffman tables, libjpeg-style quality scaling
   (quality=100 => all-ones tables, which makes flat 8x8 blocks bit-exact
   through the roundtrip -- the property the q130 oracle gate exploits);
-  ``progressive=True`` emits an SOF2 scan script producing the SAME
-  final coefficients, so progressive decode is differential-tested
-  against baseline decode pixel-for-pixel.
+  ``progressive=True`` emits an SOF2 scan script (restart intervals
+  supported) producing the SAME final coefficients, so progressive
+  decode is differential-tested against baseline decode
+  pixel-for-pixel.
 
 Determinism contract: every rounding step uses ``floor(x + 0.5)`` (never
 banker's rounding), so the full decode math is expressible in closed form
@@ -892,9 +893,11 @@ def encode_jpeg(
     """Encode flat 8-bit row-major samples -> baseline JPEG bytes
     (greyscale or YCbCr, Annex K tables, deterministic output).
 
-    ``subsampling``: ``'444'`` (one block per component per MCU) or
-    ``'420'`` (2x2 luma blocks per MCU, chroma averaged over 2x2 with the
-    codec's floor(x+0.5) rounding -- the dominant wild-corpus layout).
+    ``subsampling``: ``'444'`` (one block per component per MCU),
+    ``'422'`` (2x1 luma blocks per MCU, chroma averaged horizontally --
+    the broadcast-video layout), or ``'420'`` (2x2 luma blocks per MCU,
+    chroma averaged over 2x2 with the codec's floor(x+0.5) rounding --
+    the dominant wild-corpus layout).
     ``restart_interval``: emit DRI + RSTn every N MCUs (0 = none); both
     exist chiefly so the DECODER's sampling/restart paths have real
     roundtrip coverage rather than dead branches.
@@ -907,13 +910,10 @@ def encode_jpeg(
     have real round-trip coverage."""
     if channels not in (1, 3):
         raise JpegFormatError(f"unsupported channel count {channels}")
-    if progressive and restart_interval:
-        raise JpegFormatError(
-            "restart intervals unsupported with progressive encode"
-        )
-    if subsampling not in ("444", "420"):
+
+    if subsampling not in ("444", "422", "420"):
         raise JpegFormatError(f"unsupported subsampling {subsampling!r}")
-    if subsampling == "420" and channels == 1:
+    if subsampling != "444" and channels == 1:
         subsampling = "444"  # greyscale has no chroma to subsample
     if len(pixels) != width * height * channels:
         raise JpegFormatError("pixel buffer does not match dimensions")
@@ -939,7 +939,7 @@ def encode_jpeg(
 
     # Pad planes by edge replication: luma to the MCU multiple, chroma
     # (after any subsampling) to 8.
-    lh, lv = (2, 2) if subsampling == "420" else (1, 1)
+    lh, lv = {"444": (1, 1), "422": (2, 1), "420": (2, 2)}[subsampling]
     mcu_h, mcu_w = 8 * lv, 8 * lh
     ph = -(-height // mcu_h) * mcu_h
     pw = -(-width // mcu_w) * mcu_w
@@ -958,11 +958,15 @@ def encode_jpeg(
                 (pp[0::2, 0::2] + pp[0::2, 1::2] + pp[1::2, 0::2] + pp[1::2, 1::2])
                 / 4.0
             )
+        elif subsampling == "422":
+            # horizontal-only averaging (2x1), the broadcast-video layout
+            pp = _round_half_up((pp[:, 0::2] + pp[:, 1::2]) / 2.0)
         chroma.append(pp - 128.0)
 
     if progressive:
         return _encode_progressive(
-            width, height, channels, luma, chroma, q_luma, q_chroma, lh, lv
+            width, height, channels, luma, chroma, q_luma, q_chroma, lh, lv,
+            restart_interval,
         )
 
     writer = _BitWriter()
@@ -1088,12 +1092,22 @@ def _emit_dc_scan(
     ah: int,
     al: int,
     dc_codes: list[dict],
+    restart_interval: int = 0,
 ) -> None:
     """Interleaved DC scan: first pass (ah=0) Huffman-codes diffs of the
-    floor-shifted DC; refinement emits one raw bit per block."""
+    floor-shifted DC; refinement emits one raw bit per block. Restart
+    markers (if any) byte-align and reset the DC predictors, mirroring
+    the decoder's per-interval reset."""
     preds = [0] * len(grids)
+    unit = 0
+    rst = 0
     for my in range(mcus_y):
         for mx in range(mcus_x):
+            if restart_interval and unit and unit % restart_interval == 0:
+                writer.append_marker(0xD0 + rst % 8)
+                rst += 1
+                preds = [0] * len(grids)
+            unit += 1
             for ci, grid in enumerate(grids):
                 h, v = metas[ci]["h"], metas[ci]["v"]
                 for j in range(v):
@@ -1120,10 +1134,18 @@ def _emit_ac_first_scan(
     se: int,
     al: int,
     ac_codes: dict,
+    restart_interval: int = 0,
 ) -> None:
     eob = _EobState(writer, ac_codes)
+    unit = 0
+    rst = 0
     for by in range(nbh):
         for bx in range(nbw):
+            if restart_interval and unit and unit % restart_interval == 0:
+                eob.flush()  # an EOB run may not cross a restart
+                writer.append_marker(0xD0 + rst % 8)
+                rst += 1
+            unit += 1
             band = [
                 _sig_trunc(int(grid[by, bx, k]), al) for k in range(ss, se + 1)
             ]
@@ -1161,6 +1183,7 @@ def _emit_ac_refine_scan(
     se: int,
     al: int,
     ac_codes: dict,
+    restart_interval: int = 0,
 ) -> None:
     """Refinement pass Ah=al+1 -> Al=al (T.81 G.1.2.3): newly-significant
     coefficients run-code with size 1 + a sign bit; history-nonzero ones
@@ -1168,8 +1191,15 @@ def _emit_ac_refine_scan(
     (or the deferred EOB run) exactly where the decoder's walk consumes
     it."""
     eob = _EobState(writer, ac_codes)
+    unit = 0
+    rst = 0
     for by in range(nbh):
         for bx in range(nbw):
+            if restart_interval and unit and unit % restart_interval == 0:
+                eob.flush()
+                writer.append_marker(0xD0 + rst % 8)
+                rst += 1
+            unit += 1
             vals = [int(grid[by, bx, k]) for k in range(ss, se + 1)]
             ts = [abs(v) >> al for v in vals]
             eobpos = max((i for i, t in enumerate(ts) if t == 1), default=-1)
@@ -1215,6 +1245,7 @@ def _encode_progressive(
     q_chroma: np.ndarray,
     lh: int,
     lv: int,
+    restart_interval: int = 0,
 ) -> bytes:
     hmax, vmax = lh, lv
     mcus_x = luma.shape[1] // (8 * lh)
@@ -1246,6 +1277,8 @@ def _encode_progressive(
     out += _dqt_seg(0, q_luma)
     if channels == 3:
         out += _dqt_seg(1, q_chroma)
+    if restart_interval:
+        out += _seg(0xDD, struct.pack(">H", restart_interval))
     sof_comps = b""
     for m in metas:
         sof_comps += bytes([m["id"], (m["h"] << 4) | m["v"], m["tq"]])
@@ -1266,7 +1299,9 @@ def _encode_progressive(
     #      AC refine ->Al=0 per comp; DC refine ->Al=0
     out += sos(metas, 0, 0, 0, 1)
     w = _BitWriter()
-    _emit_dc_scan(w, grids, metas, mcus_x, mcus_y, 0, 1, dc_codes)
+    _emit_dc_scan(
+        w, grids, metas, mcus_x, mcus_y, 0, 1, dc_codes, restart_interval
+    )
     out += w.flush()
     for bands in ((1, 5), (6, 63)):
         for ci, m in enumerate(metas):
@@ -1274,19 +1309,22 @@ def _encode_progressive(
             w = _BitWriter()
             _emit_ac_first_scan(
                 w, grids[ci], m["nbh"], m["nbw"], bands[0], bands[1], 1,
-                ac_codes[ci],
+                ac_codes[ci], restart_interval,
             )
             out += w.flush()
     for ci, m in enumerate(metas):
         out += sos([m], 1, 63, 1, 0)
         w = _BitWriter()
         _emit_ac_refine_scan(
-            w, grids[ci], m["nbh"], m["nbw"], 1, 63, 0, ac_codes[ci]
+            w, grids[ci], m["nbh"], m["nbw"], 1, 63, 0, ac_codes[ci],
+            restart_interval,
         )
         out += w.flush()
     out += sos(metas, 0, 0, 1, 0)
     w = _BitWriter()
-    _emit_dc_scan(w, grids, metas, mcus_x, mcus_y, 1, 0, dc_codes)
+    _emit_dc_scan(
+        w, grids, metas, mcus_x, mcus_y, 1, 0, dc_codes, restart_interval
+    )
     out += w.flush()
     out += b"\xff\xd9"
     return bytes(out)

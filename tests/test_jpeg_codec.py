@@ -256,3 +256,40 @@ def test_dhash_collides_across_codecs_and_respects_nulls(spark):
     got = {r["media_id"]: r["dhash"] for r in dhash_images(df).collect()}
     assert got[0] == got[1] == dhash_bytes(as_png)
     assert got[2] is None
+
+
+def test_progressive_422_and_restart_intervals():
+    """4:2:2 encode (h=2,v=1 decoder path) and progressive restart
+    markers: RSTn inside SOF2 scans must reset DC predictors and EOB
+    runs on both sides -- the decoder path a jpegtran-produced DRI
+    progressive file exercises."""
+    import random
+
+    rnd = random.Random(8)
+    for trial in range(15):
+        ch = rnd.choice([1, 3])
+        w, h = rnd.randint(1, 50), rnd.randint(1, 50)
+        sub = rnd.choice(["444", "422", "420"]) if ch == 3 else "444"
+        ri = rnd.choice([1, 2, 4, 7])
+        px = bytes(rnd.randrange(256) for _ in range(w * h * ch))
+        base = jpeg.decode_jpeg(
+            jpeg.encode_jpeg(w, h, ch, px, quality=90, subsampling=sub)
+        )
+        prog = jpeg.decode_jpeg(
+            jpeg.encode_jpeg(
+                w, h, ch, px, quality=90, subsampling=sub,
+                progressive=True, restart_interval=ri,
+            )
+        )
+        assert base[:3] == prog[:3], (trial, w, h, ch, sub, ri)
+        assert bytes(base[3]) == bytes(prog[3]), (trial, w, h, ch, sub, ri)
+    # 4:2:2 baseline round-trip stays within the codec's lossy envelope
+    px = bytes((40, 90, 200)) * 256
+    w_, h_, c_, out = jpeg.decode_jpeg(
+        jpeg.encode_jpeg(16, 16, 3, px, quality=100, subsampling="422")
+    )
+    import numpy as np
+
+    a = np.frombuffer(bytes(out), np.uint8).astype(int)
+    b = np.frombuffer(px, np.uint8).astype(int)
+    assert np.abs(a - b).max() <= 1
