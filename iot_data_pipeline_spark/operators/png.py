@@ -3,10 +3,11 @@
 The sandbox has no image libraries, so this vendors a from-scratch PNG
 decoder/encoder on ``zlib`` + ``struct`` only (PNG is the one mainstream
 image format fully decodable with the stdlib). Scope: 8-bit greyscale /
-RGB / RGBA / greyscale+alpha, non-interlaced, all five scanline filters --
-i.e. everything the common ``Image.save(..., format='PNG')`` default
-writers emit. Palette, 16-bit, and Adam7 raise ``PngFormatError`` rather
-than silently mis-decoding.
+RGB / RGBA / greyscale+alpha, PALETTE (color type 3, depths 1/2/4/8,
+tRNS transparency -> RGBA), Adam7 interlacing for every supported color
+type (palette + Adam7 added round 5 -- previously refused), all five
+scanline filters -- i.e. everything common PNG writers emit. 16-bit
+raises ``PngFormatError`` rather than silently mis-decoding.
 
 This runs INSIDE mapInPandas/mapInArrow kernels (operators/multimodal.py),
 so it must be dependency-free and deterministic; throughput is secondary
@@ -50,16 +51,103 @@ def _paeth(a: int, b: int, c: int) -> int:
     return b if pb <= pc else c
 
 
+#: Adam7 pass grid: (x_start, x_step, y_start, y_step) per pass.
+_ADAM7 = (
+    (0, 8, 0, 8),
+    (4, 8, 0, 8),
+    (0, 4, 4, 8),
+    (2, 4, 0, 4),
+    (0, 2, 2, 4),
+    (1, 2, 0, 2),
+    (0, 1, 1, 2),
+)
+
+
+def _unfilter(raw, offset, h, row_bytes, bpp):
+    """Reverse the per-row filters over one (sub-)image of ``h`` rows of
+    ``row_bytes`` filtered bytes each -> (h, row_bytes) uint8 array.
+
+    None/Sub/Up rows (everything our own encoder and most tools emit)
+    are numpy-vectorized: Sub's left-neighbor recurrence is a per-unit
+    cumulative sum mod 256, Up is elementwise add with the previous
+    output row. Average/Paeth keep the scalar loop -- their
+    left-dependency mixes with the up-row through >>1 / the Paeth
+    predictor, which has no closed prefix form; they stay correct, just
+    on the slow path.
+    """
+    import numpy as np
+
+    rawa = np.frombuffer(bytes(raw), dtype=np.uint8)
+    out_np = np.empty((h, row_bytes), dtype=np.uint8)
+    for y in range(h):
+        fbyte = raw[offset + y * (row_bytes + 1)]
+        line_off = offset + y * (row_bytes + 1) + 1
+        line = rawa[line_off : line_off + row_bytes]
+        if fbyte == 0:  # None
+            out_np[y] = line
+        elif fbyte == 1:  # Sub: per-unit cumsum mod 256
+            cur = line.reshape(-1, bpp).astype(np.int64)
+            out_np[y] = (
+                (np.cumsum(cur, axis=0) & 0xFF).astype(np.uint8).reshape(-1)
+            )
+        elif fbyte == 2:  # Up
+            if y:
+                out_np[y] = line + out_np[y - 1]  # uint8 wraparound == mod 256
+            else:
+                out_np[y] = line
+        elif fbyte in (3, 4):  # Average / Paeth: scalar (sequential in x)
+            prev = bytes(out_np[y - 1]) if y else bytes(row_bytes)
+            row = bytearray(row_bytes)
+            if fbyte == 3:
+                for x in range(row_bytes):
+                    left = row[x - bpp] if x >= bpp else 0
+                    row[x] = (line[x] + ((left + prev[x]) >> 1)) & 0xFF
+            else:
+                for x in range(row_bytes):
+                    left = row[x - bpp] if x >= bpp else 0
+                    ul = prev[x - bpp] if x >= bpp else 0
+                    row[x] = (line[x] + _paeth(left, prev[x], ul)) & 0xFF
+            out_np[y] = np.frombuffer(bytes(row), dtype=np.uint8)
+        else:
+            raise PngFormatError(f"bad filter byte {fbyte}")
+    return out_np
+
+
+def _unpack_indices(rows, pw, depth):
+    """(h, row_bytes) packed palette rows -> (h, pw) per-pixel indices
+    (MSB-first sub-byte packing per the PNG spec)."""
+    import numpy as np
+
+    if depth == 8:
+        return rows[:, :pw]
+    per_byte = 8 // depth
+    mask = (1 << depth) - 1
+    x = np.arange(pw)
+    byte_ix = x // per_byte
+    shift = 8 - depth * (x % per_byte + 1)
+    return (rows[:, byte_ix] >> shift) & mask
+
+
 def decode_png(payload: bytes) -> tuple[int, int, int, bytearray]:
     """Decode a PNG -> ``(width, height, channels, pixels)``.
 
     ``pixels`` is a flat row-major bytearray of length
-    ``width * height * channels`` (8 bits per sample).
+    ``width * height * channels`` (8 bits per sample). Palette images
+    (color type 3, depths 1/2/4/8) decode to RGB -- or RGBA when a tRNS
+    chunk is present; Adam7 interlacing is supported for every
+    supported color type (round 5; both were previously refused).
     """
+    import numpy as np
+
     if not is_png(payload):
         raise PngFormatError("bad PNG signature")
     pos = 8
     width = height = channels = -1
+    depth = 8
+    color = 0
+    interlace = 0
+    plte: bytes | None = None
+    trns: bytes | None = None
     idat = bytearray()
     while pos + 8 <= len(payload):
         (length,), ctype = struct.unpack(">I", payload[pos : pos + 4]), payload[
@@ -75,29 +163,57 @@ def decode_png(payload: bytes) -> tuple[int, int, int, bytearray]:
             width, height, depth, color, comp, filt, interlace = struct.unpack(
                 ">IIBBBBB", data
             )
-            if depth != 8:
-                raise PngFormatError(f"unsupported bit depth {depth}")
-            if color not in _CHANNELS:
+            if color == 3:
+                if depth not in (1, 2, 4, 8):
+                    raise PngFormatError(
+                        f"unsupported palette bit depth {depth}"
+                    )
+            elif color in _CHANNELS:
+                if depth != 8:
+                    raise PngFormatError(f"unsupported bit depth {depth}")
+            else:
                 raise PngFormatError(f"unsupported color type {color}")
-            if interlace != 0:
-                raise PngFormatError("Adam7 interlacing unsupported")
+            if interlace not in (0, 1):
+                raise PngFormatError(f"bad interlace method {interlace}")
             if comp != 0 or filt != 0:
                 raise PngFormatError("nonstandard compression/filter method")
-            channels = _CHANNELS[color]
-            if width * height * channels > MAX_DECODED_BYTES:
+            channels = 3 if color == 3 else _CHANNELS[color]
+            # palette may widen to RGBA via tRNS: bound with 4
+            if width * height * 4 > MAX_DECODED_BYTES:
                 raise PngFormatError(
                     f"decoded size {width}x{height}x{channels} exceeds "
                     f"MAX_DECODED_BYTES ({MAX_DECODED_BYTES})"
                 )
+        elif ctype == b"PLTE":
+            if len(data) % 3 or not data:
+                raise PngFormatError("malformed PLTE chunk")
+            plte = bytes(data)
+        elif ctype == b"tRNS" and color == 3:
+            trns = bytes(data)
         elif ctype == b"IDAT":
             idat.extend(data)
         elif ctype == b"IEND":
             break
     if width < 0 or not idat:
         raise PngFormatError("missing IHDR or IDAT")
+    if color == 3 and plte is None:
+        raise PngFormatError("palette image missing PLTE chunk")
 
-    stride = width * channels
-    expected = (stride + 1) * height
+    bits_pp = depth * (1 if color == 3 else channels)
+    bpp = max(1, bits_pp // 8)
+
+    def row_bytes(pw: int) -> int:
+        return (pw * bits_pp + 7) // 8
+
+    if interlace == 0:
+        passes = [(0, 1, 0, 1, width, height)]
+    else:
+        passes = []
+        for x0, xs, y0, ys in _ADAM7:
+            pw = (width - x0 + xs - 1) // xs
+            ph = (height - y0 + ys - 1) // ys
+            passes.append((x0, xs, y0, ys, pw, ph))
+    expected = sum(ph * (row_bytes(pw) + 1) for *_x, pw, ph in passes if pw and ph)
     try:
         # Bounded inflate: ask for at most expected+1 bytes so a bomb stream
         # stops at the cap instead of materializing; a too-long stream then
@@ -108,56 +224,61 @@ def decode_png(payload: bytes) -> tuple[int, int, int, bytearray]:
     if len(raw) != expected:
         raise PngFormatError("IDAT length does not match dimensions")
 
-    # Per-row unfilter. None/Sub/Up rows (everything our own encoder and
-    # most tools emit) are numpy-vectorized: Sub's left-neighbor recurrence
-    # is a per-channel cumulative sum mod 256, Up is elementwise add with
-    # the previous output row. Average/Paeth keep the scalar loop -- their
-    # left-dependency mixes with the up-row through >>1 / the Paeth
-    # predictor, which has no closed prefix form; they stay correct, just
-    # on the slow path.
-    import numpy as np
-
-    rawa = np.frombuffer(bytes(raw), dtype=np.uint8)
-    out_np = np.empty((height, stride), dtype=np.uint8)
-    for y in range(height):
-        fbyte = raw[y * (stride + 1)]
-        line_off = y * (stride + 1) + 1
-        line = rawa[line_off : line_off + stride]
-        if fbyte == 0:  # None
-            out_np[y] = line
-        elif fbyte == 1:  # Sub: per-channel cumsum mod 256
-            cur = line.reshape(-1, channels).astype(np.int64)
-            out_np[y] = (
-                (np.cumsum(cur, axis=0) & 0xFF).astype(np.uint8).reshape(-1)
-            )
-        elif fbyte == 2:  # Up
-            if y:
-                out_np[y] = line + out_np[y - 1]  # uint8 wraparound == mod 256
-            else:
-                out_np[y] = line
-        elif fbyte in (3, 4):  # Average / Paeth: scalar (sequential in x)
-            prev = bytes(out_np[y - 1]) if y else bytes(stride)
-            row = bytearray(stride)
-            if fbyte == 3:
-                for x in range(stride):
-                    left = row[x - channels] if x >= channels else 0
-                    row[x] = (line[x] + ((left + prev[x]) >> 1)) & 0xFF
-            else:
-                for x in range(stride):
-                    left = row[x - channels] if x >= channels else 0
-                    ul = prev[x - channels] if x >= channels else 0
-                    row[x] = (line[x] + _paeth(left, prev[x], ul)) & 0xFF
-            out_np[y] = np.frombuffer(bytes(row), dtype=np.uint8)
+    if color == 3:
+        img = np.zeros((height, width), dtype=np.uint8)  # palette indices
+    else:
+        img = np.zeros((height, width, channels), dtype=np.uint8)
+    offset = 0
+    for x0, xs, y0, ys, pw, ph in passes:
+        if pw == 0 or ph == 0:
+            continue
+        rb = row_bytes(pw)
+        rows = _unfilter(raw, offset, ph, rb, bpp)
+        offset += ph * (rb + 1)
+        if color == 3:
+            img[y0::ys, x0::xs] = _unpack_indices(rows, pw, depth)
         else:
-            raise PngFormatError(f"bad filter byte {fbyte}")
-    return width, height, channels, bytearray(out_np.tobytes())
+            img[y0::ys, x0::xs, :] = rows.reshape(ph, pw, channels)
+
+    if color != 3:
+        return width, height, channels, bytearray(img.tobytes())
+
+    n_pal = len(plte) // 3
+    if img.size and int(img.max()) >= n_pal:
+        raise PngFormatError(
+            f"palette index {int(img.max())} exceeds palette of {n_pal}"
+        )
+    pal = np.frombuffer(plte, dtype=np.uint8).reshape(n_pal, 3)
+    if trns is not None:
+        alpha = np.full(n_pal, 255, dtype=np.uint8)
+        alpha[: min(len(trns), n_pal)] = np.frombuffer(
+            trns[:n_pal], dtype=np.uint8
+        )
+        pal = np.concatenate([pal, alpha[:, None]], axis=1)
+    out = pal[img]
+    return width, height, pal.shape[1], bytearray(out.tobytes())
+
+
+def _chunk(ctype: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
 
 
 def encode_png(
-    width: int, height: int, channels: int, pixels: bytes | bytearray
+    width: int,
+    height: int,
+    channels: int,
+    pixels: bytes | bytearray,
+    interlace: bool = False,
 ) -> bytes:
     """Encode flat 8-bit row-major samples -> PNG bytes (filter 0 per row,
-    fixed zlib level => byte-deterministic output)."""
+    fixed zlib level => byte-deterministic output). ``interlace=True``
+    writes Adam7 passes -- exists so the decoder's interlace path has
+    real round-trip coverage."""
     color = {1: 0, 3: 2, 2: 4, 4: 6}.get(channels)
     if color is None:
         raise PngFormatError(f"unsupported channel count {channels}")
@@ -165,25 +286,113 @@ def encode_png(
     if len(pixels) != stride * height:
         raise PngFormatError("pixel buffer does not match dimensions")
 
-    def chunk(ctype: bytes, data: bytes) -> bytes:
-        return (
-            struct.pack(">I", len(data))
-            + ctype
-            + data
-            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
-        )
-
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, color, 0, 0, 0)
+    ihdr = struct.pack(
+        ">IIBBBBB", width, height, 8, color, 0, 0, 1 if interlace else 0
+    )
     raw = bytearray()
-    for y in range(height):
-        raw.append(0)
-        raw.extend(pixels[y * stride : (y + 1) * stride])
+    if not interlace:
+        for y in range(height):
+            raw.append(0)
+            raw.extend(pixels[y * stride : (y + 1) * stride])
+    else:
+        import numpy as np
+
+        arr = np.frombuffer(bytes(pixels), dtype=np.uint8).reshape(
+            height, width, channels
+        )
+        for x0, xs, y0, ys in _ADAM7:
+            sub = arr[y0::ys, x0::xs, :]
+            for y in range(sub.shape[0]):
+                if sub.shape[1] == 0:
+                    continue
+                raw.append(0)
+                raw.extend(sub[y].tobytes())
     return (
         _SIGNATURE
-        + chunk(b"IHDR", ihdr)
-        + chunk(b"IDAT", zlib.compress(bytes(raw), 6))
-        + chunk(b"IEND", b"")
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + _chunk(b"IEND", b"")
     )
+
+
+def encode_png_palette(
+    width: int,
+    height: int,
+    palette: list[tuple[int, int, int]],
+    indices: bytes | bytearray,
+    depth: int = 8,
+    trns: bytes | None = None,
+    interlace: bool = False,
+) -> bytes:
+    """Encode palette indices -> color-type-3 PNG (PLTE + optional tRNS,
+    MSB-first sub-byte packing for depths 1/2/4) -- the decoder-coverage
+    twin of :func:`encode_png` for indexed images."""
+    if depth not in (1, 2, 4, 8):
+        raise PngFormatError(f"unsupported palette bit depth {depth}")
+    if not 1 <= len(palette) <= min(256, 1 << depth):
+        raise PngFormatError(
+            f"palette size {len(palette)} out of range for depth {depth}"
+        )
+    if len(indices) != width * height:
+        raise PngFormatError("index buffer does not match dimensions")
+    if max(indices, default=0) >= len(palette):
+        raise PngFormatError("pixel index exceeds palette")
+
+    import numpy as np
+
+    arr = np.frombuffer(bytes(indices), dtype=np.uint8).reshape(height, width)
+
+    def pack_row(row: "np.ndarray") -> bytes:
+        if depth == 8:
+            return row.tobytes()
+        per_byte = 8 // depth
+        padded = np.zeros(((width + per_byte - 1) // per_byte) * per_byte,
+                          dtype=np.uint8)
+        padded[:width] = row
+        grouped = padded.reshape(-1, per_byte)
+        out = np.zeros(grouped.shape[0], dtype=np.uint8)
+        for j in range(per_byte):
+            out |= grouped[:, j] << (8 - depth * (j + 1))
+        return out.tobytes()
+
+    raw = bytearray()
+    if not interlace:
+        for y in range(height):
+            raw.append(0)
+            raw.extend(pack_row(arr[y]))
+    else:
+        for x0, xs, y0, ys in _ADAM7:
+            sub = arr[y0::ys, x0::xs]
+            pw = sub.shape[1]
+            if pw == 0:
+                continue
+            per_byte = 8 // depth if depth < 8 else 1
+            for y in range(sub.shape[0]):
+                raw.append(0)
+                if depth == 8:
+                    raw.extend(sub[y].tobytes())
+                else:
+                    padded = np.zeros(
+                        ((pw + per_byte - 1) // per_byte) * per_byte,
+                        dtype=np.uint8,
+                    )
+                    padded[:pw] = sub[y]
+                    grouped = padded.reshape(-1, per_byte)
+                    out = np.zeros(grouped.shape[0], dtype=np.uint8)
+                    for j in range(per_byte):
+                        out |= grouped[:, j] << (8 - depth * (j + 1))
+                    raw.extend(out.tobytes())
+    ihdr = struct.pack(
+        ">IIBBBBB", width, height, depth, 3, 0, 0, 1 if interlace else 0
+    )
+    out = bytearray(_SIGNATURE)
+    out += _chunk(b"IHDR", ihdr)
+    out += _chunk(b"PLTE", b"".join(bytes(c) for c in palette))
+    if trns is not None:
+        out += _chunk(b"tRNS", bytes(trns))
+    out += _chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+    out += _chunk(b"IEND", b"")
+    return bytes(out)
 
 
 def resize_nearest(

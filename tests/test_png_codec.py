@@ -230,3 +230,129 @@ def test_non_image_payload_refused_with_documented_boundary(spark):
     # Kernel-level twin (no Spark wrapping): message must name the boundary.
     with pytest.raises(png.PngFormatError):
         png.decode_png(mp3ish)
+
+
+def test_palette_and_adam7_roundtrips():
+    """Palette PNGs (depths 1/2/4/8, optional tRNS -> RGBA) and Adam7
+    interlacing -- both previously refused, added round 5 -- round-trip
+    through the codec's own encoders across 60 seeded draws."""
+    import random
+
+    import numpy as np
+
+    rnd = random.Random(61)
+    for trial in range(60):
+        mode = rnd.choice(["truecolor_i", "palette", "palette_i"])
+        w, h = rnd.randint(1, 33), rnd.randint(1, 33)
+        if mode == "truecolor_i":
+            ch = rnd.choice([1, 2, 3, 4])
+            px = bytes(rnd.randrange(256) for _ in range(w * h * ch))
+            dw, dh, dc, out = png.decode_png(
+                png.encode_png(w, h, ch, px, interlace=True)
+            )
+            assert (dw, dh, dc) == (w, h, ch) and bytes(out) == px, trial
+            continue
+        depth = rnd.choice([1, 2, 4, 8])
+        n = rnd.randint(1, min(256, 1 << depth))
+        pal = [
+            (rnd.randrange(256), rnd.randrange(256), rnd.randrange(256))
+            for _ in range(n)
+        ]
+        trns = (
+            bytes(rnd.randrange(256) for _ in range(rnd.randint(1, n)))
+            if rnd.random() < 0.5
+            else None
+        )
+        idx = bytes(rnd.randrange(n) for _ in range(w * h))
+        blob = png.encode_png_palette(
+            w, h, pal, idx, depth=depth, trns=trns,
+            interlace=mode.endswith("_i"),
+        )
+        dw, dh, dc, out = png.decode_png(blob)
+        exp_ch = 4 if trns is not None else 3
+        assert (dw, dh, dc) == (w, h, exp_ch), trial
+        palarr = np.array(pal, dtype=np.uint8)
+        if trns is not None:
+            alpha = np.full(n, 255, np.uint8)
+            alpha[: len(trns)] = np.frombuffer(trns, np.uint8)
+            palarr = np.concatenate([palarr, alpha[:, None]], axis=1)
+        expect = palarr[np.frombuffer(idx, np.uint8).reshape(h, w)]
+        got = np.frombuffer(bytes(out), np.uint8).reshape(h, w, exp_ch)
+        assert np.array_equal(got, expect), trial
+
+
+def test_adam7_nonzero_filters_per_pass():
+    """Interlaced decode must unfilter each pass INDEPENDENTLY: a Sub/Up
+    filter row in pass N references pass-N rows, never the previous
+    pass's bytes. Hand-built 9x9 RGB image, Sub+Up filters applied
+    within each Adam7 pass."""
+    import struct as _struct
+    import zlib as _zlib
+
+    import numpy as np
+
+    rng = np.random.RandomState(4)
+    w = h = 9
+    arr = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
+    raw = bytearray()
+    for x0, xs, y0, ys in png._ADAM7:
+        sub = arr[y0::ys, x0::xs, :].astype(np.int64)
+        ph, pw = sub.shape[0], sub.shape[1]
+        if pw == 0:
+            continue
+        for y in range(ph):
+            row = sub[y].reshape(-1)
+            if y == 0:  # Sub filter within the pass
+                raw.append(1)
+                prevpx = np.zeros(3, dtype=np.int64)
+                for x in range(pw):
+                    raw.extend(
+                        ((row[3 * x : 3 * x + 3] - prevpx) & 0xFF).astype(
+                            np.uint8
+                        ).tobytes()
+                    )
+                    prevpx = row[3 * x : 3 * x + 3]
+            else:  # Up filter against the PASS's previous row
+                raw.append(2)
+                up = sub[y - 1].reshape(-1)
+                raw.extend(((row - up) & 0xFF).astype(np.uint8).tobytes())
+    ihdr = _struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1)
+    blob = (
+        b"\x89PNG\r\n\x1a\n"
+        + png._chunk(b"IHDR", ihdr)
+        + png._chunk(b"IDAT", _zlib.compress(bytes(raw), 6))
+        + png._chunk(b"IEND", b"")
+    )
+    dw, dh, dc, out = png.decode_png(blob)
+    assert (dw, dh, dc) == (w, h, 3)
+    assert np.array_equal(
+        np.frombuffer(bytes(out), np.uint8).reshape(h, w, 3), arr
+    )
+
+
+def test_palette_index_beyond_plte_refused():
+    blob = bytearray(
+        png.encode_png_palette(2, 2, [(1, 2, 3), (4, 5, 6)], bytes([0, 1, 1, 0]))
+    )
+    # enlarge an index beyond the 2-entry palette by rewriting the IDAT
+    import struct as _struct
+    import zlib as _zlib
+
+    raw = bytearray()
+    for row in ([0, 7], [1, 0]):
+        raw.append(0)
+        raw.extend(row)
+    idat = _zlib.compress(bytes(raw), 6)
+    out = bytearray()
+    pos = 8
+    out += blob[:8]
+    while pos < len(blob):
+        (length,) = _struct.unpack(">I", blob[pos : pos + 4])
+        ctype = bytes(blob[pos + 4 : pos + 8])
+        if ctype == b"IDAT":
+            out += png._chunk(b"IDAT", idat)
+        else:
+            out += blob[pos : pos + 12 + length]
+        pos += 12 + length
+    with pytest.raises(png.PngFormatError, match="palette"):
+        png.decode_png(bytes(out))
