@@ -3715,6 +3715,96 @@ def q151_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+@declared(
+    "q186_adam7_palette_png",
+    oracle="""
+    WITH grid AS (
+      SELECT d.doc_id, tx.x, ty.y,
+             ((tx.x * ty.y + d.doc_id) % 4) AS ix
+      FROM documents d, range(16) tx(x), range(16) ty(y)
+      WHERE d.doc_id < 200
+    ),
+    lum AS (
+      SELECT doc_id,
+             ((y // 8) * 2 + (x // 8)) AS cell,
+             ((doc_id * 11 + ix * 60) % 256) AS v
+      FROM grid
+    )
+    SELECT doc_id,
+           ROUND(CAST(CAST(AVG(CASE WHEN cell = 0 THEN v END) / 255.0
+                           AS REAL) AS DOUBLE), 6) AS c00,
+           ROUND(CAST(CAST(AVG(CASE WHEN cell = 1 THEN v END) / 255.0
+                           AS REAL) AS DOUBLE), 6) AS c01,
+           ROUND(CAST(CAST(AVG(CASE WHEN cell = 2 THEN v END) / 255.0
+                           AS REAL) AS DOUBLE), 6) AS c10,
+           ROUND(CAST(CAST(AVG(CASE WHEN cell = 3 THEN v END) / 255.0
+                           AS REAL) AS DOUBLE), 6) AS c11
+    FROM lum GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def q186_adam7_palette_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adam7-INTERLACED PALETTE PNG decode in the oracle gate -- the two
+    PNG features round 5 added to the vendored codec (previously
+    refused), proven together under the driver's hash gate: per row a
+    16x16 depth-2 indexed image (4 greyscale palette entries derived
+    from doc_id) is written as an interlaced color-type-3 PNG
+    worker-side, shipped through the binary media column, and decoded
+    by ``extract_features(mode='strict')`` -- seven-pass de-interlace,
+    sub-byte index unpacking, PLTE expansion, Rec.601 luma grid. Grey
+    palette entries make luma == the palette value exactly
+    ((299+587+114)v // 1000 = v), so the oracle is pure integer
+    arithmetic over the generative formula; the REAL cast mirrors the
+    kernel's float32 feature column (the q151 rule).
+
+    Scale notes: q130/q151/q185's kernel shape exactly -- synth and
+    decode are mapInPandas Arrow kernels, bytes never leave the
+    executor, per-image cost is embarrassingly parallel.
+    """
+    from iot_data_pipeline_spark.operators.multimodal import extract_features
+
+    docs = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+
+    def synth(batches):
+        import pandas as pd
+
+        from iot_data_pipeline_spark.operators import png as _png
+
+        for pdf in batches:
+            blobs = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                pal = [((d * 11 + ix * 60) % 256,) * 3 for ix in range(4)]
+                idx = bytes(
+                    (x * y + d) % 4 for y in range(16) for x in range(16)
+                )
+                blobs.append(
+                    _png.encode_png_palette(
+                        16, 16, pal, idx, depth=2, interlace=True
+                    )
+                )
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "content": blobs})
+
+    import pyspark.sql.types as T
+
+    media = docs.select("doc_id").mapInPandas(
+        synth,
+        schema=T.StructType(
+            [
+                T.StructField("media_id", T.LongType()),
+                T.StructField("content", T.BinaryType()),
+            ]
+        ),
+    )
+    feats = extract_features(media, dim=4, mode="strict")
+    return feats.select(
+        F.col("media_id").alias("doc_id"),
+        F.round(F.col("features")[0].cast("double"), 6).alias("c00"),
+        F.round(F.col("features")[1].cast("double"), 6).alias("c01"),
+        F.round(F.col("features")[2].cast("double"), 6).alias("c10"),
+        F.round(F.col("features")[3].cast("double"), 6).alias("c11"),
+    ).orderBy("doc_id")
+
+
 _Q154_ORACLE = f"""
     WITH toks AS (
       SELECT doc_id, string_split(text, ' ') AS t FROM documents
