@@ -8,12 +8,12 @@ zero dependencies. GIF matters to the codec family because its pixel data is
 exercises a dictionary-based compressed stream, not just byte plumbing
 (PNG's inflate is delegated to zlib; here the decompressor is ours).
 
-Scope: non-interlaced GIF87a/89a; ``decode_gif`` reads the first frame
-(global or local color table), ``decode_gif_frames`` reads full-screen
-animation frames under the global table; extensions (graphic control,
-comment, application) are skipped per spec. Interlacing and
-partial-region disposal composition raise ``GifFormatError`` — refused
-honestly, same posture as progressive JPEG in ``jpeg.py``.
+Scope: GIF87a/89a incl. 4-pass interlacing (round 5; previously
+refused); ``decode_gif`` reads the first frame (global or local color
+table), ``decode_gif_frames`` reads full-screen animation frames under
+the global table; extensions (graphic control, comment, application)
+are skipped per spec. Partial-region disposal composition raises
+``GifFormatError`` — refused honestly.
 
 The encoder emits real variable-width LZW (dictionary up to 4096 codes,
 deferred clear), so encode→decode round-trips are a true compression test.
@@ -145,8 +145,34 @@ def lzw_decompress(data: bytes, min_code_size: int) -> bytearray:
     raise GifFormatError("LZW stream ended without end-of-information code")
 
 
+#: GIF interlace passes (GIF89a spec 20.c): (start_row, row_step).
+_GIF_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _interlace_order(height: int) -> list[int]:
+    """Row indices in transmission order for an interlaced image."""
+    order = []
+    for start, step in _GIF_PASSES:
+        order.extend(range(start, height, step))
+    return order
+
+
+def _deinterlace(indices: bytearray, width: int, height: int) -> bytearray:
+    """Reorder transmitted rows (4-pass interlace) into top-to-bottom."""
+    out = bytearray(len(indices))
+    for tx_row, img_row in enumerate(_interlace_order(height)):
+        out[img_row * width : (img_row + 1) * width] = indices[
+            tx_row * width : (tx_row + 1) * width
+        ]
+    return out
+
+
 def encode_gif(
-    width: int, height: int, palette: list[tuple[int, int, int]], indices: bytes
+    width: int,
+    height: int,
+    palette: list[tuple[int, int, int]],
+    indices: bytes,
+    interlaced: bool = False,
 ) -> bytes:
     """Encode row-major palette indices as a single-frame GIF89a with a
     global color table (palette padded to the next power of two ≥ 2)."""
@@ -161,6 +187,11 @@ def encode_gif(
     mcs = max(depth, 2)  # spec: minimum LZW code size is 2
     if max(indices, default=0) >= (1 << depth):
         raise GifFormatError("pixel index exceeds palette")
+    if interlaced:
+        reordered = bytearray()
+        for row in _interlace_order(height):
+            reordered.extend(indices[row * width : (row + 1) * width])
+        indices = bytes(reordered)
     lzw = lzw_compress(indices, mcs)
     blocks = bytearray()
     for i in range(0, len(lzw), 255):
@@ -173,7 +204,7 @@ def encode_gif(
         + struct.pack("<HHBBB", width, height, 0x80 | (depth - 1), 0, 0)
         + b"".join(bytes(c) for c in table)
         + b"\x2c"
-        + struct.pack("<HHHHB", 0, 0, width, height, 0)
+        + struct.pack("<HHHHB", 0, 0, width, height, 0x40 if interlaced else 0)
         + bytes([mcs])
         + bytes(blocks)
         + b"\x3b"
@@ -220,8 +251,7 @@ def decode_gif(
             raise GifFormatError("truncated image descriptor")
         _, _, iw, ih, iflags = struct.unpack("<HHHHB", payload[pos : pos + 9])
         pos += 9
-        if iflags & 0x40:
-            raise GifFormatError("interlaced GIF not supported")
+        interlaced = bool(iflags & 0x40)
         if iflags & 0x80:
             n = 2 << (iflags & 0x07)
             raw = payload[pos : pos + 3 * n]
@@ -246,6 +276,8 @@ def decode_gif(
                 f"decoded {len(indices)} indices for {iw}x{ih} image"
             )
         del indices[iw * ih :]
+        if interlaced:
+            indices = _deinterlace(indices, iw, ih)
         if not palette:
             raise GifFormatError("no color table for image")
         if max(indices, default=0) >= len(palette):
@@ -347,8 +379,7 @@ def decode_gif_frames(
                 "partial-region animation frames (disposal composition) "
                 "not supported; frames must cover the logical screen"
             )
-        if iflags & 0x40:
-            raise GifFormatError("interlaced GIF not supported")
+        interlaced = bool(iflags & 0x40)
         if iflags & 0x80:
             raise GifFormatError(
                 "per-frame local color tables not supported in animation "
@@ -372,6 +403,8 @@ def decode_gif_frames(
                 f"decoded {len(indices)} indices for {iw}x{ih} frame"
             )
         del indices[iw * ih :]
+        if interlaced:
+            indices = _deinterlace(indices, iw, ih)
         frames.append(indices)
     if not frames:
         raise GifFormatError("no image descriptor before trailer")

@@ -6,8 +6,9 @@ image format fully decodable with the stdlib). Scope: 8-bit greyscale /
 RGB / RGBA / greyscale+alpha, PALETTE (color type 3, depths 1/2/4/8,
 tRNS transparency -> RGBA), Adam7 interlacing for every supported color
 type (palette + Adam7 added round 5 -- previously refused), all five
-scanline filters -- i.e. everything common PNG writers emit. 16-bit
-raises ``PngFormatError`` rather than silently mis-decoding.
+scanline filters, and 16-bit samples (narrowed to their high byte, the
+standard 16->8 approximation) -- i.e. everything common PNG writers
+emit.
 
 This runs INSIDE mapInPandas/mapInArrow kernels (operators/multimodal.py),
 so it must be dependency-free and deterministic; throughput is secondary
@@ -169,7 +170,7 @@ def decode_png(payload: bytes) -> tuple[int, int, int, bytearray]:
                         f"unsupported palette bit depth {depth}"
                     )
             elif color in _CHANNELS:
-                if depth != 8:
+                if depth not in (8, 16):
                     raise PngFormatError(f"unsupported bit depth {depth}")
             else:
                 raise PngFormatError(f"unsupported color type {color}")
@@ -200,7 +201,7 @@ def decode_png(payload: bytes) -> tuple[int, int, int, bytearray]:
         raise PngFormatError("palette image missing PLTE chunk")
 
     bits_pp = depth * (1 if color == 3 else channels)
-    bpp = max(1, bits_pp // 8)
+    bpp = max(1, bits_pp // 8)  # filter unit: 2 bytes/sample at depth 16
 
     def row_bytes(pw: int) -> int:
         return (pw * bits_pp + 7) // 8
@@ -237,6 +238,12 @@ def decode_png(payload: bytes) -> tuple[int, int, int, bytearray]:
         offset += ph * (rb + 1)
         if color == 3:
             img[y0::ys, x0::xs] = _unpack_indices(rows, pw, depth)
+        elif depth == 16:
+            # 16-bit samples narrow to their high byte (the standard
+            # 16->8 approximation; the low byte is sub-8-bit detail)
+            img[y0::ys, x0::xs, :] = rows.reshape(ph, pw, channels, 2)[
+                :, :, :, 0
+            ]
         else:
             img[y0::ys, x0::xs, :] = rows.reshape(ph, pw, channels)
 

@@ -79,13 +79,25 @@ def test_gif_extension_blocks_skipped():
     assert bytes(didx) == bytes([1, 0, 1, 0, 1, 0])
 
 
-def test_gif_interlace_refused():
-    blob = bytearray(gif.encode_gif(4, 4, [(0, 0, 0), (1, 1, 1)], bytes(16)))
-    cut = 13 + 3 * (2 << (blob[10] & 0x07))  # image descriptor starts here
-    assert blob[cut] == 0x2C
-    blob[cut + 9] |= 0x40  # set interlace flag
-    with pytest.raises(gif.GifFormatError, match="interlaced"):
-        gif.decode_gif(bytes(blob))
+def test_gif_interlace_roundtrip():
+    """4-pass interlaced GIFs (previously refused, added round 5)
+    round-trip exactly: the encoder reorders rows into transmission
+    order, the decoder scatters them back."""
+    rnd = random.Random(31)
+    for trial in range(40):
+        n = rnd.randint(2, 16)
+        pal = [
+            (rnd.randrange(256), rnd.randrange(256), rnd.randrange(256))
+            for _ in range(n)
+        ]
+        w, h = rnd.randint(1, 30), rnd.randint(1, 30)
+        idx = bytes(rnd.randrange(n) for _ in range(w * h))
+        blob = gif.encode_gif(w, h, pal, idx, interlaced=True)
+        # interlace flag actually set in the image descriptor
+        cut = 13 + 3 * (2 << (blob[10] & 0x07))
+        assert blob[cut] == 0x2C and blob[cut + 9] & 0x40
+        dw, dh, dpal, didx = gif.decode_gif(blob)
+        assert (dw, dh) == (w, h) and bytes(didx) == idx, trial
 
 
 def test_gif_truncated_refused():

@@ -83,26 +83,48 @@ def test_png_all_filter_types_decode():
 def test_png_rejects_unsupported():
     with pytest.raises(png.PngFormatError):
         png.decode_png(b"not a png at all----")
-    # 16-bit depth refused, not mis-decoded
+    # bogus color type refused, not mis-decoded
     import struct
     import zlib
 
-    def chunk(ctype, data):
-        return (
-            struct.pack(">I", len(data))
-            + ctype
-            + data
-            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
-        )
-
-    blob16 = (
+    blob_bad = (
         b"\x89PNG\r\n\x1a\n"
-        + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 16, 2, 0, 0, 0))
-        + chunk(b"IDAT", zlib.compress(b"\x00" + b"\x00" * 6))
-        + chunk(b"IEND", b"")
+        + png._chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 5, 0, 0, 0))
+        + png._chunk(b"IDAT", zlib.compress(b"\x00" + b"\x00" * 3))
+        + png._chunk(b"IEND", b"")
     )
     with pytest.raises(png.PngFormatError):
-        png.decode_png(blob16)
+        png.decode_png(blob_bad)
+
+
+def test_png_16bit_narrows_to_high_byte():
+    """16-bit samples decode to their high byte (the standard 16->8
+    approximation) through every filter unit -- bpp is 2 bytes/sample,
+    so the Sub recurrence must stride 6 bytes for 16-bit RGB."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    rng = np.random.RandomState(9)
+    w, h = 5, 4
+    hi = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
+    lo = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
+    raw = bytearray()
+    for y in range(h):
+        raw.append(0)
+        raw.extend(np.stack([hi[y], lo[y]], axis=-1).reshape(-1).tobytes())
+    blob = (
+        b"\x89PNG\r\n\x1a\n"
+        + png._chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 16, 2, 0, 0, 0))
+        + png._chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + png._chunk(b"IEND", b"")
+    )
+    dw, dh, dc, out = png.decode_png(blob)
+    assert (dw, dh, dc) == (w, h, 3)
+    assert np.array_equal(
+        np.frombuffer(bytes(out), np.uint8).reshape(h, w, 3), hi
+    )
 
 
 def test_resize_nearest_and_luma_features():
