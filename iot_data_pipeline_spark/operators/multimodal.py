@@ -354,18 +354,24 @@ def extract_audio_features(
     def kernel(payload: bytes):
         if mode == "fake":
             return _fake_features(payload, dim), len(payload) % 997
-        from iot_data_pipeline_spark.operators import audio
+        from iot_data_pipeline_spark.operators import audio, flac
 
         if audio.is_wav(payload):
             rate, channels, samples = audio.decode_wav(payload)
-            return (
-                audio.amplitude_grid_features(samples, channels, dim),
-                audio.zero_crossings(samples, channels),
+        elif flac.is_flac(payload):
+            # REAL compressed-audio decode (round 5): rice-coded
+            # prediction residuals -> the same PCM feature path as WAV
+            rate, channels, samples = flac.decode_flac(payload)
+        else:
+            raise NotImplementedError(
+                "only RIFF/WAVE PCM and FLAC decode are vendored in this "
+                "environment; lossy codecs (MP3/AAC/Opus) plug an ffmpeg "
+                "kernel into this same signature on a real cluster, or "
+                "run with mode='fake'"
             )
-        raise NotImplementedError(
-            "only RIFF/WAVE PCM decode is vendored in this environment; "
-            "compressed audio plugs an ffmpeg kernel into this same "
-            "signature on a real cluster, or run with mode='fake'"
+        return (
+            audio.amplitude_grid_features(samples, channels, dim),
+            audio.zero_crossings(samples, channels),
         )
 
     def run(batches: Iterator) -> Iterator:

@@ -1733,6 +1733,104 @@ def q124_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @declared(
+    "q187_flac_decode",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id,
+             (doc_id * 131) % 12000 + 600 AS a,
+             (doc_id % 37) + 3 AS d
+      FROM documents WHERE doc_id < 150
+    ),
+    sig AS (
+      SELECT p.doc_id, t.i, ((t.i * p.d) % (2 * p.a)) - p.a AS s
+      FROM p, range(256) t(i)
+    ),
+    cells AS (
+      SELECT doc_id, (i // 32) AS cell,
+             CAST(CAST(SUM(ABS(s)) / 32.0 / 32768.0 AS REAL) AS DOUBLE) AS f
+      FROM sig GROUP BY 1, 2
+    ),
+    zc AS (
+      SELECT doc_id, CAST(COUNT(*) FILTER (
+               WHERE prev IS NOT NULL AND sgn <> prev) AS BIGINT) AS n
+      FROM (
+        SELECT doc_id, (s > 0) AS sgn,
+               LAG(s > 0) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+        FROM sig WHERE s <> 0
+      ) GROUP BY doc_id
+    )
+    SELECT c.doc_id,
+           ROUND(MAX(CASE WHEN cell = 0 THEN f END), 6) AS c0,
+           ROUND(MAX(CASE WHEN cell = 3 THEN f END), 6) AS c3,
+           ROUND(MAX(CASE WHEN cell = 7 THEN f END), 6) AS c7,
+           MAX(z.n) AS zero_crossings
+    FROM cells c JOIN zc z ON c.doc_id = z.doc_id
+    GROUP BY c.doc_id ORDER BY c.doc_id
+    """,
+)
+def q187_flac_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL COMPRESSED-audio decode in the oracle gate -- the boundary
+    q124 left ("compressed audio would plug an ffmpeg kernel in"),
+    closed round 5 by the vendored FLAC codec (operators/flac.py, RFC
+    9639: rice-coded residuals under fixed/LPC predictors, CRC-checked
+    frames). Per row a 256-sample integer sawtooth (amplitude and step
+    derived from doc_id) is FLAC-encoded worker-side -- the fixed
+    order-2 predictor zeroes the residual everywhere except the ~2 wrap
+    points per 64-sample block, so the rice stream genuinely compresses
+    (~25-40% of the PCM bytes, measured) -- shipped through the binary
+    column, and decoded by the same strict audio kernel as q124. The
+    oracle SIMULATES the generative formula in SQL (range(256) per doc)
+    and recomputes three of the eight amplitude-grid cells (through the
+    kernel's exact sum/32/32768 -> float32 chain) plus the sign-change
+    count -- if any rice/prediction/CRC step is wrong, the hash breaks.
+
+    Scale notes: q124's kernel shape exactly; the decode cost is
+    per-payload and embarrassingly parallel; lossy codecs (MP3/AAC)
+    remain the documented ffmpeg plug-in point.
+    """
+    from iot_data_pipeline_spark.operators.multimodal import (
+        extract_audio_features,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+
+    def synth(batches):
+        import pandas as pd
+
+        from iot_data_pipeline_spark.operators import flac as _flac
+
+        for pdf in batches:
+            blobs = []
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                a = (did * 131) % 12000 + 600
+                d = (did % 37) + 3
+                samples = [((i * d) % (2 * a)) - a for i in range(256)]
+                blobs.append(_flac.encode_flac(samples, block_size=64))
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "content": blobs})
+
+    import pyspark.sql.types as T
+
+    media = docs.select("doc_id").mapInPandas(
+        synth,
+        schema=T.StructType(
+            [
+                T.StructField("media_id", T.LongType()),
+                T.StructField("content", T.BinaryType()),
+            ]
+        ),
+    )
+    feats = extract_audio_features(media, dim=8, mode="strict")
+    return feats.select(
+        F.col("media_id").alias("doc_id"),
+        F.round(F.col("features")[0].cast("double"), 6).alias("c0"),
+        F.round(F.col("features")[3].cast("double"), 6).alias("c3"),
+        F.round(F.col("features")[7].cast("double"), 6).alias("c7"),
+        F.col("zero_crossings"),
+    ).orderBy("doc_id")
+
+
+@declared(
     "q130_jpeg_decode",
     oracle="""
     WITH seed AS (
