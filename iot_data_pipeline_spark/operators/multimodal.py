@@ -413,10 +413,12 @@ def sample_video_frames(
     ``every_n``-th frame, and emit one row per sampled frame with its
     Rec.601-luma mean -- ``(id, frame_idx, n_frames, mean_luma)``.
 
-    This supersedes :func:`sample_frames`' timestamp-only plan for the
-    uncompressed tier: container parse, plane slicing and per-frame
-    statistics all execute for real inside the Arrow-batched kernel.
-    Compressed video (H.264/VP9/AV1) still raises NotImplementedError --
+    This supersedes :func:`sample_frames`' timestamp-only plan:
+    container parse, frame decode and per-frame statistics all execute
+    for real inside the Arrow-batched kernel -- YUV4MPEG2 plane slicing
+    for the uncompressed tier, and (round 5) MJPEG-AVI with every frame
+    JPEG-decoded through operators/jpeg.py for the compressed tier.
+    Interframe codecs (H.264/VP9/AV1) still raise NotImplementedError --
     on a real cluster an ffmpeg/pyav kernel drops into this exact
     mapInPandas signature. mode='fake' keeps plumbing testable on
     arbitrary payloads (deterministic bytes-derived pseudo-frames).
@@ -438,7 +440,7 @@ def sample_video_frames(
                 (k, n, float(payload[k % max(1, len(payload))]) if payload else 0.0)
                 for k in range(0, n, every_n)
             ]
-        from iot_data_pipeline_spark.operators import y4m
+        from iot_data_pipeline_spark.operators import mjpeg, y4m
 
         if payload.startswith(b"YUV4MPEG2 "):
             clip = y4m.decode_y4m(payload)
@@ -446,11 +448,19 @@ def sample_video_frames(
                 (k, clip.n_frames, y4m.mean_luma(clip.frames[k]))
                 for k in range(0, clip.n_frames, every_n)
             ]
+        if mjpeg.is_avi(payload):
+            # REAL compressed video (round 5): MJPEG frames decode
+            # through the vendored T.81 codec, same sampling contract
+            mclip = mjpeg.decode_mjpeg_avi(payload)
+            return [
+                (k, mclip.n_frames, mjpeg.mean_luma_rgb(mclip.frames[k]))
+                for k in range(0, mclip.n_frames, every_n)
+            ]
         raise NotImplementedError(
-            "only YUV4MPEG2 (uncompressed) video decode is vendored in "
-            "this environment; compressed codecs (H.264/VP9/AV1) plug an "
-            "ffmpeg kernel into this same signature on a real cluster, "
-            "or run with mode='fake'"
+            "only YUV4MPEG2 (uncompressed) and MJPEG-AVI video decode "
+            "are vendored in this environment; interframe codecs "
+            "(H.264/VP9/AV1) plug an ffmpeg kernel into this same "
+            "signature on a real cluster, or run with mode='fake'"
         )
 
     def run(batches: Iterator) -> Iterator:

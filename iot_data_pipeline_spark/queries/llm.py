@@ -2529,6 +2529,120 @@ def q135_y4m_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @declared(
+    "q188_mjpeg_frames",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, 4 + doc_id % 3 AS n_frames
+      FROM documents WHERE doc_id < 200
+    ),
+    frames AS (
+      SELECT doc_id, CAST(k AS BIGINT) AS frame_idx, n_frames
+      FROM base, LATERAL UNNEST(range(0, n_frames, 2)) AS t(k)
+    ),
+    seed AS (
+      SELECT doc_id, frame_idx, n_frames,
+             CAST((doc_id * 5 + frame_idx * 17) % 256 AS DOUBLE) AS r,
+             CAST((doc_id * 3 + frame_idx * 29) % 256 AS DOUBLE) AS g,
+             CAST((doc_id * 11 + frame_idx * 41) % 256 AS DOUBLE) AS b
+      FROM frames
+    ),
+    ycc AS (
+      SELECT doc_id, frame_idx, n_frames,
+        LEAST(255, GREATEST(0, FLOOR(0.299*r + 0.587*g + 0.114*b + 0.5))) AS y,
+        LEAST(255, GREATEST(0, FLOOR(128 - 0.168735892*r - 0.331264108*g
+                                     + 0.5*b + 0.5))) AS cb,
+        LEAST(255, GREATEST(0, FLOOR(128 + 0.5*r - 0.418687589*g
+                                     - 0.081312411*b + 0.5))) AS cr
+      FROM seed
+    ),
+    rgb2 AS (
+      SELECT doc_id, frame_idx, n_frames,
+        LEAST(255, GREATEST(0, FLOOR(y + 1.402*(cr - 128) + 0.5))) AS r2,
+        LEAST(255, GREATEST(0, FLOOR(y - 0.344136*(cb - 128)
+                                     - 0.714136*(cr - 128) + 0.5))) AS g2,
+        LEAST(255, GREATEST(0, FLOOR(y + 1.772*(cb - 128) + 0.5))) AS b2
+      FROM ycc
+    )
+    SELECT doc_id, frame_idx, CAST(n_frames AS BIGINT) AS n_frames,
+           ROUND(CAST((299 * CAST(r2 AS BIGINT) + 587 * CAST(g2 AS BIGINT)
+                       + 114 * CAST(b2 AS BIGINT)) // 1000 AS DOUBLE), 4)
+             AS mean_luma
+    FROM rgb2 ORDER BY doc_id, frame_idx
+    """,
+)
+def q188_mjpeg_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL COMPRESSED-video decode in the oracle gate -- the boundary
+    q135 left ("compressed video stays refused"), narrowed round 5 to
+    interframe codecs only: MJPEG-in-AVI (operators/mjpeg.py) parses
+    the RIFF container and JPEG-decodes every frame through the
+    vendored T.81 codec. Per row a 4-6 frame solid-color MJPEG AVI is
+    synthesized worker-side at quality=100 -- ODD doc_ids encode each
+    frame as a PROGRESSIVE (SOF2) JPEG, even ones baseline, and the
+    oracle is identical for both because the scan scripts carry the
+    same coefficients -- then ``sample_video_frames(every_n=2,
+    mode='strict')`` samples frames and computes each one's integer
+    Rec.601 mean luma. Solid frames make that luma the q130
+    double-rounding chain exactly, so the oracle states the closed
+    form per (doc, frame).
+
+    Scale notes: q135's kernel shape exactly (clip->frame fan-out
+    inside the kernel, no JVM-side payload explode); interframe codecs
+    (H.264/VP9/AV1 -- motion compensation needs reference-frame state)
+    remain the documented ffmpeg plug-in point.
+    """
+    from iot_data_pipeline_spark.operators.multimodal import sample_video_frames
+
+    docs = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+
+    def synth(batches):
+        import pandas as pd
+
+        from iot_data_pipeline_spark.operators import mjpeg as _mjpeg
+
+        w = h = 8
+        for pdf in batches:
+            blobs = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                frames = [
+                    bytes(
+                        [
+                            (i * 5 + k * 17) % 256,
+                            (i * 3 + k * 29) % 256,
+                            (i * 11 + k * 41) % 256,
+                        ]
+                    )
+                    * (w * h)
+                    for k in range(4 + i % 3)
+                ]
+                blobs.append(
+                    _mjpeg.encode_mjpeg_avi(
+                        w, h, frames, quality=100, progressive=bool(i % 2)
+                    )
+                )
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "content": blobs})
+
+    import pyspark.sql.types as T
+
+    media = docs.select("doc_id").mapInPandas(
+        synth,
+        schema=T.StructType(
+            [
+                T.StructField("media_id", T.LongType()),
+                T.StructField("content", T.BinaryType()),
+            ]
+        ),
+    )
+    frames = sample_video_frames(media, every_n=2, mode="strict")
+    return frames.select(
+        F.col("media_id").alias("doc_id"),
+        "frame_idx",
+        "n_frames",
+        F.round(F.col("mean_luma"), 4).alias("mean_luma"),
+    ).orderBy("doc_id", "frame_idx")
+
+
+@declared(
     "q136_semdedup",
     oracle="""
     WITH e AS (
