@@ -322,6 +322,8 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytearray]:
         if marker == 0xDB:  # DQT
             off = 0
             while off < len(seg):
+                if off + 65 > len(seg):
+                    raise JpegFormatError("truncated DQT segment")
                 pq, tq = seg[off] >> 4, seg[off] & 0x0F
                 if pq != 0:
                     raise JpegFormatError("16-bit quant tables unsupported")
@@ -332,10 +334,14 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytearray]:
         elif marker == 0xC4:  # DHT
             off = 0
             while off < len(seg):
+                if off + 17 > len(seg):
+                    raise JpegFormatError("truncated DHT segment")
                 tc, th = seg[off] >> 4, seg[off] & 0x0F
                 bits = list(seg[off + 1 : off + 17])
                 nv = sum(bits)
                 vals = list(seg[off + 17 : off + 17 + nv])
+                if len(vals) != nv:
+                    raise JpegFormatError("DHT declares more codes than bytes")
                 htables[(tc, th)] = _build_decode_table(bits, vals)
                 off += 17 + nv
         elif marker == 0xDD:  # DRI
@@ -347,11 +353,14 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytearray]:
                 raise JpegFormatError(f"unsupported sample precision {prec}")
             if nc not in (1, 3):
                 raise JpegFormatError(f"unsupported component count {nc}")
+            if len(seg) < 6 + 3 * nc:
+                raise JpegFormatError("truncated SOF component list")
             for c in range(nc):
                 cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
-                comps.append(
-                    {"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq}
-                )
+                h, v = hv >> 4, hv & 0x0F
+                if not (1 <= h <= 4 and 1 <= v <= 4):
+                    raise JpegFormatError(f"bad sampling factors {h}x{v}")
+                comps.append({"id": cid, "h": h, "v": v, "tq": tq})
             if progressive:
                 _alloc_progressive(comps, width, height)
         elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
@@ -366,19 +375,26 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytearray]:
             scan_at = body_at + seglen - 2
             if not progressive:
                 ns = seg[0]
-                if ns != len(comps):
+                if ns != len(comps) or len(seg) < 1 + 2 * ns:
                     raise JpegFormatError("scan/frame component mismatch")
                 for s in range(ns):
                     cs, tdta = seg[1 + 2 * s], seg[2 + 2 * s]
-                    for comp in comps:
-                        if comp["id"] == cs:
-                            comp["td"] = tdta >> 4
-                            comp["ta"] = tdta & 0x0F
+                    match = [c for c in comps if c["id"] == cs]
+                    if not match:
+                        raise JpegFormatError(
+                            "scan references unknown component"
+                        )
+                    match[0]["td"] = tdta >> 4
+                    match[0]["ta"] = tdta & 0x0F
+                if any("td" not in c for c in comps):
+                    raise JpegFormatError("scan leaves components unassigned")
                 return _decode_scan(
                     payload, scan_at, width, height, comps, qtables,
                     htables, restart_interval,
                 )
             ns = seg[0]
+            if len(seg) < 4 + 2 * ns:
+                raise JpegFormatError("truncated progressive scan header")
             scan_comps = []
             for s in range(ns):
                 cs, tdta = seg[1 + 2 * s], seg[2 + 2 * s]
@@ -493,6 +509,8 @@ def _decode_block(
 ) -> np.ndarray:
     zz = np.zeros(64)
     t = _decode_symbol(reader, dc_tbl)
+    if t > 16:
+        raise JpegFormatError(f"DC category {t} out of range")
     diff = _extend(reader.receive(t), t) if t else 0
     comp["pred"] += diff
     zz[0] = comp["pred"]
@@ -652,6 +670,8 @@ def _dc_pass(
 ) -> None:
     if ah == 0:
         t = _decode_symbol(reader, htables[(0, comp["td"])])
+        if t > 16:
+            raise JpegFormatError(f"DC category {t} out of range")
         diff = _extend(reader.receive(t), t) if t else 0
         comp["pred"] += diff
         zz[0] = comp["pred"] << al
