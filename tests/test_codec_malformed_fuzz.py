@@ -93,3 +93,22 @@ def test_gif_interlaced_malformed():
         bytes(rnd.randrange(3) for _ in range(81)), interlaced=True,
     )
     _probe(valid, gif.decode_gif, gif.GifFormatError, seed=16)
+
+
+def test_wav_malformed():
+    from iot_data_pipeline_spark.operators import audio
+
+    rnd = random.Random(7)
+    valid = audio.encode_wav([rnd.randint(-30000, 30000) for _ in range(300)])
+    _probe(valid, audio.decode_wav, audio.WavFormatError, seed=17)
+
+
+def test_y4m_malformed():
+    from iot_data_pipeline_spark.operators import y4m
+
+    fr = [
+        y4m.Y4mFrame(bytes([100]) * 256, b"\x80" * 64, b"\x80" * 64)
+        for _ in range(3)
+    ]
+    valid = y4m.encode_y4m(16, 16, fr, "C420jpeg", (25, 1))
+    _probe(valid, y4m.decode_y4m, y4m.Y4mFormatError, seed=18)
