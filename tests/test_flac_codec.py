@@ -189,3 +189,72 @@ def test_header_crc_detects_corruption():
 def test_not_flac_refused():
     with pytest.raises(flac.FlacFormatError):
         flac.decode_flac(b"RIFF....WAVE")
+
+
+def _stream_custom(channels, bs, bps_code, si_bps, subframe_writer, rate=16000):
+    """Like _stream but with explicit sample-size code / STREAMINFO bps."""
+    import struct
+
+    out = bytearray(b"fLaC")
+    si = _BitWriter()
+    si.write(16, 16)
+    si.write(max(bs, 16), 16)
+    si.write(0, 24)
+    si.write(0, 24)
+    si.write(rate, 20)
+    si.write(channels - 1, 3)
+    si.write(si_bps - 1, 5)
+    si.write(bs, 36)
+    body = si.bytes() + bytes(16)
+    out += bytes([0x80]) + struct.pack(">I", len(body))[1:] + body
+    w = _BitWriter()
+    w.write(0x3FFE, 14)
+    w.write(0, 2)
+    w.write(7, 4)
+    w.write(0, 4)
+    w.write(channels - 1, 4)
+    w.write(bps_code, 3)
+    w.write(0, 1)
+    _write_utf8_number(w, 0)
+    w.write(bs - 1, 16)
+    w.write(_crc8(bytes(w.out)), 8)
+    subframe_writer(w)
+    w.align()
+    w.write(_crc16(bytes(w.out)), 16)
+    out += w.bytes()
+    return bytes(out)
+
+
+def test_24bit_samples_decode():
+    """24-bit VERBATIM subframe (sample size code 6) -- the depth claim
+    beyond the encoder's 16-bit scope, backed by a crafted stream."""
+    bs = 4
+    vals = [8_000_000, -8_000_000, 123_456, -1]
+
+    def sub(w):
+        w.write(0, 1)
+        w.write(1, 6)
+        w.write(0, 1)
+        for v in vals:
+            w.write(v & 0xFFFFFF, 24)
+
+    rate, ch, got = flac.decode_flac(_stream_custom(1, bs, 6, 24, sub))
+    assert got == vals
+
+
+def test_eight_channel_interleaving():
+    bs = 3
+    chans = [[c * 100 + k for k in range(bs)] for c in range(8)]
+
+    def subs(w):
+        for c in range(8):
+            w.write(0, 1)
+            w.write(1, 6)
+            w.write(0, 1)
+            for v in chans[c]:
+                w.write(v & 0xFFFF, 16)
+
+    rate, ch, got = flac.decode_flac(_stream_custom(8, bs, 4, 16, subs))
+    assert ch == 8
+    for c in range(8):
+        assert got[c::8] == chans[c], c
