@@ -186,7 +186,7 @@ def encode_mjpeg_avi(
         1_000_000 // fps,  # dwMicroSecPerFrame
         max_blob * fps,  # dwMaxBytesPerSec
         0,  # dwPaddingGranularity
-        0x10,  # AVIF_HASINDEX off; 0x10 = AVIF_WASCAPTUREFILE-ish flags kept 0x10
+        0,  # dwFlags: no AVIF_HASINDEX -- this writer emits no idx1
         n,  # dwTotalFrames
         0,  # dwInitialFrames
         1,  # dwStreams
