@@ -4,12 +4,13 @@ decode path, closing the round-2 "JPEG-dominated corpora" boundary).
 The sandbox has no image libraries, so this vendors a from-scratch JPEG
 (ITU-T T.81) decoder/encoder on ``struct`` + ``numpy`` only. Scope:
 
-- decode: baseline sequential DCT (SOF0) AND progressive DCT (SOF2,
-  Huffman: spectral selection + successive approximation with EOB-run
-  coding, T.81 Annex G -- added round 5, closing the round-4 "honest
-  refusal" boundary), 8-bit, greyscale or YCbCr, luma sampling factors
-  up to 2x2 (4:4:4, 4:2:2, 4:2:0), restart intervals. Arithmetic
-  coding, 12-bit, and CMYK raise ``JpegFormatError`` rather than
+- decode: baseline sequential (SOF0), extended sequential (SOF1, incl.
+  12-bit precision with pq=1 quantization tables, narrowed to the high
+  8 bits like the PNG 16-bit path), AND progressive DCT (SOF2, Huffman:
+  spectral selection + successive approximation with EOB-run coding,
+  T.81 Annex G) -- all added/closed round 5; greyscale or YCbCr, luma
+  sampling factors up to 2x2 (4:4:4, 4:2:2, 4:2:0), restart intervals.
+  Arithmetic coding and CMYK raise ``JpegFormatError`` rather than
   silently mis-decoding.
 - encode: baseline 4:4:4 / 4:2:2 / 4:2:0 / greyscale with the public
   Annex K quantization and Huffman tables, libjpeg-style quality scaling
@@ -44,14 +45,15 @@ __all__ = [
     "is_jpeg",
     "decode_jpeg",
     "encode_jpeg",
+    "encode_jpeg12",
     "MAX_DECODED_BYTES",
 ]
 
 
 class JpegFormatError(ValueError):
-    """Raised for payloads that are not supported JPEG (baseline or
-    progressive Huffman) or use unsupported features (arithmetic
-    coding, 12-bit, CMYK)."""
+    """Raised for payloads that are not supported JPEG (baseline,
+    extended-sequential, or progressive Huffman) or use unsupported
+    features (arithmetic coding, CMYK)."""
 
 
 #: Decompression-bomb guard, same rationale as png.MAX_DECODED_BYTES.
@@ -297,6 +299,7 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytearray]:
     width = height = 0
     restart_interval = 0
     progressive = False
+    precision = 8
     scans_seen = False
     pos = 2
     n = len(payload)
@@ -309,7 +312,9 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytearray]:
         pos += 2
         if marker == 0xD9:  # EOI
             if progressive and scans_seen:
-                return _finish_progressive(width, height, comps, qtables)
+                return _finish_progressive(
+                    width, height, comps, qtables, precision
+                )
             raise JpegFormatError("no scan data before EOI")
         if pos + 2 > n:
             raise JpegFormatError("truncated segment stream")
@@ -322,15 +327,23 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytearray]:
         if marker == 0xDB:  # DQT
             off = 0
             while off < len(seg):
-                if off + 65 > len(seg):
-                    raise JpegFormatError("truncated DQT segment")
                 pq, tq = seg[off] >> 4, seg[off] & 0x0F
-                if pq != 0:
-                    raise JpegFormatError("16-bit quant tables unsupported")
+                if pq not in (0, 1):
+                    raise JpegFormatError(f"bad quant precision {pq}")
+                n_bytes = 65 if pq == 0 else 129
+                if off + n_bytes > len(seg):
+                    raise JpegFormatError("truncated DQT segment")
                 tbl = np.zeros(64)
-                tbl[ZIGZAG] = np.frombuffer(seg[off + 1 : off + 65], dtype=np.uint8)
+                if pq == 0:
+                    tbl[ZIGZAG] = np.frombuffer(
+                        seg[off + 1 : off + 65], dtype=np.uint8
+                    )
+                else:  # 16-bit entries (the table form 12-bit frames use)
+                    tbl[ZIGZAG] = np.frombuffer(
+                        seg[off + 1 : off + 129], dtype=">u2"
+                    ).astype(np.float64)
                 qtables[tq] = tbl.reshape(8, 8)
-                off += 65
+                off += n_bytes
         elif marker == 0xC4:  # DHT
             off = 0
             while off < len(seg):
@@ -346,11 +359,15 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytearray]:
                 off += 17 + nv
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", seg[:2])
-        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+        elif marker in (0xC0, 0xC1, 0xC2):
+            # SOF0 baseline / SOF1 extended sequential / SOF2 progressive
             progressive = marker == 0xC2
             prec, height, width, nc = struct.unpack(">BHHB", seg[:6])
-            if prec != 8:
+            if prec not in (8, 12):
                 raise JpegFormatError(f"unsupported sample precision {prec}")
+            if prec == 12 and marker == 0xC0:
+                raise JpegFormatError("12-bit precision needs SOF1/SOF2")
+            precision = prec
             if nc not in (1, 3):
                 raise JpegFormatError(f"unsupported component count {nc}")
             if len(seg) < 6 + 3 * nc:
@@ -363,11 +380,12 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytearray]:
                 comps.append({"id": cid, "h": h, "v": v, "tq": tq})
             if progressive:
                 _alloc_progressive(comps, width, height)
-        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise JpegFormatError(
-                "only baseline (SOF0) and progressive (SOF2) JPEG are "
-                f"supported; got SOF marker 0x{marker:02X}"
+                "only baseline (SOF0), extended sequential (SOF1), and "
+                f"progressive (SOF2) JPEG are supported; got SOF marker "
+                f"0x{marker:02X}"
             )
         elif marker == 0xCC:
             raise JpegFormatError("arithmetic coding unsupported")
@@ -390,7 +408,7 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytearray]:
                     raise JpegFormatError("scan leaves components unassigned")
                 return _decode_scan(
                     payload, scan_at, width, height, comps, qtables,
-                    htables, restart_interval,
+                    htables, restart_interval, precision,
                 )
             ns = seg[0]
             if len(seg) < 4 + 2 * ns:
@@ -422,6 +440,7 @@ def _decode_scan(
     qtables: dict,
     htables: dict,
     restart_interval: int,
+    precision: int = 8,
 ) -> tuple[int, int, int, bytearray]:
     if not comps or not width or not height:
         raise JpegFormatError("missing SOF0 frame header")
@@ -469,38 +488,51 @@ def _decode_scan(
                         c["coef"][by : by + 8, bx : bx + 8] = block * q
             mcu_index += 1
 
-    return _idct_output(width, height, comps, hmax, vmax)
+    return _idct_output(width, height, comps, hmax, vmax, precision)
 
 
 def _idct_output(
-    width: int, height: int, comps: list[dict], hmax: int, vmax: int
+    width: int,
+    height: int,
+    comps: list[dict],
+    hmax: int,
+    vmax: int,
+    precision: int = 8,
 ) -> tuple[int, int, int, bytearray]:
     """Shared decode tail: batched IDCT over each component's dequantized
-    coefficient plane (``c["coef"]``), upsample, color-convert."""
+    coefficient plane (``c["coef"]``), upsample, color-convert. 12-bit
+    frames run the same math at the 12-bit scale (level shift 2048) and
+    narrow to the high 8 bits at the end -- the same posture as the PNG
+    16-bit path."""
     nc = len(comps)
+    center = float(1 << (precision - 1))
+    maxval = (1 << precision) - 1
     planes = []
     for c in comps:
         coef = c["coef"]
         bh, bw = coef.shape[0] // 8, coef.shape[1] // 8
         blocks = coef.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3)
         spatial = np.einsum("ux,mnuv,vy->mnxy", _A, blocks, _A, optimize=True)
-        plane = spatial.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8) + 128.0
+        plane = spatial.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8) + center
         plane = np.repeat(
             np.repeat(plane, vmax // c["v"], axis=0), hmax // c["h"], axis=1
         )
         planes.append(plane[:height, :width])
 
+    def narrow(arr: np.ndarray) -> np.ndarray:
+        vals = np.clip(_round_half_up(arr), 0, maxval).astype(np.int64)
+        if precision > 8:
+            vals >>= precision - 8
+        return vals.astype(np.uint8)
+
     if nc == 1:
-        out = np.clip(_round_half_up(planes[0]), 0, 255).astype(np.uint8)
-        return width, height, 1, bytearray(out.tobytes())
+        return width, height, 1, bytearray(narrow(planes[0]).tobytes())
     y, cb, cr = planes
     # JFIF YCbCr -> RGB, floor(x+0.5) rounding (decode-side twin of encode).
-    r = _round_half_up(y + 1.402 * (cr - 128.0))
-    g = _round_half_up(y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0))
-    b = _round_half_up(y + 1.772 * (cb - 128.0))
-    rgb = np.stack(
-        [np.clip(r, 0, 255), np.clip(g, 0, 255), np.clip(b, 0, 255)], axis=-1
-    ).astype(np.uint8)
+    r = y + 1.402 * (cr - center)
+    g = y - 0.344136 * (cb - center) - 0.714136 * (cr - center)
+    b = y + 1.772 * (cb - center)
+    rgb = np.stack([narrow(r), narrow(g), narrow(b)], axis=-1)
     return width, height, 3, bytearray(rgb.tobytes())
 
 
@@ -766,7 +798,11 @@ def _ac_refine_pass(
 
 
 def _finish_progressive(
-    width: int, height: int, comps: list[dict], qtables: dict
+    width: int,
+    height: int,
+    comps: list[dict],
+    qtables: dict,
+    precision: int = 8,
 ) -> tuple[int, int, int, bytearray]:
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
@@ -783,7 +819,7 @@ def _finish_progressive(
             .transpose(0, 2, 1, 3)
             .reshape(bh * 8, bw * 8)
         )
-    return _idct_output(width, height, comps, hmax, vmax)
+    return _idct_output(width, height, comps, hmax, vmax, precision)
 
 
 # --------------------------------------------------------------------------
@@ -1346,5 +1382,103 @@ def _encode_progressive(
         w, grids, metas, mcus_x, mcus_y, 1, 0, dc_codes, restart_interval
     )
     out += w.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# --------------------------------------------------------------------------
+# 12-bit extended-sequential encoder (decoder-coverage twin, same posture
+# as the progressive encoder: spec-valid output whose job is exercising
+# the SOF1 / pq=1-DQT / extended-Huffman decode paths)
+
+#: Flat Huffman specs for 12-bit scans: DC categories reach 15 and AC
+#: sizes reach 15 (coefficients span +-16384 at quality 100), beyond the
+#: Annex K 8-bit tables -- so 12-bit scans carry complete flat codes
+#: (256 length-8 AC symbols; 16 DC categories).
+DC12_SPEC = (
+    [0, 0, 0, 0, 16, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0],
+    list(range(16)),
+)
+AC12_SPEC = (
+    # 255 codes at length 8 + 1 at length 9: Kraft 255/256 + 1/512 < 1,
+    # and the length-9 code (0x1FE) is not all-ones -- both constraints
+    # a complete 256x8 table would violate (T.81 reserves the all-ones
+    # prefix).
+    [0, 0, 0, 0, 0, 0, 0, 255, 1, 0, 0, 0, 0, 0, 0, 0],
+    [(r << 4) | s for r in range(16) for s in range(16)],
+)
+
+
+def encode_jpeg12(
+    width: int,
+    height: int,
+    channels: int,
+    samples: list[int],
+    quality: int = 90,
+) -> bytes:
+    """Encode 12-bit samples (interleaved ints in [0, 4095], greyscale or
+    RGB, 4:4:4) -> extended-sequential (SOF1) 12-bit JPEG bytes with
+    16-bit (pq=1) quantization tables."""
+    if channels not in (1, 3):
+        raise JpegFormatError(f"unsupported channel count {channels}")
+    if len(samples) != width * height * channels:
+        raise JpegFormatError("sample buffer does not match dimensions")
+    arr = np.asarray(samples, dtype=np.float64).reshape(height, width, channels)
+    if arr.min() < 0 or arr.max() > 4095:
+        raise JpegFormatError("samples must be 12-bit (0..4095)")
+    if channels == 3:
+        r, g, b = arr[..., 0], arr[..., 1], arr[..., 2]
+        y = _round_half_up(0.299 * r + 0.587 * g + 0.114 * b)
+        cb = _round_half_up(2048.0 - 0.168735892 * r - 0.331264108 * g + 0.5 * b)
+        cr = _round_half_up(2048.0 + 0.5 * r - 0.418687589 * g - 0.081312411 * b)
+        planes = [np.clip(p, 0, 4095) for p in (y, cb, cr)]
+    else:
+        planes = [arr[..., 0]]
+
+    q_luma = _quality_scale(STD_LUMA_Q, quality)
+    q_chroma = _quality_scale(STD_CHROMA_Q, quality)
+    dc_codes = _build_encode_table(*DC12_SPEC)
+    ac_codes = _build_encode_table(*AC12_SPEC)
+
+    ph = -(-height // 8) * 8
+    pw = -(-width // 8) * 8
+    padded = [
+        np.pad(
+            p, ((0, ph - height), (0, pw - width)), mode="edge"
+        ) - 2048.0
+        for p in planes
+    ]
+
+    writer = _BitWriter()
+    preds = [0] * channels
+    for by in range(0, ph, 8):
+        for bx in range(0, pw, 8):
+            for ci, p in enumerate(padded):
+                q = q_luma if ci == 0 else q_chroma
+                preds[ci] = _encode_block(
+                    writer, p[by : by + 8, bx : bx + 8], q, preds[ci],
+                    dc_codes, ac_codes,
+                )
+    scan = writer.flush()
+
+    def dqt16(tq: int, tbl: np.ndarray) -> bytes:
+        zz = tbl.reshape(-1)[ZIGZAG].astype(">u2")
+        return _seg(0xDB, bytes([0x10 | tq]) + zz.tobytes())
+
+    out = bytearray(_SOI)
+    out += dqt16(0, q_luma)
+    if channels == 3:
+        out += dqt16(1, q_chroma)
+    sof_comps = b""
+    for ci in range(channels):
+        sof_comps += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])
+    out += _seg(0xC1, struct.pack(">BHHB", 12, height, width, channels) + sof_comps)
+    out += _dht_seg(0, 0, DC12_SPEC)
+    out += _dht_seg(1, 0, AC12_SPEC)
+    sos_comps = b""
+    for ci in range(channels):
+        sos_comps += bytes([ci + 1, 0x00])
+    out += _seg(0xDA, bytes([channels]) + sos_comps + b"\x00\x3f\x00")
+    out += scan
     out += b"\xff\xd9"
     return bytes(out)

@@ -293,3 +293,51 @@ def test_progressive_422_and_restart_intervals():
     a = np.frombuffer(bytes(out), np.uint8).astype(int)
     b = np.frombuffer(px, np.uint8).astype(int)
     assert np.abs(a - b).max() <= 1
+
+
+def test_12bit_flat_exact_and_closed_form():
+    """12-bit extended sequential (SOF1, pq=1 quant tables, extended flat
+    Huffman): flat blocks at quality=100 decode to the 12-bit value's
+    high byte exactly; RGB runs the same double-rounding chain at the
+    12-bit scale (level shift 2048) before narrowing."""
+    for v in (0, 4095, 2048, 1234):
+        blob = jpeg.encode_jpeg12(8, 8, 1, [v] * 64, quality=100)
+        w, h, ch, out = jpeg.decode_jpeg(blob)
+        assert (w, h, ch) == (8, 8, 1) and set(out) == {v >> 4}, v
+    fl = lambda x: min(4095, max(0, math.floor(x + 0.5)))  # noqa: E731
+    r, g, b = 100, 2000, 3500
+    y = fl(0.299 * r + 0.587 * g + 0.114 * b)
+    cb = fl(2048 - 0.168735892 * r - 0.331264108 * g + 0.5 * b)
+    cr = fl(2048 + 0.5 * r - 0.418687589 * g - 0.081312411 * b)
+    exp = (
+        fl(y + 1.402 * (cr - 2048)) >> 4,
+        fl(y - 0.344136 * (cb - 2048) - 0.714136 * (cr - 2048)) >> 4,
+        fl(y + 1.772 * (cb - 2048)) >> 4,
+    )
+    w, h, ch, out = jpeg.decode_jpeg(
+        jpeg.encode_jpeg12(8, 8, 3, [r, g, b] * 64, quality=100)
+    )
+    assert bytes(out) == bytes(exp) * 64
+
+
+def test_12bit_random_roundtrip_bounded():
+    import random
+
+    rnd = random.Random(8)
+    for trial in range(8):
+        w, h = rnd.randint(1, 20), rnd.randint(1, 20)
+        s = [rnd.randrange(4096) for _ in range(w * h)]
+        dw, dh, dc, out = jpeg.decode_jpeg(
+            jpeg.encode_jpeg12(w, h, 1, s, quality=95)
+        )
+        assert (dw, dh, dc) == (w, h, 1)
+        assert max(abs(out[i] - (s[i] >> 4)) for i in range(len(s))) <= 40
+
+
+def test_12bit_requires_sof1():
+    # precision 12 under a plain SOF0 is malformed per scope and refused
+    blob = bytearray(jpeg.encode_jpeg12(8, 8, 1, [7] * 64))
+    sof_at = bytes(blob).find(b"\xff\xc1")
+    blob[sof_at + 1] = 0xC0
+    with pytest.raises(jpeg.JpegFormatError, match="12-bit"):
+        jpeg.decode_jpeg(bytes(blob))
