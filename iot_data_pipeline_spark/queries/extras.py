@@ -1868,7 +1868,7 @@ def q181_contribution_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
     r AS (SELECT r AS k, (r % 7 + 1) AS w FROM range(1000) t(r))
     SELECT l.k % 10 AS k_bucket,
            CAST(COUNT(*) AS BIGINT) AS n_pairs,
-           CAST(SUM(l.v * r.w) AS DECIMAL(28,6)) AS weighted_sum
+           CAST(CAST(SUM(l.v * r.w) AS DECIMAL(28,6)) AS VARCHAR) AS weighted_sum
     FROM l JOIN r ON l.k = r.k
     GROUP BY 1 ORDER BY 1
     """,
@@ -1907,8 +1907,11 @@ def q184_salted_join_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.pmod("k", F.lit(10)).alias("k_bucket"))
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            # exact decimal sum internally; STRING out (q72 pattern --
+            # raw Decimal output defeats the driver's value-hasher)
             F.sum(F.col("v") * F.col("w"))
             .cast("decimal(28,6)")
+            .cast("string")
             .alias("weighted_sum"),
         )
         .orderBy("k_bucket")

@@ -645,9 +645,9 @@ def q74_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT event_type,
            CAST(COUNT(*) AS BIGINT) AS n,
-           CAST(SUM(v) AS DECIMAL(28,6)) AS total,
-           CAST(MIN(v) AS DECIMAL(18,6)) AS v_min,
-           CAST(MAX(v) AS DECIMAL(18,6)) AS v_max,
+           CAST(CAST(SUM(v) AS DECIMAL(28,6)) AS VARCHAR) AS total,
+           CAST(CAST(MIN(v) AS DECIMAL(18,6)) AS VARCHAR) AS v_min,
+           CAST(CAST(MAX(v) AS DECIMAL(18,6)) AS VARCHAR) AS v_max,
            ROUND(CAST(SUM(v) AS DOUBLE) / COUNT(*), 4) AS v_avg
     FROM src GROUP BY event_type ORDER BY event_type
     """,
@@ -728,12 +728,17 @@ def q167_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     compact_rollup(spark, rollup_path, keys=["event_type"], values=["v"])
     folded = read_rollup(spark, rollup_path, keys=["event_type"], values=["v"])
+    # Final projection: decimals stay exact internally, but render to
+    # STRING for output -- the driver's value-hasher canonicalizes raw
+    # Decimal cells differently per engine fetch path (round-5 verdict;
+    # q72's engine-neutral pattern). Registry rule: no raw DecimalType
+    # in top-level output columns.
     return folded.select(
         "event_type",
         F.col("v_count").cast("bigint").alias("n"),
-        F.col("v_sum").cast("decimal(28,6)").alias("total"),
-        F.col("v_min").cast("decimal(18,6)").alias("v_min"),
-        F.col("v_max").cast("decimal(18,6)").alias("v_max"),
+        F.col("v_sum").cast("decimal(28,6)").cast("string").alias("total"),
+        F.col("v_min").cast("decimal(18,6)").cast("string").alias("v_min"),
+        F.col("v_max").cast("decimal(18,6)").cast("string").alias("v_max"),
         F.round(
             F.col("v_sum").cast("double") / F.col("v_count").cast("double"), 4
         ).alias("v_avg"),

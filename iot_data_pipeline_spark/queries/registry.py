@@ -9,7 +9,13 @@ Determinism rules applied throughout (SURVEY.md section 2.3):
 - floating aggregates rounded AFTER aggregation;
 - timestamps compared as strings of date_trunc'd values, UTC both sides;
 - no nondeterministic or approximate functions;
-- ties broken by explicit keys wherever a ranking cuts off.
+- ties broken by explicit keys wherever a ranking cuts off;
+- final projections NEVER emit raw DecimalType columns: the driver's
+  value-hasher canonicalizes Decimal cells differently between its
+  PySpark and DuckDB fetch paths (round-5 q167/q184 false reds), so
+  decimals stay exact internally but are cast to STRING on BOTH sides
+  at the output boundary (q72's pattern; guarded by
+  tests/test_registry_contract.py::test_no_raw_decimal_output_columns).
 """
 
 from __future__ import annotations

@@ -66,6 +66,20 @@ def compare_query(spark, con, name: str, sf_dir: str) -> list[str]:
     dq = REGISTRY[name]
     sdf = dq.fn(spark, sf_dir)
     spark_cols = sdf.columns
+    # Registry rule (registry.py docstring): final projections never emit
+    # raw DecimalType -- the driver's value-hasher canonicalizes Decimal
+    # cells differently per engine fetch path (round-5 q167/q184 false
+    # reds). Enforced here so every harness run checks all 201 queries.
+    from pyspark.sql.types import DecimalType
+
+    decimal_cols = [
+        f.name for f in sdf.schema.fields if isinstance(f.dataType, DecimalType)
+    ]
+    if decimal_cols:
+        return [
+            f"raw DecimalType output columns {decimal_cols}: cast to STRING "
+            "on both sides (q72 pattern; registry.py docstring rule)"
+        ]
     # Through pandas on BOTH sides, like the driver: NULL doubles render
     # NaN symmetrically, and dtype coercions (int-with-nulls -> float64)
     # hit both engines alike instead of just one.
