@@ -384,6 +384,23 @@ def main() -> int:
     per_query: dict[str, float] = {}
     errors: dict[str, str] = {}
     total = 0.0
+    # Pre-build the shared q25 near-dup pair graph as its own timed line:
+    # four consumers (q25/q52/q123/q144-family) share the session cache, so
+    # whichever ran first paid the one-time shingle-join build and its
+    # per-query time moved whenever the registry rotation reordered them
+    # (round-5's q123 false alarm). Charging the build to an explicit entry
+    # makes consumer times order-independent and keeps the total honest.
+    try:
+        from iot_data_pipeline_spark.queries.llm import _ngram_pairs_cached
+
+        t0 = time.perf_counter()
+        _ngram_pairs_cached(spark, SF_DIR)
+        dt = time.perf_counter() - t0
+        per_query["b00_ngram_pair_graph_build"] = round(dt, 3)
+        total += dt
+        print(f"# b00_ngram_pair_graph_build: {dt:.3f}s", flush=True)
+    except Exception as exc:
+        print(f"# pair-graph prewarm failed: {exc}", flush=True)
     runnables = {name: dq.fn for name, dq in REGISTRY.items()}
     runnables.update(bench_extras())
     for name, fn in runnables.items():

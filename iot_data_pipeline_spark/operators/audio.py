@@ -55,6 +55,17 @@ def decode_wav(payload: bytes) -> tuple[int, int, list[int]]:
 
     Supports PCM (audio format 1) at 8-bit unsigned / 16-bit signed.
     """
+    rate, channels, _bits, samples = decode_wav_ex(payload)
+    return rate, channels, samples
+
+
+def decode_wav_ex(payload: bytes) -> tuple[int, int, int, list[int]]:
+    """Decode -> ``(sample_rate, channels, bits_per_sample, samples)``.
+
+    8-bit payloads decode to [-128, 127] ints, so the amplitude full
+    scale is ``2**(bits-1)`` -- feature kernels must normalize by it,
+    not by the 16-bit constant (the FLAC depth-scope advisor finding
+    applies here too: 8-bit WAV features were silently ~1/256 scale)."""
     if not is_wav(payload):
         raise WavFormatError("bad RIFF/WAVE signature")
     pos, n = 12, len(payload)
@@ -96,14 +107,20 @@ def decode_wav(payload: bytes) -> tuple[int, int, list[int]]:
         samples = list(struct.unpack(f"<{len(data) // 2}h", data))
     else:
         samples = [b - 128 for b in data]
-    return rate, channels, samples
+    return rate, channels, bits, samples
 
 
-def amplitude_grid_features(samples: list[int], channels: int, dim: int) -> list[float]:
+def amplitude_grid_features(
+    samples: list[int],
+    channels: int,
+    dim: int,
+    full_scale: float = 32768.0,
+) -> list[float]:
     """Mean |amplitude| over ``dim`` equal time cells, each normalized to
-    [0, 1] by the 16-bit full scale -- the audio twin of the PNG luma
-    grid. Multi-channel audio is folded by averaging the interleaved
-    channels per frame (integer sum, exact)."""
+    [0, 1] by ``full_scale`` (``2**(bits_per_sample-1)``; defaults to the
+    16-bit scale) -- the audio twin of the PNG luma grid. Multi-channel
+    audio is folded by averaging the interleaved channels per frame
+    (integer sum, exact)."""
     frames = len(samples) // channels
     if frames == 0:
         return [0.0] * dim
@@ -117,7 +134,8 @@ def amplitude_grid_features(samples: list[int], channels: int, dim: int) -> list
         sums[cell] += acc
         counts[cell] += channels
     return [
-        (sums[i] / counts[i] / 32768.0) if counts[i] else 0.0 for i in range(dim)
+        (sums[i] / counts[i] / full_scale) if counts[i] else 0.0
+        for i in range(dim)
     ]
 
 

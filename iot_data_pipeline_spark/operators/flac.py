@@ -35,6 +35,7 @@ __all__ = [
     "FlacFormatError",
     "is_flac",
     "decode_flac",
+    "decode_flac_ex",
     "encode_flac",
     "MAX_DECODED_SAMPLES",
 ]
@@ -54,7 +55,9 @@ _RATES = {
     0: None, 1: 88200, 2: 176400, 3: 192000, 4: 8000, 5: 16000, 6: 22050,
     7: 24000, 8: 32000, 9: 44100, 10: 48000, 11: 96000,
 }
-_SAMPLE_SIZES = {1: 8, 2: 12, 4: 16, 5: 20, 6: 24, 7: 32}
+#: size-code 0 defers to STREAMINFO; 3 is reserved; 7 (32-bit) is outside
+#: this decoder's 8-24-bit scope and is rejected explicitly below.
+_SAMPLE_SIZES = {1: 8, 2: 12, 4: 16, 5: 20, 6: 24}
 
 #: FIXED predictor coefficients by order (applied to previous samples).
 _FIXED_COEFS = {
@@ -228,6 +231,17 @@ def _decode_subframe(r: _BitReader, block_size: int, bps: int) -> list[int]:
 def decode_flac(payload: bytes) -> tuple[int, int, list[int]]:
     """Decode -> ``(sample_rate, channels, samples)`` (interleaved ints),
     the same contract as :func:`audio.decode_wav`."""
+    rate, channels, _bps, samples = decode_flac_ex(payload)
+    return rate, channels, samples
+
+
+def decode_flac_ex(payload: bytes) -> tuple[int, int, int, list[int]]:
+    """Decode -> ``(sample_rate, channels, bits_per_sample, samples)``.
+
+    The STREAMINFO bit depth is the amplitude full scale of the decoded
+    integers; feature kernels must normalize by ``2**(bps-1)``, not a
+    hardcoded 16-bit scale (round-5 advisor finding: a 24-bit stream
+    silently yielded features up to ~256)."""
     if not is_flac(payload):
         raise FlacFormatError("bad fLaC signature")
     pos = 4
@@ -258,6 +272,11 @@ def decode_flac(payload: bytes) -> tuple[int, int, list[int]]:
     si_rate = si.read(20)
     si_channels = si.read(3) + 1
     si_bps = si.read(5) + 1
+    if not 8 <= si_bps <= 24:
+        raise FlacFormatError(
+            f"STREAMINFO bit depth {si_bps} is outside this decoder's "
+            "8-24-bit scope"
+        )
     si_total = si.read(36)
     if si_total * si_channels > MAX_DECODED_SAMPLES:
         raise FlacFormatError(
@@ -309,6 +328,10 @@ def decode_flac(payload: bytes) -> tuple[int, int, list[int]]:
         bps = _SAMPLE_SIZES.get(size_code, si_bps)
         if size_code == 3:
             raise FlacFormatError("reserved sample size code 3")
+        if size_code == 7:
+            raise FlacFormatError(
+                "32-bit samples are outside this decoder's 8-24-bit scope"
+            )
         if ch_code <= 7:
             n_ch = ch_code + 1
             if n_ch != si_channels:
@@ -360,7 +383,7 @@ def decode_flac(payload: bytes) -> tuple[int, int, list[int]]:
     for i in range(decoded):
         for c in range(si_channels):
             interleaved.append(channels_out[c][i])
-    return rate, si_channels, interleaved
+    return rate, si_channels, si_bps, interleaved
 
 
 # --------------------------------------------------------------------------

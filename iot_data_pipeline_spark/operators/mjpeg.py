@@ -82,15 +82,21 @@ def decode_mjpeg_avi(payload: bytes) -> MjpegClip:
     frames: list[tuple[int, int, int, bytearray]] = []
     saw_video_stream = False
 
-    def handle_list(body: int, clen: int) -> None:
+    def handle_list(body: int, clen: int, depth: int = 0) -> None:
         nonlocal rate, scale, saw_video_stream
+        # Real AVIs nest LISTs at most ~3 deep (hdrl>strl, movi>'rec ');
+        # a crafted payload nesting ~12 bytes/level would otherwise turn
+        # into RecursionError, which escapes the tolerant channel's
+        # FormatError-only dead-letter contract.
+        if depth > 32:
+            raise MjpegFormatError("LIST nesting deeper than 32 levels")
         ltype = payload[body : body + 4]
         inner = body + 4
         end = body + clen
         if ltype in (b"hdrl", b"strl"):
             for fourcc, b, ln in _walk_chunks(payload, inner, end):
                 if fourcc == b"LIST":
-                    handle_list(b, ln)
+                    handle_list(b, ln, depth + 1)
                 elif fourcc == b"strh" and ln >= 40:
                     fcc_type = payload[b : b + 4]
                     if fcc_type == b"vids":
@@ -101,7 +107,7 @@ def decode_mjpeg_avi(payload: bytes) -> MjpegClip:
         elif ltype == b"movi":
             for fourcc, b, ln in _walk_chunks(payload, inner, end):
                 if fourcc == b"LIST":
-                    handle_list(b, ln)  # 'rec ' grouping
+                    handle_list(b, ln, depth + 1)  # 'rec ' grouping
                 elif fourcc[2:4] in (b"dc", b"db"):
                     blob = payload[b : b + ln]
                     if not _jpeg.is_jpeg(blob):

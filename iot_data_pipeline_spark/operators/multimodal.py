@@ -357,11 +357,11 @@ def extract_audio_features(
         from iot_data_pipeline_spark.operators import audio, flac
 
         if audio.is_wav(payload):
-            rate, channels, samples = audio.decode_wav(payload)
+            rate, channels, bps, samples = audio.decode_wav_ex(payload)
         elif flac.is_flac(payload):
             # REAL compressed-audio decode (round 5): rice-coded
             # prediction residuals -> the same PCM feature path as WAV
-            rate, channels, samples = flac.decode_flac(payload)
+            rate, channels, bps, samples = flac.decode_flac_ex(payload)
         else:
             raise NotImplementedError(
                 "only RIFF/WAVE PCM and FLAC decode are vendored in this "
@@ -369,8 +369,13 @@ def extract_audio_features(
                 "kernel into this same signature on a real cluster, or "
                 "run with mode='fake'"
             )
+        # normalize by the stream's actual full scale -- a 24-bit FLAC
+        # (or 8-bit WAV) through the 16-bit constant was silently ~256x
+        # (resp. 1/256x) off the [0, 1] feature contract
         return (
-            audio.amplitude_grid_features(samples, channels, dim),
+            audio.amplitude_grid_features(
+                samples, channels, dim, full_scale=float(1 << (bps - 1))
+            ),
             audio.zero_crossings(samples, channels),
         )
 

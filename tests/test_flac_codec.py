@@ -258,3 +258,81 @@ def test_eight_channel_interleaving():
     assert ch == 8
     for c in range(8):
         assert got[c::8] == chans[c], c
+
+
+def test_32bit_size_code_refused():
+    """Frame size-code 7 (32-bit) is outside the documented 8-24-bit
+    scope and must refuse loudly, not silently decode an untested depth
+    (round-5 advisor finding)."""
+    bs = 2
+
+    def sub(w):
+        w.write(0, 1)
+        w.write(1, 6)
+        w.write(0, 1)
+        for v in (1, -1):
+            w.write(v & 0xFFFFFFFF, 32)
+
+    with pytest.raises(flac.FlacFormatError, match="32-bit"):
+        flac.decode_flac(_stream_custom(1, bs, 7, 24, sub))
+
+
+def test_32bit_streaminfo_depth_refused():
+    """STREAMINFO declaring 32-bit (frames would inherit it via size
+    code 0) is equally out of scope."""
+    bs = 2
+
+    def sub(w):
+        w.write(0, 1)
+        w.write(1, 6)
+        w.write(0, 1)
+        for v in (1, -1):
+            w.write(v & 0xFFFFFFFF, 32)
+
+    with pytest.raises(flac.FlacFormatError, match="scope"):
+        flac.decode_flac(_stream_custom(1, bs, 0, 32, sub))
+
+
+def test_decode_flac_ex_exposes_bit_depth():
+    bs = 4
+    vals = [8_000_000, -8_000_000, 123_456, -1]
+
+    def sub(w):
+        w.write(0, 1)
+        w.write(1, 6)
+        w.write(0, 1)
+        for v in vals:
+            w.write(v & 0xFFFFFF, 24)
+
+    rate, ch, bps, got = flac.decode_flac_ex(_stream_custom(1, bs, 6, 24, sub))
+    assert (ch, bps) == (1, 24)
+    assert got == vals
+
+
+def test_24bit_flac_features_normalized_by_depth(spark):
+    """The audio feature kernel must normalize by 2**(bps-1), not the
+    16-bit constant: a constant-amplitude 24-bit stream's mean-|amp|
+    cells are exactly A / 2**23 (round-5 advisor finding -- previously
+    they came out ~256x too large)."""
+    from iot_data_pipeline_spark.operators.multimodal import (
+        extract_audio_features,
+    )
+
+    bs = 16
+    amp = 4_000_000  # needs >16 bits
+
+    def sub(w):
+        w.write(0, 1)
+        w.write(1, 6)
+        w.write(0, 1)
+        for j in range(bs):
+            v = amp if j % 2 == 0 else -amp
+            w.write(v & 0xFFFFFF, 24)
+
+    blob = _stream_custom(1, bs, 6, 24, sub)
+    df = spark.createDataFrame(
+        [(0, bytearray(blob))], "media_id long, content binary"
+    )
+    row = extract_audio_features(df, dim=4, mode="strict").collect()[0]
+    assert list(row["features"]) == pytest.approx([amp / 2.0**23] * 4)
+    assert row["zero_crossings"] == bs - 1

@@ -86,3 +86,29 @@ def test_video_kernel_samples_mjpeg(spark):
     )
     assert [r[0] for r in rows] == [0, 2]
     assert all(r[1] == 4 for r in rows)
+
+
+def test_deep_list_nesting_refused_as_format_error():
+    """A crafted AVI nesting LISTs hundreds deep (~12 bytes/level) must
+    raise MjpegFormatError, not RecursionError -- only typed codec
+    FormatErrors may escape into the tolerant channel's dead-letter path
+    (round-5 advisor finding)."""
+    import struct
+
+    depth = 500
+    # innermost: an empty 'rec ' LIST; wrap outward repeatedly
+    body = b"rec "
+    for _ in range(depth):
+        body = b"LIST" + struct.pack("<I", len(body)) + body
+        body = b"movi" + body  # keep each level walkable
+    # the outer walk sees LIST(movi(LIST(movi(...)))) chains
+    blob = (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(b"movi") + len(body))
+        + b"AVI "
+        + b"LIST"
+        + struct.pack("<I", len(body))
+        + body
+    )
+    with pytest.raises(mjpeg.MjpegFormatError):
+        mjpeg.decode_mjpeg_avi(blob)
