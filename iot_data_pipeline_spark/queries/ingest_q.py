@@ -1158,3 +1158,171 @@ def q177_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_bucket")
     )
+
+
+@declared(
+    "q189_dedup_within_watermark",
+    oracle="""
+    WITH appear AS (
+      SELECT 1 AS b, r AS k, TIMESTAMP '2024-01-01 00:00:00' AS ts
+      FROM range(10) t(r)
+      UNION ALL
+      SELECT 2, 10 + r, TIMESTAMP '2024-01-01 00:30:00' FROM range(2) t(r)
+      UNION ALL SELECT 2, 5, TIMESTAMP '2024-01-01 00:05:00'
+      UNION ALL SELECT 3, 12, TIMESTAMP '2024-01-01 00:31:00'
+      UNION ALL
+      SELECT 4, r, TIMESTAMP '2024-01-01 00:32:00' FROM range(2) t(r)
+      UNION ALL SELECT 4, 10, TIMESTAMP '2024-01-01 00:32:00'
+    ),
+    wm AS (
+      -- state evicted before batch b ran = the watermark DURING batch
+      -- b-1 (itself computed from batches <= b-2) passed the expiry:
+      -- eviction is an end-of-batch cleanup, so a duplicate arriving in
+      -- the same batch whose watermark first exceeds the expiry is
+      -- still suppressed (measured engine behavior, encoded here)
+      SELECT b,
+             MAX(mx) OVER (ORDER BY b
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING)
+               - INTERVAL 10 MINUTE AS w
+      FROM (SELECT b, MAX(ts) AS mx FROM appear GROUP BY b)
+    ),
+    e1 AS (SELECT k, MIN(b) AS b1 FROM appear GROUP BY k),
+    e1ts AS (
+      SELECT a.k, e1.b1, MIN(a.ts) AS ts1
+      FROM appear a JOIN e1 ON a.k = e1.k AND a.b = e1.b1
+      GROUP BY a.k, e1.b1
+    ),
+    e2 AS (
+      SELECT a.k, MIN(a.b) AS b2
+      FROM appear a
+      JOIN e1ts f ON a.k = f.k AND a.b > f.b1
+      JOIN wm ON wm.b = a.b AND wm.w > f.ts1 + INTERVAL 10 MINUTE
+      GROUP BY a.k
+    ),
+    e2ts AS (
+      SELECT a.k, MIN(a.ts) AS ts2
+      FROM appear a JOIN e2 ON a.k = e2.k AND a.b = e2.b2
+      GROUP BY a.k
+    ),
+    em AS (
+      SELECT k, ts1 AS ts FROM e1ts
+      UNION ALL
+      SELECT k, ts2 FROM e2ts
+    )
+    SELECT k,
+           CAST(COUNT(*) AS BIGINT) AS n_emits,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS first_seen,
+           strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS last_seen
+    FROM em GROUP BY k ORDER BY k
+    """,
+)
+def q189_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dropDuplicatesWithinWatermark`` (B42's bounded-state form) under
+    the driver's hash gate -- completing the streaming-semantics trio
+    (q177 outer-join eviction, q167 incremental rollup). Four staged
+    micro-batches prove the three behaviors in one run:
+
+    - batch 1 (t+0): keys 0-9 twice each              -> in-batch dedup;
+    - batch 2 (t+30m): new keys 10/11 twice, plus a key-5 duplicate at
+      t+5m (inside the 10-minute delay, so its drop is the API's
+      *guarantee*, not an implementation accident) -> cross-batch
+      suppression while state lives;
+    - batch 3 (t+31m): one fresh key 12 -- exists so the watermark
+      entering it (t+20m, from batch 2's max) runs the END-OF-BATCH
+      cleanup that evicts keys 0-9 (expiry t+10m); a duplicate placed
+      IN this batch would still be suppressed, because lookup precedes
+      cleanup (measured: the 3-batch version of this fixture did not
+      re-emit);
+    - batch 4 (t+32m): keys 0/1 again -> re-emitted against the now-
+      empty state (the deliberate state-size/completeness trade of
+      infinite-stream dedup); key 10's duplicate (expiry t+40m) stays
+      suppressed.
+
+    The oracle replays the same batch schedule in SQL: emission 1 =
+    first appearance of a key; emission 2 = first later appearance in a
+    batch entered AFTER some completed batch's watermark passed emission
+    1's expiry (the fixture has at most two emissions per key by
+    construction, so the two-level unrolling is the exact semantics).
+
+    Scale notes: state is one (key, expiry) entry per live key, evicted
+    by watermark -- the only dedup shape that survives an unbounded
+    stream; 2 shuffle partitions because the probe's cost is state-store
+    open/commit across 3 micro-batches, not row volume (q177's knob).
+    """
+    from iot_data_pipeline_spark.queries.base import fmt_ts
+    from iot_data_pipeline_spark.streaming.windows import dedup_stream
+
+    T0 = "TIMESTAMP'2024-01-01 00:00:00'"
+
+    def _build(d: str) -> None:
+        # JVM-side row construction: a driver-local createDataFrame write
+        # pays ~3-4s of non-Arrow Python->JVM serde PER file at this size
+        # (measured); range+selectExpr keeps all four writes under 1s.
+        def write(df: DataFrame) -> None:
+            df.coalesce(1).write.mode("append").parquet(d)
+
+        dup2 = spark.range(2).selectExpr("id AS dup")
+        write(
+            spark.range(10)
+            .crossJoin(dup2)
+            .selectExpr("id AS k", f"{T0} AS ts", "CAST(id AS DOUBLE) AS v")
+        )
+        write(
+            spark.range(10, 12)
+            .crossJoin(dup2)
+            .selectExpr(
+                "id AS k",
+                f"{T0} + INTERVAL 30 MINUTES AS ts",
+                "CAST(id AS DOUBLE) AS v",
+            )
+            .union(
+                spark.range(1).selectExpr(
+                    "5L AS k", f"{T0} + INTERVAL 5 MINUTES AS ts", "5.0D AS v"
+                )
+            )
+        )
+        write(
+            spark.range(1).selectExpr(
+                "12L AS k", f"{T0} + INTERVAL 31 MINUTES AS ts", "12.0D AS v"
+            )
+        )
+        write(
+            spark.range(3).selectExpr(
+                "CASE id WHEN 0 THEN 0L WHEN 1 THEN 1L ELSE 10L END AS k",
+                f"{T0} + INTERVAL 32 MINUTES AS ts",
+                "CAST(id AS DOUBLE) AS v",
+            )
+        )
+
+    staged = staged_fixture("q189_dups", sf_dir, _build)
+    src = (
+        spark.readStream.schema("k long, ts timestamp, v double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staged)
+    )
+    deduped = dedup_stream(src, ["k"], ts_col="ts", watermark="10 minutes")
+    sink = unique_name("q189_sink")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    try:
+        (
+            deduped.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .option("checkpointLocation", fresh_dir("q189_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return (
+        spark.table(sink)
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_emits"),
+            fmt_ts(F.min("ts")).alias("first_seen"),
+            fmt_ts(F.max("ts")).alias("last_seen"),
+        )
+        .orderBy("k")
+    )
