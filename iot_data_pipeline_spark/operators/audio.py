@@ -153,3 +153,124 @@ def zero_crossings(samples: list[int], channels: int = 1) -> int:
             crossings += 1
         prev = sign
     return crossings
+
+
+# ---------------------------------------------------------------------------
+# Fixed-point interior-bin DFT probe (closes the libm-parity boundary the
+# q159 docstring documents: interior bins have irrational twiddles, so a
+# float DFT's cross-engine bit-parity would hinge on libm. These tables
+# freeze round(cos/sin(2*pi*k*n/32) * 2^15) ONCE as integer literals --
+# generated offline, checked against numpy.fft by a proven error bound in
+# tests/test_audio_codec.py -- and every engine consumes the same integers,
+# so the probe is exact integer arithmetic end-to-end and SQL-restatable.)
+# ---------------------------------------------------------------------------
+
+#: DFT length of the fixed-point probe.
+DFT_N = 32
+#: Probed interior bins (DC and Nyquist are q159's integer-exact pair).
+DFT_BINS = (1, 3, 5, 7)
+
+DFT_COS_Q15 = {
+    1: (
+        32768, 32138, 30274, 27246, 23170, 18205, 12540, 6393,
+        0, -6393, -12540, -18205, -23170, -27246, -30274, -32138,
+        -32768, -32138, -30274, -27246, -23170, -18205, -12540, -6393,
+        0, 6393, 12540, 18205, 23170, 27246, 30274, 32138,
+    ),
+    3: (
+        32768, 27246, 12540, -6393, -23170, -32138, -30274, -18205,
+        0, 18205, 30274, 32138, 23170, 6393, -12540, -27246,
+        -32768, -27246, -12540, 6393, 23170, 32138, 30274, 18205,
+        0, -18205, -30274, -32138, -23170, -6393, 12540, 27246,
+    ),
+    5: (
+        32768, 18205, -12540, -32138, -23170, 6393, 30274, 27246,
+        0, -27246, -30274, -6393, 23170, 32138, 12540, -18205,
+        -32768, -18205, 12540, 32138, 23170, -6393, -30274, -27246,
+        0, 27246, 30274, 6393, -23170, -32138, -12540, 18205,
+    ),
+    7: (
+        32768, 6393, -30274, -18205, 23170, 27246, -12540, -32138,
+        0, 32138, 12540, -27246, -23170, 18205, 30274, -6393,
+        -32768, -6393, 30274, 18205, -23170, -27246, 12540, 32138,
+        0, -32138, -12540, 27246, 23170, -18205, -30274, 6393,
+    ),
+}
+
+DFT_SIN_Q15 = {
+    1: (
+        0, 6393, 12540, 18205, 23170, 27246, 30274, 32138,
+        32768, 32138, 30274, 27246, 23170, 18205, 12540, 6393,
+        0, -6393, -12540, -18205, -23170, -27246, -30274, -32138,
+        -32768, -32138, -30274, -27246, -23170, -18205, -12540, -6393,
+    ),
+    3: (
+        0, 18205, 30274, 32138, 23170, 6393, -12540, -27246,
+        -32768, -27246, -12540, 6393, 23170, 32138, 30274, 18205,
+        0, -18205, -30274, -32138, -23170, -6393, 12540, 27246,
+        32768, 27246, 12540, -6393, -23170, -32138, -30274, -18205,
+    ),
+    5: (
+        0, 27246, 30274, 6393, -23170, -32138, -12540, 18205,
+        32768, 18205, -12540, -32138, -23170, 6393, 30274, 27246,
+        0, -27246, -30274, -6393, 23170, 32138, 12540, -18205,
+        -32768, -18205, 12540, 32138, 23170, -6393, -30274, -27246,
+    ),
+    7: (
+        0, 32138, 12540, -27246, -23170, 18205, 30274, -6393,
+        -32768, -6393, 30274, 18205, -23170, -27246, 12540, 32138,
+        0, -32138, -12540, 27246, 23170, -18205, -30274, 6393,
+        32768, 6393, -30274, -18205, 23170, 27246, -12540, -32138,
+    ),
+}
+
+#: Quantized unit tones (round(cos * 2^11)) -- crafted test signals whose
+#: spectral peak must land on their own bin.
+TONE_Q11 = {
+    1: (
+        2048, 2009, 1892, 1703, 1448, 1138, 784, 400,
+        0, -400, -784, -1138, -1448, -1703, -1892, -2009,
+        -2048, -2009, -1892, -1703, -1448, -1138, -784, -400,
+        0, 400, 784, 1138, 1448, 1703, 1892, 2009,
+    ),
+    3: (
+        2048, 1703, 784, -400, -1448, -2009, -1892, -1138,
+        0, 1138, 1892, 2009, 1448, 400, -784, -1703,
+        -2048, -1703, -784, 400, 1448, 2009, 1892, 1138,
+        0, -1138, -1892, -2009, -1448, -400, 784, 1703,
+    ),
+    5: (
+        2048, 1138, -784, -2009, -1448, 400, 1892, 1703,
+        0, -1703, -1892, -400, 1448, 2009, 784, -1138,
+        -2048, -1138, 784, 2009, 1448, -400, -1892, -1703,
+        0, 1703, 1892, 400, -1448, -2009, -784, 1138,
+    ),
+    7: (
+        2048, 400, -1892, -1138, 1448, 1703, -784, -2009,
+        0, 2009, 784, -1703, -1448, 1138, 1892, -400,
+        -2048, -400, 1892, 1138, -1448, -1703, 784, 2009,
+        0, -2009, -784, 1703, 1448, -1138, -1892, 400,
+    ),
+}
+
+
+def fixed_point_dft_bins(x: list[int]) -> dict[int, tuple[int, int]]:
+    """Exact-integer DFT response ``{bin: (re, im)}`` at :data:`DFT_BINS`
+    for a length-:data:`DFT_N` integer signal, using the frozen Q15
+    twiddles (convention ``X_k = sum x_n * e^{-2pi i k n / N}``, so
+    ``im = -sum(x_n * sin_q15)``; results carry the 2^15 scale).
+
+    Everything is Python-int arithmetic: no libm at probe time, no
+    overflow (|re| <= max|x| * 2^15 * 32), and the identical integers are
+    restatable as SQL list literals -- the property q190 gates.
+    """
+    if len(x) != DFT_N:
+        raise ValueError(f"signal must have exactly {DFT_N} samples")
+    out = {}
+    for k in DFT_BINS:
+        cos_k = DFT_COS_Q15[k]
+        sin_k = DFT_SIN_Q15[k]
+        re = sum(xi * c for xi, c in zip(x, cos_k))
+        im = -sum(xi * s for xi, s in zip(x, sin_k))
+        out[k] = (re, im)
+    return out

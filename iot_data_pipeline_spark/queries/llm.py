@@ -4722,3 +4722,150 @@ def q176_retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+def _q190_oracle() -> str:
+    """Oracle for q190, generated from the SAME frozen integer twiddle/tone
+    tables the kernel uses (operators/audio.py) -- single source of truth,
+    so the gate proves exact cross-engine integer arithmetic; the tables'
+    own correctness as a DFT is pinned separately by the numpy error-bound
+    test (tests/test_audio_codec.py), keeping the check non-circular."""
+    from iot_data_pipeline_spark.operators import audio
+
+    def lst(vals) -> str:
+        return "[" + ", ".join(str(v) for v in vals) + "]"
+
+    tw_rows = ",\n      ".join(
+        f"({k}, {lst(audio.DFT_COS_Q15[k])}, {lst(audio.DFT_SIN_Q15[k])})"
+        for k in audio.DFT_BINS
+    )
+    tone_rows = ",\n      ".join(
+        f"({k}, {lst(audio.TONE_Q11[k])})" for k in audio.DFT_BINS
+    )
+    return f"""
+    WITH tw(bin, cosv, sinv) AS (VALUES
+      {tw_rows}
+    ),
+    tone(bin, tonev) AS (VALUES
+      {tone_rows}
+    ),
+    docs AS (
+      SELECT doc_id, doc_id % 5 AS cls FROM documents WHERE doc_id < 200
+    ),
+    x AS (
+      SELECT d.doc_id,
+             CASE WHEN d.cls = 4 THEN 'noise' ELSE 'tone' END AS signal_class,
+             n.n,
+             CASE WHEN d.cls = 4
+                  THEN ((d.doc_id * 37 + 11 * n.n * n.n * n.n + 5 * n.n)
+                        % 4001) - 2000
+                  ELSE t.tonev[n.n + 1] + (d.doc_id % 17) - 8
+             END AS xv
+      FROM docs d
+      JOIN range(32) n(n) ON TRUE
+      LEFT JOIN tone t
+        ON t.bin = CASE d.cls WHEN 0 THEN 1 WHEN 1 THEN 3
+                              WHEN 2 THEN 5 WHEN 3 THEN 7 END
+    ),
+    resp AS (
+      SELECT x.doc_id, x.signal_class, tw.bin,
+             SUM(x.xv * tw.cosv[x.n + 1]) AS re,
+             -SUM(x.xv * tw.sinv[x.n + 1]) AS im
+      FROM x JOIN tw ON TRUE
+      GROUP BY x.doc_id, x.signal_class, tw.bin
+    ),
+    ranked AS (
+      SELECT doc_id, signal_class, bin, re, im,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY re * re + im * im DESC, bin)
+               AS mag_rank
+      FROM resp
+    )
+    SELECT doc_id, signal_class, CAST(bin AS BIGINT) AS bin,
+           CAST(re AS BIGINT) AS re, CAST(im AS BIGINT) AS im,
+           CAST(mag_rank AS BIGINT) AS mag_rank
+    FROM ranked ORDER BY doc_id, bin
+    """
+
+
+@declared("q190_interior_dft_probe", oracle=_q190_oracle())
+def q190_interior_dft_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point INTERIOR-bin spectral probe over real decoded audio --
+    closing the boundary q159 documents (q159 gates only the two bins
+    whose twiddles are exactly +-1; interior bins have irrational
+    twiddles, so a float DFT's cross-engine bit-parity would hinge on
+    libm). The frozen Q15 integer twiddle tables (operators/audio.py)
+    make bins 1/3/5/7 of a 32-point DFT exact integer arithmetic
+    end-to-end: per doc a signal is synthesized -- 4 of 5 docs a
+    quantized unit tone at one probed bin (plus a per-doc DC offset),
+    the 5th pseudo-random noise -- RIFF-encoded, decoded back by the
+    vendored WAV parser, and probed; outputs are the raw (re, im)
+    integer responses at the 2^15 scale plus each bin's magnitude rank.
+    The hash match proves tone rows peak at their own bin (mag_rank=1)
+    cell-for-cell against the oracle's SQL restatement of the same
+    integer tables.
+
+    Scale notes: synth/encode/decode/probe run inside one Arrow-batched
+    mapInPandas kernel (constant 200-doc probe, q159's shape); the probe
+    is 4 integer dot products of length 32 per payload; magnitude
+    squaring uses Python ints because (2^15 amplitude x 2^15 twiddle
+    x 32)^2 overflows int64 -- the same reason the oracle keeps mag_rank
+    internal to HUGEINT and outputs only re/im/rank.
+    """
+    import pyspark.sql.types as T
+
+    docs = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+
+    def kernel(batches):
+        import pandas as pd
+
+        from iot_data_pipeline_spark.operators import audio as _audio
+
+        bins = _audio.DFT_BINS
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                cls = d % 5
+                if cls == 4:
+                    x = [
+                        ((d * 37 + 11 * n**3 + 5 * n) % 4001) - 2000
+                        for n in range(_audio.DFT_N)
+                    ]
+                    signal_class = "noise"
+                else:
+                    tone = _audio.TONE_Q11[bins[cls]]
+                    off = (d % 17) - 8
+                    x = [t + off for t in tone]
+                    signal_class = "tone"
+                blob = _audio.encode_wav(x)
+                _, _, decoded = _audio.decode_wav(blob)
+                resp = _audio.fixed_point_dft_bins(decoded)
+                by_mag = sorted(
+                    resp, key=lambda b: (-(resp[b][0] ** 2 + resp[b][1] ** 2), b)
+                )
+                rank = {b: i + 1 for i, b in enumerate(by_mag)}
+                for b in bins:
+                    re, im = resp[b]
+                    rows.append((d, signal_class, b, re, im, rank[b]))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "signal_class", "bin", "re", "im", "mag_rank",
+                ],
+            )
+
+    out = docs.select("doc_id").mapInPandas(
+        kernel,
+        schema=T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("signal_class", T.StringType()),
+                T.StructField("bin", T.LongType()),
+                T.StructField("re", T.LongType()),
+                T.StructField("im", T.LongType()),
+                T.StructField("mag_rank", T.LongType()),
+            ]
+        ),
+    )
+    return out.orderBy("doc_id", "bin")

@@ -99,3 +99,45 @@ def test_mp3_payload_refused_with_documented_boundary(spark):
     df = spark.createDataFrame([(0, bytearray(mp3))], "media_id long, content binary")
     with pytest.raises(Exception, match="only RIFF/WAVE"):
         extract_audio_features(df, dim=4, mode="strict").collect()
+
+
+def test_fixed_point_dft_matches_numpy_within_proven_bound():
+    """The frozen Q15 twiddle tables ARE the DFT: for any integer signal,
+    each per-term quantization error is at most 0.5 Q15 units, so
+    |re - 2^15 * Re(FFT_k)| <= 32 * 0.5 * max|x| = 16 * max|x| (same for
+    im). Checked on the four crafted tones and pseudo-random signals --
+    this is what lets q190's oracle share the tables without the gate
+    becoming self-referential."""
+    import numpy as np
+
+    signals = [list(audio.TONE_Q11[k]) for k in audio.DFT_BINS]
+    rng = np.random.default_rng(7)
+    signals += [
+        [int(v) for v in rng.integers(-30000, 30000, size=audio.DFT_N)]
+        for _ in range(8)
+    ]
+    for x in signals:
+        bound = 16 * max(abs(v) for v in x)
+        spec = np.fft.fft(np.asarray(x, dtype=np.float64))
+        got = audio.fixed_point_dft_bins(x)
+        for k in audio.DFT_BINS:
+            re, im = got[k]
+            assert abs(re - 2**15 * spec[k].real) <= bound, (k, x[:4])
+            assert abs(im - 2**15 * spec[k].imag) <= bound, (k, x[:4])
+
+
+def test_fixed_point_dft_tone_peaks():
+    """Each quantized tone's largest probed-bin magnitude is its own bin,
+    and rejection is strong (>60 dB: leakage is pure quantization)."""
+    for k in audio.DFT_BINS:
+        r = audio.fixed_point_dft_bins(list(audio.TONE_Q11[k]))
+        mags = {b: re * re + im * im for b, (re, im) in r.items()}
+        peak = max(mags, key=mags.get)
+        assert peak == k
+        others = max(m for b, m in mags.items() if b != k)
+        assert mags[k] > others * 10**6
+
+
+def test_fixed_point_dft_rejects_wrong_length():
+    with pytest.raises(ValueError):
+        audio.fixed_point_dft_bins([0] * 31)
