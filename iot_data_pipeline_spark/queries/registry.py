@@ -14,8 +14,10 @@ Determinism rules applied throughout (SURVEY.md section 2.3):
   value-hasher canonicalizes Decimal cells differently between its
   PySpark and DuckDB fetch paths (round-5 q167/q184 false reds), so
   decimals stay exact internally but are cast to STRING on BOTH sides
-  at the output boundary (q72's pattern; guarded by
-  tests/test_registry_contract.py::test_no_raw_decimal_output_columns).
+  at the output boundary (q72's pattern; enforced for every registry
+  query by tests/oracle_harness.compare_query, which rejects top-level
+  DecimalType output columns -- test_oracle_queries runs it across the
+  whole registry).
 """
 
 from __future__ import annotations

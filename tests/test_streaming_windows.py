@@ -202,3 +202,72 @@ def test_dedup_stream_within_watermark(spark, tmp_path):
     )
     ids = sorted(r["event_id"] for r in got.collect())
     assert ids == [1, 2, 3]  # each event_id exactly once, across batches
+
+
+def test_dedup_within_watermark_expiry_is_first_occurrence_only(
+    spark, tmp_path
+):
+    """Pins the state-lifetime semantics q189's oracle encodes: a key's
+    dedup-state expiry is set by its FIRST occurrence's event time and is
+    NOT extended by later suppressed duplicates. Schedule (delay 10m):
+
+      b1: A@+0            -> emits; state expiry +10m
+      b2: A@+9m (dup, within delay -> guaranteed drop), F1@+9m
+      b3: F2@+25m         -> watermark entering b4 becomes +15m
+      b4: F3@+26m         -> end-of-batch cleanup evicts A (+10m < +15m);
+                             were expiry refreshed to +19m by the b2 dup,
+                             A would still be live here
+      b5: A@+27m          -> re-emits (proves no refresh)
+
+    Also pins the end-of-batch eviction lag (the q189 fixture's reason
+    for a spacer batch): the wm entering b3 is only -1m, so eviction
+    cannot happen before b4.
+    """
+    d = tmp_path / "raw_expiry"
+    d.mkdir()
+    T0 = "TIMESTAMP'2024-01-01 00:00:00'"
+
+    def w(rows):
+        spark.range(len(rows)).selectExpr(
+            "CASE id "
+            + " ".join(f"WHEN {i} THEN {k}L" for i, (k, _) in enumerate(rows))
+            + " END AS k",
+            "CASE id "
+            + " ".join(
+                f"WHEN {i} THEN {T0} + INTERVAL {m} MINUTES"
+                for i, (_, m) in enumerate(rows)
+            )
+            + " END AS ts",
+        ).coalesce(1).write.mode("append").parquet(str(d))
+
+    w([(1, 0)])
+    w([(1, 9), (100, 9)])
+    w([(101, 25)])
+    w([(102, 26)])
+    w([(1, 27)])
+    src = (
+        spark.readStream.schema("k long, ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(d))
+    )
+    out = dedup_stream(src, ["k"], ts_col="ts", watermark="10 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_expiry_probe")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_expiry"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = sorted(
+        (r["k"], str(r["ts"]))
+        for r in spark.table("dedup_expiry_probe").collect()
+    )
+    assert rows == [
+        (1, "2024-01-01 00:00:00"),
+        (1, "2024-01-01 00:27:00"),  # re-emitted: expiry was NOT refreshed
+        (100, "2024-01-01 00:09:00"),
+        (101, "2024-01-01 00:25:00"),
+        (102, "2024-01-01 00:26:00"),
+    ]
