@@ -384,8 +384,8 @@ def main() -> int:
     per_query: dict[str, float] = {}
     errors: dict[str, str] = {}
     total = 0.0
-    # Pre-build the shared q25 near-dup pair graph as its own timed line:
-    # four consumers (q25/q52/q123/q144-family) share the session cache, so
+    # Pre-build the shared q25-derived pair graph as its own timed line:
+    # its consumers (q52/q123/q141/q144) share the session cache, so
     # whichever ran first paid the one-time shingle-join build and its
     # per-query time moved whenever the registry rotation reordered them
     # (round-5's q123 false alarm). Charging the build to an explicit entry

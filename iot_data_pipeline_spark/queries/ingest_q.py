@@ -1247,7 +1247,7 @@ def q189_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale notes: state is one (key, expiry) entry per live key, evicted
     by watermark -- the only dedup shape that survives an unbounded
     stream; 2 shuffle partitions because the probe's cost is state-store
-    open/commit across 3 micro-batches, not row volume (q177's knob).
+    open/commit across 4 micro-batches, not row volume (q177's knob).
     """
     from iot_data_pipeline_spark.queries.base import fmt_ts
     from iot_data_pipeline_spark.streaming.windows import dedup_stream

@@ -69,7 +69,7 @@ def compare_query(spark, con, name: str, sf_dir: str) -> list[str]:
     # Registry rule (registry.py docstring): final projections never emit
     # raw DecimalType -- the driver's value-hasher canonicalizes Decimal
     # cells differently per engine fetch path (round-5 q167/q184 false
-    # reds). Enforced here so every harness run checks all 201 queries.
+    # reds). Enforced here so every harness run checks the whole registry.
     from pyspark.sql.types import DecimalType
 
     decimal_cols = [
