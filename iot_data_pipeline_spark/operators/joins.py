@@ -21,6 +21,7 @@ def asof_join(
     direction: str = "backward",
     suffix: str = "_right",
     tolerance=None,
+    keep_unmatched: bool = False,
 ) -> DataFrame:
     """For each left row, attach the single right row closest in time.
 
@@ -43,6 +44,15 @@ def asof_join(
 
     The window formulation (row_number over candidates) is the same one
     the DuckDB oracle runs for q08b -- idiomatic Spark, no custom node.
+
+    Match semantics: by default a left row with NO candidate is dropped
+    (inner pairing -- what q08b/q08c gate). ``keep_unmatched=True``
+    switches the pairing to a left join, emitting such rows once with
+    NULL right columns -- pandas ``merge_asof``'s keep-everything shape.
+    Caveat either way: left rows that are FULL duplicates of each other
+    fall into one window partition and only one survives the rank -- give
+    the left side a unique id column (every caller in this repo joins on
+    event-id-bearing frames).
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
@@ -71,7 +81,7 @@ def asof_join(
                 F.col(f"r.{right_on}") <= F.col(f"l.{left_on}") + tolerance
             )
 
-    paired = l.join(r, cond, "inner").select(
+    paired = l.join(r, cond, "left" if keep_unmatched else "inner").select(
         *lcols, *rcols, F.col(f"r.{right_on}").alias("__asof_ts")
     )
     w = Window.partitionBy(*[F.col(c) for c in left.columns]).orderBy(

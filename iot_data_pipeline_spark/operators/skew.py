@@ -72,7 +72,28 @@ def salted_join(
     broadcast, prefer ``broadcast()``: salting is for the middle ground
     where the right side exceeds the broadcast threshold but keys are
     bounded.
+
+    Join types that emit UNMATCHED RIGHT rows (right/full outer,
+    right_semi/right_anti) are rejected: an unmatched right row exists
+    once per replica, so it would surface n_salts times. Salt the other
+    side instead (swap the call). left/left_semi/left_anti are exact:
+    each left row carries one salt, and every right key is present at
+    every salt value, so match-existence per left row is unchanged.
+
+    Caveat: the deterministic whole-row salt cannot spread rows that are
+    full duplicates of each other (they hash to the same salt). The hot
+    sides this operator targets carry an id/payload column that differs
+    per row (q184's gate shape); for duplicate-ROW skew use salted_agg
+    on the dedup count instead.
     """
+    allowed = {"inner", "left", "leftouter", "left_outer", "left_semi",
+               "leftsemi", "left_anti", "leftanti", "cross"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join cannot run how={how!r}: unmatched right rows "
+            "are replicated n_salts times and would each be emitted; "
+            "salt the other side instead"
+        )
     salted_left = left.withColumn("__salt", _salt(n_salts))
     replicated_right = right.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))

@@ -84,6 +84,24 @@ def test_asof_forward(trades, quotes):
     }
 
 
+def test_asof_keep_unmatched(trades, quotes):
+    """keep_unmatched=True emits left rows with no candidate once, with
+    NULL right columns (merge_asof's keep-everything shape); matched
+    rows are identical to the default inner pairing."""
+    got = {
+        (r["sym"], r["t"]): r["bid"]
+        for r in asof_join(
+            trades, quotes, "t", "qt", by=["sym"], keep_unmatched=True
+        ).collect()
+    }
+    assert got == {
+        ("A", ts(10, 0)): 99.0,
+        ("A", ts(10, 30)): 100.5,
+        ("B", ts(10, 15)): 49.5,
+        ("C", ts(9, 0)): None,  # no quote for C: kept, null-extended
+    }
+
+
 def test_range_join(trades, quotes):
     got = range_join(
         trades,
@@ -290,6 +308,31 @@ def test_salted_join_equals_plain(spark, sf_dir):
     g = {r["event_id"]: r["weight"] for r in got.collect()}
     w = {r["event_id"]: r["weight"] for r in want.collect()}
     assert g == w
+
+
+def test_salted_join_left_outer_parity_and_right_rejected(spark, sf_dir):
+    """left-outer through the salt is exact (each left row carries ONE
+    salt; unmatched lefts emit once), while join types emitting
+    unmatched RIGHT rows are refused -- those rows exist once per
+    replica and would surface n_salts times (round-6 hardening)."""
+    import pytest as _pytest
+
+    from iot_data_pipeline_spark.operators.skew import salted_join
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    dim = spark.createDataFrame(
+        [("click", 1.5), ("view", 1.0)], "event_type string, weight double"
+    )
+    got = salted_join(ev, dim, ["event_type"], n_salts=8, how="left")
+    want = ev.join(dim, "event_type", "left")
+    g = {r["event_id"]: r["weight"] for r in got.collect()}
+    w = {r["event_id"]: r["weight"] for r in want.collect()}
+    assert g == w  # includes None weights for unmatched event types
+    for bad in ("right", "full", "right_semi"):
+        with _pytest.raises(ValueError, match="salt the other side"):
+            salted_join(ev, dim, ["event_type"], how=bad)
 
 
 def test_resize_images_fake_shape_and_nulls(media):
