@@ -87,7 +87,24 @@ def lsh_candidate_pairs(
     100 TB -- no all-pairs comparison exists anywhere in the plan.
     """
     sig_cols = [c for c in sigs.columns if c.startswith("sig_")]
+    if n_bands <= 0 or not sig_cols:
+        raise ValueError("need n_bands >= 1 and at least one sig_ column")
     per_band = len(sig_cols) // n_bands
+    if per_band == 0:
+        # every band key would be the empty string: ALL ids collide into
+        # one bucket and the equi-join degenerates to the all-pairs cross
+        # product this operator exists to avoid
+        raise ValueError(
+            f"n_bands={n_bands} exceeds the {len(sig_cols)}-hash "
+            "signature width; every band key would be empty (quadratic "
+            "pairing)"
+        )
+    if len(sig_cols) % n_bands:
+        raise ValueError(
+            f"n_bands={n_bands} must divide the signature width "
+            f"{len(sig_cols)}: trailing sig columns would be silently "
+            "excluded, changing the effective collision threshold"
+        )
     band_structs = F.array(
         *[
             F.struct(

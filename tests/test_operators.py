@@ -259,6 +259,26 @@ def test_sample_frames_fanout(media):
 # ------------------------------------------------------------------ skew
 
 
+def test_lsh_band_config_guards(spark):
+    """Misconfigured banding must refuse, not silently degrade: n_bands
+    beyond the signature width makes every band key empty (all ids in
+    ONE bucket -- the quadratic pairing LSH exists to avoid), and a
+    non-divisible width silently drops trailing signature columns."""
+    import pytest as _pytest
+
+    from iot_data_pipeline_spark.operators.dedup import lsh_candidate_pairs
+
+    sigs = spark.range(4).selectExpr(
+        "id", *[f"id * {i + 1} AS sig_{i}" for i in range(4)]
+    )
+    with _pytest.raises(ValueError, match="empty"):
+        lsh_candidate_pairs(sigs, n_bands=5)
+    with _pytest.raises(ValueError, match="divide"):
+        lsh_candidate_pairs(sigs, n_bands=3)
+    # valid config still pairs
+    assert lsh_candidate_pairs(sigs, n_bands=2).columns == ["id_a", "id_b"]
+
+
 def test_salted_agg_equals_plain(spark, sf_dir):
     from iot_data_pipeline_spark.operators.skew import salted_agg
 
