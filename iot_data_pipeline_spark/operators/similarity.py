@@ -15,6 +15,13 @@ Three tiers, in order of scale:
 
 All tiers share the fixed dot-product fold so tiers 1-2 are bit-identical
 to the DuckDB oracle's ``list_cosine_similarity`` after ROUND(.., 4).
+
+Zero-norm (and NULL) vectors are EXCLUDED from the similarity space in
+every tier: cosine is undefined for them, and under the session's ANSI
+mode the division would otherwise kill the whole job on the first
+all-zero embedding (a padding row or failed encoder output -- exactly
+the rows a 100 TB corpus will contain). Excluding beats NULL-scoring:
+undefined rows neither consume top-k slots nor form near-dup pairs.
 """
 
 from __future__ import annotations
@@ -37,7 +44,7 @@ def _normed(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
         F.col(id_col).alias("id"),
         emb.alias("emb"),
         F.sqrt(dot(emb, emb)).alias("nrm"),
-    )
+    ).filter(F.col("nrm") > 0)  # zero-norm/NULL: no direction, excluded
 
 
 def cosine_topk(
@@ -176,10 +183,15 @@ def neardup_pairs_pandas(
         if n < 2:
             return pd.DataFrame({c: [] for c in cols}).astype(cols)
         m = np.array(list(pdf[vec_col]), dtype="float64")
+        ids = pdf[id_col].to_numpy()
+        valid = np.sqrt((m * m).sum(axis=1)) > 0
+        m, ids = m[valid], ids[valid]  # zero-norm rows: excluded
+        n = len(ids)
+        if n < 2:
+            return pd.DataFrame({c: [] for c in cols}).astype(cols)
         g = m @ m.T
         nrm = np.sqrt(np.diag(g))
         sims = np.round(g / np.outer(nrm, nrm), 4)
-        ids = pdf[id_col].to_numpy()
         # i < j on vec_id (not row position): the contract is id-ordered pairs
         order = np.argsort(ids)
         ids, sims = ids[order], sims[np.ix_(order, order)]
@@ -224,20 +236,28 @@ def cosine_topk_pandas(
     qrows = queries.select(id_col, vec_col).collect()
     qids = np.array([r[id_col] for r in qrows])
     qm = np.array([r[vec_col] for r in qrows], dtype="float64")
-    qm = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+    qn = np.linalg.norm(qm, axis=1, keepdims=True)
+    qvalid = qn[:, 0] > 0
+    qids, qm, qn = qids[qvalid], qm[qvalid], qn[qvalid]  # excluded
+    qm = qm / qn
 
     def score(batches):
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             cm = np.array(list(pdf[vec_col]), dtype="float64")
-            cm = cm / np.linalg.norm(cm, axis=1, keepdims=True)
+            cn = np.linalg.norm(cm, axis=1, keepdims=True)
+            cvalid = cn[:, 0] > 0
+            cids = pdf[id_col].to_numpy()[cvalid]
+            if len(cids) == 0:
+                continue
+            cm = cm[cvalid] / cn[cvalid]
             sims = qm @ cm.T  # (n_queries, batch)
             n_q, n_c = sims.shape
             yield pd.DataFrame(
                 {
                     "query_id": np.repeat(qids, n_c),
-                    "cand_id": np.tile(pdf[id_col].to_numpy(), n_q),
+                    "cand_id": np.tile(cids, n_q),
                     "sim": np.round(sims.ravel(), 4),
                 }
             )

@@ -188,6 +188,39 @@ def test_cosine_topk_tiers_agree(spark, sf_dir):
             assert abs(r["sim"] - exact_sims[key(r)]) < 1e-9
 
 
+def test_cosine_tiers_exclude_zero_norm_vectors(spark):
+    """An all-zero embedding (padding row / failed encoder) must be
+    EXCLUDED from the similarity space, not crash the job: under the
+    session's ANSI mode the norm division previously raised
+    ArithmeticException in the JVM tiers, and numpy emitted inf/nan in
+    the pandas tiers. Valid pairs are unaffected."""
+    from iot_data_pipeline_spark.operators.similarity import (
+        neardup_pairs_pandas,
+    )
+
+    rows = [
+        (0, [1.0, 0.0], "x"),
+        (1, [0.9, 0.1], "x"),
+        (2, [0.0, 0.0], "x"),  # zero-norm: no direction
+        (3, [0.0, 1.0], "x"),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label string"
+    )
+    for tier in (cosine_topk, cosine_topk_pandas):
+        got = tier(df, df, k=10).collect()
+        ids = {r["query_id"] for r in got} | {r["cand_id"] for r in got}
+        assert 2 not in ids, tier.__name__
+        assert {0, 1, 3} <= ids, tier.__name__
+    blocked = cosine_topk_blocked(df, df, k=10, n_sign_bits=1).collect()
+    assert 2 not in {r["query_id"] for r in blocked} | {
+        r["cand_id"] for r in blocked
+    }
+    pairs = neardup_pairs_pandas(df, threshold=0.5).collect()
+    assert all(2 not in (r["vec_a"], r["vec_b"]) for r in pairs)
+    assert {(r["vec_a"], r["vec_b"]) for r in pairs} == {(0, 1)}
+
+
 # -------------------------------------------------------------- stateful
 
 
