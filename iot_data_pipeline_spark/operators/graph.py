@@ -136,6 +136,7 @@ def connected_components_star(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 50,
+    check_every: int = 2,
 ) -> DataFrame:
     """Connected components by alternating large-star/small-star
     contraction (Kiveris et al., "Connected Components in MapReduce and
@@ -162,7 +163,15 @@ def connected_components_star(
     propagation's one, but O(log n) vs O(diameter) rounds -- use this
     for arbitrary/deep graphs, the default for shallow dedup clusters.
     Fixpoint detection: (count, xxhash64-sum) signature of the canonical
-    edge set; ``localCheckpoint`` cuts lineage per round.
+    edge set, probed every ``check_every`` rounds -- the signature's
+    collect is the only per-round JOB, so probing every 2nd round halves
+    job-submission overhead (the dominant cost at probe scale: task work
+    shrinks geometrically but scheduling does not) at the price of at
+    most ``check_every - 1`` extra converged rounds, which are near-free
+    because a converged round's plan is two no-op contractions of an
+    already-star edge set. ``localCheckpoint`` still cuts lineage per
+    round; unprobed rounds materialize lazily inside the next probe's
+    job, so no work is duplicated.
     """
     raw = edges.select(
         F.col(src).alias("a"), F.col(dst).alias("b")
@@ -209,6 +218,7 @@ def connected_components_star(
 
     cur = sym
     prev_sig = None
+    rounds = 0
     try:
         spark_conf.set("spark.sql.shuffle.partitions", str(parts))
         for _ in range(max_iter):
@@ -243,11 +253,13 @@ def connected_components_star(
                 # separate job per round for the same work
                 .localCheckpoint(eager=False)
             )
-            sig = signature(small)
-            if sig == prev_sig:
-                cur = small
-                break
-            prev_sig = sig
+            rounds += 1
+            if rounds % check_every == 0:
+                sig = signature(small)
+                if sig == prev_sig:
+                    cur = small
+                    break
+                prev_sig = sig
             # symmetric view for the next large-star; both halves are
             # disjoint (b<a vs a<b) and small is distinct, so no
             # re-distinct -- and small is checkpointed, so lineage stays
