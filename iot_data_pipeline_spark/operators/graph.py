@@ -123,7 +123,10 @@ def connected_components(
             .groupBy("node")
             .agg(F.min("component").alias("component"))
         )
-        labels = neighbor_min.localCheckpoint(eager=True)
+        # lazy: the convergence collect right below is the action that
+        # materializes the checkpoint -- eager would run a separate job
+        # per round for the same work (the star path's pattern)
+        labels = neighbor_min.localCheckpoint(eager=False)
         cur_sum = labels.agg(F.sum("component")).collect()[0][0]
         if cur_sum == prev_sum:
             break
