@@ -84,11 +84,13 @@ def connected_components(
     # unionByName branches below would otherwise recompute it twice.
     pairs = edges.select(
         F.col(src).alias("a"), F.col(dst).alias("b")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     sym = pairs.unionByName(
         pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
     )
-    sym = sym.distinct().localCheckpoint(eager=True)
+    # lazy: the count below is the action that materializes pairs AND sym
+    # in one job (eager ran one setup job per checkpoint)
+    sym = sym.distinct().localCheckpoint(eager=False)
 
     n_edges = sym.count()
     if n_edges <= local_threshold:
@@ -111,7 +113,7 @@ def connected_components(
         sym.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("component", F.col("node"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)  # the collect below materializes
     )
     prev_sum = labels.agg(F.sum("component")).collect()[0][0]
 
@@ -178,24 +180,25 @@ def connected_components_star(
     """
     raw = edges.select(
         F.col(src).alias("a"), F.col(dst).alias("b")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     # contract parity with the label path: every node APPEARING in edges
     # gets a row, including nodes whose only edge is a self-loop
     all_nodes = (
         raw.select(F.col("a").alias("node"))
         .unionByName(raw.select(F.col("b").alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)  # materializes at the final join
     )
     pairs = raw.filter(F.col("a") != F.col("b"))
     sym = (
         pairs.unionByName(pairs.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()
-        .localCheckpoint(eager=True)
+        # lazy: the n_edges count below is the single setup job that
+        # materializes raw AND sym (eager ran one job per checkpoint,
+        # plus a separate isEmpty probe)
+        .localCheckpoint(eager=False)
     )
     spark = edges.sparkSession
-    if sym.isEmpty():
-        return all_nodes.withColumn("component", F.col("node"))
 
     def signature(e: DataFrame) -> tuple:
         # bit_xor, not sum: the edge set is distinct, so xor of per-edge
@@ -215,6 +218,8 @@ def connected_components_star(
     # overhead (measured 2.3x end-to-end on a 625-deep chain).
     spark_conf = spark.conf
     n_edges = sym.count()
+    if n_edges == 0:
+        return all_nodes.withColumn("component", F.col("node"))
     parts = max(1, min(int(spark_conf.get("spark.sql.shuffle.partitions")),
                        n_edges // 50_000 + 1))
     saved_parts = spark_conf.get("spark.sql.shuffle.partitions")
