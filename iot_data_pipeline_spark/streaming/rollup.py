@@ -108,7 +108,12 @@ def compact_rollup(
     """Fold all partial partitions into one, preserving mergeability:
     count/sum re-sum, min/max re-min/max. Run periodically so read cost
     stays bounded; the folded row set lands as ``batch_id=-1`` and every
-    historical partition is removed in the same dynamic overwrite."""
+    historical partition is removed by the STATIC overwrite (set
+    explicitly below: under a session-level dynamic partitionOverwriteMode
+    the write would touch only ``batch_id=-1`` and leave history behind
+    to double-count). Run only with the stream quiesced: a checkpoint
+    replay racing the compaction could re-append a batch whose rows the
+    fold already absorbed (q167's flow stops the stream first)."""
     df = spark.read.parquet(path)
     aggs = []
     for v in values:
@@ -121,4 +126,9 @@ def compact_rollup(
     folded = (
         df.groupBy(*keys).agg(*aggs).withColumn("batch_id", F.lit(-1))
     ).localCheckpoint(eager=True)
-    folded.write.mode("overwrite").partitionBy("batch_id").parquet(path)
+    (
+        folded.write.mode("overwrite")
+        .option("partitionOverwriteMode", "static")
+        .partitionBy("batch_id")
+        .parquet(path)
+    )

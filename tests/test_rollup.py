@@ -99,3 +99,47 @@ def test_incremental_rollup_stream_equals_batch(spark, tmp_path):
         for r in spark.read.parquet(zone).select("batch_id").distinct().collect()
     }
     assert batches == {-1}
+
+
+def test_compact_is_static_overwrite_under_dynamic_session_conf(spark, tmp_path):
+    """Compaction must remove historical partitions even when the SESSION
+    default partitionOverwriteMode is dynamic: under dynamic the
+    overwrite would touch only batch_id=-1 and leave every historical
+    partition behind to double-count on the next read (round-6 audit)."""
+    from iot_data_pipeline_spark.streaming.rollup import (
+        compact_rollup,
+        read_rollup,
+        write_batch_partials,
+    )
+
+    d = str(tmp_path / "zone")
+    for bid in range(2):
+        write_batch_partials(
+            spark.range(bid * 10, bid * 10 + 10).selectExpr(
+                "id % 2 AS k", "CAST(id AS DOUBLE) AS v"
+            ),
+            bid,
+            d,
+            keys=["k"],
+            values=["v"],
+        )
+    before = {
+        (r["k"], r["v_count"], r["v_sum"])
+        for r in read_rollup(spark, d, ["k"], ["v"]).collect()
+    }
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        compact_rollup(spark, d, keys=["k"], values=["v"])
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    after = {
+        (r["k"], r["v_count"], r["v_sum"])
+        for r in read_rollup(spark, d, ["k"], ["v"]).collect()
+    }
+    assert after == before  # fold(partials) unchanged -- no double count
+    parts = {
+        r["batch_id"]
+        for r in spark.read.parquet(d).select("batch_id").distinct().collect()
+    }
+    assert parts == {-1}  # history actually removed
