@@ -78,9 +78,26 @@ def refresh(spark: SparkSession, root: str, name: str, df: DataFrame) -> int:
     finally:
         out.close()
     final = jvm.org.apache.hadoop.fs.Path(f"{vroot}/{_POINTER}")
-    fs.delete(final, False)
-    if not fs.rename(tmp, final):
-        raise IOError(f"could not publish pointer for view {name!r}")
+    # Atomic replace via FileContext.rename(OVERWRITE): a plain
+    # delete-then-rename opens a window where a concurrent reader finds
+    # NO pointer and fails instead of serving the previous snapshot --
+    # exactly the contract this module advertises. FileContext's
+    # overwrite rename is atomic on HDFS and local filesystems; object
+    # stores without atomic rename fall back to the tiny-file
+    # delete+rename window below.
+    try:
+        ren_cls = getattr(jvm, "org.apache.hadoop.fs.Options$Rename")
+        # FileContext.rename is varargs: py4j needs an explicit Java array
+        opts = spark.sparkContext._gateway.new_array(ren_cls, 1)
+        opts[0] = ren_cls.OVERWRITE
+        fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+            final.toUri(), spark._jsc.hadoopConfiguration()
+        )
+        fc.rename(tmp, final, opts)
+    except Exception:
+        fs.delete(final, False)
+        if not fs.rename(tmp, final):
+            raise IOError(f"could not publish pointer for view {name!r}")
     return version
 
 

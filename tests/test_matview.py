@@ -62,3 +62,33 @@ def test_vacuum_keeps_published_and_recent(spark, sf_dir, tmp_path):
     assert matview.list_versions(spark, root, "qty") == [2, 3]
     # published snapshot survives and still reads
     assert matview.read(spark, root, "qty").count() == 1
+
+
+def test_pointer_swap_atomic_rename_path_available(spark, tmp_path):
+    """The publish step's atomic FileContext.rename(OVERWRITE) must work
+    in this environment -- refresh() silently falls back to
+    delete+rename (a reader-visible no-pointer window) if the py4j
+    incantation breaks, so pin the primitive itself: an existing
+    destination is replaced in one call."""
+    jvm = spark._jvm
+    d = str(tmp_path)
+    final = jvm.org.apache.hadoop.fs.Path(f"{d}/_current")
+    tmp = jvm.org.apache.hadoop.fs.Path(f"{d}/_current.tmp")
+    fs = final.getFileSystem(spark._jsc.hadoopConfiguration())
+    for content in ("0", "7"):
+        out = fs.create(tmp, True)
+        out.write(bytearray(content, "utf-8"))
+        out.close()
+        ren_cls = getattr(jvm, "org.apache.hadoop.fs.Options$Rename")
+        opts = spark.sparkContext._gateway.new_array(ren_cls, 1)
+        opts[0] = ren_cls.OVERWRITE
+        fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+            final.toUri(), spark._jsc.hadoopConfiguration()
+        )
+        fc.rename(tmp, final, opts)  # replaces existing dst atomically
+    stream = fs.open(final)
+    try:
+        got = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+    finally:
+        stream.close()
+    assert got == "7"
