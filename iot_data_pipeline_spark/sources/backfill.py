@@ -114,11 +114,17 @@ def backfill(
     must return a frame still carrying ``partition_col``. ``full=True``
     forces a complete rebuild (ignores the manifest).
     """
-    todo = (
-        sorted(partition_fingerprints(spark, src_path, partition_col))
-        if full
-        else stale_partitions(spark, src_path, dst_path, partition_col)
-    )
+    # capture fingerprints ONCE, before reading any data: these are the
+    # versions this run consumes, and they are what the manifest must
+    # record -- re-listing after the derive would stamp a fingerprint for
+    # source changes that landed mid-run WITHOUT their rows being in the
+    # derived output, silently exempting them from every future diff
+    captured = partition_fingerprints(spark, src_path, partition_col)
+    if full:
+        todo = sorted(captured)
+    else:
+        seen = _read_manifest(spark, dst_path)
+        todo = sorted(v for v, fp in captured.items() if seen.get(v) != fp)
     if not todo:
         return []
     src = spark.read.parquet(src_path).filter(F.col(partition_col).isin(todo))
@@ -135,11 +141,11 @@ def backfill(
         )
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-    # record the fingerprints we just consumed
+    # record the fingerprints we just consumed (the pre-read capture: a
+    # partition that changed again mid-run keeps its OLD stamp here, so
+    # the next stale_partitions diff re-backfills it)
     manifest = _read_manifest(spark, dst_path)
-    current = partition_fingerprints(spark, src_path, partition_col)
     for v in todo:
-        if v in current:
-            manifest[v] = current[v]
+        manifest[v] = captured[v]
     _write_manifest(spark, dst_path, manifest)
     return todo

@@ -73,3 +73,41 @@ def test_backfill_recomputes_only_stale_partitions(spark, sf_dir, tmp_path):
         for r in spark.read.parquet(dst).collect()
     }
     assert got == want
+
+
+def test_manifest_records_consumed_fingerprints_not_later_ones(
+    spark, tmp_path, monkeypatch
+):
+    """TOCTOU regression (round-6 audit): the manifest must stamp the
+    fingerprints captured BEFORE the derive read the data. The old code
+    re-listed the source AFTER writing -- a source change landing mid-run
+    got stamped as consumed without its rows in the derived output, and
+    no future diff would ever recompute it. Simulated by appending to a
+    source partition from inside the derive function."""
+    import iot_data_pipeline_spark.sources.backfill as bf
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    spark.range(10).selectExpr("id % 2 AS part", "id AS v").write.partitionBy(
+        "part"
+    ).parquet(src)
+
+    def derive_and_mutate(df):
+        out = df.selectExpr("part", "v * 10 AS tenfold")
+        out.count()  # force the read before the mutation below
+        # mid-run upstream correction: more rows land in partition 0
+        spark.range(100, 103).selectExpr("0 AS part", "id AS v").write.mode(
+            "append"
+        ).parquet(src + "/part=0")
+        return out
+
+    done = bf.backfill(spark, src, dst, "part", derive_and_mutate)
+    assert sorted(done) == ["0", "1"]
+    # the mid-run change must still be visible as stale
+    assert bf.stale_partitions(spark, src, dst, "part") == ["0"]
+    # and a second backfill picks exactly it up
+    done2 = bf.backfill(
+        spark, src, dst, "part", lambda df: df.selectExpr("part", "v * 10 AS tenfold")
+    )
+    assert done2 == ["0"]
+    assert bf.stale_partitions(spark, src, dst, "part") == []
