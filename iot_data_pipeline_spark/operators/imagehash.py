@@ -7,8 +7,9 @@ resample to 9x8 -> one bit per horizontal neighbor pair (left < right) ->
 collide; the hash is a fixed-width key an exact dedup groupBy or a
 hamming-banded near-dup join can shuffle instead of pixels.
 
-Runs on the REAL vendored codecs (PNG via operators/png.py, baseline JPEG
-via operators/jpeg.py) inside a mapInPandas kernel -- the same
+Runs on the REAL vendored codecs (PNG via operators/png.py, JPEG --
+baseline and progressive -- via operators/jpeg.py) inside a mapInPandas
+kernel -- the same
 binary-column plumbing as the other media operators. At 100 TB the
 shuffle carries 8-byte hashes, never images; near-dup at hamming
 distance d uses the standard pigeonhole banding (split the 64 bits into
@@ -27,7 +28,7 @@ DHASH_W, DHASH_H = 9, 8
 
 
 def dhash_bytes(payload: bytes) -> int:
-    """payload (PNG or baseline JPEG) -> signed 64-bit dHash.
+    """payload (PNG, or baseline/progressive JPEG) -> signed 64-bit dHash.
 
     Fully numpy-vectorized (integer Rec.601 luma matmul, fancy-index
     nearest resample, ``packbits`` for the 64 comparison bits): the
@@ -45,9 +46,9 @@ def dhash_bytes(payload: bytes) -> int:
         w, h, ch, pixels = jpeg.decode_jpeg(payload)
     else:
         raise NotImplementedError(
-            "only PNG and baseline JPEG decode are vendored in this "
-            "environment; other codecs plug into this kernel on a real "
-            "cluster"
+            "only PNG and JPEG (baseline/progressive) decode are vendored "
+            "in this environment; other codecs plug into this kernel on a "
+            "real cluster"
         )
     arr = (
         np.frombuffer(bytes(pixels), dtype=np.uint8)
