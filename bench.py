@@ -354,7 +354,23 @@ def main() -> int:
             "sum(x) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) "
             "FROM (SELECT explode(sequence(1, 64)) AS x)"
         ).collect()
-        spark.range(64).mapInPandas(lambda it: it, "id long").collect()
+        def _warm_workers(it):
+            # codec/numpy imports dominate the 32-wide Python-worker cold
+            # start (the b05 variance source diagnosed in round 5): pay
+            # them here, once per worker, like the JVM/codegen warmups
+            from iot_data_pipeline_spark.operators import (  # noqa: F401
+                audio,
+                flac,
+                gif,
+                jpeg,
+                png,
+            )
+
+            return it
+
+        spark.range(64).repartition(64).mapInPandas(
+            _warm_workers, "id long"
+        ).collect()
         from iot_data_pipeline_spark.queries.staging import fresh_dir
 
         wdir = fresh_dir("bench_warm")
