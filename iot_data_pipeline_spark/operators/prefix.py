@@ -50,31 +50,52 @@ def global_running_sum(
     # join; persisted (not checkpointed) so the plan stays inspectable.
     local = local.persist()
 
-    # one row per partition: its total; prefix them driver-side (P values)
-    totals = {
-        r["_pid"]: r["_t"]
-        for r in local.groupBy("_pid").agg(F.sum(value_col).alias("_t")).collect()
+    # one row per partition: its total + non-null count; prefix them
+    # driver-side (P values). The count distinguishes the two NULL
+    # ``_local_sum`` cases SQL's sum-ignores-nulls contract separates: a
+    # row before ANY non-null globally keeps NULL, but a row whose
+    # partition merely hasn't seen a local non-null yet must carry the
+    # prior partitions' offset (found by the seeded boundary fuzz:
+    # all-NULL partitions returned NULL mid-stream instead of the carry).
+    stats = {
+        r["_pid"]: (r["_t"], r["_n"])
+        for r in local.groupBy("_pid")
+        .agg(F.sum(value_col).alias("_t"), F.count(value_col).alias("_n"))
+        .collect()
     }
-    offsets, acc = {}, 0
-    for p in sorted(totals):
+    offsets, acc, prior_n = {}, 0, {}
+    seen_nonnull = 0
+    for p in sorted(stats):
         offsets[p] = acc
-        acc += totals[p] or 0
+        prior_n[p] = seen_nonnull
+        acc += stats[p][0] or 0
+        seen_nonnull += stats[p][1]
     spark = df.sparkSession
     # preserve the sum's type: integral inputs keep exact LONG arithmetic
     # (token counts, row counts); everything else rides as double
     integral = dict(df.dtypes)[value_col] in ("tinyint", "smallint", "int", "bigint")
     if integral:
         off_df = spark.createDataFrame(
-            [(p, int(o)) for p, o in offsets.items()], "_pid int, _off long"
+            [(p, int(o), prior_n[p]) for p, o in offsets.items()],
+            "_pid int, _off long, _prior_n long",
         )
     else:
         off_df = spark.createDataFrame(
-            [(p, float(o)) for p, o in offsets.items()], "_pid int, _off double"
+            [(p, float(o), prior_n[p]) for p, o in offsets.items()],
+            "_pid int, _off double, _prior_n long",
         )
+    out = (
+        F.when(
+            F.col("_local_sum").isNotNull(),
+            F.col("_local_sum") + F.col("_off"),
+        )
+        .when(F.col("_prior_n") > 0, F.col("_off"))
+        .otherwise(F.lit(None))
+    )
     return (
         local.join(F.broadcast(off_df), "_pid")
-        .withColumn(out_col, F.col("_local_sum") + F.col("_off"))
-        .drop("_pid", "_local_sum", "_off")
+        .withColumn(out_col, out)
+        .drop("_pid", "_local_sum", "_off", "_prior_n")
     )
 
 

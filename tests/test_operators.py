@@ -737,3 +737,54 @@ def test_star_dispatch_from_connected_components(spark):
         ).collect()
     }
     assert label == star == {1: 1, 2: 1, 3: 1, 5: 5, 10: 10, 11: 10}
+
+
+@pytest.mark.parametrize("seed,n_rows,n_parts", [(1, 37, 64), (2, 200, 3), (3, 5, 8)])
+def test_prefix_ops_adversarial_random(spark, seed, n_rows, n_parts):
+    """Seeded-random boundary-carry fuzz for the distributed prefix ops:
+    partition counts above the row count (empty range partitions), long
+    NULL runs crossing partition boundaries, negative and integer
+    values -- against the single-partition window oracle. The q178-class
+    bugs live exactly at these carries (round-6 audit)."""
+    import random
+
+    from pyspark.sql.window import Window as W
+
+    from iot_data_pipeline_spark.operators.prefix import (
+        global_fill_forward,
+        global_running_sum,
+    )
+
+    rnd = random.Random(seed)
+    rows = []
+    for i in range(n_rows):
+        v = rnd.choice([None, None, rnd.randint(-50, 50)])
+        rows.append((i, v))
+    df = spark.createDataFrame(rows, "k long, v long")
+
+    got_s = {
+        r["k"]: r["running_sum"]
+        for r in global_running_sum(
+            df, "v", ["k"], num_partitions=n_parts
+        ).collect()
+    }
+    w = W.orderBy("k").rowsBetween(W.unboundedPreceding, W.currentRow)
+    want_s = {
+        r["k"]: r["rs"]
+        for r in df.withColumn("rs", F.sum("v").over(w)).collect()
+    }
+    assert got_s == want_s  # exact LONG arithmetic, no tolerance
+
+    got_f = {
+        r["k"]: r["filled"]
+        for r in global_fill_forward(
+            df, "v", ["k"], num_partitions=n_parts
+        ).collect()
+    }
+    want_f = {
+        r["k"]: r["f"]
+        for r in df.withColumn(
+            "f", F.last("v", ignorenulls=True).over(w)
+        ).collect()
+    }
+    assert got_f == want_f
