@@ -281,6 +281,10 @@ def global_scan(
 
     aggs = [F.count(F.lit(1)).alias("_n")]
     aggs += [F.sum(src).alias(f"_t_{out}") for out, src in sums.items()]
+    # non-null counts feed the NULL-carry rule (same contract as
+    # global_running_sum): a row before any LOCAL non-null still takes
+    # the carried offset when an earlier partition held one
+    aggs += [F.count(src).alias(f"_nn_{out}") for out, src in sums.items()]
     if ranks or ntile is not None:
         aggs.append(
             F.countDistinct(F.struct(*[F.col(c) for c in order_cols])).alias("_d")
@@ -299,20 +303,24 @@ def global_scan(
         for out, src in sums.items()
     }
     sum_acc = {out: (0 if integral[out] else 0.0) for out in sums}
+    nn_acc = {out: 0 for out in sums}
     for p in sorted(stats):
         offsets[p] = {
             "_roff": rows_acc,
             "_doff": dist_acc,
             **{f"_off_{out}": sum_acc[out] for out in sums},
+            **{f"_pn_{out}": nn_acc[out] for out in sums},
         }
         rows_acc += stats[p]["_n"]
         dist_acc += stats[p].get("_d", 0)
         for out in sums:
             sum_acc[out] += stats[p][f"_t_{out}"] or 0
+            nn_acc[out] += stats[p][f"_nn_{out}"]
     total = rows_acc
     spark = df.sparkSession
     schema = "_pid int, _roff long, _doff long" + "".join(
-        f", _off_{out} {'long' if integral[out] else 'double'}" for out in sums
+        f", _off_{out} {'long' if integral[out] else 'double'}, _pn_{out} long"
+        for out in sums
     )
     off_df = spark.createDataFrame(
         [
@@ -321,8 +329,12 @@ def global_scan(
                 o["_roff"],
                 o["_doff"],
                 *[
-                    (int if integral[out] else float)(o[f"_off_{out}"])
+                    x
                     for out in sums
+                    for x in (
+                        (int if integral[out] else float)(o[f"_off_{out}"]),
+                        o[f"_pn_{out}"],
+                    )
                 ],
             )
             for p, o in offsets.items()
@@ -331,9 +343,17 @@ def global_scan(
     )
     out_df = local.join(F.broadcast(off_df), "_pid")
     for out in sums:
-        out_df = out_df.withColumn(
-            out, F.col(f"_ls_{out}") + F.col(f"_off_{out}")
-        ).drop(f"_ls_{out}", f"_off_{out}")
+        cum = (
+            F.when(
+                F.col(f"_ls_{out}").isNotNull(),
+                F.col(f"_ls_{out}") + F.col(f"_off_{out}"),
+            )
+            .when(F.col(f"_pn_{out}") > 0, F.col(f"_off_{out}"))
+            .otherwise(F.lit(None))
+        )
+        out_df = out_df.withColumn(out, cum).drop(
+            f"_ls_{out}", f"_off_{out}", f"_pn_{out}"
+        )
     if ranks or ntile is not None:
         out_df = (
             out_df.withColumn("rank", (F.col("_lrk") + F.col("_roff")).cast("int"))

@@ -788,3 +788,76 @@ def test_prefix_ops_adversarial_random(spark, seed, n_rows, n_parts):
         ).collect()
     }
     assert got_f == want_f
+
+
+@pytest.mark.parametrize("seed,n_rows,n_parts", [(11, 60, 64), (12, 90, 5)])
+def test_global_ranks_and_scan_adversarial_random(spark, seed, n_rows, n_parts):
+    """Tie-heavy seeded fuzz for global_ranks/global_scan: order keys
+    drawn from a tiny domain so tie GROUPS span range-partition
+    boundaries (the property the carry relies on: equal keys never
+    split), descending order, ntile, and NULL-run running sums through
+    global_scan -- all against single-window oracles."""
+    import random
+
+    from pyspark.sql.window import Window as W
+
+    from iot_data_pipeline_spark.operators.prefix import (
+        global_ranks,
+        global_scan,
+    )
+
+    rnd = random.Random(seed)
+    rows = [
+        (i, rnd.randint(0, 4), rnd.choice([None, rnd.randint(-9, 9)]))
+        for i in range(n_rows)
+    ]
+    df = spark.createDataFrame(rows, "id long, key long, v long")
+
+    got = {
+        r["id"]: (r["rank"], r["dense_rank"], r["ntile"])
+        for r in global_ranks(
+            df,
+            ["key"],
+            ascending=[False],
+            ntile=7,
+            num_partitions=n_parts,
+            tiebreak_cols=["id"],
+        ).collect()
+    }
+    w = W.orderBy(F.desc("key"), "id")
+    w_rk = W.orderBy(F.desc("key"))
+    want = {
+        r["id"]: (r["rk"], r["dr"], r["nt"])
+        for r in df.select(
+            "id",
+            F.rank().over(w_rk).alias("rk"),
+            F.dense_rank().over(w_rk).alias("dr"),
+            F.ntile(7).over(w).alias("nt"),
+        ).collect()
+    }
+    assert got == want
+
+    scan = global_scan(
+        df,
+        ["id"],
+        sum_cols={"cum_v": "v"},
+        ranks=True,
+        num_partitions=n_parts,
+        total_cols={"grand_v": "cum_v"},
+    )
+    got2 = {
+        r["id"]: (r["cum_v"], r["rank"], r["grand_v"])
+        for r in scan.collect()
+    }
+    w_id = W.orderBy("id")
+    w_cum = w_id.rowsBetween(W.unboundedPreceding, W.currentRow)
+    grand = sum(v for _, _, v in rows if v is not None)
+    want2 = {
+        r["id"]: (r["cv"], r["rk"], grand)
+        for r in df.select(
+            "id",
+            F.sum("v").over(w_cum).alias("cv"),
+            F.rank().over(w_id).alias("rk"),
+        ).collect()
+    }
+    assert got2 == want2
