@@ -704,3 +704,14 @@ def test_unhinted_scaling_joins_still_broadcast_at_test_sf(spark, sf_dir):
     # stats pipeline changed and the sweep needs revisiting.
     for name in ("q78_promo_revenue", "q102_market_share"):
         assert broadcast_join_count(q(name, spark, sf_dir)) >= 1, name
+
+
+def test_q190_dft_probe_scan_pruned_and_pushed(spark, sf_dir):
+    """The fixed-point DFT probe must reach the parquet scan with the
+    doc_id filter pushed AND a single-column ReadSchema: the kernel
+    synthesizes payloads from doc_id alone, so reading any text/content
+    bytes for it would be pure scan waste at 100 TB."""
+    df = q("q190_interior_dft_probe", spark, sf_dir)
+    assert has_pushed_filters(df), formatted_plan(df)
+    cols = read_schema_columns(df)
+    assert cols == [["doc_id"]], cols  # one scan, one column
