@@ -109,3 +109,36 @@ def test_asof_join_tolerance_bounds_matches(spark, data):
             if abs(rt - kv[1]) <= tol
         }
         assert got == want, direction
+
+
+@settings(
+    max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow]
+)
+@given(data=keyed_times)
+def test_asof_keep_unmatched_matches_reference(spark, data):
+    """keep_unmatched=True must emit every left row exactly once -- the
+    matched ones with the same candidate the inner path picks, the rest
+    with NULL right columns (merge_asof's keep-everything shape)."""
+    from iot_data_pipeline_spark.operators.joins import asof_join
+
+    left_rows, right_rows = [], []
+    for k, (lts, rts) in data.items():
+        left_rows.extend((k, t) for t in sorted(set(lts)))
+        right_rows.extend((k, t) for t in sorted(set(rts)))
+    if not right_rows:
+        right_rows = [(99, 0)]
+
+    left = spark.createDataFrame(left_rows, "k int, lt int")
+    right = spark.createDataFrame(
+        [(k, t, t * 10) for k, t in right_rows], "k int, rt int, payload int"
+    )
+    for direction in ("backward", "forward"):
+        rows = asof_join(
+            left, right, "lt", "rt", by=["k"],
+            direction=direction, keep_unmatched=True,
+        ).collect()
+        got = {(r["k"], r["lt"]): r["rt"] for r in rows}
+        assert len(rows) == len(left_rows)  # every left row exactly once
+        want = _reference(left_rows, right_rows, direction)
+        for key in got:
+            assert got[key] == want.get(key), (key, direction)
