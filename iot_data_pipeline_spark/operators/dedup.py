@@ -43,7 +43,14 @@ def shingle_hashes(
     (measured 4x at sf0.1), so the hoist matters.
     """
     toked = df.select(F.col(id_col).alias("id"), F.split(text_col, " ").alias("toks"))
-    idx = F.sequence(F.lit(1), F.greatest(F.size("toks") - (k - 1), F.lit(0)))
+    # guard sub-k-token docs explicitly: Spark's sequence(start, stop)
+    # AUTO-DESCENDS when stop < start (sequence(1, 0) = [1, 0]), so the
+    # greatest(..., 0) clamp alone still indexed past the array on 1-2
+    # token documents (found by the empty-doc adversarial fixture)
+    idx = F.when(
+        F.size("toks") >= k,
+        F.sequence(F.lit(1), F.size("toks") - (k - 1)),
+    ).otherwise(F.array().cast("array<int>"))
     shingles = F.transform(
         idx,
         lambda i: F.concat_ws(

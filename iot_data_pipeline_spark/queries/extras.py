@@ -135,11 +135,13 @@ def q43_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id,
            CAST(len(grams) AS BIGINT) AS n_3grams,
-           ROUND(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams), 4)
-             AS dup_3gram_frac,
+           CASE WHEN len(grams) > 0 THEN
+             ROUND(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams), 4)
+           END AS dup_3gram_frac,
            ROUND(1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 4)
              AS dup_token_frac,
-           CAST(CASE WHEN 1.0 - CAST(len(list_distinct(grams)) AS DOUBLE)
+           CAST(CASE WHEN len(grams) > 0
+                      AND 1.0 - CAST(len(list_distinct(grams)) AS DOUBLE)
                           / len(grams) <= 0.2 THEN 1 ELSE 0 END AS INTEGER)
              AS keep
     FROM g ORDER BY doc_id
@@ -154,7 +156,12 @@ def q44_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     subexpressions; see _shingle_hashes in queries/llm.py)."""
     docs = read_table(spark, sf_dir, "documents")
     toked = docs.select("doc_id", F.split("text", " ").alias("toks"))
-    idx = F.sequence(F.lit(1), F.greatest(F.size("toks") - 2, F.lit(0)))
+    # explicit >= 3 guard: sequence(1, 0) AUTO-DESCENDS to [1, 0] in
+    # Spark, so the greatest() clamp alone still indexed past the array
+    # on 1-2 token documents (empty-doc adversarial fixture)
+    idx = F.when(
+        F.size("toks") >= 3, F.sequence(F.lit(1), F.size("toks") - 2)
+    ).otherwise(F.array().cast("array<int>"))
     grams = F.transform(
         idx,
         lambda i: F.concat_ws(
@@ -165,14 +172,20 @@ def q44_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     g = toked.select("doc_id", "toks", grams.alias("grams"))
+    has_grams = F.size("grams") > 0
     dup_gram = 1.0 - F.size(F.array_distinct("grams")).cast("double") / F.size("grams")
     dup_tok = 1.0 - F.size(F.array_distinct("toks")).cast("double") / F.size("toks")
     return g.select(
         "doc_id",
         F.size("grams").cast("long").alias("n_3grams"),
-        F.round(dup_gram, 4).alias("dup_3gram_frac"),
+        # gram-less docs: fraction undefined -> NULL (ANSI would raise on
+        # the 0 divisor); keep=0, matching the oracle's guarded CASE
+        F.when(has_grams, F.round(dup_gram, 4)).alias("dup_3gram_frac"),
         F.round(dup_tok, 4).alias("dup_token_frac"),
-        F.when(dup_gram <= 0.2, 1).otherwise(0).cast("int").alias("keep"),
+        F.when(has_grams & (dup_gram <= 0.2), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("keep"),
     ).orderBy("doc_id")
 
 
@@ -197,8 +210,12 @@ _STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
     SELECT doc_id,
            ROUND(CAST(len(list_filter(toks, t -> t IN ({_STOP_SQL})))
                  AS DOUBLE) / len(toks), 4) AS stop_ratio,
-           ROUND(CAST(n_alpha AS DOUBLE) / n_chars, 4) AS alpha_ratio,
-           ROUND(CAST(n_space AS DOUBLE) / n_chars, 4) AS space_ratio,
+           CASE WHEN n_chars > 0
+                THEN ROUND(CAST(n_alpha AS DOUBLE) / n_chars, 4)
+           END AS alpha_ratio,
+           CASE WHEN n_chars > 0
+                THEN ROUND(CAST(n_space AS DOUBLE) / n_chars, 4)
+           END AS space_ratio,
            CAST(CASE WHEN CAST(len(list_filter(toks, t -> t IN ({_STOP_SQL})))
                           AS DOUBLE) / len(toks) BETWEEN 0.01 AND 0.5
                      THEN 1 ELSE 0 END AS INTEGER) AS keep
@@ -227,15 +244,21 @@ def q45_stopword_charset(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         / F.size("toks")
     )
+    nonempty = F.col("n_chars") > 0
     return s.select(
         "doc_id",
+        # toks is never empty (split('') = ['']) so stop_ratio's divisor
+        # is safe; char ratios are undefined on zero-length text -> NULL
+        # (ANSI would raise on the 0 divisor), matching the oracle's CASE
         F.round(stop_ratio, 4).alias("stop_ratio"),
-        F.round(F.col("n_alpha").cast("double") / F.col("n_chars"), 4).alias(
-            "alpha_ratio"
-        ),
-        F.round(F.col("n_space").cast("double") / F.col("n_chars"), 4).alias(
-            "space_ratio"
-        ),
+        F.when(
+            nonempty,
+            F.round(F.col("n_alpha").cast("double") / F.col("n_chars"), 4),
+        ).alias("alpha_ratio"),
+        F.when(
+            nonempty,
+            F.round(F.col("n_space").cast("double") / F.col("n_chars"), 4),
+        ).alias("space_ratio"),
         F.when((stop_ratio >= 0.01) & (stop_ratio <= 0.5), 1)
         .otherwise(0)
         .cast("int")

@@ -45,12 +45,16 @@ CORPUS_NEAR_CTE = """
 corpus AS (
   SELECT doc_id, text, lang FROM documents
   UNION ALL
+  -- docs that would truncate to NOTHING produce no twin: DuckDB's
+  -- array_to_string([]) is NULL while Spark's concat_ws is '', so an
+  -- empty twin diverges between engines (adversarial short-doc fixture)
   SELECT doc_id + 100000 AS doc_id,
          array_to_string(
            (string_split(text, ' '))[1:greatest(len(string_split(text, ' ')) - 3, 0)],
            ' ') AS text,
          lang
-  FROM documents WHERE doc_id % 10 = 0
+  FROM documents
+  WHERE doc_id % 10 = 0 AND len(string_split(text, ' ')) > 3
 )
 """
 
@@ -83,7 +87,9 @@ def _corpus_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     trunc = F.concat_ws(
         " ", F.slice(toks, 1, F.greatest(F.size(toks) - 3, F.lit(0)))
     )
-    dup = docs.filter(F.col("doc_id") % 10 == 0).select(
+    dup = docs.filter(
+        (F.col("doc_id") % 10 == 0) & (F.size(toks) > 3)
+    ).select(
         (F.col("doc_id") + 100000).alias("doc_id"),
         trunc.alias("text"),
         "lang",
@@ -111,7 +117,13 @@ def _shingle_hashes(corpus: DataFrame, distinct: bool = True) -> DataFrame:
       multiset-invariant.
     """
     toked = corpus.select("doc_id", "lang", F.split("text", " ").alias("toks"))
-    idx = F.sequence(F.lit(1), F.greatest(F.size("toks") - 2, F.lit(0)))
+    # explicit >= 3 guard: Spark's sequence(1, 0) AUTO-DESCENDS to
+    # [1, 0], so the greatest() clamp alone still indexed past the array
+    # on 1-2 token documents (empty-doc adversarial fixture; same fix as
+    # operators/dedup.shingle_hashes)
+    idx = F.when(
+        F.size("toks") >= 3, F.sequence(F.lit(1), F.size("toks") - 2)
+    ).otherwise(F.array().cast("array<int>"))
     shingle_list = F.transform(
         idx,
         lambda i: F.concat_ws(

@@ -66,3 +66,82 @@ def test_q178_median_equals_min_edge_groups(spark, tmp_path):
     problems = compare_query(spark, con, "q178_scalable_exact_median", d)
     con.close()
     assert not problems, problems
+
+
+_SHORT_DOC_QUERIES = [
+    "q17b_token_counts",
+    "q22_exact_dedup",
+    "q23_minhash_lsh",
+    "q24_simhash_pairs",
+    "q25_ngram_jaccard",
+    "q27_langid",
+    "q28_quality_score",
+    "q29_doc_fingerprint",
+    "q44_repetition_ratio",
+    "q45_stopword_charset",
+    "q52_dup_clusters",
+    "q109_decontamination",
+    "q110_length_trim",
+    "q114_pii_redaction",
+    "q115_paragraph_dedup",
+    "q116_bm25_scoring",
+    "q118_winnowing_fingerprints",
+    "q120_char_entropy",
+    "q121_repetition_rules",
+    "q123_leakage_safe_split",
+    "q131_bpe_learn",
+    "q132_ngram_perplexity",
+    "q144_lsh_recall_audit",
+    "q145_prefix_filter_join",
+    "q156_incremental_lsh",
+]
+
+
+@pytest.fixture(scope="module")
+def short_doc_dir(spark, tmp_path_factory):
+    """Adversarial documents the driver fixture never contains: empty
+    text, whitespace-only, single-token, double-space (empty middle
+    token), plus two normal docs. Round-6 audit: this fixture found four
+    crashing queries (ANSI division by zero in q45, Spark's
+    sequence(1, 0) AUTO-DESCENDING to [1, 0] so 1-2 token docs indexed
+    past the token array in every shingle pipeline) and one cross-engine
+    divergence (the near-dup corpus twin of a <=3-token doc is '' in
+    Spark's concat_ws but NULL in DuckDB's array_to_string)."""
+    import duckdb
+
+    d = str(tmp_path_factory.mktemp("short_docs"))
+    duckdb.sql(f"""
+    COPY (
+      SELECT * FROM (VALUES
+        (0, '', 'en', 'src0', 0),
+        (1, ' ', 'en', 'src0', 1),
+        (2, 'one', 'de', 'src1', 3),
+        (3, 'a  b', 'de', 'src1', 4),
+        (4, 'normal text with several words here', 'en', 'src2', 35),
+        (5, 'zzz zzz zzz zzz', 'fr', 'src2', 15)
+      ) t(doc_id, text, lang, source, n_chars)
+    ) TO '{d}/documents.parquet' (FORMAT PARQUET)
+    """)
+    return d
+
+
+@pytest.fixture(scope="module")
+def short_doc_duck(short_doc_dir):
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
+    con.execute(
+        "CREATE OR REPLACE VIEW documents AS "
+        f"SELECT * FROM '{short_doc_dir}/documents.parquet'"
+    )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", _SHORT_DOC_QUERIES)
+def test_text_queries_survive_degenerate_documents(
+    spark, short_doc_duck, short_doc_dir, name
+):
+    problems = compare_query(spark, short_doc_duck, name, short_doc_dir)
+    assert not problems, problems
