@@ -38,7 +38,9 @@ def salted_agg(
 
     ``aggs`` maps output column -> (input column, fn) where fn is one of
     sum|count|min|max (the re-aggregatable kernels; avg = sum/count at the
-    call site). Stage 1 shards every key n_salts ways; stage 2 combines
+    call site). SQL count semantics apply: ``count`` of a column counts
+    its NON-NULL values; pass ``"*"`` as the column for a row count
+    (COUNT(*)). Stage 1 shards every key n_salts ways; stage 2 combines
     n_salts rows per key -- the hot key's work parallelizes, the second
     shuffle is one row per (key, salt).
     """
@@ -47,10 +49,18 @@ def salted_agg(
     for out, (col, fn) in aggs.items():
         if fn not in combiners:
             raise ValueError(f"{fn!r} is not re-aggregatable; use sum/count/min/max")
+        if col == "*" and fn != "count":
+            raise ValueError('column "*" only makes sense with fn="count"')
+
+    def first_agg(col: str, fn: str):
+        if col == "*" and fn == "count":
+            return F.count(F.lit(1))
+        return firsts[fn](col)
+
     stage1 = df.withColumn("__salt", _salt(n_salts)).groupBy(
         *keys, "__salt"
     ).agg(
-        *[firsts[fn](col).alias(out) for out, (col, fn) in aggs.items()]
+        *[first_agg(col, fn).alias(out) for out, (col, fn) in aggs.items()]
     )
     return stage1.groupBy(*keys).agg(
         *[combiners[fn](out).alias(out) for out, (col, fn) in aggs.items()]

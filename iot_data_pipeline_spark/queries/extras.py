@@ -292,7 +292,9 @@ def q55_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev,
         keys=["event_type"],
         aggs={
-            "n_events": ("value", "count"),
+            # "*": COUNT(*) row count, matching the oracle -- ("value",
+            # "count") would skip NULL-value events (degenerate fixture)
+            "n_events": ("*", "count"),
             "total_value_raw": ("value", "sum"),
             "min_value_raw": ("value", "min"),
             "max_value_raw": ("value", "max"),
@@ -1620,14 +1622,20 @@ def q178_scalable_exact_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     bounds = {
-        r["event_type"]: (r["lo"], r["hi"], (r["n"] + 1) // 2)
+        # k ranks over NON-NULL values only (quantile_disc ignores
+        # NULLs; counting all rows would shift the target rank in
+        # partially-null groups), and all-null groups -- lo/hi None --
+        # never enter the bisection: their median is NULL by definition
+        # (degenerate-events fixture: nextafter(None) crashed here)
+        r["event_type"]: (r["lo"], r["hi"], (r["nn"] + 1) // 2)
         for r in ev.groupBy("event_type")
         .agg(
             F.min("value").alias("lo"),
             F.max("value").alias("hi"),
-            F.count(F.lit(1)).alias("n"),
+            F.count("value").alias("nn"),
         )
         .collect()
+        if r["nn"] > 0
     }
     # seed lo STRICTLY below the group min so the invariant
     # count(<= lo) < k holds from round one: with lo == min, a group
@@ -1708,18 +1716,20 @@ def q178_scalable_exact_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             lo[g], hi[g], c_lo[g] = new_lo, new_hi, new_c_lo
             solved[g] = new_c_lo == k[g] - 1
     lo_col = F.coalesce(
-        *[F.when(F.col("event_type") == g, F.lit(lo[g])) for g in groups]
+        *[F.when(F.col("event_type") == g, F.lit(lo[g])) for g in groups],
+        F.lit(None).cast("double"),
     )
-    return (
+    # LEFT join from the per-group counts so all-null groups (absent
+    # from the bisection) still emit their row with a NULL median
+    medians = (
         ev.filter(F.col("value") > lo_col)
         .groupBy("event_type")
         .agg(F.min("value").alias("median_value"))
-        .join(
-            ev.groupBy("event_type").agg(
-                F.count(F.lit(1)).cast("bigint").alias("n")
-            ),
-            "event_type",
-        )
+    )
+    return (
+        ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .join(medians, "event_type", "left")
         .select("event_type", "n", "median_value")
         .orderBy("event_type")
     )

@@ -349,14 +349,22 @@ def q62_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
 @declared(
     "q63_json_struct",
     oracle="""
+    WITH p AS (
+      -- json_valid guard: DuckDB json functions RAISE on malformed rows
+      -- where Spark's PERMISSIVE from_json yields a NULL struct
+      SELECT event_type,
+             CASE WHEN json_valid(props)
+                  THEN TRY_CAST(json_extract(props, '$.k') AS INTEGER)
+             END AS k
+      FROM events
+    )
     SELECT event_type,
            COUNT(*) AS n,
-           MIN(CAST(json_extract(props, '$.k') AS INTEGER)) AS min_k,
-           MAX(CAST(json_extract(props, '$.k') AS INTEGER)) AS max_k,
-           COUNT(DISTINCT CAST(json_extract(props, '$.k') AS INTEGER) % 10)
-               AS n_k_mod
-    FROM events
-    WHERE CAST(json_extract(props, '$.k') AS INTEGER) IS NOT NULL
+           MIN(k) AS min_k,
+           MAX(k) AS max_k,
+           COUNT(DISTINCT k % 10) AS n_k_mod
+    FROM p
+    WHERE k IS NOT NULL
     GROUP BY event_type ORDER BY event_type
     """,
 )

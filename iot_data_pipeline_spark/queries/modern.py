@@ -26,13 +26,18 @@ CHUNK_TOKENS = 32
 @declared(
     "q84_variant_json",
     oracle="""
+    WITH p AS (
+      SELECT event_type,
+             CASE WHEN json_valid(props)
+                  THEN TRY_CAST(json_extract_string(props, '$.k') AS INTEGER)
+             END AS k
+      FROM events
+    )
     SELECT event_type,
            COUNT(*) AS n,
-           ROUND(AVG(CAST(json_extract_string(props, '$.k') AS INTEGER)), 2)
-             AS avg_k,
-           CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER))
-                AS BIGINT) AS sum_k
-    FROM events GROUP BY event_type ORDER BY event_type
+           ROUND(AVG(k), 2) AS avg_k,
+           CAST(SUM(k) AS BIGINT) AS sum_k
+    FROM p GROUP BY event_type ORDER BY event_type
     """,
 )
 def q84_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -45,7 +50,10 @@ def q84_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     the binary encoding is shredded columnar in Parquet writes.
     """
     ev = read_table(spark, sf_dir, "events")
-    k = F.variant_get(F.parse_json("props"), "$.k", "int")
+    # try_parse_json: strict parse_json RAISES on a malformed props row,
+    # killing the whole job -- NULL variant (-> NULL path reads) is the
+    # ingestion-tolerant contract (degenerate-events fixture finding)
+    k = F.variant_get(F.try_parse_json("props"), "$.k", "int")
     return (
         ev.groupBy("event_type")
         .agg(

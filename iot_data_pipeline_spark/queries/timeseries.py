@@ -348,7 +348,10 @@ def q142_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
              time_bucket(INTERVAL 1 HOUR, ts) AS bucket,
              CAST(epoch(ts) AS BIGINT) * 100000 + event_id AS ord,
              value
-      FROM events WHERE event_id < 20000
+      -- NULL-value ticks are not prices: DuckDB's arg_min SKIPS null
+      -- arguments while Spark's min_by does not, so they must never
+      -- reach the aggregate (degenerate-events fixture finding)
+      FROM events WHERE event_id < 20000 AND value IS NOT NULL
     )
     SELECT series, CAST(bucket AS VARCHAR) AS bucket,
            CAST(COUNT(*) AS BIGINT) AS n_ticks,
@@ -378,7 +381,9 @@ def q172_ohlc_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = (
         read_table(spark, sf_dir, "events")
-        .filter(F.col("event_id") < 20000)
+        # NULL-value ticks are not prices (and min_by would pick them
+        # where the oracle's arg_min skips them)
+        .filter((F.col("event_id") < 20000) & F.col("value").isNotNull())
         .select(
             (F.col("user_id") % 8).alias("series"),
             F.date_trunc("hour", "ts").alias("bucket"),

@@ -215,12 +215,21 @@ def q18b_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 @declared(
     "q19_json_extract",
     oracle="""
+    WITH p AS (
+      -- json_valid guard: DuckDB's json functions RAISE on malformed
+      -- input where Spark's get_json_object yields NULL -- tolerance is
+      -- the contract (degenerate-events fixture finding)
+      SELECT event_type,
+             CASE WHEN json_valid(props)
+                  THEN json_extract_string(props, '$.k') END AS k_str
+      FROM events
+    )
     SELECT event_type,
            COUNT(*) AS n,
-           ROUND(AVG(CAST(json_extract_string(props, '$.k') AS INTEGER)), 2) AS avg_k,
-           CAST(MIN(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS INTEGER) AS min_k,
-           CAST(MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS INTEGER) AS max_k
-    FROM events GROUP BY event_type ORDER BY event_type
+           ROUND(AVG(TRY_CAST(k_str AS INTEGER)), 2) AS avg_k,
+           CAST(MIN(TRY_CAST(k_str AS INTEGER)) AS INTEGER) AS min_k,
+           CAST(MAX(TRY_CAST(k_str AS INTEGER)) AS INTEGER) AS max_k
+    FROM p GROUP BY event_type ORDER BY event_type
     """,
 )
 def q19_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
