@@ -73,3 +73,35 @@ def fmt_ts(col: str | F.Column) -> F.Column:
 
 #: DuckDB twin of fmt_ts -- use as ORACLE_FMT.format(expr)
 ORACLE_FMT = "strftime({}, '%Y-%m-%d %H:%M:%S')"
+
+
+def valid_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The embeddings table with degenerate rows excluded: NULL arrays,
+    arrays containing NULL elements, and all-zero vectors. Cosine has no
+    defined value for them, and under the session's ANSI mode the norm
+    division in any similarity query would otherwise kill the whole job
+    on the first bad row (padding rows / failed encoder outputs -- the
+    rows a real corpus always contains). Mirrors
+    operators/similarity._normed's exclusion; the oracle twin is
+    EMB_VALID_CTE."""
+    e = F.col("embedding")
+    norm2 = F.aggregate(
+        F.transform(e, lambda v: v.cast("double") * v.cast("double")),
+        F.lit(0.0),
+        lambda s, v: s + v,
+    )
+    return read_table(spark, sf_dir, "embeddings").filter(
+        e.isNotNull()
+        & ~F.exists(e, lambda v: v.isNull())
+        & (norm2 > 0)
+    )
+
+
+#: DuckDB twin of valid_embeddings -- splice as a leading CTE body:
+#: ``WITH {EMB_VALID_CTE}, rest AS (... FROM embeddings_valid ...)``
+EMB_VALID_CTE = """embeddings_valid AS (
+      SELECT * FROM embeddings
+      WHERE embedding IS NOT NULL
+        AND len(list_filter(embedding, x -> x IS NULL)) = 0
+        AND list_sum(list_transform(embedding::DOUBLE[], x -> x * x)) > 0
+    )"""

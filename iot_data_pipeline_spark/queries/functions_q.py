@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 from iot_data_pipeline_spark.functions.udfs import token_count_arrow
 from iot_data_pipeline_spark.queries.registry import declared
+from iot_data_pipeline_spark.queries.base import valid_embeddings
 from iot_data_pipeline_spark.sources.readers import read_table
 
 
@@ -139,7 +140,7 @@ def q36_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``embedding: array<float>``. Sum folds left-to-right in both engines
     (same order as DuckDB's list_sum over the cast list), so ROUND(4) is
     belt-and-braces, not a crutch."""
-    emb = read_table(spark, sf_dir, "embeddings")
+    emb = valid_embeddings(spark, sf_dir)
     arr = F.col("embedding")
     as_double = F.transform(arr, lambda x: x.cast("double"))
     return emb.select(

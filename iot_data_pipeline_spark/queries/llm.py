@@ -26,6 +26,7 @@ from iot_data_pipeline_spark.functions.hashing import (
     portable_hash,
 )
 from iot_data_pipeline_spark.queries.registry import declared
+from iot_data_pipeline_spark.queries.base import valid_embeddings
 from iot_data_pipeline_spark.sources.readers import read_table
 
 N_MINHASH = 16
@@ -509,7 +510,7 @@ def q26_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~10x less per-pair cost (see neardup_pairs_pandas)."""
     from iot_data_pipeline_spark.operators.similarity import neardup_pairs_pandas
 
-    emb = read_table(spark, sf_dir, "embeddings")
+    emb = valid_embeddings(spark, sf_dir)
     return neardup_pairs_pandas(
         emb, id_col="vec_id", vec_col="embedding", block_col="label", threshold=0.35
     ).orderBy("vec_a", "vec_b")
@@ -712,7 +713,7 @@ def q31_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     (a stand-in for trained centroids); each query probes only its own cell.
     The join is equi on cell -- a hash shuffle, not a cross join; recall is
     traded for a ~8x candidate reduction, the IVF contract."""
-    emb = read_table(spark, sf_dir, "embeddings")
+    emb = valid_embeddings(spark, sf_dir)
     as_double = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     dot = lambda x, y: F.aggregate(  # noqa: E731
         F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0), lambda s, v: s + v
@@ -914,7 +915,11 @@ def _q54_oracle() -> str:
     bits = " + ".join(bit.format(b=b, p=1 << b) for b in range(8))
     return f"""
     WITH bucketed AS (
+      -- the 8x64 hyperplane table fixes this query's dimension contract:
+      -- vectors of any other length are out of scope (a shorter one
+      -- would crash the numpy kernel and silently NULL-pad in SQL)
       SELECT vec_id, label, ({bits}) AS bucket FROM embeddings
+      WHERE len(embedding) = 64
     )
     SELECT bucket, COUNT(*) AS n_vecs,
            COUNT(DISTINCT label) AS n_labels,
@@ -941,7 +946,9 @@ def q54_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
-    emb = read_table(spark, sf_dir, "embeddings")
+    # dimension contract: the hyperplane table is 8x64, so only 64-dim
+    # vectors are in scope (mirrored by the oracle's len() filter)
+    emb = valid_embeddings(spark, sf_dir).filter(F.size("embedding") == 64)
 
     # Same H(s) % 21 - 10 the oracle computes in SQL, evaluated ONCE
     # driver-side (hashlib md5 == md5() in both engines): an (8, 64)
@@ -1072,7 +1079,7 @@ def q97_embedding_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
     The casts to double happen before any arithmetic so both engines
     fold identical float64 values.
     """
-    emb = read_table(spark, sf_dir, "embeddings")
+    emb = valid_embeddings(spark, sf_dir)
     e = emb.select(
         "vec_id", F.posexplode(F.col("embedding").cast("array<double>"))
     ).withColumnRenamed("col", "x").withColumnRenamed("pos", "pos")
@@ -1198,7 +1205,7 @@ def q100_crossmodal_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from iot_data_pipeline_spark.operators.similarity import neardup_pairs_pandas
 
-    emb = read_table(spark, sf_dir, "embeddings")
+    emb = valid_embeddings(spark, sf_dir)
     cand = neardup_pairs_pandas(
         emb, id_col="vec_id", vec_col="embedding", block_col="label", threshold=0.35
     ).localCheckpoint(eager=True)  # feeds the id semi-join AND the final join
@@ -1434,7 +1441,7 @@ def q112_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     (localCheckpoint) so iteration 2's broadcast does not re-run
     iteration 1's whole lineage -- without this the plan doubles per
     round, the classic iterative-algorithm trap."""
-    emb = read_table(spark, sf_dir, "embeddings")
+    emb = valid_embeddings(spark, sf_dir)
     vecs = emb.select(
         "vec_id",
         F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "x"),
@@ -2708,7 +2715,7 @@ def q136_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from iot_data_pipeline_spark.operators.similarity import neardup_pairs_pandas
 
-    emb = read_table(spark, sf_dir, "embeddings")
+    emb = valid_embeddings(spark, sf_dir)
     cell = (
         F.when(F.element_at("embedding", 1) > 0, 8).otherwise(0)
         + F.when(F.element_at("embedding", 2) > 0, 4).otherwise(0)
@@ -3386,7 +3393,7 @@ def q148_ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate side is the q31 cell equi-join. Both pair sets reduce to
     per-query counts before the tiny audit join; nothing quadratic in N.
     """
-    emb = read_table(spark, sf_dir, "embeddings")
+    emb = valid_embeddings(spark, sf_dir)
     as_double = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     dot = lambda x, y: F.aggregate(  # noqa: E731
         F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0), lambda s, v: s + v
@@ -3529,7 +3536,7 @@ def q149_ivf_multiprobe_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     key is still a single int. The exact ground-truth side is q148's
     whitelisted bounded-broadcast serving shape.
     """
-    emb = read_table(spark, sf_dir, "embeddings")
+    emb = valid_embeddings(spark, sf_dir)
     as_double = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     dot = lambda x, y: F.aggregate(  # noqa: E731
         F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0), lambda s, v: s + v
@@ -3720,7 +3727,7 @@ def q183_ivf_adaptive_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     the probe ORDER is bit-identical across engines (the property the
     hash gate rides on).
     """
-    emb = read_table(spark, sf_dir, "embeddings")
+    emb = valid_embeddings(spark, sf_dir)
     as_double = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     dot = lambda x, y: F.aggregate(  # noqa: E731
         F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0), lambda s, v: s + v
@@ -4668,7 +4675,7 @@ def q176_retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     reductions before the tiny metric join); log2 parity follows the
     q132/q163 libm precedent with ROUND-after-aggregate.
     """
-    emb = read_table(spark, sf_dir, "embeddings")
+    emb = valid_embeddings(spark, sf_dir)
     as_double = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     dot = lambda x, y: F.aggregate(  # noqa: E731
         F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0), lambda s, v: s + v

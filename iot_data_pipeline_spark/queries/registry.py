@@ -85,13 +85,40 @@ def portable_round_sql(sql: str) -> str:
     return "".join(out)
 
 
+def valid_embeddings_sql(sql: str) -> str:
+    """Route every oracle reference to ``embeddings`` through the
+    valid-embeddings view (queries/base.EMB_VALID_CTE): NULL arrays,
+    arrays with NULL elements, and zero-norm vectors are excluded --
+    cosine is undefined for them, DuckDB's list functions RAISE on NULL
+    elements, and under Spark's ANSI mode the norm division would kill
+    the job (degenerate-embeddings fixture, round 6). The Spark twin is
+    ``base.valid_embeddings``, used by every embeddings-reading query,
+    so both engines see the identical filtered relation."""
+    if "FROM embeddings" not in sql:
+        return sql
+    from iot_data_pipeline_spark.queries.base import EMB_VALID_CTE
+
+    body = sql.replace("FROM embeddings", "FROM embeddings_valid")
+    stripped = body.lstrip()
+    lead = body[: len(body) - len(stripped)]
+    if stripped.upper().startswith("WITH"):
+        rest = stripped[4:]
+        return f"{lead}WITH {EMB_VALID_CTE},{rest}"
+    return f"{lead}WITH {EMB_VALID_CTE}\n    {stripped}"
+
+
 def declared(name: str, oracle: str | None = None) -> Callable[[SparkQuery], SparkQuery]:
     """Register a declared query. ``oracle`` is DuckDB SQL over the
     pre-registered testdata views (region nation customer supplier part
-    orders lineitem events documents embeddings)."""
+    orders lineitem events documents embeddings; ``embeddings``
+    references are rewritten through the valid-embeddings guard -- see
+    valid_embeddings_sql)."""
 
     def deco(fn: SparkQuery) -> SparkQuery:
-        sql = portable_round_sql(oracle) if oracle else oracle
+        sql = oracle
+        if sql:
+            sql = portable_round_sql(sql)
+            sql = valid_embeddings_sql(sql)
         REGISTRY[name] = DeclaredQuery(name, fn, sql, (fn.__doc__ or "").strip())
         return fn
 

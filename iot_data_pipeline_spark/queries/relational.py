@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 
 from iot_data_pipeline_spark.queries.base import fmt_ts
 from iot_data_pipeline_spark.queries.registry import declared
+from iot_data_pipeline_spark.queries.base import valid_embeddings
 from iot_data_pipeline_spark.sources.readers import read_table
 
 
@@ -529,7 +530,7 @@ def q12_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocking step: at 100 TB you never cross-join the full corpus -- you
     broadcast the query vector and prune by partition/label first.
     """
-    emb = read_table(spark, sf_dir, "embeddings")
+    emb = valid_embeddings(spark, sf_dir)
     as_double = lambda c: F.transform(F.col(c), lambda x: x.cast("double"))  # noqa: E731
     dot = lambda a, b: F.aggregate(  # noqa: E731
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x

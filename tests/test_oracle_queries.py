@@ -235,3 +235,84 @@ def test_event_queries_survive_degenerate_events(
         spark, degenerate_events_duck, name, degenerate_events_dir
     )
     assert not problems, problems
+
+
+_DEGENERATE_EMBEDDING_QUERIES = [
+    "q12_cosine_topk",
+    "q26_embedding_neardup",
+    "q31_ann_ivf",
+    "q36_array_funcs",
+    "q54_lsh_buckets",
+    "q97_embedding_standardize",
+    "q100_crossmodal_neardup",
+    "q112_kmeans_clusters",
+    "q133_image_dedup",
+    "q136_semdedup",
+    "q141_quality_aware_dedup",
+    "q143_rag_retrieval",
+    "q148_ivf_recall_audit",
+    "q149_ivf_multiprobe_audit",
+    "q154_rag_rerank",
+    "q176_retrieval_ndcg",
+    "q183_ivf_adaptive_probe",
+]
+
+
+@pytest.fixture(scope="module")
+def degenerate_embeddings_dir(spark, tmp_path_factory):
+    """Adversarial embeddings: an all-zero vector, a NULL array, an array
+    with a NULL element, plus six valid 4-dim vectors. Round-6 findings:
+    nine similarity queries crashed (ANSI norm division by zero, DuckDB
+    list functions raising on NULL elements) before every
+    embeddings-reading query was routed through the valid-embeddings
+    guard (queries/base.valid_embeddings + the registry's
+    valid_embeddings_sql oracle rewrite); q54's numpy kernel also
+    crashed on any non-64-dim vector until its dimension contract became
+    an explicit filter. The real testdata has no such rows, so the guard
+    is a pure no-op there (asserted by the unchanged sf0.01 gates)."""
+    import shutil
+
+    import duckdb
+
+    d = str(tmp_path_factory.mktemp("degenerate_embeddings"))
+    for t in (
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "documents", "events",
+    ):
+        shutil.copy(f"/root/testdata/sf0.001/{t}.parquet", f"{d}/{t}.parquet")
+    duckdb.sql(f"""
+    COPY (
+      SELECT CAST(vec_id AS BIGINT) AS vec_id,
+             CAST(embedding AS FLOAT[]) AS embedding,
+             CAST(label AS INTEGER) AS label
+      FROM (VALUES
+        (0, [1.0, 0.0, 0.5, -0.5], 0),
+        (1, [0.9, 0.1, 0.4, -0.6], 0),
+        (2, [0.0, 0.0, 0.0, 0.0], 0),
+        (3, NULL, 1),
+        (4, [0.2, -0.8, NULL, 0.3], 1),
+        (5, [-1.0, 0.5, 0.2, 0.9], 1),
+        (6, [0.3, 0.3, 0.3, 0.3], 2),
+        (7, [0.31, 0.29, 0.3, 0.3], 2),
+        (8, [0.5, -0.5, 0.25, 0.75], 2)
+      ) t(vec_id, embedding, label)
+    ) TO '{d}/embeddings.parquet' (FORMAT PARQUET)
+    """)
+    return d
+
+
+@pytest.fixture(scope="module")
+def degenerate_embeddings_duck(degenerate_embeddings_dir):
+    con = duck_connection(degenerate_embeddings_dir)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", _DEGENERATE_EMBEDDING_QUERIES)
+def test_embedding_queries_survive_degenerate_vectors(
+    spark, degenerate_embeddings_duck, degenerate_embeddings_dir, name
+):
+    problems = compare_query(
+        spark, degenerate_embeddings_duck, name, degenerate_embeddings_dir
+    )
+    assert not problems, problems
