@@ -1171,7 +1171,12 @@ def q152_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT c.c_nationkey AS nationkey,
            CAST(COUNT(*) AS BIGINT) AS n_orders,
-           ROUND(SUM(f.price), 2) AS revenue
+           -- exact DECIMAL summation (q112/q126 rule): a plain double
+           -- SUM's result depends on partial-aggregation order, and at
+           -- sf0.1 group sizes the ulp drift crosses the cent-rounding
+           -- boundary (found by the sf0.1 harness sweep; sf0.01 passed)
+           ROUND(CAST(SUM(CAST(f.price AS DECIMAL(18,6))) AS DOUBLE), 2)
+             AS revenue
     FROM final_state f JOIN customer c ON f.o_custkey = c.c_custkey
     GROUP BY c.c_nationkey ORDER BY nationkey
     """,
@@ -1239,7 +1244,11 @@ def q164_ivm_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         view.groupBy(F.col("c_nationkey").alias("nationkey"))
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_orders"),
-            F.round(F.sum("price"), 2).alias("revenue"),
+            # exact decimal sum (q112/q126 rule): plain double SUM order
+            # drifts past the cent boundary at sf0.1 group sizes
+            F.round(
+                F.sum(F.col("price").cast("decimal(18,6)")).cast("double"), 2
+            ).alias("revenue"),
         )
         .orderBy("nationkey")
     )
