@@ -6,7 +6,15 @@ order-insensitive values, sorting columns by NAME -- so every computed column
 is aliased identically on both sides.
 
 Determinism rules applied throughout (SURVEY.md section 2.3):
-- floating aggregates rounded AFTER aggregation;
+- floating aggregates rounded AFTER aggregation; CAVEAT (the q164
+  incident): a double SUM's value depends on partial-aggregation order,
+  and at large-enough group sizes the ulp drift can cross the ROUND
+  boundary -- q164 flipped a cent at sf0.1 while green at sf0.01. All
+  remaining double-sum sites are certified at sf0.1 by the full-harness
+  sweep; if one flips at a larger scale, convert it to the exact rule:
+  ``SUM(CAST(x AS DECIMAL(18,6)))`` on both sides, then
+  ``ROUND(CAST(.. AS DOUBLE), n)`` (double->decimal cast parity is
+  proven by q179/q184);
 - timestamps compared as strings of date_trunc'd values, UTC both sides;
 - no nondeterministic or approximate functions;
 - ties broken by explicit keys wherever a ranking cuts off;
