@@ -1326,3 +1326,176 @@ def q189_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("k")
     )
+
+
+@declared(
+    "q191_watermark_late_drop",
+    oracle="""
+    WITH appear AS (
+      SELECT 1 AS b,
+             TIMESTAMP '2024-01-01 00:00:00' + r * INTERVAL 1 MINUTE AS ts,
+             CAST(r AS DOUBLE) AS v
+      FROM range(15) t(r)
+      UNION ALL SELECT 2, TIMESTAMP '2024-01-01 01:00:00', CAST(100 AS DOUBLE)
+      UNION ALL SELECT 2, TIMESTAMP '2024-01-01 00:05:00', CAST(50 AS DOUBLE)
+      UNION ALL SELECT 3, TIMESTAMP '2024-01-01 00:55:00', CAST(55 AS DOUBLE)
+      UNION ALL SELECT 4, TIMESTAMP '2024-01-01 00:12:00', CAST(999 AS DOUBLE)
+      UNION ALL SELECT 4, TIMESTAMP '2024-01-01 00:58:00', CAST(58 AS DOUBLE)
+      UNION ALL SELECT 5, TIMESTAMP '2024-01-01 02:00:00', CAST(0 AS DOUBLE)
+    ),
+    wm AS (
+      -- watermark DURING batch b = max event time of batches <= b-2
+      -- minus the 10-minute delay: the engine folds batch b-1's
+      -- event-time stats into the tracker only AFTER b-1 commits, so
+      -- the value batch b is planned under lags one extra batch --
+      -- measured engine behavior, same 2-batch lag q189's oracle encodes
+      SELECT b,
+             MAX(mx) OVER (ORDER BY b
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING)
+               - INTERVAL 10 MINUTE AS w
+      FROM (SELECT b, MAX(ts) AS mx FROM appear GROUP BY b)
+    ),
+    kept AS (
+      -- the late-drop rule under test: a row is dropped iff its window's
+      -- END has already passed the watermark its batch runs under
+      SELECT a.ts, a.v,
+             CAST(to_timestamp(FLOOR(epoch(a.ts) / 600) * 600) AS TIMESTAMP)
+               AS wstart
+      FROM appear a JOIN wm ON wm.b = a.b
+      WHERE wm.w IS NULL
+         OR CAST(to_timestamp(FLOOR(epoch(a.ts) / 600) * 600 + 600)
+                 AS TIMESTAMP) > wm.w
+    ),
+    final_wm AS (
+      -- availableNow's trailing no-data batch runs eviction under the
+      -- final watermark, emitting every closed window
+      SELECT MAX(ts) - INTERVAL 10 MINUTE AS w FROM appear
+    )
+    SELECT strftime(wstart, '%Y-%m-%d %H:%M:%S') AS window_start,
+           strftime(wstart + INTERVAL 10 MINUTE, '%Y-%m-%d %H:%M:%S')
+             AS window_end,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(v), 2) AS total_value
+    FROM kept, final_wm
+    WHERE wstart + INTERVAL 10 MINUTE <= final_wm.w
+    GROUP BY wstart ORDER BY wstart
+    """,
+)
+def q191_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark late-data drop (B41) under the driver's hash gate -- the
+    last streaming-semantics row that was pytest-only. Five staged
+    micro-batches drive ``windowed_value_counts`` (10-minute tumbling
+    windows, 10-minute watermark, append mode) through all three
+    outcomes a watermark defines:
+
+    - batch 1 (t+0..t+14m): 15 on-time rows across windows W[0,10) and
+      W[10,20);
+    - batch 2 (t+60m + a t+5m straggler): the straggler lands in W[0,10)
+      while no watermark constrains it yet (batches run under the
+      watermark from TWO batches back -- see below) -> accepted late
+      row, W[0,10) counts 11 not 10; its t+60m row is what later drives
+      the watermark to t+50m;
+    - batch 3 (t+55m): spacer + W[50,60) opener; exists so batch 4 runs
+      under the watermark derived from batch 2 (t+50m);
+    - batch 4: a t+12m straggler's window W[10,20) closed at t+20m <=
+      watermark t+50m -> DROPPED (the bounded-state guarantee: its
+      state no longer exists); a same-batch t+58m row's window W[50,60)
+      is still open -> kept (n=2) -- keep-vs-drop discrimination inside
+      one micro-batch;
+    - batch 5 (t+120m sentinel): drives the final watermark to t+110m
+      so the trailing no-data batches (q177's heartbeat discipline)
+      emit every real window; the sentinel's own window never closes
+      and is thereby excluded from append output.
+
+    The oracle replays the same batch schedule in SQL under the
+    measured watermark rule (the 2-batch lag q189's oracle encodes:
+    batch b runs under max event time of batches <= b-2, minus delay):
+    a row is kept iff its window end is ahead of the watermark its
+    batch ran under, and a window emits iff the final watermark passed
+    its end -- so a missed drop (n=6 in W[10,20)), a lost accepted-late
+    row (n=10 in W[0,10)), and a phantom sentinel window all fail the
+    hash.
+
+    Scale notes: state is one (window, partial-agg) entry per open
+    window, evicted at emission -- the only windowed-agg shape that
+    survives an unbounded stream; 2 shuffle partitions because the
+    probe's cost is state-store open/commit across 5 micro-batches, not
+    row volume (q189's knob).
+    """
+    from iot_data_pipeline_spark.queries.base import fmt_ts
+    from iot_data_pipeline_spark.streaming.windows import windowed_value_counts
+
+    T0 = "TIMESTAMP'2024-01-01 00:00:00'"
+
+    def _build(d: str) -> None:
+        # JVM-side row construction (q189's pattern): driver-local
+        # createDataFrame writes pay ~3-4s of non-Arrow serde per file
+        def write(df: DataFrame) -> None:
+            df.coalesce(1).write.mode("append").parquet(d)
+
+        write(
+            spark.range(15).selectExpr(
+                f"{T0} + id * INTERVAL 1 MINUTE AS ts",
+                "CAST(id AS DOUBLE) AS v",
+            )
+        )
+        write(
+            spark.range(2).selectExpr(
+                f"CASE id WHEN 0 THEN {T0} + INTERVAL 60 MINUTES "
+                f"ELSE {T0} + INTERVAL 5 MINUTES END AS ts",
+                "CASE id WHEN 0 THEN 100.0D ELSE 50.0D END AS v",
+            )
+        )
+        write(
+            spark.range(1).selectExpr(
+                f"{T0} + INTERVAL 55 MINUTES AS ts", "55.0D AS v"
+            )
+        )
+        write(
+            spark.range(2).selectExpr(
+                f"CASE id WHEN 0 THEN {T0} + INTERVAL 12 MINUTES "
+                f"ELSE {T0} + INTERVAL 58 MINUTES END AS ts",
+                "CASE id WHEN 0 THEN 999.0D ELSE 58.0D END AS v",
+            )
+        )
+        write(
+            spark.range(1).selectExpr(
+                f"{T0} + INTERVAL 120 MINUTES AS ts", "0.0D AS v"
+            )
+        )
+
+    staged = staged_fixture("q191_late", sf_dir, _build)
+    src = (
+        spark.readStream.schema("ts timestamp, v double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staged)
+    )
+    windowed = windowed_value_counts(
+        src, ts_col="ts", value_col="v", window="10 minutes",
+        watermark="10 minutes",
+    )
+    sink = unique_name("q191_sink")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    try:
+        (
+            windowed.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .option("checkpointLocation", fresh_dir("q191_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return (
+        spark.table(sink)
+        .select(
+            fmt_ts("window_start").alias("window_start"),
+            fmt_ts("window_end").alias("window_end"),
+            F.col("n").cast("bigint").alias("n"),
+            "total_value",
+        )
+        .orderBy("window_start")
+    )

@@ -14,7 +14,11 @@ Determinism rules applied throughout (SURVEY.md section 2.3):
   sweep; if one flips at a larger scale, convert it to the exact rule:
   ``SUM(CAST(x AS DECIMAL(18,6)))`` on both sides, then
   ``ROUND(CAST(.. AS DOUBLE), n)`` (double->decimal cast parity is
-  proven by q179/q184);
+  proven by q179/q184). MECHANIZED (round 7): tests/oracle_harness.py
+  lints every compare for ROUND-over-plain-double-SUM; a new query using
+  the pattern fails until converted to DECIMAL summation or certified at
+  sf0.1 and added to ROUND_SUM_CERTIFIED (test_round_sum_lint.py keeps
+  that set exact);
 - timestamps compared as strings of date_trunc'd values, UTC both sides;
 - no nondeterministic or approximate functions;
 - ties broken by explicit keys wherever a ranking cuts off;

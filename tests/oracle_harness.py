@@ -49,6 +49,168 @@ def _canon(rows, colnames):
     )
 
 
+#: Queries whose ``ROUND(SUM(<double>), n)`` final projections are certified
+#: exact at the driver's scale factors: every entry below was green in the
+#: round-6 FULL-registry harness sweep at sf0.1 (10x the driver's volume,
+#: BASELINE.md round-6 note), or is scale-invariant by construction (fixed
+#: staged fixtures). The q164 incident is the hazard class this pins: a
+#: double SUM's value depends on partial-aggregation order, and at large
+#: enough group sizes the ulp drift can cross the ROUND boundary -- q164
+#: flipped a cent at sf0.1 while green at sf0.01. A query name in this set
+#: means "measured safe at current scale"; a NEW query that rounds a plain
+#: double SUM fails compare_query until it is either converted to the exact
+#: rule (``SUM(CAST(x AS DECIMAL(18,6)))`` both sides, then
+#: ``ROUND(CAST(.. AS DOUBLE), n)`` -- registry.py docstring) or certified
+#: at sf0.1 and added here. test_round_sum_lint.py keeps this set exact
+#: (no stale entries, no unlisted hazards).
+ROUND_SUM_CERTIFIED: frozenset[str] = frozenset(
+    {
+        "q05_revenue_per_nation",
+        "q06_left_join_counts",
+        "q09_lineitem_agg",
+        "q10b_grouping_sets",
+        "q10c_cube",
+        "q101_volume_shipping",
+        "q102_market_share",
+        "q103_returned_items",
+        "q107_forecast_revenue",
+        "q112_kmeans_clusters",
+        "q115_paragraph_dedup",
+        "q120_char_entropy",
+        "q132_ngram_perplexity",
+        "q137_bpe_encode",
+        "q138_salted_join",
+        "q13_corrupt_routing",
+        "q14_streaming_ingest",
+        "q157_padding_waste",
+        "q167_incremental_rollup",
+        "q168_backfill_derived_zone",
+        "q16_lag_lead_running",
+        "q16b_range_frame",
+        "q170_custom_datasource",
+        "q175_drift_psi",
+        "q177_stream_outer_join",
+        "q181_contribution_shares",
+        "q182_stream_enrichment",
+        "q18_hourly_counts",
+        "q18b_date_parts",
+        "q191_watermark_late_drop",
+        "q20_tumbling_window",
+        "q20b_sliding_window",
+        "q32_map_funcs",
+        "q41_pivot",
+        "q42_unpivot",
+        "q46_shipping_priority",
+        "q53_stream_stream_join",
+        "q55_salted_agg",
+        "q57_filtered_agg",
+        "q62_union_by_name",
+        "q64_upsert_merge",
+        "q74_orc_roundtrip",
+        "q78_promo_revenue",
+        "q79_disjunctive_filter",
+        "q80_rich_idle_customers",
+        "q81_top_suppliers",
+        "q82_small_quantity_parts",
+        "q94_weighted_sample",
+        "q95_collated_grouping",
+        "q97_embedding_standardize",
+    }
+)
+
+
+def _call_first_arg(text: str, start: int) -> str:
+    """``text[start:]`` begins right after a call's ``(``; return its first
+    top-level argument (empty string if the parens never balance -- prose,
+    not code)."""
+    depth, i, comma = 1, start, -1
+    n = len(text)
+    while depth:
+        if i >= n:
+            return ""
+        c = text[i]
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif c == "," and depth == 1 and comma < 0:
+            comma = i
+        i += 1
+    return text[start : (comma if comma >= 0 else i - 1)]
+
+
+def _sql_round_sum_hazards(text: str) -> list[str]:
+    """Every ``SUM(...)`` inside a ``ROUND(...)`` first argument whose own
+    argument carries no DECIMAL cast (works on both raw and
+    portable_round_sql-rewritten oracle SQL: the rewrite keeps the ROUND
+    token and the original argument)."""
+    hits: list[str] = []
+    u = text.upper()
+    i = 0
+    while True:
+        j = u.find("ROUND(", i)
+        if j < 0:
+            return hits
+        arg = _call_first_arg(u, j + 6)
+        k = 0
+        while True:
+            m = arg.find("SUM(", k)
+            if m < 0:
+                break
+            if m > 0 and (arg[m - 1].isalnum() or arg[m - 1] == "_"):
+                k = m + 4  # CHECKSUM etc.
+                continue
+            sarg = _call_first_arg(arg, m + 4)
+            # DECIMAL(38,18) is portable_round_sql's VARCHAR-roundtrip
+            # artifact on nested ROUNDs, not exact summation -- ignore it
+            if sarg and "DECIMAL" not in sarg.replace("DECIMAL(38,18)", ""):
+                hits.append(f"ROUND over SUM({sarg.strip()[:50]})")
+            k = m + 4
+        i = j + 6
+
+
+def _spark_round_sum_hazards(src: str) -> list[str]:
+    """``F.round(F.sum(...))`` in DataFrame code, no decimal cast inside."""
+    import re as _re
+
+    s = _re.sub(r"\s+", "", src)
+    hits: list[str] = []
+    i = 0
+    while True:
+        j = s.find("F.round(", i)
+        if j < 0:
+            return hits
+        arg = _call_first_arg(s, j + 8)
+        k = 0
+        while True:
+            m = arg.find("F.sum(", k)
+            if m < 0:
+                break
+            sarg = _call_first_arg(arg, m + 6)
+            if sarg and "decimal" not in sarg.lower():
+                hits.append(f"F.round over F.sum({sarg[:50]})")
+            k = m + 6
+        i = j + 8
+
+
+def round_sum_hazards(dq) -> list[str]:
+    """The q164 hazard class, mechanized (round-6 verdict task): rounding a
+    plain double SUM in a final projection is one scale-up away from a cent
+    flip, so every occurrence must be either converted to DECIMAL summation
+    or certified at sf0.1 and listed in ROUND_SUM_CERTIFIED."""
+    import inspect
+
+    hazards: list[str] = []
+    if dq.oracle:
+        hazards += [f"oracle: {h}" for h in _sql_round_sum_hazards(dq.oracle)]
+    try:
+        src = inspect.getsource(dq.fn)
+    except (OSError, TypeError):
+        src = ""
+    hazards += [f"spark: {h}" for h in _spark_round_sum_hazards(src)]
+    return hazards
+
+
 def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
     con.execute("SET TimeZone='UTC'")
@@ -80,6 +242,18 @@ def compare_query(spark, con, name: str, sf_dir: str) -> list[str]:
             f"raw DecimalType output columns {decimal_cols}: cast to STRING "
             "on both sides (q72 pattern; registry.py docstring rule)"
         ]
+    # Sibling lint, same enforcement point (round-6 verdict task 3): a
+    # plain double SUM under ROUND is one scale-up away from a cent flip
+    # (the q164 incident) -- new queries must use DECIMAL summation or be
+    # certified at sf0.1 first.
+    if name not in ROUND_SUM_CERTIFIED:
+        hazards = round_sum_hazards(dq)
+        if hazards:
+            return [
+                f"ROUND(SUM(<double>)) hazard (q164 class): {hazards[:4]} -- "
+                "convert to DECIMAL summation (registry.py docstring recipe) "
+                "or certify at sf0.1 and add to ROUND_SUM_CERTIFIED"
+            ]
     # Through pandas on BOTH sides, like the driver: NULL doubles render
     # NaN symmetrically, and dtype coercions (int-with-nulls -> float64)
     # hit both engines alike instead of just one.
