@@ -1096,14 +1096,18 @@ def q177_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         # watermark past all real data, and the engine's trailing no-data
         # micro-batch (noDataMicroBatches, on by default) then runs the
         # eviction that emits the outer rows -- a second sentinel batch
-        # only re-paid store open/commit (round-4 advice)
-        for off, eid in ((2, -1),):
-            spark.createDataFrame(
-                [(eid, row["m"], -1, "purchase", 0.0), (eid, row["m"], -1, "click", 0.0)],
-                "event_id long, ts timestamp, user_id long, event_type string, value double",
-            ).withColumn("ts", F.col("ts") + F.expr(f"INTERVAL {off} HOURS")).coalesce(
-                1
-            ).write.mode("append").parquet(d)
+        # only re-paid store open/commit (round-4 advice). JVM-side row
+        # construction (q189's pattern): a driver-local createDataFrame
+        # write pays ~3.4s of non-Arrow serde, which was most of this
+        # fixture's staging cost (round-7 profiling).
+        m = row["m"].strftime("%Y-%m-%d %H:%M:%S.%f")
+        spark.range(2).selectExpr(
+            "-1L AS event_id",
+            f"TIMESTAMP'{m}' + INTERVAL 2 HOURS AS ts",
+            "-1L AS user_id",
+            "CASE WHEN id = 0 THEN 'purchase' ELSE 'click' END AS event_type",
+            "0.0D AS value",
+        ).coalesce(1).write.mode("append").parquet(d)
 
     staged = staged_fixture("q177_events", sf_dir, _build_staged)
     schema = spark.read.parquet(staged).schema
