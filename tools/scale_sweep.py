@@ -2,8 +2,8 @@
 
 SCALE.md argues structurally that every operator's plan survives scale-up
 (equi-join shapes, bounded state, map-side combines); this tool measures
-it: each probed operator runs at 1x, 2x, and 4x the sf0.1 row volume and
-reports rows/sec at each point. A scale-safe plan holds its throughput
+it: each probed operator runs at 1x, 2x, 4x, and 8x the sf0.1 row volume
+and reports rows/sec at each point. A scale-safe plan holds its throughput
 (ratio ~1.0) as volume grows; a quadratic or single-reducer plan degrades
 super-linearly -- on 32 local cores the signal is imperfect but a
 hot-key serialization or an all-pairs blowup still shows immediately.
@@ -33,7 +33,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from iot_data_pipeline_spark.session import build_session  # noqa: E402
 from iot_data_pipeline_spark.sources.readers import read_table  # noqa: E402
 
-SCALES = (1, 2, 4)
+SCALES = (1, 2, 4, 8)
 
 
 def scaled_events(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
@@ -211,14 +211,15 @@ def main() -> int:
 
     summary = {}
     for name, per in results.items():
-        w1, w4 = per[1]["wall"], per[4]["wall"]
-        summary[name] = {
-            "wall_1x": w1,
-            "wall_2x": per[2]["wall"],
-            "wall_4x": w4,
-            # >1 means worse-than-linear scaling of per-row cost
-            "t4_over_4t1": round(w4 / (4 * w1), 2) if w1 else None,
-        }
+        w1 = per[1]["wall"]
+        row = {f"wall_{k}x": per[k]["wall"] for k in SCALES}
+        # >1 means worse-than-linear scaling of per-row cost; the largest
+        # scale is the binding one (a quadratic term grows with k)
+        for k in SCALES[1:]:
+            row[f"t{k}_over_{k}t1"] = (
+                round(per[k]["wall"] / (k * w1), 2) if w1 else None
+            )
+        summary[name] = row
     print(json.dumps({"scale_sweep": summary}), flush=True)
     return 0
 
