@@ -1765,13 +1765,15 @@ def q178_scalable_exact_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             WHERE event_id < 50000 AND event_id <> 42) 
     )
     SELECT 'full_vs_full' AS comparison,
-           CAST((SELECT bit_xor(h) FROM rows_a)
-                = (SELECT bit_xor(h) FROM rows_a) AS INTEGER) AS match,
+           CAST(COALESCE((SELECT bit_xor(h) FROM rows_a), 0)
+                = COALESCE((SELECT bit_xor(h) FROM rows_a), 0)
+                AS INTEGER) AS match,
            CAST((SELECT COUNT(*) FROM rows_a) AS BIGINT) AS n_rows
     UNION ALL
     SELECT 'full_vs_dropped_row' AS comparison,
-           CAST((SELECT bit_xor(h) FROM rows_a)
-                = (SELECT bit_xor(h) FROM rows_b) AS INTEGER) AS match,
+           CAST(COALESCE((SELECT bit_xor(h) FROM rows_a), 0)
+                = COALESCE((SELECT bit_xor(h) FROM rows_b), 0)
+                AS INTEGER) AS match,
            CAST((SELECT COUNT(*) FROM rows_b) AS BIGINT) AS n_rows
     ORDER BY comparison
     """,
@@ -1811,8 +1813,12 @@ def q179_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         return df.select(portable_hash(row).alias("h"))
 
     def fingerprint(df: DataFrame):
+        # the empty table's fingerprint is DEFINED as 0 (coalesce): two
+        # empty copies must compare equal, and a NULL fold would diverge
+        # from SQL NULL = NULL (which is NULL, not true) in the oracle
         r = hashed(df).agg(
-            F.bit_xor("h").alias("fp"), F.count(F.lit(1)).alias("n")
+            F.coalesce(F.bit_xor("h"), F.lit(0)).alias("fp"),
+            F.count(F.lit(1)).alias("n"),
         ).collect()[0]
         return r["fp"], r["n"]
 

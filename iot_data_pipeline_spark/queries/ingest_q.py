@@ -542,15 +542,19 @@ def q69_partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     choice is the single biggest scan saver for a 100 TB corpus queried
     by language.
     """
-    from iot_data_pipeline_spark.sources.sinks import write_parquet
-
-    zone = staged_fixture(
-        "q69_docs_by_lang",
-        sf_dir,
-        lambda d: write_parquet(
-            read_table(spark, sf_dir, "documents"), d, partition_by=["lang"]
-        ),
+    from iot_data_pipeline_spark.sources.sinks import (
+        seed_zone_schema,
+        write_parquet,
     )
+
+    def _build(d: str) -> None:
+        docs = read_table(spark, sf_dir, "documents")
+        write_parquet(docs, d, partition_by=["lang"])
+        # 0-row schema seed: an empty documents table writes no partition
+        # dirs at all, and the read below dies on schema inference
+        seed_zone_schema(docs, d, "lang")
+
+    zone = staged_fixture("q69_docs_by_lang", sf_dir, _build)
     return (
         spark.read.parquet(zone)
         .filter(F.col("lang") == "en")
@@ -808,6 +812,14 @@ def q168_backfill_derived_zone(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
     second = backfill(spark, src_dir, dst_dir, "part", derive)
+    if not first:
+        # empty source zone: a partitioned write of 0 rows creates no
+        # partitions, so there is nothing to derive, correct, or detect --
+        # return the (empty) output shape instead of reading a zone that
+        # was never written
+        return spark.createDataFrame(
+            [], "part bigint, n bigint, total_f double"
+        )
     assert sorted(first) == ["0", "1", "2", "3", "4"], first
     assert second == ["2"], f"stale detection recomputed {second}"
     derived = spark.read.parquet(dst_dir)
@@ -957,7 +969,9 @@ def q171_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = fresh_dir("q171_compacted")
     n_files = compact_parquet(spark, src, out, target_file_bytes=1 << 20)
     n_src = len([f for f in os.listdir(src) if f.endswith(".parquet")])
-    assert n_files < n_src, f"compaction did not reduce files: {n_files} >= {n_src}"
+    assert n_files < n_src or n_src <= 1, (
+        f"compaction did not reduce files: {n_files} >= {n_src}"
+    )  # a 0/1-file zone is already compact; reduction only below that
     return (
         spark.read.parquet(out)
         .groupBy("event_type")
@@ -1100,7 +1114,13 @@ def q177_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         # construction (q189's pattern): a driver-local createDataFrame
         # write pays ~3.4s of non-Arrow serde, which was most of this
         # fixture's staging cost (round-7 profiling).
-        m = row["m"].strftime("%Y-%m-%d %H:%M:%S.%f")
+        # max(ts) observed on the fixture write is None when the source
+        # slice is empty; any fixed point works then -- the sentinel only
+        # exists to advance the watermark, and with no real rows there is
+        # nothing to evict (output stays empty either way)
+        from datetime import datetime
+
+        m = (row["m"] or datetime(2024, 1, 1)).strftime("%Y-%m-%d %H:%M:%S.%f")
         spark.range(2).selectExpr(
             "-1L AS event_id",
             f"TIMESTAMP'{m}' + INTERVAL 2 HOURS AS ts",

@@ -2196,7 +2196,10 @@ def _bpe_merge_round(cur: DataFrame) -> tuple[DataFrame, DataFrame]:
       SELECT 3, (SELECT pair FROM t3), (SELECT CAST(pair_count AS BIGINT) FROM t3),
              (SELECT CAST(SUM(cnt * len(string_split(rep, ' '))) AS BIGINT)
               FROM w3)
-    ) ORDER BY step
+    ) WHERE pair IS NOT NULL  -- empty corpus: no pair is learnable; the
+      -- engine's argmax-over-nothing emits no step rows, so the oracle's
+      -- scalar subqueries (NULL on empty) must not fabricate any either
+    ORDER BY step
     """,
 )
 def q131_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:

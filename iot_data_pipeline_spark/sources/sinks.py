@@ -40,6 +40,35 @@ def write_parquet(
     writer.parquet(path)
 
 
+def seed_zone_schema(
+    df: DataFrame,
+    path: str,
+    partition_col: str,
+    seed_value: str | int = "__schema_seed__",
+) -> None:
+    """Make an empty partitioned zone schema-readable: write a 0-row part
+    file into ``<path>/<partition_col>=<seed_value>/``.
+
+    A partitioned parquet write of 0 rows emits NO files at all, so a
+    derived zone that happens to receive no data (an empty source day, a
+    stream that drained nothing) fails downstream schema inference with
+    UNABLE_TO_INFER_SCHEMA -- the empty-input sweep found four pipelines
+    wearing this failure. The seed partition carries the file schema and
+    the partition column's directory encoding but zero rows, so every
+    aggregate/filter over the zone is unaffected; ``seed_value`` must
+    parse as the partition column's type (e.g. ``-2`` for a numeric
+    ``batch_id``). Overwrite keeps re-seeding idempotent and touches only
+    the seed directory, never data partitions.
+    """
+    cols = [c for c in df.columns if c != partition_col]
+    (
+        df.select(*cols)
+        .limit(0)
+        .write.mode("overwrite")
+        .parquet(f"{path}/{partition_col}={seed_value}")
+    )
+
+
 def write_dead_letter(bad: DataFrame, path: str, mode: str = "append") -> None:
     """Dead-letter sink for corrupt records (realizes reference README.md:215).
 

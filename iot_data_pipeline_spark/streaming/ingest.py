@@ -81,6 +81,27 @@ def start_sensor_ingest(
         spark, raw_dir, max_files_per_trigger=max_files_per_trigger
     )
 
+    # Seed the processed zone's schema before the first micro-batch: a
+    # drained-empty stream (no raw files, or all-corrupt input) would
+    # otherwise leave an unreadable zone -- partitioned writes of 0 rows
+    # emit no files -- and every downstream read_parquet(out_dir) dies on
+    # schema inference. The seed is the exact transform output schema
+    # computed on a 0-row frame (no data touched).
+    from iot_data_pipeline_spark.sources.sinks import seed_zone_schema
+
+    empty_good = spark.createDataFrame(
+        [],
+        T.StructType(
+            SENSOR_SCHEMA.fields
+            + [T.StructField("source_file", T.StringType())]
+        ),
+    )
+    seed_zone_schema(
+        transform_sensor(empty_good, config, dim_location),
+        out_dir,
+        "source_file",
+    )
+
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         # Like sources.readers.split_corrupt, but keeping the per-file
         # routing column on both channels.

@@ -71,6 +71,21 @@ def start_incremental_rollup(
     available_now: bool = True,
 ) -> StreamingQuery:
     """Maintain the rollup zone from a stream via foreachBatch."""
+    # Seed the zone's schema before the first batch: a stream that drains
+    # zero rows writes no partial partitions (partitioned writes of 0 rows
+    # emit no files), leaving read_rollup unable to infer a schema. The
+    # seed partition (batch_id=-2, 0 rows) carries the partial-agg schema
+    # and folds away to nothing in every read.
+    from iot_data_pipeline_spark.sources.sinks import seed_zone_schema
+
+    spark = stream.sparkSession
+    empty = spark.createDataFrame([], stream.schema)
+    seed_zone_schema(
+        _partials(empty, keys, values).withColumn("batch_id", F.lit(-2)),
+        path,
+        "batch_id",
+        seed_value=-2,
+    )
     writer = (
         stream.writeStream.foreachBatch(
             lambda df, bid: write_batch_partials(df, bid, path, keys, values)
@@ -126,6 +141,12 @@ def compact_rollup(
     folded = (
         df.groupBy(*keys).agg(*aggs).withColumn("batch_id", F.lit(-1))
     ).localCheckpoint(eager=True)
+    if not folded.take(1):
+        # nothing to compact (zone holds only the schema seed): the static
+        # overwrite below would write no files -- partitioned writes of 0
+        # rows emit nothing -- while still deleting the seed, leaving the
+        # zone unreadable
+        return
     (
         folded.write.mode("overwrite")
         .option("partitionOverwriteMode", "static")

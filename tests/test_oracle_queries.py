@@ -316,3 +316,107 @@ def test_embedding_queries_survive_degenerate_vectors(
         spark, degenerate_embeddings_duck, name, degenerate_embeddings_dir
     )
     assert not problems, problems
+
+
+# ---------------------------------------------------------------------------
+# Empty-input suite: every table 0 rows, exact driver schemas.
+
+_EMPTY_TABLE_QUERIES = [
+    # the nine queries the round-7 empty sweep broke, pinned as fixed:
+    # four UNABLE_TO_INFER_SCHEMA zones (q14/q69/q167/q182 -- partitioned
+    # writes of 0 rows emit no files; fixed by seed_zone_schema), two
+    # fixture-shape asserts (q168/q171), the q177 staged builder's None
+    # max-ts, q179's NULL bit_xor fold (Python None == None is True, SQL
+    # NULL = NULL is NULL), and q131's oracle fabricating NULL merge steps
+    "q14_streaming_ingest",
+    "q69_partitioned_sink",
+    "q131_bpe_learn",
+    "q167_incremental_rollup",
+    "q168_backfill_derived_zone",
+    "q171_compaction",
+    "q177_stream_outer_join",
+    "q179_table_fingerprint",
+    "q182_stream_enrichment",
+    # one representative per operator family (all passed the full-registry
+    # sweep; kept as regression tripwires without re-running all 204)
+    "q01_ingest_project",
+    "q05_revenue_per_nation",
+    "q08b_asof_join",
+    "q09_lineitem_agg",
+    "q11c_dedup_events",
+    "q12_cosine_topk",
+    "q15_topk_per_group",
+    "q19_json_extract",
+    "q21_sessionization",
+    "q22_exact_dedup",
+    "q23_minhash_lsh",
+    "q25_ngram_jaccard",
+    "q27_langid",
+    "q31_ann_ivf",
+    "q33_pandas_token_stats",
+    "q50_vocab_coverage",
+    "q59_forward_fill",
+    "q86_tfidf_top_terms",
+    "q99_global_running_sum",
+    "q112_kmeans_clusters",
+    "q140_pagerank",
+    "q150_chain_components",
+    "q178_scalable_exact_median",
+]
+
+
+@pytest.fixture(scope="module")
+def empty_tables_dir(tmp_path_factory):
+    """Every table present but 0 rows, schemas copied byte-exact from the
+    driver's sf0.001 parquet via pyarrow (re-writing through an engine
+    could alter logical types). The scale story this guards: at 100 TB an
+    empty slice is routine (a source day with no data, a filter that
+    matches nothing, a drained stream), and round 7's sweep found four
+    derived-zone pipelines that became UNREADABLE on it plus three
+    quieter divergences -- all invisible at every non-empty test scale."""
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path_factory.mktemp("empty_tables"))
+    for t in (
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ):
+        schema = pq.read_schema(f"/root/testdata/sf0.001/{t}.parquet")
+        pq.write_table(schema.empty_table(), f"{d}/{t}.parquet")
+    return d
+
+
+@pytest.fixture(scope="module")
+def empty_tables_duck(empty_tables_dir):
+    con = duck_connection(empty_tables_dir)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", _EMPTY_TABLE_QUERIES)
+def test_queries_survive_empty_tables(
+    spark, empty_tables_duck, empty_tables_dir, name
+):
+    problems = compare_query(spark, empty_tables_duck, name, empty_tables_dir)
+    assert not problems, problems
+
+
+def test_rollup_over_empty_diverges_from_sql_standard(spark, empty_tables_duck):
+    """Documented cross-engine divergence, pinned so a Spark behavior
+    change surfaces: SQL-standard GROUPING SETS semantics (DuckDB,
+    PostgreSQL) emit the grand-total row -- the () grouping set -- even
+    over empty input, while Catalyst's grouping-sets expansion (Expand +
+    group on grouping_id) yields 0 rows. q10/q10b/q10c therefore
+    hash-match only on non-empty input (every driver scale qualifies);
+    on empty input the engines disagree BY DESIGN and the three queries
+    are excluded from the suite above."""
+    assert (
+        spark.sql("SELECT count(*) FROM range(0) GROUP BY ROLLUP(id)").count()
+        == 0
+    )
+    assert (
+        empty_tables_duck.execute(
+            "SELECT count(*) FROM range(0) GROUP BY ROLLUP(range)"
+        ).df().shape[0]
+        == 1
+    )

@@ -247,3 +247,35 @@ def test_read_parquet_evolving_backfills_and_enforces(spark, tmp_path):
     rows = {r.id: r for r in out.collect()}
     assert rows[1].b is None and rows[2].b == 9
     assert not hasattr(rows[2], "junk")
+
+
+def test_seed_zone_schema_empty_then_real_data(spark, tmp_path):
+    """The 0-row schema seed makes an empty partitioned zone readable, is
+    typed by the partition directory encoding, folds away once real
+    partitions land, and re-seeding is idempotent."""
+    from pyspark.sql import functions as F
+
+    from iot_data_pipeline_spark.sources.sinks import seed_zone_schema
+
+    zone = str(tmp_path / "zone")
+    df = spark.range(4).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 1.5).alias("v"),
+        (F.col("id") % 2).alias("batch_id"),
+    )
+
+    # seed alone: readable, correct schema, 0 rows; the numeric sentinel
+    # keeps the partition column integral (partition DISCOVERY types it --
+    # int, the same type real batch_id=N directories infer to)
+    seed_zone_schema(df, zone, "batch_id", seed_value=-2)
+    got = spark.read.parquet(zone)
+    assert got.count() == 0
+    assert dict(got.dtypes)["batch_id"] == "int"
+    assert set(got.columns) == {"k", "v", "batch_id"}
+
+    # real partitions coexist with the seed; aggregates are unaffected
+    df.write.mode("append").partitionBy("batch_id").parquet(zone)
+    seed_zone_schema(df, zone, "batch_id", seed_value=-2)  # idempotent
+    got = spark.read.parquet(zone)
+    assert got.count() == 4
+    assert got.agg(F.sum("k")).first()[0] == 6
