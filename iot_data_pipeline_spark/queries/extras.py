@@ -328,12 +328,25 @@ def q56_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     small moment sketch per group), so they scale exactly like SUM.
     """
     li = read_table(spark, sf_dir, "lineitem")
+    # corr is the one bivariate aggregate whose Spark builtin still
+    # raises DIVIDE_BY_ZERO under ANSI mode when a group has zero
+    # variance (constant column) -- regr_slope/regr_intercept/covar_samp
+    # all return NULL. A zero-variance group is routine dirty data (the
+    # degenerate-relational fixture has tie-only groups), and the oracle
+    # (DuckDB) returns NULL there, so compute corr explicitly through
+    # try_divide: covar_pop/(stddev_pop*stddev_pop) is the identical
+    # co-moment formula corr evaluates internally.
     return (
         li.groupBy("l_returnflag")
         .agg(
-            F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias(
-                "corr_qty_price"
-            ),
+            F.round(
+                F.try_divide(
+                    F.covar_pop("l_quantity", "l_extendedprice"),
+                    F.stddev_pop("l_quantity")
+                    * F.stddev_pop("l_extendedprice"),
+                ),
+                4,
+            ).alias("corr_qty_price"),
             F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias(
                 "covar_s"
             ),

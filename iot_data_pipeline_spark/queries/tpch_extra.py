@@ -835,8 +835,14 @@ def q125_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     LIMIT cutoff a total order.
     """
     li = read_table(spark, sf_dir, "lineitem")
+    # try_divide, not /: a zero-quantity line (routine dirty data) has no
+    # unit price. DuckDB's double division yields NULL there and its MIN
+    # skips it; Spark's ANSI `/` raises DIVIDE_BY_ZERO. try_divide gives
+    # the same NULL-and-skip semantics without touching the oracle.
     ps = li.groupBy("l_partkey", "l_suppkey").agg(
-        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("supplycost")
+        F.min(
+            F.try_divide(F.col("l_extendedprice"), F.col("l_quantity"))
+        ).alias("supplycost")
     )
     supp = read_table(spark, sf_dir, "supplier")
     nation = read_table(spark, sf_dir, "nation")

@@ -401,6 +401,50 @@ def test_queries_survive_empty_tables(
     assert not problems, problems
 
 
+# ---------------------------------------------------------------------------
+# Degenerate-relational suite: adversarial customer/orders/lineitem.
+
+@pytest.fixture(scope="module")
+def degenerate_relational_dir(tmp_path_factory):
+    """Adversarial relational tables the driver generator never emits:
+    a customer with zero orders, an order with zero lineitems, orphan
+    lineitems (missing order), exact ties in every ranking dimension,
+    boundary dates ON the queries' filter constants, zero quantity, 100%
+    discount, duplicate line content, empty-string categoricals. The
+    round-7 sweep over all 54 relational-oracle queries found two ANSI
+    DIVIDE_BY_ZERO crashes (q56 corr on a zero-variance group, q125 unit
+    price of a zero-quantity line), both fixed via try_divide to match
+    the oracle's NULL-and-skip semantics."""
+    from tools.degenerate_relational_sweep import build_fixture
+
+    d = str(tmp_path_factory.mktemp("degenerate_relational"))
+    build_fixture(d)
+    return d
+
+
+@pytest.fixture(scope="module")
+def degenerate_relational_duck(degenerate_relational_dir):
+    con = duck_connection(degenerate_relational_dir)
+    yield con
+    con.close()
+
+
+def _relational_query_names():
+    from tools.degenerate_relational_sweep import RELATIONAL_QUERIES
+
+    return RELATIONAL_QUERIES
+
+
+@pytest.mark.parametrize("name", _relational_query_names())
+def test_queries_survive_degenerate_relational(
+    spark, degenerate_relational_duck, degenerate_relational_dir, name
+):
+    problems = compare_query(
+        spark, degenerate_relational_duck, name, degenerate_relational_dir
+    )
+    assert not problems, problems
+
+
 def test_rollup_over_empty_diverges_from_sql_standard(spark, empty_tables_duck):
     """Documented cross-engine divergence, pinned so a Spark behavior
     change surfaces: SQL-standard GROUPING SETS semantics (DuckDB,

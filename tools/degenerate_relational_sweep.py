@@ -1,0 +1,162 @@
+"""One-shot audit: run every relational-table query against an adversarial
+customer/orders/lineitem fixture and report divergences.
+
+Round-6's degenerate documents/events/embeddings fixtures found 9 real bug
+classes; this applies the same method to the relational band (54 queries
+whose oracles read customer/orders/lineitem). Adversities a real data lake
+serves routinely but the driver's generator never does:
+
+- a customer with zero orders, and an order with zero lineitems
+- lineitems referencing a MISSING order (orphans)
+- exact ties in every ranking dimension (totalprice, revenue, acctbal,
+  dates) -- top-k picks must not depend on engine-internal row order
+- boundary dates exactly ON the queries' filter constants (1996-01-01,
+  1996-10-01, 1997-01-01, 1998-01-01) and just outside them
+- zero quantity, zero price, 100% discount (zero revenue), exact
+  duplicate line content, empty-string categorical values
+
+Usage: python -m tools.degenerate_relational_sweep [query ...]
+"""
+
+from __future__ import annotations
+
+import shutil
+import sys
+import tempfile
+
+import duckdb
+
+RELATIONAL_QUERIES = [
+    "q05_revenue_per_nation", "q06_left_join_counts", "q07_anti_join",
+    "q07b_semi_join", "q09_lineitem_agg", "q10_rollup",
+    "q10b_grouping_sets", "q10c_cube", "q11_distinct", "q11b_set_ops",
+    "q15_topk_per_group", "q15b_rank_ntile", "q18b_date_parts",
+    "q37_correlated_subquery", "q41_pivot", "q42_unpivot",
+    "q43_percent_rank", "q46_shipping_priority", "q47_large_orders",
+    "q56_stats_agg", "q57_filtered_agg", "q60_value_windows",
+    "q62_union_by_name", "q72_decimal_exact", "q73_predicate_aggs",
+    "q74_orc_roundtrip", "q76_priority_exists",
+    "q77_customer_distribution", "q78_promo_revenue",
+    "q79_disjunctive_filter", "q80_rich_idle_customers",
+    "q81_top_suppliers", "q82_small_quantity_parts", "q83_lateral_topn",
+    "q87_xml_roundtrip", "q88_recursive_cte", "q94_weighted_sample",
+    "q95_collated_grouping", "q101_volume_shipping", "q102_market_share",
+    "q103_returned_items", "q104_shipping_lateness",
+    "q105_waiting_suppliers", "q106_referential_audit",
+    "q107_forecast_revenue", "q108_product_profit",
+    "q111_dominant_suppliers", "q125_min_cost_supplier",
+    "q126_important_parts", "q127_supplier_part_counts",
+    "q164_ivm_join_view", "q165_spatial_radius_join",
+    "q180_nested_reshape", "q181_contribution_shares",
+]
+
+SIDE_TABLES = (
+    "region", "nation", "part", "supplier",
+    "events", "documents", "embeddings",
+)
+
+
+def build_fixture(d: str, src: str = "/root/testdata/sf0.001") -> None:
+    """Write the adversarial customer/orders/lineitem into ``d``; copy the
+    untouched side tables from ``src`` so multi-table queries still run.
+    All doubles CAST explicitly (DuckDB VALUES literals infer DECIMAL,
+    which diverges from the engine's double arithmetic)."""
+    for t in SIDE_TABLES:
+        shutil.copy(f"{src}/{t}.parquet", f"{d}/{t}.parquet")
+
+    duckdb.sql(f"""
+    COPY (
+      SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name,
+             CAST(c_nationkey AS INTEGER) AS c_nationkey,
+             CAST(c_acctbal AS DOUBLE) AS c_acctbal, c_mktsegment
+      FROM (VALUES
+        (1, 'cust-no-orders', 1, 9999.0, 'BUILDING'),
+        (2, 'cust-tie-a',     1,  100.0, 'BUILDING'),
+        (3, 'cust-tie-b',     2,  100.0, 'BUILDING'),
+        (4, 'cust-negative',  3,  -50.0, 'MACHINERY'),
+        (5, '',               4,    0.0, ''),
+        (6, 'cust-heavy',     0,  500.0, 'AUTOMOBILE')
+      ) t(c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment)
+    ) TO '{d}/customer.parquet' (FORMAT PARQUET)
+    """)
+
+    duckdb.sql(f"""
+    COPY (
+      SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+             CAST(o_custkey AS BIGINT) AS o_custkey, o_orderstatus,
+             CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+             o_orderdate, o_orderpriority
+      FROM (VALUES
+        (100, 2, 'O', 100.0, TIMESTAMP '1996-01-01', '1-URGENT'),
+        (101, 3, 'O', 100.0, TIMESTAMP '1996-01-01', '1-URGENT'),
+        (102, 6, 'F', 300.0, TIMESTAMP '1996-06-15', '2-HIGH'),
+        (103, 6, 'F', 300.0, TIMESTAMP '1996-06-15', '2-HIGH'),
+        (104, 6, 'O',   0.0, TIMESTAMP '1997-01-01', '3-MEDIUM'),
+        (105, 4, 'P', 251.0, TIMESTAMP '1996-10-01', '5-LOW'),
+        (106, 5, 'O', 250.0, TIMESTAMP '1997-12-31', '4-NOT SPECIFIED'),
+        (107, 6, 'O',  42.0, TIMESTAMP '1995-12-31', '1-URGENT'),
+        (108, 6, 'O',  42.0, TIMESTAMP '1998-01-01', '1-URGENT'),
+        (109, 2, 'O',  77.0, TIMESTAMP '1996-03-03', '')
+      ) t(o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+          o_orderdate, o_orderpriority)
+    ) TO '{d}/orders.parquet' (FORMAT PARQUET)
+    """)
+
+    # orders 104 and 109 have NO lineitems; orderkey 999 does not exist
+    duckdb.sql(f"""
+    COPY (
+      SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
+             CAST(l_partkey AS BIGINT) AS l_partkey,
+             CAST(l_suppkey AS BIGINT) AS l_suppkey,
+             CAST(l_linenumber AS INTEGER) AS l_linenumber,
+             CAST(l_quantity AS DOUBLE) AS l_quantity,
+             CAST(l_extendedprice AS DOUBLE) AS l_extendedprice,
+             CAST(l_discount AS DOUBLE) AS l_discount,
+             CAST(l_tax AS DOUBLE) AS l_tax,
+             l_returnflag, l_linestatus, l_shipdate
+      FROM (VALUES
+        (999, 1, 1, 1,  5.0, 100.0, 0.00, 0.00, 'N', 'O', TIMESTAMP '1996-05-05'),
+        (100, 1, 1, 1, 10.0,  50.0, 0.10, 0.05, 'N', 'O', TIMESTAMP '1996-02-01'),
+        (100, 2, 2, 2, 10.0,  50.0, 0.10, 0.05, 'N', 'O', TIMESTAMP '1996-02-01'),
+        (101, 1, 2, 1,  0.0,   0.0, 0.00, 0.00, 'R', 'F', TIMESTAMP '1996-02-01'),
+        (102, 3, 3, 1,  1.0, 100.0, 1.00, 0.00, 'R', 'F', TIMESTAMP '1996-10-01'),
+        (102, 3, 3, 2,  1.0, 100.0, 1.00, 0.00, 'R', 'F', TIMESTAMP '1996-10-01'),
+        (103, 4, 1, 1,  2.0, 150.0, 0.05, 0.08, 'A', 'F', TIMESTAMP '1997-06-30'),
+        (103, 4, 1, 2,  2.0, 150.0, 0.05, 0.08, 'A', 'F', TIMESTAMP '1997-06-30'),
+        (105, 5, 2, 1,  3.0,  80.0, 0.02, 0.01, 'N', 'O', TIMESTAMP '1997-06-01'),
+        (107, 6, 3, 1,  4.0,  60.0, 0.04, 0.03, 'N', 'O', TIMESTAMP '1995-12-31'),
+        (108, 6, 3, 1,  4.0,  60.0, 0.04, 0.03, 'N', 'F', TIMESTAMP '1998-01-01')
+      ) t(l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
+          l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus,
+          l_shipdate)
+    ) TO '{d}/lineitem.parquet' (FORMAT PARQUET)
+    """)
+
+
+def main() -> int:
+    from iot_data_pipeline_spark.session import build_session
+    from tests.oracle_harness import compare_query, duck_connection
+
+    names = sys.argv[1:] or RELATIONAL_QUERIES
+    d = tempfile.mkdtemp(prefix="degenerate_rel_")
+    build_fixture(d)
+    spark = build_session("degenerate-relational-sweep")
+    con = duck_connection(d)
+    failed = 0
+    for name in names:
+        try:
+            problems = compare_query(spark, con, name, d)
+        except Exception as e:  # noqa: BLE001
+            problems = [f"EXCEPTION: {type(e).__name__}: {str(e)[:400]}"]
+        status = "PASS" if not problems else "FAIL"
+        if problems:
+            failed += 1
+        print(f"[{status}] {name}")
+        for p in problems:
+            print(f"    {p}")
+    print(f"{len(names) - failed}/{len(names)} passed  (fixture: {d})")
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
