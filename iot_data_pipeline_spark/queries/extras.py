@@ -334,16 +334,22 @@ def q56_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     # all return NULL. A zero-variance group is routine dirty data (the
     # degenerate-relational fixture has tie-only groups), and the oracle
     # (DuckDB) returns NULL there, so compute corr explicitly through
-    # try_divide: covar_pop/(stddev_pop*stddev_pop) is the identical
-    # co-moment formula corr evaluates internally.
+    # try_divide over the regr_s* co-moments: sxy/sqrt(sxx*syy) is the
+    # identical formula corr evaluates internally, and the regr_s*
+    # family uses PAIRWISE deletion (rows where either side is NULL are
+    # excluded from BOTH moments) exactly like corr -- stddev_pop would
+    # wrongly include x values whose paired y is NULL (found by the
+    # round-7 NULL-bearing relational fixture).
     return (
         li.groupBy("l_returnflag")
         .agg(
             F.round(
                 F.try_divide(
-                    F.covar_pop("l_quantity", "l_extendedprice"),
-                    F.stddev_pop("l_quantity")
-                    * F.stddev_pop("l_extendedprice"),
+                    F.regr_sxy("l_extendedprice", "l_quantity"),
+                    F.sqrt(
+                        F.regr_sxx("l_extendedprice", "l_quantity")
+                        * F.regr_syy("l_extendedprice", "l_quantity")
+                    ),
                 ),
                 4,
             ).alias("corr_qty_price"),
@@ -634,8 +640,8 @@ def q72_decimal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_nationkey,
            CAST(COUNT_IF(c_acctbal > 5000) AS BIGINT) AS n_rich,
-           BOOL_AND(c_acctbal > -1000) AS all_above_floor,
-           BOOL_OR(c_acctbal < 0) AS any_negative,
+           BOOL_AND(COALESCE(c_acctbal > -1000, FALSE)) AS all_above_floor,
+           BOOL_OR(COALESCE(c_acctbal < 0, FALSE)) AS any_negative,
            COUNT(*) AS n
     FROM customer GROUP BY c_nationkey ORDER BY c_nationkey
     """,
@@ -646,14 +652,23 @@ def q73_predicate_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the validate-while-you-scan idiom (reference A20's field checks,
     generalized to whole-corpus audits). All three are partial+final
     aggregates with 1-bit/8-byte state.
+
+    The predicates COALESCE NULL comparisons to FALSE on both sides: a
+    quality assertion over an unknown value should FAIL, not propagate
+    NULL -- and an all-NULL group's NULL boolean aggregate is also a
+    comparator hazard (pandas renders a NULL boolean as float NaN on the
+    DuckDB side but None on the Spark side; round-7 NULL fixture).
     """
     customer = read_table(spark, sf_dir, "customer")
+    bal = F.col("c_acctbal")
     return (
         customer.groupBy("c_nationkey")
         .agg(
-            F.count_if(F.col("c_acctbal") > 5000).alias("n_rich"),
-            F.bool_and(F.col("c_acctbal") > -1000).alias("all_above_floor"),
-            F.bool_or(F.col("c_acctbal") < 0).alias("any_negative"),
+            F.count_if(bal > 5000).alias("n_rich"),
+            F.bool_and(F.coalesce(bal > -1000, F.lit(False))).alias(
+                "all_above_floor"
+            ),
+            F.bool_or(F.coalesce(bal < 0, F.lit(False))).alias("any_negative"),
             F.count(F.lit(1)).alias("n"),
         )
         .orderBy("c_nationkey")

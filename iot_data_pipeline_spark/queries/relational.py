@@ -317,8 +317,18 @@ def q09_lineitem_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         fmt_ts(F.max("l_shipdate")).alias("max_ship"),
     )
     distinct = li.groupBy(*keys).agg(F.countDistinct("l_partkey").alias("n_parts"))
+    # Null-safe equality on the group-key re-join: a NULL group key is
+    # routine dirty data, and plain equi-join (NULL != NULL) would
+    # silently DROP that whole group from the result (found by the
+    # round-7 NULL-bearing relational fixture). eqNullSafe keeps the
+    # join broadcastable -- same tiny one-row-per-group build side.
+    d2 = distinct.withColumnsRenamed({k: f"d_{k}" for k in keys})
+    cond = None
+    for k in keys:
+        c = main[k].eqNullSafe(d2[f"d_{k}"])
+        cond = c if cond is None else (cond & c)
     return (
-        main.join(distinct, keys)
+        main.join(d2, cond)
         .select(
             *keys,
             "n",

@@ -404,21 +404,27 @@ def test_queries_survive_empty_tables(
 # ---------------------------------------------------------------------------
 # Degenerate-relational suite: adversarial customer/orders/lineitem.
 
-@pytest.fixture(scope="module")
-def degenerate_relational_dir(tmp_path_factory):
+@pytest.fixture(scope="module", params=[False, True], ids=["base", "nulls"])
+def degenerate_relational_dir(request, tmp_path_factory):
     """Adversarial relational tables the driver generator never emits:
     a customer with zero orders, an order with zero lineitems, orphan
     lineitems (missing order), exact ties in every ranking dimension,
     boundary dates ON the queries' filter constants, zero quantity, 100%
-    discount, duplicate line content, empty-string categoricals. The
-    round-7 sweep over all 54 relational-oracle queries found two ANSI
-    DIVIDE_BY_ZERO crashes (q56 corr on a zero-variance group, q125 unit
-    price of a zero-quantity line), both fixed via try_divide to match
-    the oracle's NULL-and-skip semantics."""
+    discount, duplicate line content, empty-string categoricals -- plus
+    a NULL-bearing variant (NULLs in every value column). The round-7
+    sweeps over all 54 relational-oracle queries found five real bug
+    classes: two ANSI DIVIDE_BY_ZERO crashes (q56 corr on a
+    zero-variance group, q125 unit price of a zero-quantity line, both
+    fixed via try_divide to match the oracle's NULL-and-skip semantics),
+    q09's COUNT(DISTINCT) re-join dropping NULL-keyed groups (plain
+    equi-join; fixed with eqNullSafe), q56's corr rewrite needing
+    PAIRWISE deletion (regr_s* co-moments, not stddev_pop), and q73's
+    NULL boolean aggregates rendering asymmetrically through pandas
+    (COALESCE the predicates to FALSE both sides)."""
     from tools.degenerate_relational_sweep import build_fixture
 
     d = str(tmp_path_factory.mktemp("degenerate_relational"))
-    build_fixture(d)
+    build_fixture(d, with_nulls=request.param)
     return d
 
 

@@ -15,7 +15,7 @@ serves routinely but the driver's generator never does:
 - zero quantity, zero price, 100% discount (zero revenue), exact
   duplicate line content, empty-string categorical values
 
-Usage: python -m tools.degenerate_relational_sweep [query ...]
+Usage: python -m tools.degenerate_relational_sweep [--nulls] [query ...]
 """
 
 from __future__ import annotations
@@ -56,13 +56,34 @@ SIDE_TABLES = (
 )
 
 
-def build_fixture(d: str, src: str = "/root/testdata/sf0.001") -> None:
+def build_fixture(
+    d: str, src: str = "/root/testdata/sf0.001", with_nulls: bool = False
+) -> None:
     """Write the adversarial customer/orders/lineitem into ``d``; copy the
     untouched side tables from ``src`` so multi-table queries still run.
     All doubles CAST explicitly (DuckDB VALUES literals infer DECIMAL,
-    which diverges from the engine's double arithmetic)."""
+    which diverges from the engine's double arithmetic).
+
+    ``with_nulls`` appends rows carrying NULLs in the value columns
+    (totalprice, orderdate, quantity, price, discount, tax, returnflag,
+    shipdate, acctbal, mktsegment) -- dirty-lake reality the TPC-H spec
+    forbids but a 100 TB ingest will serve. The divergence class this
+    hunts: Spark's ASC window order defaults to NULLS FIRST while
+    DuckDB's defaults to NULLS LAST, so any ranking/framing over a
+    nullable key silently assigns different ranks."""
     for t in SIDE_TABLES:
         shutil.copy(f"{src}/{t}.parquet", f"{d}/{t}.parquet")
+
+    cust_nulls = """,
+        (7, 'cust-null-bal', 5, NULL, 'HOUSEHOLD'),
+        (8, 'cust-null-seg', 6, 10.0, NULL)""" if with_nulls else ""
+    ord_nulls = """,
+        (110, 7, 'O', NULL, TIMESTAMP '1996-07-01', '2-HIGH'),
+        (111, 8, 'O', 55.0, NULL, '3-MEDIUM')""" if with_nulls else ""
+    li_nulls = """,
+        (110, 7, 4, 1, NULL, 90.0, 0.05, 0.02, 'N', 'O', TIMESTAMP '1996-08-01'),
+        (110, 8, 5, 2,  2.0, NULL, NULL, 0.00, 'N', 'O', TIMESTAMP '1996-08-01'),
+        (111, 9, 6, 1,  1.0, 30.0, 0.00, NULL, NULL, 'O', NULL)""" if with_nulls else ""
 
     duckdb.sql(f"""
     COPY (
@@ -75,7 +96,7 @@ def build_fixture(d: str, src: str = "/root/testdata/sf0.001") -> None:
         (3, 'cust-tie-b',     2,  100.0, 'BUILDING'),
         (4, 'cust-negative',  3,  -50.0, 'MACHINERY'),
         (5, '',               4,    0.0, ''),
-        (6, 'cust-heavy',     0,  500.0, 'AUTOMOBILE')
+        (6, 'cust-heavy',     0,  500.0, 'AUTOMOBILE'){cust_nulls}
       ) t(c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment)
     ) TO '{d}/customer.parquet' (FORMAT PARQUET)
     """)
@@ -96,7 +117,7 @@ def build_fixture(d: str, src: str = "/root/testdata/sf0.001") -> None:
         (106, 5, 'O', 250.0, TIMESTAMP '1997-12-31', '4-NOT SPECIFIED'),
         (107, 6, 'O',  42.0, TIMESTAMP '1995-12-31', '1-URGENT'),
         (108, 6, 'O',  42.0, TIMESTAMP '1998-01-01', '1-URGENT'),
-        (109, 2, 'O',  77.0, TIMESTAMP '1996-03-03', '')
+        (109, 2, 'O',  77.0, TIMESTAMP '1996-03-03', ''){ord_nulls}
       ) t(o_orderkey, o_custkey, o_orderstatus, o_totalprice,
           o_orderdate, o_orderpriority)
     ) TO '{d}/orders.parquet' (FORMAT PARQUET)
@@ -125,7 +146,7 @@ def build_fixture(d: str, src: str = "/root/testdata/sf0.001") -> None:
         (103, 4, 1, 2,  2.0, 150.0, 0.05, 0.08, 'A', 'F', TIMESTAMP '1997-06-30'),
         (105, 5, 2, 1,  3.0,  80.0, 0.02, 0.01, 'N', 'O', TIMESTAMP '1997-06-01'),
         (107, 6, 3, 1,  4.0,  60.0, 0.04, 0.03, 'N', 'O', TIMESTAMP '1995-12-31'),
-        (108, 6, 3, 1,  4.0,  60.0, 0.04, 0.03, 'N', 'F', TIMESTAMP '1998-01-01')
+        (108, 6, 3, 1,  4.0,  60.0, 0.04, 0.03, 'N', 'F', TIMESTAMP '1998-01-01'){li_nulls}
       ) t(l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
           l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus,
           l_shipdate)
@@ -137,9 +158,11 @@ def main() -> int:
     from iot_data_pipeline_spark.session import build_session
     from tests.oracle_harness import compare_query, duck_connection
 
-    names = sys.argv[1:] or RELATIONAL_QUERIES
+    argv = sys.argv[1:]
+    with_nulls = "--nulls" in argv
+    names = [a for a in argv if a != "--nulls"] or RELATIONAL_QUERIES
     d = tempfile.mkdtemp(prefix="degenerate_rel_")
-    build_fixture(d)
+    build_fixture(d, with_nulls=with_nulls)
     spark = build_session("degenerate-relational-sweep")
     con = duck_connection(d)
     failed = 0
