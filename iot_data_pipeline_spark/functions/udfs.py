@@ -44,8 +44,12 @@ def celsius_to_fahrenheit_arrow(c: pd.Series) -> pd.Series:
 @pandas_udf(LongType())
 def token_count_arrow(text: pd.Series) -> pd.Series:
     """B50: tokens per document, vectorized. Twin of
-    ``size(split(text, ' '))``."""
-    return text.str.split(" ").str.len().astype("int64")
+    ``size(split(text, ' '))``.
+
+    Nullable Int64, not int64: a NULL document must count as NULL (SQL
+    split semantics), and the non-nullable cast raises on the NaN that
+    ``str.len()`` yields for None (round-7 NULL fixture crash)."""
+    return text.str.split(" ").str.len().astype("Int64")
 
 
 @pandas_udf(DoubleType())

@@ -1032,7 +1032,8 @@ def q147_curation_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q153_bloom_incremental_dedup",
     oracle="""
     WITH hist AS (
-      SELECT md5(text) AS dg FROM documents WHERE doc_id % 2 = 0
+      SELECT md5(text) AS dg FROM documents
+      WHERE doc_id % 2 = 0 AND text IS NOT NULL
     ),
     bloom AS (
       SELECT ((CAST(('0x' || substr(md5(dg || '#' || tk.i), 1, 15)) AS BIGINT)
@@ -1046,7 +1047,7 @@ def q147_curation_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     batch AS (
       SELECT doc_id, source, md5(text) AS dg
-      FROM documents WHERE doc_id % 3 = 0
+      FROM documents WHERE doc_id % 3 = 0 AND text IS NOT NULL
     ),
     probes AS (
       SELECT b.doc_id, b.source, b.dg, tk.i,
@@ -1106,7 +1107,13 @@ def q153_bloom_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from iot_data_pipeline_spark.functions.hashing import portable_hash
 
     m = 8192
-    docs = read_table(spark, sf_dir, "documents")
+    # NULL documents are excluded from BOTH the history fold and the
+    # arriving batch (both sides): a membership question about a NULL
+    # digest is meaningless, and its NULL probe bits would poison the
+    # verdict counts (round-7 NULL fixture).
+    docs = read_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
     hist = docs.filter(F.col("doc_id") % 2 == 0).select(
         F.md5("text").alias("dg")
     )
@@ -1427,7 +1434,7 @@ def q157_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH toks AS (
       SELECT doc_id, string_split(text, ' ') AS t FROM documents
-      WHERE doc_id < 100
+      WHERE doc_id < 100 AND text IS NOT NULL
     ),
     marked AS (
       SELECT doc_id, len(t) AS n_tokens,
@@ -1449,10 +1456,12 @@ def q157_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(n_tokens AS BIGINT) AS n_tokens,
            CAST(n_spans AS BIGINT) AS n_spans,
            CAST(n_masked AS BIGINT) AS n_masked,
-           md5(array_to_string(list_filter(corrupted_parts, x -> x IS NOT NULL),
-                               ' ')) AS corrupted_md5,
-           md5(array_to_string(list_filter(target_parts, x -> x IS NOT NULL),
-                               ' ')) AS target_md5
+           md5(COALESCE(array_to_string(
+                 list_filter(corrupted_parts, x -> x IS NOT NULL),
+                 ' '), '')) AS corrupted_md5,
+           md5(COALESCE(array_to_string(
+                 list_filter(target_parts, x -> x IS NOT NULL),
+                 ' '), '')) AS target_md5
     FROM marked ORDER BY doc_id
     """,
 )
@@ -1476,8 +1485,16 @@ def q158_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Reference parity: none -- north-star augmentation op
     (SURVEY section 2.2 B47 text family).
+
+    Degenerate-input contract (round-7 NULL fixture): NULL documents are
+    excluded both sides, and the oracle COALESCEs the assembled strings
+    to '' -- a doc too short to contain any span has an EMPTY target
+    (md5('')), but DuckDB's array_to_string([]) is NULL where Spark's
+    array_join is '' (the corpus-twin divergence class from round 6).
     """
-    docs = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    docs = read_table(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") < 100) & F.col("text").isNotNull()
+    )
     t = F.split("text", " ")
     pos = F.sequence(F.lit(0), F.size(t) - 1)
     tok_at = lambda p: F.element_at(t, (p + 1).cast("int"))  # noqa: E731

@@ -1684,7 +1684,11 @@ def q178_scalable_exact_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = {g: b[2] for g, b in bounds.items()}
     c_lo = {g: 0 for g in bounds}  # count(value <= lo), 0 by the seed above
     solved = {g: False for g in bounds}
-    groups = sorted(bounds)
+    # a NULL group KEY (dirty data) is a legitimate group with a real
+    # median -- sort None first (Python's mixed None/str sort raises),
+    # and every join/comparison below is null-safe so the group flows
+    # through the bisection like any other (round-7 NULL fixture)
+    groups = sorted(bounds, key=lambda g: (g is not None, g))
     # 16-way multisection: 15 thresholds per round shrink (lo, hi] by 16x.
     # Two PROVEN exits, checked per group from the same aggregate pass:
     #  - c_lo == k-1: min(value > lo) is the (c_lo+1)-th = k-th smallest
@@ -1711,11 +1715,13 @@ def q178_scalable_exact_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         thr = spark.createDataFrame(
             [(g, lo[g], hi[g], *mids[g]) for g in groups],
             ", ".join(
-                ["event_type string", "blo double", "bhi double"]
+                ["g_key string", "blo double", "bhi double"]
                 + [f"m{j} double" for j in range(fan - 1)]
             ),
         )
-        joined = ev.join(F.broadcast(thr), "event_type")
+        joined = ev.join(
+            F.broadcast(thr), F.col("event_type").eqNullSafe(F.col("g_key"))
+        )
         in_iv = F.when(
             (F.col("value") > F.col("blo")) & (F.col("value") <= F.col("bhi")),
             F.col("value"),
@@ -1753,20 +1759,31 @@ def q178_scalable_exact_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             lo[g], hi[g], c_lo[g] = new_lo, new_hi, new_c_lo
             solved[g] = new_c_lo == k[g] - 1
     lo_col = F.coalesce(
-        *[F.when(F.col("event_type") == g, F.lit(lo[g])) for g in groups],
+        *[
+            F.when(
+                F.col("event_type").eqNullSafe(F.lit(g).cast("string")),
+                F.lit(lo[g]),
+            )
+            for g in groups
+        ],
         F.lit(None).cast("double"),
     )
     # LEFT join from the per-group counts so all-null groups (absent
     # from the bisection) still emit their row with a NULL median
     medians = (
         ev.filter(F.col("value") > lo_col)
-        .groupBy("event_type")
+        .groupBy(F.col("event_type").alias("m_key"))
         .agg(F.min("value").alias("median_value"))
     )
     return (
         ev.groupBy("event_type")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-        .join(medians, "event_type", "left")
+        # null-safe join so the NULL group key keeps its computed median
+        .join(
+            medians,
+            F.col("event_type").eqNullSafe(F.col("m_key")),
+            "left",
+        )
         .select("event_type", "n", "median_value")
         .orderBy("event_type")
     )

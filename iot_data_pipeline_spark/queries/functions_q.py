@@ -29,7 +29,8 @@ from iot_data_pipeline_spark.sources.readers import read_table
     WITH per AS (
       SELECT user_id, event_type, COUNT(*) AS n,
              ROUND(SUM(value), 2) AS sum_v
-      FROM events GROUP BY user_id, event_type
+      FROM events WHERE event_type IS NOT NULL
+      GROUP BY user_id, event_type
     )
     SELECT user_id,
            COUNT(*) AS n_types,
@@ -46,8 +47,14 @@ def q32_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     map_from_entries over a sorted collect_list (deterministic key order);
     the fold over map_values is a higher-order aggregate. All map
     operations happen after the groupBy, on one row per user -- map
-    construction never inflates the shuffle."""
-    ev = read_table(spark, sf_dir, "events")
+    construction never inflates the shuffle.
+
+    NULL event_type is excluded on both sides: a map key cannot be NULL
+    (Spark raises NULL_MAP_KEY by spec), so a NULL-typed event has no
+    place in a per-type map (round-7 NULL fixture)."""
+    ev = read_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull()
+    )
     per = ev.groupBy("user_id", "event_type").agg(
         F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_v")
     )
@@ -67,9 +74,18 @@ def q32_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.aggregate(
             values, F.lit(0).cast("long"), lambda acc, v: acc + v["n"]
         ).alias("n_total"),
+        # SQL SUM semantics for the fold: skip NULL type-sums (a type
+        # whose every value is NULL), NULL only when ALL are NULL -- a
+        # bare `acc + v` would poison the whole fold on one NULL
+        # (round-7 NULL fixture)
         F.round(
-            F.aggregate(
-                values, F.lit(0.0), lambda acc, v: acc + v["sum_v"]
+            F.when(
+                F.exists(values, lambda v: v["sum_v"].isNotNull()),
+                F.aggregate(
+                    values,
+                    F.lit(0.0),
+                    lambda acc, v: acc + F.coalesce(v["sum_v"], F.lit(0.0)),
+                ),
             ),
             2,
         ).alias("sum_values"),

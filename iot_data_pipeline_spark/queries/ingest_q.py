@@ -580,7 +580,8 @@ def q69_partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, p AS pos, tok_list[p + 1] AS token
       FROM toks, unnest(range(len(tok_list))) AS u(p)
       UNION ALL
-      SELECT doc_id, NULL, NULL FROM toks WHERE len(tok_list) = 0
+      SELECT doc_id, NULL, NULL FROM toks
+      WHERE len(tok_list) = 0 OR tok_list IS NULL
     )
     SELECT doc_id, pos, token FROM exploded
     ORDER BY doc_id, pos NULLS FIRST
@@ -592,7 +593,9 @@ def q70_posexplode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     whose token list is empty -- plain explode silently drops them,
     which breaks joins back to the parent table (a corpus audit must
     see every doc_id). Every 50th doc's list is emptied to exercise
-    the outer path; DuckDB mirrors it with UNION ALL of the empties.
+    the outer path; DuckDB mirrors it with UNION ALL of the empties --
+    which must also catch NULL token lists (a NULL document), since
+    posexplode_outer keeps those rows too (round-7 NULL fixture).
     120 docs bound the exploded output (~10k rows) so the oracle compare
     cost stays flat across scale factors.
     """

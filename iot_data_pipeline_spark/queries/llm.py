@@ -631,7 +631,7 @@ def q28_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
              list_prepend(CAST(0 AS BIGINT),
                list_transform(string_split(text, ' '),
                               t -> {ORACLE_HASH.format("t")})) AS hs
-      FROM documents
+      FROM documents WHERE text IS NOT NULL
     )
     SELECT doc_id,
            list_reduce(hs, (acc, x) -> (acc * 31 + x) % 1000000007)
@@ -643,8 +643,14 @@ def q29_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-sensitive document fingerprint (text-analysis op): polynomial
     rolling hash over token hashes, folded sequentially -- the same int64
     arithmetic in both engines (mod keeps every intermediate < 2^35, ANSI
-    overflow-safe)."""
-    docs = read_table(spark, sf_dir, "documents")
+    overflow-safe).
+
+    NULL documents are excluded on both sides: a fingerprint of nothing
+    is meaningless, and a NULL in the output bigint would flip the whole
+    pandas-fetched column to float64 on compare (round-7 NULL fixture)."""
+    docs = read_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
     token_hashes = F.transform(F.split("text", " "), lambda t: portable_hash(t))
     fingerprint = F.aggregate(
         token_hashes,

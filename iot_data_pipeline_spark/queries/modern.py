@@ -326,7 +326,9 @@ def q89_ansi_safe_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH checked AS (
       SELECT event_type,
              (value >= 0 AND value <= 500) AS ok_range,
-             (CAST(json_extract_string(props, '$.k') AS INTEGER)
+             (TRY_CAST(CASE WHEN json_valid(props)
+                            THEN json_extract_string(props, '$.k') END
+                       AS INTEGER)
                 BETWEEN 0 AND 99) AS ok_props,
              (user_id IS NOT NULL) AS ok_user
       FROM events
@@ -347,6 +349,12 @@ def q90_quality_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     generalizing the reference's A20 critical-field validation): three
     named rules evaluated in one codegen pass; per-type violation counts
     plus the clean-row count the quarantine split would keep.
+
+    Oracle note: DuckDB's json functions RAISE on malformed JSON where
+    Spark's get_json_object returns NULL, so the oracle routes props
+    through json_valid + TRY_CAST (the q19/q63 guard pattern; a
+    malformed-props event simply fails the props_k expectation, which is
+    exactly what a quality gate should do).
     """
     from iot_data_pipeline_spark.operators.quality import (
         VIOLATIONS_COL,

@@ -255,15 +255,21 @@ def q19_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)),
                     '%Y-%m-%d %H:%M:%S') AS window_start,
            COUNT(*) AS n, ROUND(SUM(value), 2) AS total_value
-    FROM events GROUP BY 1 ORDER BY 1
+    FROM events WHERE ts IS NOT NULL GROUP BY 1 ORDER BY 1
     """,
 )
 def q20_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour window aggregate (B38) using Spark's window()
     expression in batch mode -- identical grouping to a streaming
     readStream.groupBy(window(...)), so the streaming path (streaming/
-    windows.py) is oracle-checked through this query's equivalence."""
-    ev = read_table(spark, sf_dir, "events")
+    windows.py) is oracle-checked through this query's equivalence.
+
+    NULL event time is excluded EXPLICITLY on both sides: Spark's
+    window() silently drops rows it cannot assign (the streaming
+    semantics -- no event time, no window), while DuckDB's date_trunc
+    would keep a NULL group (round-7 NULL fixture divergence). The
+    filter documents the contract; it is a no-op for Spark's plan."""
+    ev = read_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     return (
         ev.groupBy(F.window("ts", "1 hour").alias("w"))
         .agg(
@@ -283,6 +289,7 @@ def q20_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
                // 900000000) * 900000000 - k * 900000000) AS window_start,
              value
       FROM events, (SELECT unnest([0, 1, 2, 3]::BIGINT[]) AS k)
+      WHERE ts IS NOT NULL
     )
     SELECT strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start,
            COUNT(*) AS n, ROUND(SUM(value), 2) AS total_value
@@ -292,8 +299,9 @@ def q20_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q20b_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding 1h/15m window aggregate (B39): each event belongs to 4
     windows. Spark's window(ts, '1 hour', '15 minutes') generates them
-    natively; the oracle expands the same 4 offsets arithmetically."""
-    ev = read_table(spark, sf_dir, "events")
+    natively; the oracle expands the same 4 offsets arithmetically.
+    NULL event time excluded both sides -- same contract as q20."""
+    ev = read_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     return (
         ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
         .agg(

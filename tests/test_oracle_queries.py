@@ -451,6 +451,60 @@ def test_queries_survive_degenerate_relational(
     assert not problems, problems
 
 
+# ---------------------------------------------------------------------------
+# NULL-bearing documents/events suite: NULLs in the columns the round-6
+# degenerate fixtures never nulled out (documents.text/lang/source/n_chars,
+# events.ts/user_id/event_type/props).
+
+
+@pytest.fixture(scope="module")
+def null_doc_event_dir(tmp_path_factory):
+    """Round-7 sweep findings frozen here (10 real divergences in one
+    pass): Spark's window() drops NULL event time where DuckDB's
+    date_trunc keeps a NULL group (q20/q20b -- explicit ts IS NOT NULL
+    contract both sides); NULL map keys raise NULL_MAP_KEY (q32);
+    pandas-UDF int64 cast crashes on None (q33); posexplode_outer keeps
+    NULL-list rows the oracle's empties branch missed (q70); DuckDB json
+    functions raise on malformed props where Spark NULLs (q90 oracle
+    guard); NULL group keys crashed q178's driver-side sort and fell out
+    of its equi-joins (None-safe sort + eqNullSafe); NULL text through
+    fingerprint/bloom pipelines (q29/q153 -- excluded both sides, also
+    avoiding the pandas NULL-int float64 trap); empty assembled strings
+    md5('') vs DuckDB's NULL array_to_string (q158); a NULL type-sum
+    poisoning q32's map-values fold (SQL SUM skip-NULL semantics)."""
+    from tools.degenerate_null_doc_event_sweep import build_fixture
+
+    d = str(tmp_path_factory.mktemp("null_doc_event"))
+    build_fixture(d)
+    return d
+
+
+@pytest.fixture(scope="module")
+def null_doc_event_duck(null_doc_event_dir):
+    con = duck_connection(null_doc_event_dir)
+    yield con
+    con.close()
+
+
+def _null_doc_event_query_names():
+    from tools.degenerate_null_doc_event_sweep import (
+        DOC_QUERIES,
+        EVENT_QUERIES,
+    )
+
+    return DOC_QUERIES + EVENT_QUERIES
+
+
+@pytest.mark.parametrize("name", _null_doc_event_query_names())
+def test_queries_survive_null_docs_and_events(
+    spark, null_doc_event_duck, null_doc_event_dir, name
+):
+    problems = compare_query(
+        spark, null_doc_event_duck, name, null_doc_event_dir
+    )
+    assert not problems, problems
+
+
 def test_rollup_over_empty_diverges_from_sql_standard(spark, empty_tables_duck):
     """Documented cross-engine divergence, pinned so a Spark behavior
     change surfaces: SQL-standard GROUPING SETS semantics (DuckDB,
