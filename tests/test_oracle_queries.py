@@ -404,14 +404,22 @@ def test_queries_survive_empty_tables(
 # ---------------------------------------------------------------------------
 # Degenerate-relational suite: adversarial customer/orders/lineitem.
 
-@pytest.fixture(scope="module", params=[False, True], ids=["base", "nulls"])
+@pytest.fixture(
+    scope="module",
+    params=["base", "nulls", "dims"],
+    ids=["base", "nulls", "dims"],
+)
 def degenerate_relational_dir(request, tmp_path_factory):
     """Adversarial relational tables the driver generator never emits:
     a customer with zero orders, an order with zero lineitems, orphan
     lineitems (missing order), exact ties in every ranking dimension,
     boundary dates ON the queries' filter constants, zero quantity, 100%
     discount, duplicate line content, empty-string categoricals -- plus
-    a NULL-bearing variant (NULLs in every value column). The round-7
+    a NULL-bearing variant (NULLs in every value column) and a dims
+    variant that additionally replaces part/supplier with adversarial
+    dimension tables (ties, NULL size/brand/acctbal/nationkey, orphan
+    rows, empty-string names; 54/54 clean first try -- the base/nulls
+    fixes generalized). The round-7
     sweeps over all 54 relational-oracle queries found five real bug
     classes: two ANSI DIVIDE_BY_ZERO crashes (q56 corr on a
     zero-variance group, q125 unit price of a zero-quantity line, both
@@ -424,7 +432,11 @@ def degenerate_relational_dir(request, tmp_path_factory):
     from tools.degenerate_relational_sweep import build_fixture
 
     d = str(tmp_path_factory.mktemp("degenerate_relational"))
-    build_fixture(d, with_nulls=request.param)
+    build_fixture(
+        d,
+        with_nulls=request.param in ("nulls", "dims"),
+        with_degenerate_dims=request.param == "dims",
+    )
     return d
 
 

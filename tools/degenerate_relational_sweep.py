@@ -15,7 +15,9 @@ serves routinely but the driver's generator never does:
 - zero quantity, zero price, 100% discount (zero revenue), exact
   duplicate line content, empty-string categorical values
 
-Usage: python -m tools.degenerate_relational_sweep [--nulls] [query ...]
+Usage: python -m tools.degenerate_relational_sweep [--nulls|--dims] [query ...]
+(--nulls adds NULL-bearing rows; --dims additionally replaces
+part/supplier with adversarial dimension tables, implying --nulls)
 """
 
 from __future__ import annotations
@@ -56,8 +58,56 @@ SIDE_TABLES = (
 )
 
 
+def _build_degenerate_dims(d: str) -> None:
+    """Replace part/supplier with adversarial rows: exact ties in every
+    ranking dimension (retailprice, acctbal), duplicate content under
+    distinct keys, NULL size/brand/price/acctbal/nationkey, empty-string
+    names/types, zero price, and orphan rows no lineitem references.
+    Keys 1-9 (part) / 1-6 (supplier) stay resolvable so the lineitem FK
+    paths still join; nationkeys 3/8/13 keep q125's EUROPE path
+    populated."""
+    duckdb.sql(f"""
+    COPY (
+      SELECT CAST(p_partkey AS BIGINT) AS p_partkey, p_name, p_brand,
+             p_type, CAST(p_size AS INTEGER) AS p_size,
+             CAST(p_retailprice AS DOUBLE) AS p_retailprice
+      FROM (VALUES
+        (1,   'alpha widget', 'Brand#1', 'ECONOMY',  15, 100.0),
+        (2,   'alpha widget', 'Brand#1', 'ECONOMY',  15, 100.0),
+        (3,   'beta bolt',    'Brand#2', 'PROMO',  NULL, 200.0),
+        (4,   'gamma bolt',   NULL,      '',         15, 200.0),
+        (5,   '',             'Brand#3', 'STANDARD',  7, NULL),
+        (6,   'delta nut',    'Brand#3', 'STANDARD',  7,   0.0),
+        (7,   'epsilon nut',  'Brand#4', 'PROMO',    15, 300.0),
+        (8,   'zeta gear',    'Brand#4', 'PROMO',    15, 300.0),
+        (9,   'eta gear',     'Brand#5', 'ECONOMY',   1,  50.0),
+        (100, 'orphan part',  'Brand#9', 'ECONOMY',  15, 999.0)
+      ) t(p_partkey, p_name, p_brand, p_type, p_size, p_retailprice)
+    ) TO '{d}/part.parquet' (FORMAT PARQUET)
+    """)
+    duckdb.sql(f"""
+    COPY (
+      SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name,
+             CAST(s_nationkey AS INTEGER) AS s_nationkey,
+             CAST(s_acctbal AS DOUBLE) AS s_acctbal
+      FROM (VALUES
+        (1,  'supp-eu-a',        3,  100.0),
+        (2,  'supp-eu-b',        8,  100.0),
+        (3,  'supp-null-bal',   13,   NULL),
+        (4,  'supp-non-eu',      0,  500.0),
+        (5,  '',                 1,  -10.0),
+        (6,  'supp-null-nation', NULL, 50.0),
+        (50, 'supp-orphan',     18,   25.0)
+      ) t(s_suppkey, s_name, s_nationkey, s_acctbal)
+    ) TO '{d}/supplier.parquet' (FORMAT PARQUET)
+    """)
+
+
 def build_fixture(
-    d: str, src: str = "/root/testdata/sf0.001", with_nulls: bool = False
+    d: str,
+    src: str = "/root/testdata/sf0.001",
+    with_nulls: bool = False,
+    with_degenerate_dims: bool = False,
 ) -> None:
     """Write the adversarial customer/orders/lineitem into ``d``; copy the
     untouched side tables from ``src`` so multi-table queries still run.
@@ -73,6 +123,8 @@ def build_fixture(
     nullable key silently assigns different ranks."""
     for t in SIDE_TABLES:
         shutil.copy(f"{src}/{t}.parquet", f"{d}/{t}.parquet")
+    if with_degenerate_dims:
+        _build_degenerate_dims(d)  # overwrites the part/supplier copies
 
     cust_nulls = """,
         (7, 'cust-null-bal', 5, NULL, 'HOUSEHOLD'),
@@ -159,10 +211,13 @@ def main() -> int:
     from tests.oracle_harness import compare_query, duck_connection
 
     argv = sys.argv[1:]
-    with_nulls = "--nulls" in argv
-    names = [a for a in argv if a != "--nulls"] or RELATIONAL_QUERIES
+    with_nulls = "--nulls" in argv or "--dims" in argv
+    with_dims = "--dims" in argv
+    names = [
+        a for a in argv if a not in ("--nulls", "--dims")
+    ] or RELATIONAL_QUERIES
     d = tempfile.mkdtemp(prefix="degenerate_rel_")
-    build_fixture(d, with_nulls=with_nulls)
+    build_fixture(d, with_nulls=with_nulls, with_degenerate_dims=with_dims)
     spark = build_session("degenerate-relational-sweep")
     con = duck_connection(d)
     failed = 0
