@@ -318,6 +318,69 @@ def test_embedding_queries_survive_degenerate_vectors(
     assert not problems, problems
 
 
+@pytest.mark.parametrize("seed", [11, 23, 47])
+def test_q178_median_random_fuzz(spark, tmp_path, seed):
+    """Seeded random fuzz of the multisection median against an
+    INDEPENDENT Python oracle (sorted-list rank pick, no SQL engine):
+    tie-heavy value pools, adversarially close doubles, NULL runs, an
+    all-NULL group, a single-row group, and a NULL group KEY -- the
+    round-6 lesson that hand-rolled distributed operators earn a
+    random-data oracle, applied to the most delicate one. The lower
+    median is the k-th smallest non-null value (k = ceil(n_nonnull/2)),
+    an actual data value, so equality is exact."""
+    import math
+    import random
+
+    import duckdb
+    import pandas as pd
+
+    rng = random.Random(seed)
+    rows = []
+    groups = ["a", "b", "ties", "close", "nullish", None]
+    for i in range(600):
+        g = rng.choice(groups)
+        if g == "ties":
+            v = rng.choice([1.5, 1.5, 1.5, 2.5, 7.0])
+        elif g == "close":
+            v = 1.0 + rng.randrange(4) * 5e-16
+        elif g == "nullish":
+            v = None if rng.random() < 0.7 else rng.uniform(-5, 5)
+        else:
+            v = None if rng.random() < 0.15 else rng.uniform(-100, 100)
+        rows.append((i, g, v))
+    rows.append((9000, "solo", 42.0))
+    rows.append((9001, "allnull", None))
+    rows.append((9002, "allnull", None))
+
+    df = pd.DataFrame(
+        {
+            "event_id": [r[0] for r in rows],
+            "ts": pd.Timestamp("2024-01-01"),
+            "user_id": [r[0] % 13 for r in rows],
+            "event_type": [r[1] for r in rows],
+            "value": [r[2] for r in rows],
+            "props": "{}",
+        }
+    )
+    d = str(tmp_path)
+    duckdb.sql(f"COPY (SELECT * FROM df) TO '{d}/events.parquet' (FORMAT PARQUET)")
+
+    expected = {}
+    for g in set(r[1] for r in rows):
+        vals = sorted(r[2] for r in rows if r[1] == g and r[2] is not None)
+        n_all = sum(1 for r in rows if r[1] == g)
+        med = vals[math.ceil(len(vals) / 2) - 1] if vals else None
+        expected[g] = (n_all, med)
+
+    from iot_data_pipeline_spark.queries import REGISTRY
+
+    out = {
+        r["event_type"]: (r["n"], r["median_value"])
+        for r in REGISTRY["q178_scalable_exact_median"].fn(spark, d).collect()
+    }
+    assert out == expected
+
+
 # ---------------------------------------------------------------------------
 # Empty-input suite: every table 0 rows, exact driver schemas.
 
