@@ -44,7 +44,13 @@ def _normed(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
         F.col(id_col).alias("id"),
         emb.alias("emb"),
         F.sqrt(dot(emb, emb)).alias("nrm"),
-    ).filter(F.col("nrm") > 0)  # zero-norm/NULL: no direction, excluded
+    ).filter(
+        # zero-norm/NULL: no direction; NaN/Inf norms: no defined cosine
+        # (NaN compares GREATER than 0 in Spark, so > 0 alone admits it)
+        (F.col("nrm") > 0)
+        & ~F.isnan(F.col("nrm"))
+        & (F.col("nrm") < F.lit(float("inf")))
+    )
 
 
 def cosine_topk(

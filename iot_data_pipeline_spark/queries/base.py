@@ -77,13 +77,18 @@ ORACLE_FMT = "strftime({}, '%Y-%m-%d %H:%M:%S')"
 
 def valid_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The embeddings table with degenerate rows excluded: NULL arrays,
-    arrays containing NULL elements, and all-zero vectors. Cosine has no
-    defined value for them, and under the session's ANSI mode the norm
-    division in any similarity query would otherwise kill the whole job
-    on the first bad row (padding rows / failed encoder outputs -- the
-    rows a real corpus always contains). Mirrors
-    operators/similarity._normed's exclusion; the oracle twin is
-    EMB_VALID_CTE."""
+    arrays containing NULL elements, all-zero vectors, and vectors whose
+    squared norm is not finite (a NaN or Infinity element, or magnitudes
+    that overflow the double sum). Cosine has no defined value for them,
+    and under the session's ANSI mode the norm division in any
+    similarity query would otherwise kill the whole job on the first bad
+    row (padding rows / failed encoder outputs -- the rows a real corpus
+    always contains). The finiteness check matters because NaN compares
+    GREATER than zero in both engines' comparison semantics, so a bare
+    ``norm > 0`` silently admits NaN vectors and poisons every
+    downstream score (round-7 NaN/Inf fixture: 12 of 17 embedding
+    queries diverged). Mirrors operators/similarity._normed's exclusion;
+    the oracle twin is EMB_VALID_CTE."""
     e = F.col("embedding")
     norm2 = F.aggregate(
         F.transform(e, lambda v: v.cast("double") * v.cast("double")),
@@ -94,6 +99,8 @@ def valid_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.isNotNull()
         & ~F.exists(e, lambda v: v.isNull())
         & (norm2 > 0)
+        & ~F.isnan(norm2)
+        & (norm2 < F.lit(float("inf")))
     )
 
 
@@ -104,4 +111,6 @@ EMB_VALID_CTE = """embeddings_valid AS (
       WHERE embedding IS NOT NULL
         AND len(list_filter(embedding, x -> x IS NULL)) = 0
         AND list_sum(list_transform(embedding::DOUBLE[], x -> x * x)) > 0
+        AND isfinite(list_sum(list_transform(embedding::DOUBLE[],
+                                             x -> x * x)))
     )"""

@@ -261,7 +261,13 @@ _DEGENERATE_EMBEDDING_QUERIES = [
 @pytest.fixture(scope="module")
 def degenerate_embeddings_dir(spark, tmp_path_factory):
     """Adversarial embeddings: an all-zero vector, a NULL array, an array
-    with a NULL element, plus six valid 4-dim vectors. Round-6 findings:
+    with a NULL element, NaN/+Inf/-Inf elements, an extreme-but-finite
+    magnitude vector, plus six valid 4-dim vectors. Round-7 finding: NaN
+    compares GREATER than zero in both engines, so the valid-embeddings
+    guard's bare ``norm > 0`` admitted NaN/Inf vectors and 12 of 17
+    embedding queries diverged -- the guard now requires a FINITE
+    positive norm (queries/base.py + operators/similarity._normed).
+    Round-6 findings:
     nine similarity queries crashed (ANSI norm division by zero, DuckDB
     list functions raising on NULL elements) before every
     embeddings-reading query was routed through the valid-embeddings
@@ -294,7 +300,17 @@ def degenerate_embeddings_dir(spark, tmp_path_factory):
         (5, [-1.0, 0.5, 0.2, 0.9], 1),
         (6, [0.3, 0.3, 0.3, 0.3], 2),
         (7, [0.31, 0.29, 0.3, 0.3], 2),
-        (8, [0.5, -0.5, 0.25, 0.75], 2)
+        (8, [0.5, -0.5, 0.25, 0.75], 2),
+        (9, [CAST('nan' AS FLOAT), 0.1, 0.2, 0.3], 0),
+        (10, [CAST('inf' AS FLOAT), 0.0, 0.1, 0.0], 1),
+        (11, [CAST('-inf' AS FLOAT), 1.0, 0.0, 0.0], 2),
+        -- extreme-but-finite magnitudes pass the guard (legit vector);
+        -- 3e6 is the largest class the registry's DECIMAL-exactness
+        -- mechanisms cover: q112 squares into DECIMAL(28,12) (|x| up to
+        -- ~1e7) and the portable-round recipe is DECIMAL(38,18)
+        -- (|v| < 1e20). An encoder emitting beyond that is broken data
+        -- the guard intentionally does NOT hide.
+        (12, [3.0e6, 3.0e6, 0.0, 0.0], 2)
       ) t(vec_id, embedding, label)
     ) TO '{d}/embeddings.parquet' (FORMAT PARQUET)
     """)
