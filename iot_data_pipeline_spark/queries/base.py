@@ -75,6 +75,22 @@ def fmt_ts(col: str | F.Column) -> F.Column:
 ORACLE_FMT = "strftime({}, '%Y-%m-%d %H:%M:%S')"
 
 
+def finite_or_null(col: F.Column) -> F.Column:
+    """``col`` when it is a finite double, NULL otherwise (NULL in, NULL
+    out). The statistics queries (histograms, percentile bounds, drift
+    bins, medians) treat a NaN/Infinity sensor reading as an invalid
+    measurement -- present in the row count, absent from every numeric
+    summary -- because no engine pair agrees on where non-finite values
+    fall in percentile/bucket arithmetic (NaN compares GREATER than
+    everything in both Spark and DuckDB, then crashes the DECIMAL paths;
+    round-7 NaN fixture). Oracle twin: ORACLE_FINITE."""
+    return F.when(~F.isnan(col) & (F.abs(col) != F.lit(float("inf"))), col)
+
+
+#: DuckDB twin of finite_or_null -- use as ORACLE_FINITE.format(col)
+ORACLE_FINITE = "(CASE WHEN isfinite({0}) THEN {0} END)"
+
+
 def valid_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The embeddings table with degenerate rows excluded: NULL arrays,
     arrays containing NULL elements, all-zero vectors, and vectors whose

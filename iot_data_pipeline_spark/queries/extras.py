@@ -18,6 +18,7 @@ import math
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from iot_data_pipeline_spark.queries.base import finite_or_null
 from iot_data_pipeline_spark.queries.registry import declared
 from iot_data_pipeline_spark.sources.readers import read_table
 
@@ -577,7 +578,8 @@ def q67_sorted_list_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS n,
            ROUND(MIN(value), 2) AS lo,
            ROUND(MAX(value), 2) AS hi
-    FROM events
+    FROM (SELECT * REPLACE ((CASE WHEN isfinite(value) THEN value END)
+                            AS value) FROM events) events
     GROUP BY 1 ORDER BY 1
     """,
 )
@@ -587,8 +589,13 @@ def q68_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     and-floor puts edge values (10.00 stored as 9.999...) in different
     buckets per engine. Integer-cent arithmetic is bit-exact in both.
     One partial+final aggregation; the bucket expression is row-local.
+    Non-finite readings have no bucket: treated as NULL measurements on
+    both sides (base.finite_or_null -- the ANSI long cast of NaN cents
+    would otherwise kill the job; round-7 NaN fixture).
     """
-    ev = read_table(spark, sf_dir, "events")
+    ev = read_table(spark, sf_dir, "events").withColumn(
+        "value", finite_or_null(F.col("value"))
+    )
     cents = F.round(F.col("value") * 100, 0).cast("long")
     return (
         ev.groupBy((cents / 1000).cast("long").alias("bucket_10"))
@@ -1475,15 +1482,19 @@ def q166_fastss_typo_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 @declared(
     "q175_drift_psi",
     oracle="""
-    WITH a AS (
-      SELECT event_type, value FROM events
+    WITH fin AS (
+      SELECT * REPLACE ((CASE WHEN isfinite(value) THEN value END)
+                        AS value) FROM events
+    ),
+    a AS (
+      SELECT event_type, value FROM fin
       WHERE event_id % 2 = 0 AND event_id < 50000
     ),
     b AS (
       SELECT event_type,
              CASE WHEN event_type = 'purchase' THEN value * 1.25 + 40
                   ELSE value END AS value
-      FROM events WHERE event_id % 2 = 1 AND event_id < 50000
+      FROM fin WHERE event_id % 2 = 1 AND event_id < 50000
     ),
     cuts AS (
       SELECT event_type,
@@ -1550,7 +1561,14 @@ def q175_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     snapshot's scan; PSI folds per type from <= 5 bin rows. Nothing
     shuffles but the two histogram aggregates.
     """
-    ev = read_table(spark, sf_dir, "events").filter(F.col("event_id") < 50000)
+    ev = (
+        read_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 50000)
+        # non-finite readings are invalid measurements: NULL through the
+        # cuts/bins on both sides (base.finite_or_null; NULLs land in
+        # the top bin via the CASE fall-through, identically per engine)
+        .withColumn("value", finite_or_null(F.col("value")))
+    )
     a = ev.filter(F.col("event_id") % 2 == 0).select("event_type", "value")
     b = ev.filter(F.col("event_id") % 2 == 1).select(
         "event_type",
@@ -1618,7 +1636,8 @@ def q175_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            CAST(COUNT(*) AS BIGINT) AS n,
-           quantile_disc(value, 0.5) AS median_value
+           quantile_disc(CASE WHEN isfinite(value) THEN value END, 0.5)
+             AS median_value
     FROM events GROUP BY event_type ORDER BY event_type
     """,
 )
@@ -1655,7 +1674,10 @@ def q178_scalable_exact_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = (
         read_table(spark, sf_dir, "events")
-        .select("event_type", "value")
+        # non-finite readings are invalid measurements, NULL through the
+        # rank (both sides): NaN/Inf bounds would break the interval
+        # arithmetic the bisection invariant rests on (round-7 fixture)
+        .select("event_type", finite_or_null(F.col("value")).alias("value"))
         .localCheckpoint(eager=True)
     )
     bounds = {
@@ -1796,7 +1818,10 @@ def q178_scalable_exact_median(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT (CAST(('0x' || substr(md5(
                CAST(event_id AS VARCHAR) || US || event_type || US
                || CAST(user_id AS VARCHAR) || US
-               || CAST(CAST(value AS DECIMAL(18,6)) AS VARCHAR)
+               || CASE WHEN isnan(value) THEN 'NaN'
+                       WHEN value = 'inf'::DOUBLE THEN 'Inf'
+                       WHEN value = '-inf'::DOUBLE THEN '-Inf'
+                       ELSE CAST(CAST(value AS DECIMAL(18,6)) AS VARCHAR) END
              ), 1, 15)) AS BIGINT)) AS h
       FROM (SELECT *, chr(31) AS US FROM events WHERE event_id < 50000)
     ),
@@ -1804,7 +1829,10 @@ def q178_scalable_exact_median(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT (CAST(('0x' || substr(md5(
                CAST(event_id AS VARCHAR) || US || event_type || US
                || CAST(user_id AS VARCHAR) || US
-               || CAST(CAST(value AS DECIMAL(18,6)) AS VARCHAR)
+               || CASE WHEN isnan(value) THEN 'NaN'
+                       WHEN value = 'inf'::DOUBLE THEN 'Inf'
+                       WHEN value = '-inf'::DOUBLE THEN '-Inf'
+                       ELSE CAST(CAST(value AS DECIMAL(18,6)) AS VARCHAR) END
              ), 1, 15)) AS BIGINT)) AS h
       FROM (SELECT *, chr(31) AS US FROM events
             WHERE event_id < 50000 AND event_id <> 42) 
@@ -1849,11 +1877,23 @@ def q179_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_table(spark, sf_dir, "events").filter(F.col("event_id") < 50000)
 
     def hashed(df: DataFrame) -> DataFrame:
+        v = F.col("value")
+        # A fingerprint must COVER non-finite values, not drop the row:
+        # canonicalize NaN/Inf to fixed literals (the DECIMAL(18,6)
+        # canonical form raises on them in both engines -- and each
+        # engine renders them differently as strings, so the explicit
+        # CASE keeps the hash portable; round-7 NaN fixture).
+        canon_v = (
+            F.when(F.isnan(v), F.lit("NaN"))
+            .when(v == F.lit(float("inf")), F.lit("Inf"))
+            .when(v == F.lit(float("-inf")), F.lit("-Inf"))
+            .otherwise(v.cast("decimal(18,6)").cast("string"))
+        )
         row = F.concat(
             F.col("event_id").cast("string"), us,
             F.col("event_type"), us,
             F.col("user_id").cast("string"), us,
-            F.col("value").cast("decimal(18,6)").cast("string"),
+            canon_v,
         )
         return df.select(portable_hash(row).alias("h"))
 

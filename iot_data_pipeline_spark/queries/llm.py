@@ -1107,9 +1107,13 @@ def q97_embedding_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
 @declared(
     "q98_winsorized_values",
     oracle="""
-    WITH bounds AS (
+    WITH fin AS (
+      SELECT * REPLACE ((CASE WHEN isfinite(value) THEN value END)
+                        AS value) FROM events
+    ),
+    bounds AS (
       SELECT quantile_cont(value, 0.05) AS lo, quantile_cont(value, 0.95) AS hi
-      FROM events
+      FROM fin
     )
     SELECT e.event_type,
            COUNT(*) AS n,
@@ -1117,7 +1121,7 @@ def q97_embedding_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(MIN(LEAST(GREATEST(e.value, b.lo), b.hi)), 2) AS min_clipped,
            ROUND(MAX(LEAST(GREATEST(e.value, b.lo), b.hi)), 2) AS max_clipped,
            COUNT(*) FILTER (WHERE e.value < b.lo OR e.value > b.hi) AS n_clipped
-    FROM events e CROSS JOIN bounds b
+    FROM fin e CROSS JOIN bounds b
     GROUP BY e.event_type ORDER BY e.event_type
     """,
 )
@@ -1126,9 +1130,15 @@ def q98_winsorized_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     step applied before training-statistics computation. Exact
     percentiles keep the oracle deterministic (SURVEY.md section 2.3
     excludes approximate aggregates); the bounds are a one-row broadcast
-    so clipping is a row-local projection.
+    so clipping is a row-local projection. Non-finite readings are
+    invalid measurements -- NULL through bounds and clipping on both
+    sides (base.finite_or_null; round-7 NaN fixture).
     """
-    ev = read_table(spark, sf_dir, "events")
+    from iot_data_pipeline_spark.queries.base import finite_or_null
+
+    ev = read_table(spark, sf_dir, "events").withColumn(
+        "value", finite_or_null(F.col("value"))
+    )
     bounds = ev.agg(
         F.expr("percentile(value, 0.05)").alias("lo"),
         F.expr("percentile(value, 0.95)").alias("hi"),

@@ -90,8 +90,17 @@ def portable_round_sql(sql: str) -> str:
             k += 1
         expr = portable_round_sql(sql[args_start:top_comma].strip())
         ndig = sql[top_comma + 1 : k - 1].strip()
+        # Non-finite guard: NaN/Infinity round to themselves (Spark's
+        # round is the identity on them), but DuckDB's VARCHAR->DECIMAL
+        # conversion RAISES on 'nan'/'inf' strings -- one NaN sensor
+        # reading killed every rounded aggregate oracle (round-7 NaN
+        # fixture). NULL also flows through the ELSE branch unchanged.
+        # The duplicated {expr} is computed once: DuckDB dedups
+        # identical aggregate/scalar expressions within a SELECT.
         out.append(
-            f"CAST(ROUND(CAST(CAST({expr} AS VARCHAR) AS DECIMAL(38,18)), {ndig}) AS DOUBLE)"
+            f"CASE WHEN isfinite(CAST({expr} AS DOUBLE)) "
+            f"THEN CAST(ROUND(CAST(CAST({expr} AS VARCHAR) AS DECIMAL(38,18)), {ndig}) AS DOUBLE) "
+            f"ELSE CAST({expr} AS DOUBLE) END"
         )
         i = k
     return "".join(out)

@@ -548,8 +548,10 @@ def test_queries_survive_degenerate_relational(
 # events.ts/user_id/event_type/props).
 
 
-@pytest.fixture(scope="module")
-def null_doc_event_dir(tmp_path_factory):
+@pytest.fixture(
+    scope="module", params=[False, True], ids=["nulls", "nulls+nan"]
+)
+def null_doc_event_dir(request, tmp_path_factory):
     """Round-7 sweep findings frozen here (10 real divergences in one
     pass): Spark's window() drops NULL event time where DuckDB's
     date_trunc keeps a NULL group (q20/q20b -- explicit ts IS NOT NULL
@@ -562,11 +564,21 @@ def null_doc_event_dir(tmp_path_factory):
     fingerprint/bloom pipelines (q29/q153 -- excluded both sides, also
     avoiding the pandas NULL-int float64 trap); empty assembled strings
     md5('') vs DuckDB's NULL array_to_string (q158); a NULL type-sum
-    poisoning q32's map-values fold (SQL SUM skip-NULL semantics)."""
+    poisoning q32's map-values fold (SQL SUM skip-NULL semantics).
+
+    The nulls+nan variant adds NaN/+Inf/-Inf event values (the routine
+    failure modes of a physical sensor stream): ONE NaN reading crashed
+    every rounded-aggregate oracle through the VARCHAR->DECIMAL portable
+    -round path (now isfinite-guarded centrally in
+    registry.portable_round_sql), the statistics queries
+    (q68/q98/q175/q178) treat non-finite as NULL measurements both
+    sides (base.finite_or_null), and q179's fingerprint canonicalizes
+    them to fixed literals so integrity checks COVER bad readings
+    instead of crashing on them."""
     from tools.degenerate_null_doc_event_sweep import build_fixture
 
     d = str(tmp_path_factory.mktemp("null_doc_event"))
-    build_fixture(d)
+    build_fixture(d, with_nan=request.param)
     return d
 
 

@@ -8,7 +8,7 @@ sweep): NULL event-time in window/session assignment (Spark's window()
 drops the row, DuckDB's time_bucket keeps a NULL group), NULL group keys
 through pairing pipelines, NULL text through tokenize/shingle kernels.
 
-Usage: python -m tools.degenerate_null_doc_event_sweep [query ...]
+Usage: python -m tools.degenerate_null_doc_event_sweep [--nan] [query ...]
 """
 
 from __future__ import annotations
@@ -69,9 +69,13 @@ SIDE_TABLES = (
 )
 
 
-def build_fixture(d: str, src: str = "/root/testdata/sf0.001") -> None:
+def build_fixture(
+    d: str, src: str = "/root/testdata/sf0.001", with_nan: bool = False
+) -> None:
     """Round-6 degenerate documents/events plus the NULL rows those
-    fixtures never carried."""
+    fixtures never carried. ``with_nan`` appends events whose value is
+    NaN/+Inf/-Inf -- the routine failure modes of a physical sensor
+    stream (the reference's actual domain)."""
     for t in SIDE_TABLES:
         shutil.copy(f"{src}/{t}.parquet", f"{d}/{t}.parquet")
 
@@ -92,6 +96,11 @@ def build_fixture(d: str, src: str = "/root/testdata/sf0.001") -> None:
     ) TO '{d}/documents.parquet' (FORMAT PARQUET)
     """)
 
+    nan_rows = """,
+        (12, TIMESTAMP '2024-01-04 01:00:00', 6, 'click', 'nan'::DOUBLE, '{}'),
+        (13, TIMESTAMP '2024-01-04 02:00:00', 6, 'view', 'inf'::DOUBLE, '{}'),
+        (14, TIMESTAMP '2024-01-04 03:00:00', 6, 'click', '-inf'::DOUBLE, '{}')""" if with_nan else ""
+
     duckdb.sql(f"""
     COPY (
       SELECT CAST(event_id AS BIGINT) AS event_id, ts,
@@ -110,7 +119,7 @@ def build_fixture(d: str, src: str = "/root/testdata/sf0.001") -> None:
         (8, TIMESTAMP '2024-01-02 12:00:00', 4, 'signup', 7.5, '{{}}'),
         (9, TIMESTAMP '2024-01-03 09:00:00', 4, 'view', 4.25, '{{}}'),
         (10, NULL, 5, 'click', 1.0, '{{}}'),
-        (11, TIMESTAMP '2024-01-04 00:00:00', NULL, NULL, 2.0, NULL)
+        (11, TIMESTAMP '2024-01-04 00:00:00', NULL, NULL, 2.0, NULL){nan_rows}
       ) t(event_id, ts, user_id, event_type, value, props)
     ) TO '{d}/events.parquet' (FORMAT PARQUET)
     """)
@@ -120,9 +129,11 @@ def main() -> int:
     from iot_data_pipeline_spark.session import build_session
     from tests.oracle_harness import compare_query, duck_connection
 
-    names = sys.argv[1:] or (DOC_QUERIES + EVENT_QUERIES)
+    argv = sys.argv[1:]
+    with_nan = "--nan" in argv
+    names = [a for a in argv if a != "--nan"] or (DOC_QUERIES + EVENT_QUERIES)
     d = tempfile.mkdtemp(prefix="degenerate_null_de_")
-    build_fixture(d)
+    build_fixture(d, with_nan=with_nan)
     spark = build_session("degenerate-null-doc-event-sweep")
     con = duck_connection(d)
     failed = 0
