@@ -313,13 +313,25 @@ def q55_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 @declared(
     "q56_stats_agg",
     oracle="""
+    WITH fin AS (
+      SELECT l_returnflag,
+             CASE WHEN isfinite(l_quantity) AND isfinite(l_extendedprice)
+                  THEN l_quantity END AS q,
+             CASE WHEN isfinite(l_quantity) AND isfinite(l_extendedprice)
+                  THEN l_extendedprice END AS p,
+             CASE WHEN isfinite(l_discount) AND isfinite(l_tax)
+                  THEN l_discount END AS d,
+             CASE WHEN isfinite(l_discount) AND isfinite(l_tax)
+                  THEN l_tax END AS t
+      FROM lineitem
+    )
     SELECT l_returnflag,
-           ROUND(CORR(l_quantity, l_extendedprice), 4) AS corr_qty_price,
-           ROUND(COVAR_SAMP(l_quantity, l_extendedprice), 2) AS covar_s,
-           ROUND(COVAR_POP(l_discount, l_tax), 6) AS covar_p,
-           ROUND(REGR_SLOPE(l_extendedprice, l_quantity), 4) AS slope,
-           ROUND(REGR_INTERCEPT(l_extendedprice, l_quantity), 2) AS intercept
-    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+           ROUND(CORR(q, p), 4) AS corr_qty_price,
+           ROUND(COVAR_SAMP(q, p), 2) AS covar_s,
+           ROUND(COVAR_POP(d, t), 6) AS covar_p,
+           ROUND(REGR_SLOPE(p, q), 4) AS slope,
+           ROUND(REGR_INTERCEPT(p, q), 2) AS intercept
+    FROM fin GROUP BY l_returnflag ORDER BY l_returnflag
     """,
 )
 def q56_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -340,30 +352,35 @@ def q56_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     # family uses PAIRWISE deletion (rows where either side is NULL are
     # excluded from BOTH moments) exactly like corr -- stddev_pop would
     # wrongly include x values whose paired y is NULL (found by the
-    # round-7 NULL-bearing relational fixture).
+    # round-7 NULL-bearing relational fixture). The same pairwise rule
+    # extends to NON-FINITE values: a NaN in either column would poison
+    # the pair's moments in Spark and raises outright in DuckDB's
+    # moment aggregates, so the pair is nullified when either side is
+    # not finite (round-7 NaN fixture).
+    pair_qp = finite_or_null(F.col("l_quantity")).isNotNull() & finite_or_null(
+        F.col("l_extendedprice")
+    ).isNotNull()
+    pair_dt = finite_or_null(F.col("l_discount")).isNotNull() & finite_or_null(
+        F.col("l_tax")
+    ).isNotNull()
+    q = F.when(pair_qp, F.col("l_quantity"))
+    p = F.when(pair_qp, F.col("l_extendedprice"))
+    d = F.when(pair_dt, F.col("l_discount"))
+    t = F.when(pair_dt, F.col("l_tax"))
     return (
         li.groupBy("l_returnflag")
         .agg(
             F.round(
                 F.try_divide(
-                    F.regr_sxy("l_extendedprice", "l_quantity"),
-                    F.sqrt(
-                        F.regr_sxx("l_extendedprice", "l_quantity")
-                        * F.regr_syy("l_extendedprice", "l_quantity")
-                    ),
+                    F.regr_sxy(p, q),
+                    F.sqrt(F.regr_sxx(p, q) * F.regr_syy(p, q)),
                 ),
                 4,
             ).alias("corr_qty_price"),
-            F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias(
-                "covar_s"
-            ),
-            F.round(F.covar_pop("l_discount", "l_tax"), 6).alias("covar_p"),
-            F.round(F.regr_slope("l_extendedprice", "l_quantity"), 4).alias(
-                "slope"
-            ),
-            F.round(F.regr_intercept("l_extendedprice", "l_quantity"), 2).alias(
-                "intercept"
-            ),
+            F.round(F.covar_samp(q, p), 2).alias("covar_s"),
+            F.round(F.covar_pop(d, t), 6).alias("covar_p"),
+            F.round(F.regr_slope(p, q), 4).alias("slope"),
+            F.round(F.regr_intercept(p, q), 2).alias("intercept"),
         )
         .orderBy("l_returnflag")
     )
@@ -612,10 +629,12 @@ def q68_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q72_decimal_exact",
     oracle="""
     SELECT o_orderpriority,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS VARCHAR)
-               AS total_exact,
-           CAST(MAX(CAST(o_totalprice AS DECIMAL(12,2))) AS VARCHAR)
-               AS max_exact,
+           CAST(SUM(CAST((CASE WHEN isfinite(o_totalprice)
+                          THEN o_totalprice END) AS DECIMAL(12,2))
+               ) AS VARCHAR) AS total_exact,
+           CAST(MAX(CAST((CASE WHEN isfinite(o_totalprice)
+                          THEN o_totalprice END) AS DECIMAL(12,2))
+               ) AS VARCHAR) AS max_exact,
            COUNT(*) AS n
     FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
     """,
@@ -627,10 +646,12 @@ def q72_decimal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate in this suite. The price of exactness is wider shuffle
     rows and no SIMD; the engine supports both and the suite documents
     when each is right. Rendered to strings for engine-neutral
-    comparison.
+    comparison. A non-finite money value has no DECIMAL representation
+    (both engines' casts raise): treated as a NULL measurement on both
+    sides (base.finite_or_null; round-7 NaN fixture).
     """
     orders = read_table(spark, sf_dir, "orders")
-    dec = F.col("o_totalprice").cast("decimal(12,2)")
+    dec = finite_or_null(F.col("o_totalprice")).cast("decimal(12,2)")
     return (
         orders.groupBy("o_orderpriority")
         .agg(
@@ -1210,8 +1231,9 @@ def q152_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
            -- SUM's result depends on partial-aggregation order, and at
            -- sf0.1 group sizes the ulp drift crosses the cent-rounding
            -- boundary (found by the sf0.1 harness sweep; sf0.01 passed)
-           ROUND(CAST(SUM(CAST(f.price AS DECIMAL(18,6))) AS DOUBLE), 2)
-             AS revenue
+           ROUND(CAST(SUM(CAST((CASE WHEN isfinite(f.price)
+                                THEN f.price END) AS DECIMAL(18,6)))
+                      AS DOUBLE), 2) AS revenue
     FROM final_state f JOIN customer c ON f.o_custkey = c.c_custkey
     GROUP BY c.c_nationkey ORDER BY nationkey
     """,
@@ -1280,9 +1302,14 @@ def q164_ivm_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_orders"),
             # exact decimal sum (q112/q126 rule): plain double SUM order
-            # drifts past the cent boundary at sf0.1 group sizes
+            # drifts past the cent boundary at sf0.1 group sizes;
+            # non-finite money has no DECIMAL representation -> NULL
+            # measurement both sides (round-7 NaN fixture)
             F.round(
-                F.sum(F.col("price").cast("decimal(18,6)")).cast("double"), 2
+                F.sum(
+                    finite_or_null(F.col("price")).cast("decimal(18,6)")
+                ).cast("double"),
+                2,
             ).alias("revenue"),
         )
         .orderBy("nationkey")

@@ -485,8 +485,8 @@ def test_queries_survive_empty_tables(
 
 @pytest.fixture(
     scope="module",
-    params=["base", "nulls", "dims"],
-    ids=["base", "nulls", "dims"],
+    params=["base", "nulls", "dims", "nan"],
+    ids=["base", "nulls", "dims", "nan"],
 )
 def degenerate_relational_dir(request, tmp_path_factory):
     """Adversarial relational tables the driver generator never emits:
@@ -498,7 +498,12 @@ def degenerate_relational_dir(request, tmp_path_factory):
     variant that additionally replaces part/supplier with adversarial
     dimension tables (ties, NULL size/brand/acctbal/nationkey, orphan
     rows, empty-string names; 54/54 clean first try -- the base/nulls
-    fixes generalized). The round-7
+    fixes generalized), and a nan variant adding non-finite money values
+    (NaN price, Inf totalprice): DuckDB's moment aggregates RAISE on NaN
+    input (q56 -- pairwise-FINITE deletion now mirrors pairwise-NULL
+    deletion) and both engines' DECIMAL casts raise on Inf (q72/q164 --
+    non-finite money is a NULL measurement via finite_or_null). The
+    round-7
     sweeps over all 54 relational-oracle queries found five real bug
     classes: two ANSI DIVIDE_BY_ZERO crashes (q56 corr on a
     zero-variance group, q125 unit price of a zero-quantity line, both
@@ -513,8 +518,9 @@ def degenerate_relational_dir(request, tmp_path_factory):
     d = str(tmp_path_factory.mktemp("degenerate_relational"))
     build_fixture(
         d,
-        with_nulls=request.param in ("nulls", "dims"),
-        with_degenerate_dims=request.param == "dims",
+        with_nulls=request.param in ("nulls", "dims", "nan"),
+        with_degenerate_dims=request.param in ("dims", "nan"),
+        with_nan_money=request.param == "nan",
     )
     return d
 

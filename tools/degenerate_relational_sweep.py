@@ -103,11 +103,32 @@ def _build_degenerate_dims(d: str) -> None:
     """)
 
 
+def _append_nan_money(d: str) -> None:
+    """Append a NaN-priced lineitem and an Infinity-priced order: dirty
+    upstream compute lands non-finite doubles in money columns too. The
+    round-7 probe found DuckDB's moment aggregates RAISE on NaN input
+    (q56) and both engines' DECIMAL casts raise on Inf (q72/q164)."""
+    import os
+
+    duckdb.sql(f"""
+    COPY (SELECT * FROM '{d}/lineitem.parquet' UNION ALL
+      SELECT 108, 9, 3, 9, 2.0, 'nan'::DOUBLE, 0.0, 0.0, 'N', 'O',
+             TIMESTAMP '1996-06-01')
+    TO '{d}/lineitem2.parquet' (FORMAT PARQUET)""")
+    os.replace(f"{d}/lineitem2.parquet", f"{d}/lineitem.parquet")
+    duckdb.sql(f"""
+    COPY (SELECT * FROM '{d}/orders.parquet' UNION ALL
+      SELECT 112, 6, 'O', 'inf'::DOUBLE, TIMESTAMP '1996-09-09', '2-HIGH')
+    TO '{d}/orders2.parquet' (FORMAT PARQUET)""")
+    os.replace(f"{d}/orders2.parquet", f"{d}/orders.parquet")
+
+
 def build_fixture(
     d: str,
     src: str = "/root/testdata/sf0.001",
     with_nulls: bool = False,
     with_degenerate_dims: bool = False,
+    with_nan_money: bool = False,
 ) -> None:
     """Write the adversarial customer/orders/lineitem into ``d``; copy the
     untouched side tables from ``src`` so multi-table queries still run.
@@ -204,6 +225,8 @@ def build_fixture(
           l_shipdate)
     ) TO '{d}/lineitem.parquet' (FORMAT PARQUET)
     """)
+    if with_nan_money:
+        _append_nan_money(d)
 
 
 def main() -> int:
