@@ -614,6 +614,38 @@ def test_queries_survive_null_docs_and_events(
     assert not problems, problems
 
 
+def test_case_mapping_divergence(spark, empty_tables_duck):
+    """Documented cross-engine divergence, pinned so a library change in
+    either engine surfaces: the JVM applies Unicode FULL and
+    context-sensitive case mappings while DuckDB (without ICU) applies
+    simple 1:1 folding. Three canonical witnesses:
+
+    - lower('İ') U+0130: Java 'i'+U+0307 (2 code points), DuckDB 'i';
+    - lower('ΟΔΟΣ'): Java word-final sigma 'οδος' (ς), DuckDB 'οδοσ';
+    - upper('ß'): Java 'SS' (full mapping), DuckDB 'ẞ' (U+1E9E).
+
+    Every other Unicode class the round-7 sweep threw at the text band
+    (emoji/surrogates, CJK, combining accents, full-width forms, RTL)
+    agrees cross-engine and is folded into the doc/event fixture; these
+    three code points are deliberately excluded from fixtures, the same
+    posture as the ROLLUP-over-empty pin below."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([("ΟΔΟΣ", "İ", "ß")], "a string, b string, c string")
+    row = df.select(
+        F.lower("a"), F.length(F.lower("b")), F.upper("c")
+    ).collect()[0]
+    assert row[0] == "οδος" and row[0][-1] == "ς"
+    assert row[1] == 2  # i + combining dot above
+    assert row[2] == "SS"
+    drow = empty_tables_duck.execute(
+        "SELECT lower('ΟΔΟΣ'), length(lower('İ')), upper('ß')"
+    ).fetchone()
+    assert drow[0] == "οδοσ"
+    assert drow[1] == 1
+    assert drow[2] == "ẞ"
+
+
 def test_rollup_over_empty_diverges_from_sql_standard(spark, empty_tables_duck):
     """Documented cross-engine divergence, pinned so a Spark behavior
     change surfaces: SQL-standard GROUPING SETS semantics (DuckDB,

@@ -91,7 +91,20 @@ def build_fixture(
         (4, 'normal text with several words here', 'en', 'src2', 35),
         (5, 'zzz zzz zzz zzz', 'fr', 'src2', 15),
         (6, NULL, 'en', 'src3', NULL),
-        (7, 'ok text present here', NULL, NULL, 20)
+        (7, 'ok text present here', NULL, NULL, 20),
+        -- Unicode rows (round 7): emoji/surrogates, CJK, accents,
+        -- full-width forms, RTL -- all length/tokenize/hash paths agree
+        -- cross-engine on these. Deliberately ABSENT: U+0130 'İ',
+        -- word-final 'Σ', and 'ß' (whose upper() diverges) -- Java
+        -- full/context case mapping vs DuckDB simple folding genuinely
+        -- diverges there (pinned in
+        -- tests/test_oracle_queries.py::test_case_mapping_divergence).
+        (8, 'emoji 😀😀 text with 🎉 party', 'en', 'src4', 28),
+        (9, '中文 文本 分析 测试 中文', 'zh', 'src4', 14),
+        (10, 'strasse STRASSE gross GROSS', 'de', 'src4', 27),
+        (11, 'café café café naïve naive', 'fr', 'src4', 27),
+        (12, 'ＦＵＬＬＷＩＤＴＨ １２３ ｄｉｇｉｔｓ', 'ja', 'src4', 19),
+        (13, 'مرحبا بالعالم نص عربي', 'ar', 'src4', 21)
       ) t(doc_id, text, lang, source, n_chars)
     ) TO '{d}/documents.parquet' (FORMAT PARQUET)
     """)
