@@ -104,7 +104,20 @@ def build_fixture(
         (10, 'strasse STRASSE gross GROSS', 'de', 'src4', 27),
         (11, 'café café café naïve naive', 'fr', 'src4', 27),
         (12, 'ＦＵＬＬＷＩＤＴＨ １２３ ｄｉｇｉｔｓ', 'ja', 'src4', 19),
-        (13, 'مرحبا بالعالم نص عربي', 'ar', 'src4', 21)
+        (13, 'مرحبا بالعالم نص عربي', 'ar', 'src4', 21),
+        -- control characters (round 7, all cross-engine clean): NUL and
+        -- bell bytes, tabs, CRLF, blank-line paragraph breaks, edge
+        -- whitespace
+        (14, 'para one line' || chr(10) || chr(10) || 'para two line'
+             || chr(10) || chr(10) || 'para one line', 'en', 'src5', 45),
+        (15, 'tab' || chr(9) || 'separated' || chr(9) || 'fields here',
+         'en', 'src5', 27),
+        (16, 'crlf line' || chr(13) || chr(10) || 'second line',
+         'en', 'src5', 22),
+        (17, 'null' || chr(0) || 'byte and bell' || chr(7) || 'char',
+         'en', 'src5', 20),
+        (18, 'trailing spaces   ', 'en', 'src5', 18),
+        (19, '   leading spaces', 'en', 'src5', 17)
       ) t(doc_id, text, lang, source, n_chars)
     ) TO '{d}/documents.parquet' (FORMAT PARQUET)
     """)
