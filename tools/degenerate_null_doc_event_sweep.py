@@ -145,7 +145,16 @@ def build_fixture(
         (8, TIMESTAMP '2024-01-02 12:00:00', 4, 'signup', 7.5, '{{}}'),
         (9, TIMESTAMP '2024-01-03 09:00:00', 4, 'view', 4.25, '{{}}'),
         (10, NULL, 5, 'click', 1.0, '{{}}'),
-        (11, TIMESTAMP '2024-01-04 00:00:00', NULL, NULL, 2.0, NULL){nan_rows}
+        (11, TIMESTAMP '2024-01-04 00:00:00', NULL, NULL, 2.0, NULL),
+        -- extreme ids and timestamps (round-7 probes, all cross-engine
+        -- clean): negative ids (remainder semantics), near-2^63 ids
+        -- (hash/mod overflow paths), years outside the pandas
+        -- datetime64[ns] range (fetch-path precision)
+        (-5, TIMESTAMP '2024-01-05 00:00:00', -3, 'click', 1.0, '{{}}'),
+        (9223372036854775806, TIMESTAMP '2024-01-05 01:00:00',
+         9223372036854775806, 'view', 2.0, '{{}}'),
+        (15, TIMESTAMP '9999-12-31 23:59:59', 7, 'click', 1.0, '{{}}'),
+        (16, TIMESTAMP '1000-01-01 00:00:00', 7, 'view', 2.0, '{{}}'){nan_rows}
       ) t(event_id, ts, user_id, event_type, value, props)
     ) TO '{d}/events.parquet' (FORMAT PARQUET)
     """)
