@@ -111,22 +111,46 @@ def valid_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0),
         lambda s, v: s + v,
     )
-    return read_table(spark, sf_dir, "embeddings").filter(
+    valid = read_table(spark, sf_dir, "embeddings").filter(
         e.isNotNull()
         & ~F.exists(e, lambda v: v.isNull())
         & (norm2 > 0)
         & ~F.isnan(norm2)
         & (norm2 < F.lit(float("inf")))
     )
+    # Dimensionality contract: a corpus has ONE embedding dimension; a
+    # vector of any other length is broken encoder output (a model
+    # version change mid-ingest). Off-dimension rows crash the
+    # positional readers downstream (ANSI element_at on the IVF sign
+    # bits, numpy stacking in the matmul tier -- round-7 mixed-dim
+    # fixture killed 7 of 15 consumers), so the boundary keeps only the
+    # MODAL dimension: one tiny aggregate, broadcast as a 1-row frame
+    # (ties break toward the smaller dimension for determinism).
+    modal = (
+        valid.groupBy(F.size(e).alias("emb_dim"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("emb_dim"))
+        .limit(1)
+        .select("emb_dim")
+    )
+    return valid.join(
+        F.broadcast(modal), F.size(e) == F.col("emb_dim")
+    ).drop("emb_dim")
 
 
 #: DuckDB twin of valid_embeddings -- splice as a leading CTE body:
 #: ``WITH {EMB_VALID_CTE}, rest AS (... FROM embeddings_valid ...)``
-EMB_VALID_CTE = """embeddings_valid AS (
+EMB_VALID_CTE = """embeddings_base_valid AS (
       SELECT * FROM embeddings
       WHERE embedding IS NOT NULL
         AND len(list_filter(embedding, x -> x IS NULL)) = 0
         AND list_sum(list_transform(embedding::DOUBLE[], x -> x * x)) > 0
         AND isfinite(list_sum(list_transform(embedding::DOUBLE[],
                                              x -> x * x)))
+    ),
+    embeddings_valid AS (
+      SELECT * FROM embeddings_base_valid
+      WHERE len(embedding) = (
+        SELECT len(embedding) AS d FROM embeddings_base_valid
+        GROUP BY 1 ORDER BY COUNT(*) DESC, d LIMIT 1)
     )"""

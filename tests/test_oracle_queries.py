@@ -304,6 +304,11 @@ def degenerate_embeddings_dir(spark, tmp_path_factory):
         (9, [CAST('nan' AS FLOAT), 0.1, 0.2, 0.3], 0),
         (10, [CAST('inf' AS FLOAT), 0.0, 0.1, 0.0], 1),
         (11, [CAST('-inf' AS FLOAT), 1.0, 0.0, 0.0], 2),
+        -- off-dimension vectors (round 7): an encoder version change
+        -- mid-ingest; excluded by the modal-dimension rule (ANSI
+        -- element_at and numpy stacking crash on them otherwise)
+        (13, [0.5, -0.5], 1),
+        (14, [0.5, -0.5, 0.25, 0.75, 0.1], 2),
         -- extreme-but-finite magnitudes pass the guard (legit vector);
         -- 3e6 is the largest class the registry's DECIMAL-exactness
         -- mechanisms cover: q112 squares into DECIMAL(28,12) (|x| up to
