@@ -154,7 +154,13 @@ def build_fixture(
         (9223372036854775806, TIMESTAMP '2024-01-05 01:00:00',
          9223372036854775806, 'view', 2.0, '{{}}'),
         (15, TIMESTAMP '9999-12-31 23:59:59', 7, 'click', 1.0, '{{}}'),
-        (16, TIMESTAMP '1000-01-01 00:00:00', 7, 'view', 2.0, '{{}}'){nan_rows}
+        (16, TIMESTAMP '1000-01-01 00:00:00', 7, 'view', 2.0, '{{}}'),
+        -- pathological-but-valid JSON props (round 7, cross-engine
+        -- clean): 40-deep nesting, a 20 KB payload
+        (17, TIMESTAMP '2024-01-06 00:00:00', 8, 'click', 1.0,
+         repeat('{{"a":', 40) || '1' || repeat('}}', 40)),
+        (18, TIMESTAMP '2024-01-06 01:00:00', 8, 'view', 2.0,
+         '{{"k": 5, "pad": "' || repeat('x', 20000) || '"}}'){nan_rows}
       ) t(event_id, ts, user_id, event_type, value, props)
     ) TO '{d}/events.parquet' (FORMAT PARQUET)
     """)
