@@ -10,6 +10,8 @@ both sides, no fixture files needed.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -91,6 +93,10 @@ def finite_or_null(col: F.Column) -> F.Column:
 ORACLE_FINITE = "(CASE WHEN isfinite({0}) THEN {0} END)"
 
 
+#: modal embedding dimension per corpus dir (see valid_embeddings)
+_MODAL_DIM_CACHE: dict[str, int | None] = {}
+
+
 def valid_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The embeddings table with degenerate rows excluded: NULL arrays,
     arrays containing NULL elements, all-zero vectors, and vectors whose
@@ -124,18 +130,25 @@ def valid_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     # positional readers downstream (ANSI element_at on the IVF sign
     # bits, numpy stacking in the matmul tier -- round-7 mixed-dim
     # fixture killed 7 of 15 consumers), so the boundary keeps only the
-    # MODAL dimension: one tiny aggregate, broadcast as a 1-row frame
-    # (ties break toward the smaller dimension for determinism).
-    modal = (
-        valid.groupBy(F.size(e).alias("emb_dim"))
-        .agg(F.count(F.lit(1)).alias("n"))
-        .orderBy(F.desc("n"), F.asc("emb_dim"))
-        .limit(1)
-        .select("emb_dim")
-    )
-    return valid.join(
-        F.broadcast(modal), F.size(e) == F.col("emb_dim")
-    ).drop("emb_dim")
+    # MODAL dimension (ties break toward the smaller one for
+    # determinism). The modal dim is one tiny aggregate, memoized per
+    # corpus dir for the session -- 13 consumers share it, and a
+    # literal size filter plans cheaper than a per-query broadcast join
+    # (corpus dirs are write-once in tests and read-only in the driver,
+    # so the memo cannot go stale within a session).
+    key = os.path.abspath(sf_dir)
+    if key not in _MODAL_DIM_CACHE:
+        row = (
+            valid.groupBy(F.size(e).alias("emb_dim"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.desc("n"), F.asc("emb_dim"))
+            .first()
+        )
+        _MODAL_DIM_CACHE[key] = None if row is None else row["emb_dim"]
+    dim = _MODAL_DIM_CACHE[key]
+    if dim is None:  # empty corpus: the oracle's scalar subquery is NULL
+        return valid.filter(F.lit(False))
+    return valid.filter(F.size(e) == F.lit(dim))
 
 
 #: DuckDB twin of valid_embeddings -- splice as a leading CTE body:
