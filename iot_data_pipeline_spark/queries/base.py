@@ -89,12 +89,50 @@ def finite_or_null(col: F.Column) -> F.Column:
     return F.when(~F.isnan(col) & (F.abs(col) != F.lit(float("inf"))), col)
 
 
-#: DuckDB twin of finite_or_null -- use as ORACLE_FINITE.format(col)
+#: DuckDB twin of finite_or_null -- use as ORACLE_FINITE.format(col).
+#: Spliced by the q68/q72/q98/q164/q175/q178 oracles; q56 inlines a
+#: PAIRWISE variant (isfinite(x) AND isfinite(y)) that this
+#: single-column template cannot express.
 ORACLE_FINITE = "(CASE WHEN isfinite({0}) THEN {0} END)"
 
 
-#: modal embedding dimension per corpus dir (see valid_embeddings)
-_MODAL_DIM_CACHE: dict[str, int | None] = {}
+#: modal embedding dimension, keyed by (corpus dir, parquet fingerprint)
+#: so a rewritten embeddings.parquet re-derives instead of serving a
+#: stale dimension (see valid_embeddings)
+_MODAL_DIM_CACHE: dict[tuple, int | None] = {}
+
+
+def _embeddings_fingerprint(sf_dir: str) -> tuple:
+    """Cheap identity of ``<sf_dir>/embeddings.parquet``: (mtime_ns,
+    size) for a plain file; for a Spark-written directory, the newest
+    mtime_ns plus total size and entry count of its children -- any
+    rewrite (new part files, overwrite-in-place) changes at least one
+    component. Pure os.stat, no Spark job."""
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        st = os.stat(path)
+    except OSError:
+        return ("missing",)
+    if not os.path.isdir(path):
+        return (st.st_mtime_ns, st.st_size)
+    latest, total, n = st.st_mtime_ns, 0, 0
+    for name in os.listdir(path):
+        try:
+            s = os.stat(os.path.join(path, name))
+        except OSError:
+            continue
+        latest = max(latest, s.st_mtime_ns)
+        total += s.st_size
+        n += 1
+    return (latest, total, n)
+
+
+def clear_modal_dim_cache() -> None:
+    """Drop every memoized modal dimension. Fixture builders that
+    rewrite an embeddings.parquet in place may call this instead of
+    relying on the fingerprint key (belt and braces for same-nanosecond
+    rewrites on coarse-mtime filesystems)."""
+    _MODAL_DIM_CACHE.clear()
 
 
 def valid_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -132,11 +170,13 @@ def valid_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fixture killed 7 of 15 consumers), so the boundary keeps only the
     # MODAL dimension (ties break toward the smaller one for
     # determinism). The modal dim is one tiny aggregate, memoized per
-    # corpus dir for the session -- 13 consumers share it, and a
-    # literal size filter plans cheaper than a per-query broadcast join
-    # (corpus dirs are write-once in tests and read-only in the driver,
-    # so the memo cannot go stale within a session).
-    key = os.path.abspath(sf_dir)
+    # corpus for the session -- 13 consumers share it, and a literal
+    # size filter plans cheaper than a per-query broadcast join. The
+    # memo key carries the parquet's stat fingerprint, so rewriting a
+    # corpus dir mid-session (a broken write-once assumption) re-derives
+    # the dimension instead of silently filtering on a stale one while
+    # the DuckDB oracle recomputes it fresh (round-7 advice).
+    key = (os.path.abspath(sf_dir), _embeddings_fingerprint(sf_dir))
     if key not in _MODAL_DIM_CACHE:
         row = (
             valid.groupBy(F.size(e).alias("emb_dim"))

@@ -18,7 +18,7 @@ import math
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from iot_data_pipeline_spark.queries.base import finite_or_null
+from iot_data_pipeline_spark.queries.base import ORACLE_FINITE, finite_or_null
 from iot_data_pipeline_spark.queries.registry import declared
 from iot_data_pipeline_spark.sources.readers import read_table
 
@@ -590,12 +590,12 @@ def q67_sorted_list_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @declared(
     "q68_histogram",
-    oracle="""
+    oracle=f"""
     SELECT CAST(ROUND(value * 100, 0) AS BIGINT) // 1000 AS bucket_10,
            COUNT(*) AS n,
            ROUND(MIN(value), 2) AS lo,
            ROUND(MAX(value), 2) AS hi
-    FROM (SELECT * REPLACE ((CASE WHEN isfinite(value) THEN value END)
+    FROM (SELECT * REPLACE ({ORACLE_FINITE.format('value')}
                             AS value) FROM events) events
     GROUP BY 1 ORDER BY 1
     """,
@@ -627,13 +627,13 @@ def q68_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @declared(
     "q72_decimal_exact",
-    oracle="""
+    oracle=f"""
     SELECT o_orderpriority,
-           CAST(SUM(CAST((CASE WHEN isfinite(o_totalprice)
-                          THEN o_totalprice END) AS DECIMAL(12,2))
+           CAST(SUM(CAST({ORACLE_FINITE.format('o_totalprice')}
+                         AS DECIMAL(12,2))
                ) AS VARCHAR) AS total_exact,
-           CAST(MAX(CAST((CASE WHEN isfinite(o_totalprice)
-                          THEN o_totalprice END) AS DECIMAL(12,2))
+           CAST(MAX(CAST({ORACLE_FINITE.format('o_totalprice')}
+                         AS DECIMAL(12,2))
                ) AS VARCHAR) AS max_exact,
            COUNT(*) AS n
     FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
@@ -1215,7 +1215,7 @@ def q152_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @declared(
     "q164_ivm_join_view",
-    oracle="""
+    oracle=f"""
     WITH final_state AS (
       -- last-writer-wins per orderkey: the update batch re-sends every
       -- key with o_orderkey % 3 = 0 AND % 2 = 0 at an uplifted price,
@@ -1231,8 +1231,8 @@ def q152_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
            -- SUM's result depends on partial-aggregation order, and at
            -- sf0.1 group sizes the ulp drift crosses the cent-rounding
            -- boundary (found by the sf0.1 harness sweep; sf0.01 passed)
-           ROUND(CAST(SUM(CAST((CASE WHEN isfinite(f.price)
-                                THEN f.price END) AS DECIMAL(18,6)))
+           ROUND(CAST(SUM(CAST({ORACLE_FINITE.format('f.price')}
+                               AS DECIMAL(18,6)))
                       AS DOUBLE), 2) AS revenue
     FROM final_state f JOIN customer c ON f.o_custkey = c.c_custkey
     GROUP BY c.c_nationkey ORDER BY nationkey
@@ -1508,9 +1508,9 @@ def q166_fastss_typo_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @declared(
     "q175_drift_psi",
-    oracle="""
+    oracle=f"""
     WITH fin AS (
-      SELECT * REPLACE ((CASE WHEN isfinite(value) THEN value END)
+      SELECT * REPLACE ({ORACLE_FINITE.format('value')}
                         AS value) FROM events
     ),
     a AS (
@@ -1660,10 +1660,10 @@ def q175_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @declared(
     "q178_scalable_exact_median",
-    oracle="""
+    oracle=f"""
     SELECT event_type,
            CAST(COUNT(*) AS BIGINT) AS n,
-           quantile_disc(CASE WHEN isfinite(value) THEN value END, 0.5)
+           quantile_disc({ORACLE_FINITE.format('value')}, 0.5)
              AS median_value
     FROM events GROUP BY event_type ORDER BY event_type
     """,

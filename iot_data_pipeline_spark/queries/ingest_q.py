@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 from iot_data_pipeline_spark.pipeline import PipelineConfig
 from iot_data_pipeline_spark.queries.registry import declared
 from iot_data_pipeline_spark.queries.staging import (
+    batch_mtime_pinner,
     fresh_dir,
     staged_fixture,
     unique_name,
@@ -698,10 +699,12 @@ def q167_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         # two files = two micro-batches: partial-merge across batches is
         # the semantics under test and two partials prove the fold; a
         # third batch only re-paid stream startup cost (round-4 advice)
+        stamp = batch_mtime_pinner(d)
         for part in range(2):
             src.filter(F.col("event_id") % 2 == part).coalesce(
                 1
             ).write.mode("append").parquet(d)
+            stamp()
 
     raw = staged_fixture("q167_raw", sf_dir, _build)
     work = fresh_dir("q167_run")
@@ -1108,6 +1111,8 @@ def q177_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.observe(obs, F.max("ts").alias("m")).coalesce(1).write.mode(
             "overwrite"
         ).parquet(d)
+        stamp = batch_mtime_pinner(d)
+        stamp()
         row = obs.get
         # ONE trailing sentinel file (+2h): its batch advances the
         # watermark past all real data, and the engine's trailing no-data
@@ -1131,6 +1136,7 @@ def q177_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CASE WHEN id = 0 THEN 'purchase' ELSE 'click' END AS event_type",
             "0.0D AS value",
         ).coalesce(1).write.mode("append").parquet(d)
+        stamp()  # sentinel batch must sort after the data batch
 
     staged = staged_fixture("q177_events", sf_dir, _build_staged)
     schema = spark.read.parquet(staged).schema
@@ -1285,8 +1291,11 @@ def q189_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         # JVM-side row construction: a driver-local createDataFrame write
         # pays ~3-4s of non-Arrow Python->JVM serde PER file at this size
         # (measured); range+selectExpr keeps all four writes under 1s.
+        stamp = batch_mtime_pinner(d)
+
         def write(df: DataFrame) -> None:
             df.coalesce(1).write.mode("append").parquet(d)
+            stamp()
 
         dup2 = spark.range(2).selectExpr("id AS dup")
         write(
@@ -1457,8 +1466,11 @@ def q191_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     def _build(d: str) -> None:
         # JVM-side row construction (q189's pattern): driver-local
         # createDataFrame writes pay ~3-4s of non-Arrow serde per file
+        stamp = batch_mtime_pinner(d)
+
         def write(df: DataFrame) -> None:
             df.coalesce(1).write.mode("append").parquet(d)
+            stamp()
 
         write(
             spark.range(15).selectExpr(

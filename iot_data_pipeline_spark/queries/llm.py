@@ -26,7 +26,7 @@ from iot_data_pipeline_spark.functions.hashing import (
     portable_hash,
 )
 from iot_data_pipeline_spark.queries.registry import declared
-from iot_data_pipeline_spark.queries.base import valid_embeddings
+from iot_data_pipeline_spark.queries.base import ORACLE_FINITE, valid_embeddings
 from iot_data_pipeline_spark.sources.readers import read_table
 
 N_MINHASH = 16
@@ -1106,9 +1106,9 @@ def q97_embedding_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @declared(
     "q98_winsorized_values",
-    oracle="""
+    oracle=f"""
     WITH fin AS (
-      SELECT * REPLACE ((CASE WHEN isfinite(value) THEN value END)
+      SELECT * REPLACE ({ORACLE_FINITE.format('value')}
                         AS value) FROM events
     ),
     bounds AS (

@@ -90,6 +90,40 @@ def staged_fixture(kind: str, sf_dir: str, build: Callable[[str], None]) -> str:
     return _CACHE[key]
 
 
+def batch_mtime_pinner(d: str) -> Callable[[], None]:
+    """Pin micro-batch order for a staged streaming fixture.
+
+    Spark's FileStreamSource orders files by modification time, so a
+    fixture whose oracle encodes an EXACT micro-batch schedule
+    (q167/q177/q189/q191: batch N's rows must enter the stream before
+    batch N+1's) must not rely on append-write latency to keep mtimes
+    distinct -- same-millisecond collisions on a coarse-timestamp
+    filesystem could reorder batches and flip the hard-coded
+    watermark keep/drop predictions (round-7 advice).
+
+    Returns ``stamp()``; call it once after EACH batch write. Every
+    data file not seen by a previous stamp gets an mtime strictly one
+    second after the previous batch's, so batch order equals write
+    order regardless of filesystem timestamp resolution. Metadata
+    files (``_SUCCESS`` etc.) are ignored -- FileStreamSource skips
+    them too.
+    """
+    seen: set[str] = set()
+    # base well in the past: pinned mtimes must never land ahead of a
+    # later batch's natural write time
+    state = {"t": int(os.stat(d).st_mtime) - 86_400}
+
+    def stamp() -> None:
+        state["t"] += 1
+        for name in sorted(os.listdir(d)):
+            if name.startswith(("_", ".")) or name in seen:
+                continue
+            seen.add(name)
+            os.utime(os.path.join(d, name), (state["t"], state["t"]))
+
+    return stamp
+
+
 def fresh_dir(kind: str) -> str:
     """A unique NON-cached work dir (checkpoints, sinks, outputs)."""
     return _tracked_mkdtemp(f"idp_{kind}_")

@@ -197,7 +197,14 @@ def round_sum_hazards(dq) -> list[str]:
     """The q164 hazard class, mechanized (round-6 verdict task): rounding a
     plain double SUM in a final projection is one scale-up away from a cent
     flip, so every occurrence must be either converted to DECIMAL summation
-    or certified at sf0.1 and listed in ROUND_SUM_CERTIFIED."""
+    or certified at sf0.1 and listed in ROUND_SUM_CERTIFIED.
+
+    Scope: the DataFrame-side scan covers the declared query function's
+    OWN source only -- an ``F.round(F.sum(...))`` inside a shared helper
+    it calls is invisible here. Those sites are swept separately by
+    helper_round_sum_hazards (module-level scan of the helper packages)
+    against HELPER_ROUND_SUM_CERTIFIED, so the two linters together
+    cover both placements (round-7 advice)."""
     import inspect
 
     hazards: list[str] = []
@@ -209,6 +216,54 @@ def round_sum_hazards(dq) -> list[str]:
         src = ""
     hazards += [f"spark: {h}" for h in _spark_round_sum_hazards(src)]
     return hazards
+
+
+#: Helper functions (``<package-relative path>::<function>``) that round a
+#: plain double SUM and are certified safe: every consumer is hash-checked
+#: at sf0.1 (q20/q20b via the full-harness sweeps) or sums a tiny fixed
+#: fixture whose double sum is exact (q191's 15-value batches).
+HELPER_ROUND_SUM_CERTIFIED: frozenset[str] = frozenset(
+    {"streaming/windows.py::windowed_value_counts"}
+)
+
+
+def helper_round_sum_sites() -> list[str]:
+    """Module-level sweep for the q164 hazard class in SHARED helper code
+    -- the placement the per-query lint cannot see (round-7 advice:
+    windowed_value_counts' F.round(F.sum(...)) escaped it). Walks every
+    function in the non-query packages (streaming/, operators/,
+    functions/, sources/, plans/) and returns ALL ``path::function``
+    sites containing F.round(F.sum(<no decimal>)) -- certified or not;
+    the lint test diffs this against HELPER_ROUND_SUM_CERTIFIED in both
+    directions. Query modules are excluded: their declared fns are
+    covered per-query by round_sum_hazards + ROUND_SUM_CERTIFIED."""
+    import ast
+    from pathlib import Path
+
+    import iot_data_pipeline_spark as pkg
+
+    root = Path(pkg.__file__).resolve().parent
+    sites: list[str] = []
+    for sub in ("streaming", "operators", "functions", "sources", "plans"):
+        for path in sorted((root / sub).glob("*.py")):
+            src = path.read_text()
+            for node in ast.walk(ast.parse(src)):
+                if not isinstance(
+                    node, (ast.FunctionDef, ast.AsyncFunctionDef)
+                ):
+                    continue
+                seg = ast.get_source_segment(src, node) or ""
+                if _spark_round_sum_hazards(seg):
+                    sites.append(f"{sub}/{path.name}::{node.name}")
+    return sites
+
+
+def helper_round_sum_hazards() -> list[str]:
+    """The uncertified subset of helper_round_sum_sites()."""
+    return [
+        s for s in helper_round_sum_sites()
+        if s not in HELPER_ROUND_SUM_CERTIFIED
+    ]
 
 
 def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:

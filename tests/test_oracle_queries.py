@@ -670,3 +670,41 @@ def test_rollup_over_empty_diverges_from_sql_standard(spark, empty_tables_duck):
         ).df().shape[0]
         == 1
     )
+
+
+def test_modal_dim_memo_invalidates_on_corpus_rewrite(spark, tmp_path):
+    """The modal-dimension memo is keyed by the parquet's stat
+    fingerprint, not just the directory path (round-7 advice): if a
+    corpus is rewritten in place within one driver session -- the
+    write-once assumption breaking -- valid_embeddings must re-derive
+    the modal dimension instead of silently filtering on the stale one
+    while the DuckDB oracle recomputes it fresh."""
+    import duckdb
+
+    from iot_data_pipeline_spark.queries.base import valid_embeddings
+
+    d = str(tmp_path)
+
+    def write(dim: int) -> None:
+        duckdb.sql(f"""
+        COPY (
+          SELECT CAST(range AS BIGINT) AS vec_id,
+                 CAST([0.5 + range + x FOR x IN range({dim})] AS FLOAT[])
+                   AS embedding,
+                 CAST(range % 3 AS INTEGER) AS label
+          FROM range(5)
+        ) TO '{d}/embeddings.parquet' (FORMAT PARQUET)
+        """)
+
+    write(3)
+    first = valid_embeddings(spark, d)
+    assert first.count() == 5
+    assert {r[0] for r in first.selectExpr("size(embedding)").collect()} == {3}
+
+    write(4)  # same path, same row count -- only the dimension changes
+    second = valid_embeddings(spark, d)
+    assert second.count() == 5, (
+        "stale modal-dim memo: the rewritten corpus's rows were filtered "
+        "against the previous corpus's dimension"
+    )
+    assert {r[0] for r in second.selectExpr("size(embedding)").collect()} == {4}

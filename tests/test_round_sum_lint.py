@@ -21,9 +21,11 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 from tests.oracle_harness import (
+    HELPER_ROUND_SUM_CERTIFIED,
     ROUND_SUM_CERTIFIED,
     _spark_round_sum_hazards,
     _sql_round_sum_hazards,
+    helper_round_sum_sites,
     round_sum_hazards,
 )
 
@@ -97,4 +99,33 @@ def test_registry_hazards_equal_certified_set():
     assert not stale, (
         f"stale ROUND_SUM_CERTIFIED entries {sorted(stale)}: the pattern is "
         "gone, remove the certification so the set stays exact"
+    )
+
+
+def test_helper_modules_hazards_equal_certified_set():
+    # The per-query lint reads only the declared fn's own source, so an
+    # F.round(F.sum(...)) inside a shared helper (streaming/, operators/,
+    # ...) escapes it -- round-7 advice, with windowed_value_counts as
+    # the live example. The module sweep closes that hole; same
+    # exact-set contract as the registry lint.
+    sites = set(helper_round_sum_sites())
+    unlisted = sites - HELPER_ROUND_SUM_CERTIFIED
+    stale = HELPER_ROUND_SUM_CERTIFIED - sites
+    assert not unlisted, (
+        f"uncertified helper ROUND(SUM(<double>)) sites {sorted(unlisted)}: "
+        "convert to DECIMAL summation or certify every consumer at sf0.1 "
+        "and add to HELPER_ROUND_SUM_CERTIFIED"
+    )
+    assert not stale, (
+        f"stale HELPER_ROUND_SUM_CERTIFIED entries {sorted(stale)}: the "
+        "pattern is gone, remove the certification so the set stays exact"
+    )
+
+
+def test_helper_sweep_sees_the_known_site():
+    # windowed_value_counts is the site that motivated the sweep; if it
+    # is ever rewritten to DECIMAL summation, the stale-cert assertion
+    # above fires and both it and this pin get updated together.
+    assert "streaming/windows.py::windowed_value_counts" in set(
+        helper_round_sum_sites()
     )
