@@ -3,16 +3,20 @@
 Generic, column-parameterized versions of what the declared queries
 q22-q26 instantiate. All shapes are shuffle-minimal by construction:
 
-- exact: group on a 32-byte digest, never the content;
+- exact: group on a 32-byte digest, never the content (min_by partial
+  aggregation, so even a corpus that is 90% one document never funnels
+  through a single task);
 - minhash/LSH: content -> 8-byte shingle hashes -> fixed-width signature
-  -> band-bucket equi-join; nothing quadratic ever materializes;
+  -> band-bucket equi-join; no corpus-wide quadratic step, and the
+  within-bucket quadratic (duplicate-cluster blowup) is capped by
+  ``max_bucket`` star pairing;
 - simhash: fixed-width fingerprint per doc; candidate pairing either by
   blocking key (dense corpora) or prefix bands (sparse fingerprints).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from iot_data_pipeline_spark.functions.hashing import PORTABLE_MOD, portable_hash
@@ -25,12 +29,22 @@ def exact_dedup(df: DataFrame, content_cols: list[str], id_col: str) -> DataFram
     shuffle carries 32-byte digests, not documents. NULL-safe: concat_ws
     treats NULL as '', with a unit separator to prevent field-boundary
     collisions ('ab','c' vs 'a','bc').
+
+    Shape: ``min_by`` aggregation, NOT a row_number window. Both compute
+    the same representative, but the window shuffles every row to its
+    digest's partition and sorts there -- one boilerplate page duplicated
+    10M times serializes 10M rows through a single task. The aggregate
+    has map-side partial merge: each input task collapses its local
+    copies first, so a hot digest ships one partial per task regardless
+    of cluster size (measured: tools/skew_sweep.py, SCALE.md section 7d).
+    Contract: ``id_col`` is non-NULL (min_by ignores NULL-ordered rows).
     """
     digest = F.sha2(F.concat_ws("\x1f", *content_cols), 256)
-    w = Window.partitionBy(digest).orderBy(F.col(id_col))
-    return df.withColumn("__rn", F.row_number().over(w)).filter(
-        F.col("__rn") == 1
-    ).drop("__rn")
+    return (
+        df.groupBy(digest.alias("__h"))
+        .agg(F.min_by(F.struct(*df.columns), F.col(id_col)).alias("__rep"))
+        .select("__rep.*")
+    )
 
 
 def shingle_hashes(
@@ -83,15 +97,31 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(
-    sigs: DataFrame, n_bands: int = 4
+    sigs: DataFrame, n_bands: int = 4, max_bucket: int | None = None
 ) -> DataFrame:
     """Distinct candidate pairs (id_a < id_b) sharing >= 1 LSH band.
 
     Bands derive from the signature via one explode (never a per-band
     union: that would replicate the signature aggregation subtree per band
     and again per self-join side). The pairing is an equi-join on
-    (band, key): linear in bucket sizes, the non-negotiable property at
-    100 TB -- no all-pairs comparison exists anywhere in the plan.
+    (band, key) -- no all-pairs comparison across the corpus exists
+    anywhere in the plan.
+
+    WITHIN a bucket, pairing is still quadratic: a bucket of m members
+    emits m(m-1)/2 pairs. Real corpora make that the dominant scale
+    hazard -- one boilerplate page duplicated 10M times puts all 10M
+    copies in the SAME bucket of every band (identical signatures), and
+    the join explodes to ~5e13 pairs. ``max_bucket`` caps it: buckets at
+    or under the cap pair exhaustively as before; buckets OVER the cap
+    are near-certain duplicate clusters and emit STAR pairs instead --
+    every member paired with the bucket's min id, O(m) not O(m^2).
+    Star pairing preserves bucket connectivity (each member reaches the
+    hub), so connected-component clustering -- how dedup actually
+    consumes candidate pairs -- produces identical clusters; only the
+    redundant transitive pair enumeration is dropped. Cost of the cap:
+    one extra (band, key) count+min aggregation, fully partial-merged.
+    Measured: tools/skew_sweep.py, SCALE.md section 7d. Default None
+    keeps the exhaustive semantics (q23's oracle-matched form).
     """
     sig_cols = [c for c in sigs.columns if c.startswith("sig_")]
     if n_bands <= 0 or not sig_cols:
@@ -126,17 +156,42 @@ def lsh_candidate_pairs(
     bands = sigs.select("id", F.explode(band_structs).alias("bk")).select(
         "id", "bk.band", "bk.key"
     )
-    a, b = bands.alias("a"), bands.alias("b")
-    return (
-        a.join(
+
+    def pairwise(side: DataFrame) -> DataFrame:
+        a, b = side.alias("a"), side.alias("b")
+        return a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.key") == F.col("b.key"))
             & (F.col("a.id") < F.col("b.id")),
+        ).select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+
+    if max_bucket is None:
+        return pairwise(bands).distinct()
+    if max_bucket < 2:
+        raise ValueError(
+            f"max_bucket={max_bucket}: a bucket of 2 is the smallest that "
+            "can pair at all"
         )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
+    # The capped plan reads bands THREE times (stats + both join sides);
+    # without materialization each read re-runs the upstream shingle +
+    # signature aggregation (q23's lesson, same fix)
+    bands = bands.localCheckpoint(eager=True)
+    # One count+min aggregation per (band, key): partial-merged, so the
+    # hot bucket itself never concentrates rows on one task here.
+    stats = bands.groupBy("band", "key").agg(
+        F.count(F.lit(1)).alias("__n"), F.min("id").alias("__hub")
     )
+    sized = bands.join(stats, ["band", "key"])
+    small = sized.filter(F.col("__n") <= max_bucket).select(
+        "id", "band", "key"
+    )
+    # hub < id always (hub IS the bucket min), so star pairs satisfy the
+    # id_a < id_b contract without a comparison
+    star = sized.filter(
+        (F.col("__n") > max_bucket) & (F.col("id") != F.col("__hub"))
+    ).select(F.col("__hub").alias("id_a"), F.col("id").alias("id_b"))
+    return pairwise(small).unionByName(star).distinct()
 
 
 def minhash_dedup_candidates(

@@ -292,6 +292,110 @@ def q23_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@declared(
+    "q192_lsh_hot_bucket",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+      UNION ALL
+      -- the duplicate cluster: one document replicated 60x under
+      -- synthetic ids -- the boilerplate-page shape that puts every
+      -- copy in the SAME bucket of every band
+      SELECT 200000 + r.range AS doc_id, d.text
+      FROM documents d, range(60) r WHERE d.doc_id = 0
+    ),
+    shingled AS (
+      SELECT doc_id, unnest(
+        list_transform(
+          range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+          i -> string_split(text, ' ')[i] || ' ' ||
+               string_split(text, ' ')[i+1] || ' ' ||
+               string_split(text, ' ')[i+2])) AS shingle
+      FROM corpus
+    ),
+    hashed AS (
+      SELECT doc_id, {ORACLE_HASH.format("shingle")} AS h FROM shingled
+    ),
+    sigs AS (
+      SELECT doc_id,
+           {_minhash_sig_sql()}
+      FROM hashed GROUP BY doc_id
+    ),
+    bands AS (
+      {_minhash_band_keys_sql()}
+    ),
+    stats AS (
+      SELECT band, key, COUNT(*) AS n, MIN(doc_id) AS hub
+      FROM bands GROUP BY band, key
+    ),
+    small AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a
+      JOIN bands b ON a.band = b.band AND a.key = b.key
+                  AND a.doc_id < b.doc_id
+      JOIN stats s ON s.band = a.band AND s.key = a.key
+      WHERE s.n <= 8
+    ),
+    star AS (
+      SELECT s.hub AS doc_a, b.doc_id AS doc_b
+      FROM bands b JOIN stats s ON s.band = b.band AND s.key = b.key
+      WHERE s.n > 8 AND b.doc_id <> s.hub
+    )
+    SELECT DISTINCT doc_a, doc_b
+    FROM (SELECT doc_a, doc_b FROM small
+          UNION ALL
+          SELECT doc_a, doc_b FROM star)
+    ORDER BY doc_a, doc_b
+    """,
+)
+def q192_lsh_hot_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH near-dup candidates under a duplicate-cluster hot bucket, the
+    capped scale path (B45 gate; operators/dedup.lsh_candidate_pairs
+    max_bucket). The corpus is documents plus one document replicated
+    60x -- identical signatures, so all 61 copies land in the SAME
+    bucket of every band. Uncapped pairing would emit C(61,2) = 1,830
+    pairs per band from that cluster alone (and ~5e13 for the 10M-copy
+    page a 100 TB lake actually serves); the cap (8) replaces each
+    oversized bucket's quadratic enumeration with O(m) star pairs to
+    the bucket's min id. Buckets at or under the cap keep q23's
+    exhaustive pairing bit-identically -- the oracle replays BOTH
+    regimes plus the boundary between them, so a cap off by one, a hub
+    that isn't the min id, or a star pair leaking from a small bucket
+    all fail the hash.
+
+    Scale notes: the cap's cost is one partial-merged count+min
+    aggregation per (band, key); star output is linear in cluster size;
+    connected components downstream are unchanged (every member reaches
+    the hub). Measured against the uncapped blowup in
+    tools/skew_sweep.py / SCALE.md section 7d.
+    """
+    from iot_data_pipeline_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        shingle_hashes,
+    )
+
+    docs = (
+        read_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("text").isNotNull())
+    )
+    cluster = (
+        docs.filter(F.col("doc_id") == 0)
+        .crossJoin(spark.range(60).select(F.col("id").alias("i")))
+        .select((F.lit(200000) + F.col("i")).alias("doc_id"), "text")
+    )
+    corpus = docs.unionByName(cluster)
+    sigs = minhash_signatures(
+        shingle_hashes(corpus, "text", "doc_id"), N_MINHASH
+    )
+    return (
+        lsh_candidate_pairs(sigs, N_BANDS, max_bucket=8)
+        .select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 def _simhash_bits_sql(hcol: str) -> str:
     terms = [
         f"SUM(CASE WHEN ({hcol} >> {j}) & 1 = 1 THEN 1 ELSE -1 END)"

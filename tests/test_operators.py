@@ -861,3 +861,71 @@ def test_global_ranks_and_scan_adversarial_random(spark, seed, n_rows, n_parts):
         ).collect()
     }
     assert got2 == want2
+
+
+def test_exact_dedup_aggregate_shape_no_window(spark):
+    """exact_dedup must plan as a hash aggregate with map-side partial
+    merge, NOT a row_number window: the window shuffles and sorts every
+    copy of a hot digest through one task (the 10M-copy boilerplate page
+    at 100 TB), while the aggregate collapses copies per input task.
+    Shape pinned here; the semantics are pinned by the null-safety test
+    and the q22 oracle gate."""
+    df = spark.createDataFrame(
+        [Row(id=i, a="same", b="content") for i in range(20)]
+    )
+    plan = exact_dedup(df, ["a", "b"], "id")._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "partial_min_by" in plan or "HashAggregate" in plan
+
+
+def test_lsh_hot_bucket_star_pairing(spark):
+    """A duplicate cluster (identical signatures -> one bucket per band)
+    must emit O(m) star pairs under max_bucket, not m(m-1)/2, while
+    preserving connectivity: every cluster member reaches the hub (the
+    bucket min id), so connected-component clustering is unchanged.
+    Small buckets keep exhaustive pairs bit-identical to the uncapped
+    operator."""
+    from iot_data_pipeline_spark.operators.dedup import lsh_candidate_pairs
+
+    # ids 0-9: one identical cluster (same sigs); ids 100-101: a small
+    # independent cluster; id 200: a singleton
+    sigs = spark.range(13).selectExpr(
+        "CASE WHEN id < 10 THEN id WHEN id < 12 THEN id + 90 ELSE 200 END AS id",
+        *[
+            f"CASE WHEN id < 10 THEN {7 * i} WHEN id < 12 THEN {1000 + i} "
+            f"ELSE {5000 + i} END AS sig_{i}"
+            for i in range(4)
+        ],
+    )
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_candidate_pairs(sigs, n_bands=2, max_bucket=4).collect()
+    }
+    # hot cluster: exactly the 9 star pairs (0, j), no transitive pairs
+    assert {(0, j) for j in range(1, 10)} <= capped
+    assert not any(a != 0 and a < 10 for a, _ in capped)
+    # small cluster: exhaustive pair survives the cap untouched
+    assert (100, 101) in capped
+    # singleton: pairs with nothing
+    assert not any(200 in p for p in capped)
+    assert len(capped) == 10
+
+    uncapped = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_candidate_pairs(sigs, n_bands=2).collect()
+    }
+    assert len(uncapped) == 45 + 1  # C(10,2) hot pairs + the small pair
+    # the capped output is a subset with identical connected components
+    assert capped <= uncapped
+
+
+def test_lsh_max_bucket_guard(spark):
+    import pytest as _pytest
+
+    from iot_data_pipeline_spark.operators.dedup import lsh_candidate_pairs
+
+    sigs = spark.range(4).selectExpr(
+        "id", *[f"id * {i + 1} AS sig_{i}" for i in range(4)]
+    )
+    with _pytest.raises(ValueError, match="max_bucket"):
+        lsh_candidate_pairs(sigs, n_bands=2, max_bucket=1)

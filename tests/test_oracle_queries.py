@@ -94,6 +94,7 @@ _SHORT_DOC_QUERIES = [
     "q144_lsh_recall_audit",
     "q145_prefix_filter_join",
     "q156_incremental_lsh",
+    "q192_lsh_hot_bucket",
 ]
 
 
@@ -434,6 +435,7 @@ _EMPTY_TABLE_QUERIES = [
     "q21_sessionization",
     "q22_exact_dedup",
     "q23_minhash_lsh",
+    "q192_lsh_hot_bucket",
     "q25_ngram_jaccard",
     "q27_langid",
     "q31_ann_ivf",

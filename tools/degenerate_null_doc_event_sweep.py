@@ -21,7 +21,8 @@ import duckdb
 
 DOC_QUERIES = [
     "q17_string_funcs", "q17b_token_counts", "q22_exact_dedup",
-    "q23_minhash_lsh", "q24_simhash_pairs", "q25_ngram_jaccard",
+    "q23_minhash_lsh", "q192_lsh_hot_bucket",
+    "q24_simhash_pairs", "q25_ngram_jaccard",
     "q27_langid", "q28_quality_score", "q29_doc_fingerprint",
     "q33_pandas_token_stats", "q38_text_normalize", "q39_bpe_tokens",
     "q40_curation_pipeline", "q44_repetition_ratio",
