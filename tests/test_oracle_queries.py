@@ -710,3 +710,60 @@ def test_modal_dim_memo_invalidates_on_corpus_rewrite(spark, tmp_path):
         "against the previous corpus's dimension"
     )
     assert {r[0] for r in second.selectExpr("size(embedding)").collect()} == {4}
+
+
+# ---------------------------------------------------------------------------
+# Mass-duplicate corpus: the round-8 skew theme as a CORRECTNESS fixture.
+
+_DUP_HEAVY_QUERIES = list(_SHORT_DOC_QUERIES)
+
+
+@pytest.fixture(scope="module")
+def dup_heavy_doc_dir(spark, tmp_path_factory):
+    """A corpus that is MOSTLY one document: 12 of 20 docs share one text,
+    4 share another, 4 unique -- the duplicate-cluster shape of a real
+    crawl, as a correctness probe (tools/skew_sweep.py measures the same
+    shape for wall time). Every dedup/near-dup/fingerprint query must
+    agree with DuckDB on the blown-up pair/cluster enumeration, and the
+    statistics queries must not let the dominant document distort
+    per-doc aggregates."""
+    import duckdb
+
+    d = str(tmp_path_factory.mktemp("dup_heavy_docs"))
+    duckdb.sql(f"""
+    COPY (
+      SELECT CAST(i AS BIGINT) AS doc_id,
+             CASE WHEN i < 12 THEN 'the same boilerplate page body repeated across mirrors again'
+                  WHEN i < 16 THEN 'a second smaller cluster of identical docs here'
+                  ELSE 'unique document number ' || i || ' with its own words entirely'
+             END AS text,
+             CASE WHEN i % 2 = 0 THEN 'en' ELSE 'de' END AS lang,
+             'src' || (i % 3) AS source,
+             CAST(CASE WHEN i < 12 THEN 62 WHEN i < 16 THEN 48
+                  ELSE 45 END AS BIGINT) AS n_chars
+      FROM range(20) t(i)
+    ) TO '{d}/documents.parquet' (FORMAT PARQUET)
+    """)
+    return d
+
+
+@pytest.fixture(scope="module")
+def dup_heavy_doc_duck(dup_heavy_doc_dir):
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
+    con.execute(
+        "CREATE OR REPLACE VIEW documents AS "
+        f"SELECT * FROM '{dup_heavy_doc_dir}/documents.parquet'"
+    )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", _DUP_HEAVY_QUERIES)
+def test_text_queries_survive_mass_duplicates(
+    spark, dup_heavy_doc_duck, dup_heavy_doc_dir, name
+):
+    problems = compare_query(spark, dup_heavy_doc_duck, name, dup_heavy_doc_dir)
+    assert not problems, problems
