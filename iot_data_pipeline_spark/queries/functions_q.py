@@ -100,9 +100,9 @@ def q32_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(FLOOR(value) AS BIGINT) AS v_floor,
            CAST(CEIL(value) AS BIGINT) AS v_ceil,
            ROUND(ABS(value - 250.0), 2) AS v_absdev,
-           ROUND(SQRT(value), 4) AS v_sqrt,
-           ROUND(LN(value + 1), 4) AS v_ln,
-           ROUND(LOG10(value + 1), 4) AS v_log10,
+           ROUND(SQRT(CASE WHEN value >= 0 THEN value END), 4) AS v_sqrt,
+           ROUND(LN(CASE WHEN value > -1 THEN value + 1 END), 4) AS v_ln,
+           ROUND(LOG10(CASE WHEN value > -1 THEN value + 1 END), 4) AS v_log10,
            ROUND(POW(value / 100, 2), 4) AS v_pow,
            event_id % 7 AS v_pmod,
            CAST(SIGN(value - 250.0) AS DOUBLE) AS v_sign
@@ -113,7 +113,16 @@ def q35_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Math scalar surface (B33): round/floor/ceil/abs/sqrt/ln/log10/pow/
     pmod/sign in one codegen span. sqrt is IEEE-correctly-rounded (exact
     cross-engine); ln/log10/pow are libm-dependent in the last ulp, so
-    ROUND(.., 4) per SURVEY section 2.3 rule 2 absorbs it."""
+    ROUND(.., 4) per SURVEY section 2.3 rule 2 absorbs it.
+
+    Domain guards (round-8 hot-key sweep finding): a negative value is a
+    legitimate measurement, but sqrt/ln of one is a domain error where
+    the engines genuinely diverge -- Spark yields NaN (sqrt) / NULL
+    (log), DuckDB RAISES OutOfRange. Contract: out-of-domain input is a
+    NULL measurement on BOTH sides (the finite_or_null posture), via an
+    explicit CASE guard in each engine. NaN passes the guards (NaN >= 0
+    is TRUE in both engines' comparison semantics) and propagates as NaN
+    through sqrt/ln identically, so no special-casing is needed."""
     ev = read_table(spark, sf_dir, "events")
     v = F.col("value")
     return (
@@ -124,9 +133,9 @@ def q35_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(v).alias("v_floor"),
             F.ceil(v).alias("v_ceil"),
             F.round(F.abs(v - 250.0), 2).alias("v_absdev"),
-            F.round(F.sqrt(v), 4).alias("v_sqrt"),
-            F.round(F.log(v + 1), 4).alias("v_ln"),
-            F.round(F.log10(v + 1), 4).alias("v_log10"),
+            F.round(F.sqrt(F.when(v >= 0, v)), 4).alias("v_sqrt"),
+            F.round(F.log(F.when(v > -1, v + 1)), 4).alias("v_ln"),
+            F.round(F.log10(F.when(v > -1, v + 1)), 4).alias("v_log10"),
             F.round(F.pow(v / 100, 2), 4).alias("v_pow"),
             F.pmod(F.col("event_id"), F.lit(7)).alias("v_pmod"),
             F.signum(v - 250.0).alias("v_sign"),

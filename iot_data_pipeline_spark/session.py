@@ -37,6 +37,19 @@ _DEFAULTS = {
 }
 
 
+def _env_extra_conf(env_value: str) -> dict[str, str]:
+    """Parse ``SPARK_GRAFT_EXTRA_CONF`` (``key=value;key=value``) into a
+    conf dict. Items without ``=`` are ignored rather than raised: the
+    sweep env var is operator-typed and a half-typed item should not
+    take the whole harness down."""
+    conf: dict[str, str] = {}
+    for item in filter(None, (s.strip() for s in env_value.split(";"))):
+        k, sep, v = item.partition("=")
+        if sep and k.strip():
+            conf[k.strip()] = v.strip()
+    return conf
+
+
 def build_session(
     app_name: str = "iot-data-pipeline-spark",
     master: str | None = None,
@@ -61,6 +74,13 @@ def build_session(
     conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
     if extra_conf:
         conf.update(extra_conf)
+    # Perturbation hook for determinism sweeps: results must not depend on
+    # planner/runtime settings, so the harness is re-run under e.g.
+    # SPARK_GRAFT_EXTRA_CONF="spark.sql.adaptive.enabled=false;
+    # spark.sql.shuffle.partitions=1" and compared against the oracle
+    # again. Applied last because a sweep exists precisely to overrule
+    # the defaults (including caller extra_conf).
+    conf.update(_env_extra_conf(os.environ.get("SPARK_GRAFT_EXTRA_CONF", "")))
     for k, v in conf.items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

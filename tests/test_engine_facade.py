@@ -96,3 +96,23 @@ def test_facade_materialized_view_roundtrip(spark, sf_dir, tmp_path):
     assert v == 0
     got = eng.read_view(str(tmp_path), "status_counts")
     assert got.count() == agg.count()
+
+
+def test_env_extra_conf_parsing():
+    """SPARK_GRAFT_EXTRA_CONF drives the determinism sweeps (AQE off,
+    shuffle.partitions=1, local[5]); the parser must take well-formed
+    items and drop garbage instead of killing the harness."""
+    from iot_data_pipeline_spark.session import _env_extra_conf
+
+    assert _env_extra_conf("") == {}
+    assert _env_extra_conf("a=b") == {"a": "b"}
+    assert _env_extra_conf(
+        " spark.sql.adaptive.enabled = false ; spark.sql.shuffle.partitions=1 "
+    ) == {
+        "spark.sql.adaptive.enabled": "false",
+        "spark.sql.shuffle.partitions": "1",
+    }
+    # items without '=' or without a key are ignored, not raised
+    assert _env_extra_conf("noequals;=v;;k=v2") == {"k": "v2"}
+    # value may itself contain '=' (only the first splits)
+    assert _env_extra_conf("k=a=b") == {"k": "a=b"}

@@ -492,8 +492,8 @@ def test_queries_survive_empty_tables(
 
 @pytest.fixture(
     scope="module",
-    params=["base", "nulls", "dims", "nan"],
-    ids=["base", "nulls", "dims", "nan"],
+    params=["base", "nulls", "dims", "nan", "skew", "tiny"],
+    ids=["base", "nulls", "dims", "nan", "skew", "tiny"],
 )
 def degenerate_relational_dir(request, tmp_path_factory):
     """Adversarial relational tables the driver generator never emits:
@@ -519,16 +519,35 @@ def degenerate_relational_dir(request, tmp_path_factory):
     equi-join; fixed with eqNullSafe), q56's corr rewrite needing
     PAIRWISE deletion (regr_s* co-moments, not stddev_pop), and q73's
     NULL boolean aggregates rendering asymmetrically through pandas
-    (COALESCE the predicates to FALSE both sides)."""
-    from tools.degenerate_relational_sweep import build_fixture
+    (COALESCE the predicates to FALSE both sides).
+
+    Round 8 adds two orthogonal cardinality axes, both 54/54 clean first
+    try (the r6/r7 fixes generalized): ``skew`` is a volumetric hot-key
+    fixture (20k orders / 80k lineitems; 90% of orders on one customer,
+    85% of lineitems on one part/supplier, one 5k-line order, tie groups
+    thousands deep; money on exact binary grids so double SUMs are
+    order-invariant exactly) that engages AQE skew splitting and
+    perturbs partial-agg merge order mechanically; ``tiny`` is ONE row
+    per fact table (single-element corr/stddev/percent_rank/median and
+    single-group windows -- the degenerate-convention band)."""
+    from tools.degenerate_relational_sweep import (
+        build_fixture,
+        build_skew_fixture,
+        build_tiny_fixture,
+    )
 
     d = str(tmp_path_factory.mktemp("degenerate_relational"))
-    build_fixture(
-        d,
-        with_nulls=request.param in ("nulls", "dims", "nan"),
-        with_degenerate_dims=request.param in ("dims", "nan"),
-        with_nan_money=request.param == "nan",
-    )
+    if request.param == "skew":
+        build_skew_fixture(d)
+    elif request.param == "tiny":
+        build_tiny_fixture(d)
+    else:
+        build_fixture(
+            d,
+            with_nulls=request.param in ("nulls", "dims", "nan"),
+            with_degenerate_dims=request.param in ("dims", "nan"),
+            with_nan_money=request.param == "nan",
+        )
     return d
 
 
@@ -562,7 +581,8 @@ def test_queries_survive_degenerate_relational(
 
 
 @pytest.fixture(
-    scope="module", params=[False, True], ids=["nulls", "nulls+nan"]
+    scope="module", params=["nulls", "nulls+nan", "skew"],
+    ids=["nulls", "nulls+nan", "skew"],
 )
 def null_doc_event_dir(request, tmp_path_factory):
     """Round-7 sweep findings frozen here (10 real divergences in one
@@ -587,11 +607,28 @@ def null_doc_event_dir(request, tmp_path_factory):
     (q68/q98/q175/q178) treat non-finite as NULL measurements both
     sides (base.finite_or_null), and q179's fingerprint canonicalizes
     them to fixed literals so integrity checks COVER bad readings
-    instead of crashing on them."""
-    from tools.degenerate_null_doc_event_sweep import build_fixture
+    instead of crashing on them.
+
+    The skew variant (round 8) is volumetric hot keys: one user owns
+    90% of 50k events in one dense multi-day session, one event type
+    carries 85% of rows, and the 5k-doc corpus holds a 300-copy
+    duplicate cluster -- giant per-key window/session state, hot sketch
+    keys, bucket-path volume. Finding frozen here: q35's sqrt/ln over a
+    negative measurement diverges at the ENGINE level (Spark NaN/NULL
+    vs DuckDB OutOfRange raise); out-of-domain input is now a NULL
+    measurement via explicit CASE guards both sides -- the driver data's
+    non-negative sensor values had masked the entire domain-error
+    class behind q35's event_id filter."""
+    from tools.degenerate_null_doc_event_sweep import (
+        build_fixture,
+        build_skew_fixture,
+    )
 
     d = str(tmp_path_factory.mktemp("null_doc_event"))
-    build_fixture(d, with_nan=request.param)
+    if request.param == "skew":
+        build_skew_fixture(d)
+    else:
+        build_fixture(d, with_nan=request.param == "nulls+nan")
     return d
 
 

@@ -8,7 +8,14 @@ sweep): NULL event-time in window/session assignment (Spark's window()
 drops the row, DuckDB's time_bucket keeps a NULL group), NULL group keys
 through pairing pipelines, NULL text through tokenize/shingle kernels.
 
-Usage: python -m tools.degenerate_null_doc_event_sweep [--nan] [query ...]
+Usage: python -m tools.degenerate_null_doc_event_sweep [--nan|--skew] [query ...]
+(--skew replaces the tiny fixtures with volumetric hot-key ones: one
+user owns 90% of 50k events in one dense multi-day session, one event
+type carries 85% of rows, and the 5k-doc corpus holds a 300-copy
+duplicate cluster -- the shapes that stress sessionization state, EWMA
+/rolling windows over a giant partition, heavy-hitter sketches, and
+the dedup band's bucket paths. Values sit on exact binary grids so
+double SUMs stay order-invariant; divergences are logic, not ulp.)
 """
 
 from __future__ import annotations
@@ -167,15 +174,75 @@ def build_fixture(
     """)
 
 
+def build_skew_fixture(d: str, src: str = "/root/testdata/sf0.001") -> None:
+    """Volumetric hot-key documents/events: the cardinality shape every
+    real clickstream and crawl serves, at a size (50k events / 5k docs)
+    comparable to the sf0.01 harness data.
+
+    events: user 6 owns 90% of 50,000 rows at a fixed 30 s cadence (ONE
+    dense multi-day session -- giant per-key window/session state);
+    'click' carries 85% of rows (hot sketch key); values land on an
+    exact 0.25 grid (order-invariant double SUMs) and include negatives;
+    every 97th props is malformed JSON (the routing paths stay hot).
+
+    documents: a 300-copy duplicate cluster + a 50-copy second cluster
+    (bucket-path volume without the 4*C(m,2) exhaustive-pair blowup the
+    capped q192 path guards), 4,650 distinct docs with disjoint token
+    vocabularies, lang/source cycling including empty string."""
+    for t in SIDE_TABLES:
+        shutil.copy(f"{src}/{t}.parquet", f"{d}/{t}.parquet")
+    duckdb.sql(f"""
+    COPY (
+      SELECT CAST(i AS BIGINT) AS doc_id,
+             CASE
+               WHEN i <= 300 THEN 'the same boilerplate page text repeated verbatim across the crawl'
+               WHEN i <= 350 THEN 'cookie banner accept decline privacy policy terms'
+               ELSE 'doc' || i || ' tok' || (i*7 % 9973) || ' tok' || (i*13 % 9973)
+                    || ' tok' || (i*17 % 9973) || ' word' || (i % 50)
+             END AS text,
+             ['en','de','fr','zh',''][1 + i % 5] AS lang,
+             'src' || (i % 7) AS source,
+             CAST(CASE
+               WHEN i <= 300 THEN 66 WHEN i <= 350 THEN 49
+               ELSE 40 + length(CAST(i AS VARCHAR)) + length(CAST(i*7 % 9973 AS VARCHAR))
+                    + length(CAST(i*13 % 9973 AS VARCHAR)) + length(CAST(i*17 % 9973 AS VARCHAR))
+                    + length(CAST(i % 50 AS VARCHAR))
+             END AS BIGINT) AS n_chars
+      FROM range(1, 5001) t(i)
+    ) TO '{d}/documents.parquet' (FORMAT PARQUET)
+    """)
+    duckdb.sql(f"""
+    COPY (
+      SELECT CAST(i AS BIGINT) AS event_id,
+             TIMESTAMP '2024-01-01 00:00:00' + INTERVAL (i * 30) SECOND AS ts,
+             CAST(CASE WHEN i % 10 < 9 THEN 6 ELSE 1 + i % 20 END
+                  AS BIGINT) AS user_id,
+             CASE WHEN i % 20 < 17 THEN 'click'
+                  ELSE ['view','purchase','signup','error'][1 + i % 4]
+             END AS event_type,
+             CAST(((i % 400) - 200) * 0.25 AS DOUBLE) AS value,
+             CASE WHEN i % 97 = 0 THEN 'not json'
+                  ELSE '{{"k": ' || (i % 100) || '}}' END AS props
+      FROM range(1, 50001) t(i)
+    ) TO '{d}/events.parquet' (FORMAT PARQUET)
+    """)
+
+
 def main() -> int:
     from iot_data_pipeline_spark.session import build_session
     from tests.oracle_harness import compare_query, duck_connection
 
     argv = sys.argv[1:]
     with_nan = "--nan" in argv
-    names = [a for a in argv if a != "--nan"] or (DOC_QUERIES + EVENT_QUERIES)
+    with_skew = "--skew" in argv
+    names = [
+        a for a in argv if a not in ("--nan", "--skew")
+    ] or (DOC_QUERIES + EVENT_QUERIES)
     d = tempfile.mkdtemp(prefix="degenerate_null_de_")
-    build_fixture(d, with_nan=with_nan)
+    if with_skew:
+        build_skew_fixture(d)
+    else:
+        build_fixture(d, with_nan=with_nan)
     spark = build_session("degenerate-null-doc-event-sweep")
     con = duck_connection(d)
     failed = 0

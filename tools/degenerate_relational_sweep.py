@@ -15,9 +15,16 @@ serves routinely but the driver's generator never does:
 - zero quantity, zero price, 100% discount (zero revenue), exact
   duplicate line content, empty-string categorical values
 
-Usage: python -m tools.degenerate_relational_sweep [--nulls|--dims] [query ...]
+Usage: python -m tools.degenerate_relational_sweep
+           [--nulls|--dims|--skew|--tiny] [query ...]
 (--nulls adds NULL-bearing rows; --dims additionally replaces
-part/supplier with adversarial dimension tables, implying --nulls)
+part/supplier with adversarial dimension tables, implying --nulls;
+--skew replaces customer/orders/lineitem with a volumetric hot-key
+fixture -- 90% of orders on one customer, 85% of lineitems on one
+part/supplier, one 5k-line order, massive tie groups -- probing
+order-dependent logic under skewed partials and AQE skew splits;
+--tiny shrinks customer/orders/lineitem to ONE row each, probing
+single-element aggregate/window edge semantics)
 """
 
 from __future__ import annotations
@@ -121,6 +128,104 @@ def _append_nan_money(d: str) -> None:
       SELECT 112, 6, 'O', 'inf'::DOUBLE, TIMESTAMP '1996-09-09', '2-HIGH')
     TO '{d}/orders2.parquet' (FORMAT PARQUET)""")
     os.replace(f"{d}/orders2.parquet", f"{d}/orders.parquet")
+
+
+def build_skew_fixture(d: str, src: str = "/root/testdata/sf0.001") -> None:
+    """Volumetric hot-key fixture: the shape AQE's skew handling and
+    partial-aggregation reordering actually engage on, at a size (20k
+    orders / 80k lineitems) comparable to the sf0.01 harness data.
+
+    - custkey 6 owns 90% of orders (hot group-by key AND hot join key);
+    - partkey/suppkey 1 carry 85% of lineitems (hot dimension FK);
+    - orderkey 1 has ~5,000 lineitems (hot order for per-order windows);
+    - o_totalprice/l_quantity land on tiny value grids, so every ranking
+      dimension has tie groups thousands of rows deep.
+
+    All money values are exact binary fractions (multiples of 0.25/0.5)
+    and totals stay far below 2^53, so double SUMs are order-invariant
+    EXACTLY: any divergence this sweep reports is a logic/tie/skew-path
+    bug, never ulp noise (that hazard class is mechanized separately in
+    tests/oracle_harness.ROUND_SUM_CERTIFIED)."""
+    for t in SIDE_TABLES:
+        shutil.copy(f"{src}/{t}.parquet", f"{d}/{t}.parquet")
+    duckdb.sql(f"""
+    COPY (
+      SELECT CAST(i AS BIGINT) AS c_custkey,
+             'cust-' || i AS c_name,
+             CAST(i % 25 AS INTEGER) AS c_nationkey,
+             CAST((i % 5) * 100 AS DOUBLE) AS c_acctbal,
+             ['BUILDING','MACHINERY','AUTOMOBILE','HOUSEHOLD','FURNITURE']
+               [1 + i % 5] AS c_mktsegment
+      FROM range(1, 21) t(i)
+    ) TO '{d}/customer.parquet' (FORMAT PARQUET)
+    """)
+    duckdb.sql(f"""
+    COPY (
+      SELECT CAST(i AS BIGINT) AS o_orderkey,
+             CAST(CASE WHEN i % 10 < 9 THEN 6 ELSE 1 + i % 20 END
+                  AS BIGINT) AS o_custkey,
+             ['O','F','P'][1 + i % 3] AS o_orderstatus,
+             CAST((i % 97) * 0.5 AS DOUBLE) AS o_totalprice,
+             TIMESTAMP '1995-01-01' + INTERVAL (i % 1460) DAY
+               AS o_orderdate,
+             ['1-URGENT','2-HIGH','3-MEDIUM','4-NOT SPECIFIED','5-LOW']
+               [1 + i % 5] AS o_orderpriority
+      FROM range(1, 20001) t(i)
+    ) TO '{d}/orders.parquet' (FORMAT PARQUET)
+    """)
+    duckdb.sql(f"""
+    COPY (
+      SELECT CAST(CASE WHEN i % 16 = 0 THEN 1 ELSE 1 + i % 20000 END
+                  AS BIGINT) AS l_orderkey,
+             CAST(CASE WHEN i % 20 < 17 THEN 1 ELSE i % 200 END
+                  AS BIGINT) AS l_partkey,
+             CAST(CASE WHEN i % 20 < 17 THEN 1 ELSE i % 10 END
+                  AS BIGINT) AS l_suppkey,
+             CAST(1 + i % 7 AS INTEGER) AS l_linenumber,
+             CAST(1 + i % 50 AS DOUBLE) AS l_quantity,
+             CAST((1 + i % 1000) * 0.25 AS DOUBLE) AS l_extendedprice,
+             CAST((i % 5) * 0.25 AS DOUBLE) AS l_discount,
+             CAST((i % 3) * 0.5 AS DOUBLE) AS l_tax,
+             ['N','R','A'][1 + i % 3] AS l_returnflag,
+             ['O','F'][1 + i % 2] AS l_linestatus,
+             TIMESTAMP '1995-01-02' + INTERVAL (i % 1450) DAY
+               AS l_shipdate
+      FROM range(1, 80001) t(i)
+    ) TO '{d}/lineitem.parquet' (FORMAT PARQUET)
+    """)
+
+
+def build_tiny_fixture(d: str, src: str = "/root/testdata/sf0.001") -> None:
+    """ONE row per fact table: single-element corr/stddev/percent_rank/
+    median/ntile and single-group windows are where engines' degenerate
+    conventions (NULL vs NaN vs 0) diverge."""
+    for t in SIDE_TABLES:
+        shutil.copy(f"{src}/{t}.parquet", f"{d}/{t}.parquet")
+    duckdb.sql(f"""
+    COPY (SELECT CAST(1 AS BIGINT) AS c_custkey, 'only-cust' AS c_name,
+                 CAST(1 AS INTEGER) AS c_nationkey,
+                 CAST(100.0 AS DOUBLE) AS c_acctbal,
+                 'BUILDING' AS c_mktsegment)
+    TO '{d}/customer.parquet' (FORMAT PARQUET)""")
+    duckdb.sql(f"""
+    COPY (SELECT CAST(1 AS BIGINT) AS o_orderkey,
+                 CAST(1 AS BIGINT) AS o_custkey, 'O' AS o_orderstatus,
+                 CAST(100.0 AS DOUBLE) AS o_totalprice,
+                 TIMESTAMP '1996-06-15' AS o_orderdate,
+                 '1-URGENT' AS o_orderpriority)
+    TO '{d}/orders.parquet' (FORMAT PARQUET)""")
+    duckdb.sql(f"""
+    COPY (SELECT CAST(1 AS BIGINT) AS l_orderkey,
+                 CAST(1 AS BIGINT) AS l_partkey,
+                 CAST(1 AS BIGINT) AS l_suppkey,
+                 CAST(1 AS INTEGER) AS l_linenumber,
+                 CAST(5.0 AS DOUBLE) AS l_quantity,
+                 CAST(100.0 AS DOUBLE) AS l_extendedprice,
+                 CAST(0.05 AS DOUBLE) AS l_discount,
+                 CAST(0.02 AS DOUBLE) AS l_tax,
+                 'N' AS l_returnflag, 'O' AS l_linestatus,
+                 TIMESTAMP '1996-07-01' AS l_shipdate)
+    TO '{d}/lineitem.parquet' (FORMAT PARQUET)""")
 
 
 def build_fixture(
@@ -236,11 +341,18 @@ def main() -> int:
     argv = sys.argv[1:]
     with_nulls = "--nulls" in argv or "--dims" in argv
     with_dims = "--dims" in argv
+    with_skew = "--skew" in argv
+    with_tiny = "--tiny" in argv
     names = [
-        a for a in argv if a not in ("--nulls", "--dims")
+        a for a in argv if a not in ("--nulls", "--dims", "--skew", "--tiny")
     ] or RELATIONAL_QUERIES
     d = tempfile.mkdtemp(prefix="degenerate_rel_")
-    build_fixture(d, with_nulls=with_nulls, with_degenerate_dims=with_dims)
+    if with_skew:
+        build_skew_fixture(d)
+    elif with_tiny:
+        build_tiny_fixture(d)
+    else:
+        build_fixture(d, with_nulls=with_nulls, with_degenerate_dims=with_dims)
     spark = build_session("degenerate-relational-sweep")
     con = duck_connection(d)
     failed = 0
