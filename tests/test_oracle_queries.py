@@ -340,6 +340,45 @@ def test_embedding_queries_survive_degenerate_vectors(
     assert not problems, problems
 
 
+@pytest.fixture(scope="module")
+def dup_embedding_dir(tmp_path_factory):
+    """Duplicate-heavy vector corpus (round 8): 400 exact copies of one
+    unit vector + a 100-copy second cluster + 1,500 distinct vectors.
+    The orthogonal cardinality hazard to the malformed-vector fixture
+    above: k-means with fewer distinct points than centroids (empty
+    clusters), IVF with one cell swallowing the corpus, SemDeDup cells
+    full of EXACT distance ties (prune order must be id-deterministic).
+    17/17 clean first try -- the r6/r7 guards generalized."""
+    from tools.dup_embedding_sweep import build_fixture
+
+    d = str(tmp_path_factory.mktemp("dup_embedding"))
+    build_fixture(d)
+    return d
+
+
+@pytest.fixture(scope="module")
+def dup_embedding_duck(dup_embedding_dir):
+    con = duck_connection(dup_embedding_dir)
+    yield con
+    con.close()
+
+
+def _dup_embedding_query_names():
+    from tools.dup_embedding_sweep import EMBEDDING_QUERIES
+
+    return EMBEDDING_QUERIES
+
+
+@pytest.mark.parametrize("name", _dup_embedding_query_names())
+def test_embedding_queries_survive_mass_duplicates(
+    spark, dup_embedding_duck, dup_embedding_dir, name
+):
+    problems = compare_query(
+        spark, dup_embedding_duck, name, dup_embedding_dir
+    )
+    assert not problems, problems
+
+
 @pytest.mark.parametrize("seed", [11, 23, 47])
 def test_q178_median_random_fuzz(spark, tmp_path, seed):
     """Seeded random fuzz of the multisection median against an
@@ -618,7 +657,12 @@ def null_doc_event_dir(request, tmp_path_factory):
     vs DuckDB OutOfRange raise); out-of-domain input is now a NULL
     measurement via explicit CASE guards both sides -- the driver data's
     non-negative sensor values had masked the entire domain-error
-    class behind q35's event_id filter."""
+    class behind q35's event_id filter.
+
+    Probe-only class (passed 100/100 with no fix needed, not frozen):
+    100%-NULL columns (every events.value NULL, every documents.lang
+    NULL) -- the all-None pandas dtype-collapse hazard does not bite
+    because aggregates NULL out identically both sides."""
     from tools.degenerate_null_doc_event_sweep import (
         build_fixture,
         build_skew_fixture,
