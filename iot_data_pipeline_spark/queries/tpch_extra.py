@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from iot_data_pipeline_spark.queries.base import fmt_ts
+from iot_data_pipeline_spark.queries.base import ORACLE_FINITE, fmt_ts, finite_or_null
 from iot_data_pipeline_spark.queries.registry import declared
 from iot_data_pipeline_spark.sources.readers import read_table
 
@@ -109,13 +109,15 @@ def q77_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @declared(
     "q78_promo_revenue",
-    oracle="""
+    oracle=f"""
     SELECT strftime(date_trunc('month', l.l_shipdate), '%Y-%m-%d %H:%M:%S')
              AS ship_month,
-           ROUND(SUM(CASE WHEN p.p_type = 'PROMO'
-                          THEN l.l_extendedprice * (1 - l.l_discount)
-                          ELSE 0 END), 2) AS promo_revenue,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS total_revenue
+           ROUND(CAST(SUM(CAST(CASE WHEN p.p_type = 'PROMO'
+                          THEN {ORACLE_FINITE.format('l.l_extendedprice * (1 - l.l_discount)')}
+                          ELSE 0 END AS DECIMAL(18,6))) AS DOUBLE), 2)
+             AS promo_revenue,
+           ROUND(CAST(SUM(CAST({ORACLE_FINITE.format('l.l_extendedprice * (1 - l.l_discount)')}
+                          AS DECIMAL(18,6))) AS DOUBLE), 2) AS total_revenue
     FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
     GROUP BY 1
     ORDER BY 1
@@ -128,10 +130,19 @@ def q78_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     `part` joins without a hint (it grows with SF; the planner elects a
     broadcast while it fits, nothing pins it at scale); the CASE folds
     into the aggregate so one pass computes both sums.
-    """
+
+    Exact DECIMAL summation (the q164 rule): the round-8 multi-file
+    layout sweep caught this query's plain double SUM flipping a cent
+    when the lineitem table is split across part files -- file-boundary
+    partials merge in a different order than the single-file scan, the
+    same hazard class partition-count perturbation probes. Month groups
+    are the largest aggregation groups in the registry (~10k rows each
+    at sf0.1), so this query sits closest to the ulp/rounding boundary.
+    Non-finite money has no DECIMAL representation -> NULL measurement
+    both sides (finite_or_null, round-7 posture)."""
     lineitem = read_table(spark, sf_dir, "lineitem")
     part = read_table(spark, sf_dir, "part")
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    rev = finite_or_null(F.col("l_extendedprice") * (1 - F.col("l_discount")))
     return (
         lineitem.join(part, lineitem.l_partkey == part.p_partkey)
         .groupBy(
@@ -139,10 +150,16 @@ def q78_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.round(
-                F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))),
+                F.sum(
+                    F.when(F.col("p_type") == "PROMO", rev)
+                    .otherwise(F.lit(0.0))
+                    .cast("decimal(18,6)")
+                ).cast("double"),
                 2,
             ).alias("promo_revenue"),
-            F.round(F.sum(rev), 2).alias("total_revenue"),
+            F.round(
+                F.sum(rev.cast("decimal(18,6)")).cast("double"), 2
+            ).alias("total_revenue"),
         )
         .orderBy("ship_month")
     )

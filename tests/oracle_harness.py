@@ -107,7 +107,6 @@ ROUND_SUM_CERTIFIED: frozenset[str] = frozenset(
         "q62_union_by_name",
         "q64_upsert_merge",
         "q74_orc_roundtrip",
-        "q78_promo_revenue",
         "q79_disjunctive_filter",
         "q80_rich_idle_customers",
         "q81_top_suppliers",

@@ -379,6 +379,53 @@ def test_embedding_queries_survive_mass_duplicates(
     assert not problems, problems
 
 
+# ---------------------------------------------------------------------------
+# Multi-file table layout: at 100 TB every table is thousands of part
+# files, and file-boundary partials merge in a different order than a
+# single-file scan. The full-registry sweep is the one-shot tool
+# (tools/multifile_layout_sweep.py, re-run per round with the config
+# sweeps); frozen here is the band the layout axis actually perturbs --
+# every ROUND(SUM(double)) query certified as order-safe, plus q78, the
+# query the round-8 sweep caught flipping a cent through layout alone
+# (fixed via the q164 exact-DECIMAL recipe).
+
+
+@pytest.fixture(scope="module")
+def multifile_layout_dir(tmp_path_factory):
+    from tools.multifile_layout_sweep import build_fixture
+
+    d = str(tmp_path_factory.mktemp("multifile_layout"))
+    build_fixture(d, src="/root/testdata/sf0.01")
+    return d
+
+
+@pytest.fixture(scope="module")
+def multifile_layout_duck(multifile_layout_dir):
+    from tools.multifile_layout_sweep import duck_connection_glob
+
+    con = duck_connection_glob(multifile_layout_dir)
+    yield con
+    con.close()
+
+
+def _multifile_band_names():
+    from iot_data_pipeline_spark.queries import REGISTRY
+    from tests.oracle_harness import ROUND_SUM_CERTIFIED
+
+    names = set(ROUND_SUM_CERTIFIED) | {"q78_promo_revenue"}
+    return sorted(n for n in names if n in REGISTRY)
+
+
+@pytest.mark.parametrize("name", _multifile_band_names())
+def test_round_sum_band_survives_multifile_layout(
+    spark, multifile_layout_duck, multifile_layout_dir, name
+):
+    problems = compare_query(
+        spark, multifile_layout_duck, name, multifile_layout_dir
+    )
+    assert not problems, problems
+
+
 @pytest.mark.parametrize("seed", [11, 23, 47])
 def test_q178_median_random_fuzz(spark, tmp_path, seed):
     """Seeded random fuzz of the multisection median against an
