@@ -1101,7 +1101,19 @@ def q177_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("event_type").isin("purchase", "click")
                 & (F.col("event_id") < 200000)
             )
-            .select("event_id", "ts", "user_id", "event_type", "value")
+            # normalize the staged schema: the sentinel batch below is
+            # built from -1L/0.0D literals, and a source whose physical
+            # id type is narrower (int32 parquet keys -- the round-8
+            # narrowed-types sweep) would otherwise leave MIXED footers
+            # in one staged dir, which mergeSchema=false reads as
+            # whichever file it sampled first and then fails on the rest
+            .select(
+                F.col("event_id").cast("bigint").alias("event_id"),
+                "ts",
+                F.col("user_id").cast("bigint").alias("user_id"),
+                "event_type",
+                F.col("value").cast("double").alias("value"),
+            )
         )
         from pyspark.sql import Observation
 

@@ -426,6 +426,57 @@ def test_round_sum_band_survives_multifile_layout(
     assert not problems, problems
 
 
+# ---------------------------------------------------------------------------
+# Narrowed physical types: parquet INT32 keys where the driver data has
+# INT64 (schema-on-read reality; value-identical). Full-registry sweep is
+# tools/narrowed_types_sweep.py (re-run per round); frozen here is the
+# staged-streaming band, where round 8 caught q177's fixture mixing
+# int32 data-batch footers with int64 sentinel literals under
+# mergeSchema=false (fixed: staging normalizes ids to bigint).
+
+
+@pytest.fixture(scope="module")
+def narrowed_types_dir(tmp_path_factory):
+    from tools.narrowed_types_sweep import build_fixture
+
+    d = str(tmp_path_factory.mktemp("narrowed_types"))
+    build_fixture(d, src="/root/testdata/sf0.001")
+    return d
+
+
+@pytest.fixture(scope="module")
+def narrowed_types_duck(narrowed_types_dir):
+    con = duck_connection(narrowed_types_dir)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "q14_streaming_ingest",
+        "q34_stateful_device_state",
+        "q53_stream_stream_join",
+        "q167_incremental_rollup",
+        "q177_stream_outer_join",
+        "q182_stream_enrichment",
+        "q189_dedup_within_watermark",
+        "q191_watermark_late_drop",
+        # hash/fingerprint queries: the other family whose results could
+        # have depended on physical int width (they don't -- verified)
+        "q48_hash_split",
+        "q179_table_fingerprint",
+    ],
+)
+def test_staged_stream_band_survives_narrowed_types(
+    spark, narrowed_types_duck, narrowed_types_dir, name
+):
+    problems = compare_query(
+        spark, narrowed_types_duck, name, narrowed_types_dir
+    )
+    assert not problems, problems
+
+
 @pytest.mark.parametrize("seed", [11, 23, 47])
 def test_q178_median_random_fuzz(spark, tmp_path, seed):
     """Seeded random fuzz of the multisection median against an
