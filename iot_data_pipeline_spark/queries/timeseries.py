@@ -353,7 +353,10 @@ def q142_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
       -- reach the aggregate (degenerate-events fixture finding)
       FROM events WHERE event_id < 20000 AND value IS NOT NULL
     )
-    SELECT series, CAST(bucket AS VARCHAR) AS bucket,
+    -- strftime, not CAST(.. AS VARCHAR): a tz-aware source column
+    -- (isAdjustedToUTC parquet, round-8 sweep) casts with a '+00'
+    -- suffix, while strftime renders the same UTC wall time either way
+    SELECT series, strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket,
            CAST(COUNT(*) AS BIGINT) AS n_ticks,
            ROUND(arg_min(value, ord), 2) AS open,
            ROUND(MAX(value), 2) AS high,

@@ -477,6 +477,57 @@ def test_staged_stream_band_survives_narrowed_types(
     assert not problems, problems
 
 
+# ---------------------------------------------------------------------------
+# tz-aware parquet timestamps (isAdjustedToUTC=true): same instants, the
+# INSTANT logical type a Spark/Flink writer emits. Full-registry sweep is
+# tools/tzaware_timestamps_sweep.py; frozen here is the timestamp-heavy
+# band, anchored by q172 whose oracle leaked a '+00' suffix through
+# CAST(.. AS VARCHAR) on first run (fixed: strftime renders the same UTC
+# wall time for either encoding).
+
+
+@pytest.fixture(scope="module")
+def tzaware_dir(tmp_path_factory):
+    from tools.tzaware_timestamps_sweep import build_fixture
+
+    d = str(tmp_path_factory.mktemp("tzaware"))
+    build_fixture(d, src="/root/testdata/sf0.001")
+    return d
+
+
+@pytest.fixture(scope="module")
+def tzaware_duck(tzaware_dir):
+    con = duck_connection(tzaware_dir)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "q172_ohlc_resample",
+        "q18_hourly_counts",
+        "q18b_date_parts",
+        "q20_tumbling_window",
+        "q20b_sliding_window",
+        "q21_sessionization",
+        "q08_range_join",
+        "q08b_asof_join",
+        "q58_gap_fill",
+        "q59_forward_fill",
+        "q75_scd2_intervals",
+        "q92_cohort_retention",
+        "q142_ewma",
+        "q179_table_fingerprint",
+    ],
+)
+def test_timestamp_band_survives_tzaware_encoding(
+    spark, tzaware_duck, tzaware_dir, name
+):
+    problems = compare_query(spark, tzaware_duck, name, tzaware_dir)
+    assert not problems, problems
+
+
 @pytest.mark.parametrize("seed", [11, 23, 47])
 def test_q178_median_random_fuzz(spark, tmp_path, seed):
     """Seeded random fuzz of the multisection median against an
