@@ -71,6 +71,27 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         elif dtype == "timestamp_ntz":
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    # Canonical logical schema normalization: the engine's contract types
+    # every numeric measure as DOUBLE (TESTDATA.md -- no table carries
+    # DECIMAL), but a lake's writers routinely store money as parquet
+    # DECIMAL(p,s). Left unnormalized, decimal types propagate through
+    # arithmetic into final projections (raw-DecimalType output, which
+    # the oracle harness rejects) and decimal-vs-double summation
+    # diverges in the last ulp. One columnar cast at the scan boundary
+    # (free under whole-stage codegen, pushdown-transparent) makes every
+    # downstream plan invariant to the writer's numeric physical type;
+    # the DuckDB oracle applies the same cast in its view definitions
+    # (tests/oracle_harness.duck_connection), so both engines compute on
+    # identical doubles. Queries that WANT exact decimal arithmetic
+    # opt in explicitly downstream (the q72/q164 DECIMAL recipe).
+    from pyspark.sql import types as _T
+
+    dec_cols = [
+        f.name for f in df.schema.fields
+        if isinstance(f.dataType, _T.DecimalType)
+    ]
+    for c in dec_cols:
+        df = df.withColumn(c, F.col(c).cast("double"))
     return df
 
 

@@ -266,11 +266,26 @@ def helper_round_sum_hazards() -> list[str]:
 
 
 def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    """Register the testdata tables as DuckDB views, applying the same
+    read-boundary normalization as the engine's ``read_table``: DECIMAL
+    physical columns (a routine writer choice for money) cast to DOUBLE,
+    so both engines compute on identical doubles regardless of the
+    writer's numeric physical type (round-8 decimal-money sweep)."""
     con = duckdb.connect()
     con.execute("SET TimeZone='UTC'")
     for t in TABLES:
+        cols = con.execute(
+            f"DESCRIBE SELECT * FROM '{sf_dir}/{t}.parquet'"
+        ).fetchall()
+        select = ", ".join(
+            f'CAST("{name}" AS DOUBLE) AS "{name}"'
+            if dtype.startswith("DECIMAL")
+            else f'"{name}"'
+            for name, dtype, *_ in cols
+        )
         con.execute(
-            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+            f"CREATE OR REPLACE VIEW {t} AS "
+            f"SELECT {select} FROM '{sf_dir}/{t}.parquet'"
         )
     return con
 

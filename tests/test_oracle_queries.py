@@ -528,6 +528,59 @@ def test_timestamp_band_survives_tzaware_encoding(
     assert not problems, problems
 
 
+# ---------------------------------------------------------------------------
+# DECIMAL-typed money columns (parquet DECIMAL(12,2)/(8,4)/(18,6) where
+# the driver data has DOUBLE): the most common alternate writer choice.
+# The read boundary normalizes both sides to DOUBLE (read_table cast +
+# duck_connection view cast), making the registry invariant to the
+# writer's numeric physical type; without it, decimal propagated into
+# final projections (raw-DecimalType output) and decimal-vs-double sums
+# split in the last ulp. Full-registry sweep: tools/decimal_money_sweep.
+
+
+@pytest.fixture(scope="module")
+def decimal_money_dir(tmp_path_factory):
+    from tools.decimal_money_sweep import build_fixture
+
+    d = str(tmp_path_factory.mktemp("decimal_money"))
+    build_fixture(d, src="/root/testdata/sf0.001")
+    return d
+
+
+@pytest.fixture(scope="module")
+def decimal_money_duck(decimal_money_dir):
+    con = duck_connection(decimal_money_dir)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "q05_revenue_per_nation",
+        "q09_lineitem_agg",
+        "q15_topk_per_group",
+        "q46_shipping_priority",
+        "q56_stats_agg",
+        "q68_histogram",
+        "q72_decimal_exact",
+        "q78_promo_revenue",
+        "q98_winsorized_values",
+        "q101_volume_shipping",
+        "q142_ewma",
+        "q164_ivm_join_view",
+        "q181_contribution_shares",
+    ],
+)
+def test_money_band_survives_decimal_physical_type(
+    spark, decimal_money_duck, decimal_money_dir, name
+):
+    problems = compare_query(
+        spark, decimal_money_duck, name, decimal_money_dir
+    )
+    assert not problems, problems
+
+
 @pytest.mark.parametrize("seed", [11, 23, 47])
 def test_q178_median_random_fuzz(spark, tmp_path, seed):
     """Seeded random fuzz of the multisection median against an
