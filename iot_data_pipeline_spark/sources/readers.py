@@ -47,6 +47,20 @@ SENSOR_SCHEMA = T.StructType(
 
 CORRUPT_COL = "_corrupt_record"
 
+#: Canonical timestamp columns per table (TESTDATA.md). Under
+#: ``spark.sql.legacy.parquet.nanosAsLong=true`` a TIMESTAMP(NANOS)
+#: parquet column reads as LONG nanos-since-epoch and is
+#: indistinguishable from a real bigint in the Spark schema, so the
+#: read boundary normalizes BY NAME from the canonical schema -- the
+#: round-8 nanos sweep caught the original events.ts-only special case
+#: leaving orders/lineitem dates as bigint (every date_trunc downstream
+#: crashed on a nanos-written corpus).
+TIMESTAMP_COLUMNS: dict[str, tuple[str, ...]] = {
+    "events": ("ts",),
+    "orders": ("o_orderdate",),
+    "lineitem": ("l_shipdate",),
+}
+
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver testdata table, normalizing types.
@@ -65,12 +79,15 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
       lossless relabel of the same instant.
     """
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events":
-        dtype = dict(df.dtypes).get("ts")
+    dtypes = dict(df.dtypes)
+    for c in TIMESTAMP_COLUMNS.get(name, ()):
+        dtype = dtypes.get(c)
         if dtype == "bigint":
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            df = df.withColumn(
+                c, F.timestamp_micros(F.expr(f"{c} div 1000"))
+            )
         elif dtype == "timestamp_ntz":
-            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     # Canonical logical schema normalization: the engine's contract types
     # every numeric measure as DOUBLE (TESTDATA.md -- no table carries
     # DECIMAL), but a lake's writers routinely store money as parquet

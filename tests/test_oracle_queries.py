@@ -478,20 +478,32 @@ def test_staged_stream_band_survives_narrowed_types(
 
 
 # ---------------------------------------------------------------------------
-# tz-aware parquet timestamps (isAdjustedToUTC=true): same instants, the
-# INSTANT logical type a Spark/Flink writer emits. Full-registry sweep is
-# tools/tzaware_timestamps_sweep.py; frozen here is the timestamp-heavy
-# band, anchored by q172 whose oracle leaked a '+00' suffix through
-# CAST(.. AS VARCHAR) on first run (fixed: strftime renders the same UTC
-# wall time for either encoding).
+# Timestamp physical encodings: tz-aware (isAdjustedToUTC=true -- the
+# INSTANT logical type a Spark/Flink writer emits) and TIMESTAMP(NANOS)
+# (reads as LONG under nanosAsLong; by-name normalization from the
+# canonical schema). Same instants either way. Full-registry sweep is
+# tools/tzaware_timestamps_sweep.py [--nanos]; frozen here is the
+# timestamp-heavy band. Round-8 finds: q172's oracle leaked a '+00'
+# suffix through CAST(.. AS VARCHAR) on the tz-aware corpus (fixed:
+# strftime), and the nanos corpus crashed every orders/lineitem
+# date_trunc because only events.ts was being converted from bigint
+# (fixed: read_table normalizes all of TIMESTAMP_COLUMNS).
 
 
-@pytest.fixture(scope="module")
-def tzaware_dir(tmp_path_factory):
-    from tools.tzaware_timestamps_sweep import build_fixture
+@pytest.fixture(
+    scope="module", params=["tzaware", "nanos"], ids=["tzaware", "nanos"]
+)
+def tzaware_dir(request, tmp_path_factory):
+    from tools.tzaware_timestamps_sweep import (
+        build_fixture,
+        build_nanos_fixture,
+    )
 
-    d = str(tmp_path_factory.mktemp("tzaware"))
-    build_fixture(d, src="/root/testdata/sf0.001")
+    d = str(tmp_path_factory.mktemp("ts_encoding"))
+    if request.param == "nanos":
+        build_nanos_fixture(d, src="/root/testdata/sf0.001")
+    else:
+        build_fixture(d, src="/root/testdata/sf0.001")
     return d
 
 

@@ -13,7 +13,16 @@ for TIMESTAMPTZ but not for TIMESTAMP; the strftime form renders the
 same UTC wall time for either encoding. (Spark-side output already went
 through date_format, so only the oracle leaked.)
 
-Usage: python -m tools.tzaware_timestamps_sweep [src_sf_dir] [query ...]
+The --nanos variant writes TIMESTAMP(NANOS) instead (the encoding the
+driver's generator originally used for events.ts, here applied to EVERY
+timestamp column): under ``spark.sql.legacy.parquet.nanosAsLong=true``
+those read as LONG nanos-since-epoch, so the read boundary must convert
+BY NAME from the canonical schema. First run (round 8) caught the
+original events.ts-only special case leaving orders/lineitem dates as
+bigint -- every date_trunc over a nanos-written corpus crashed; now
+``read_table`` normalizes all of TIMESTAMP_COLUMNS.
+
+Usage: python -m tools.tzaware_timestamps_sweep [--nanos] [src_sf_dir] [query ...]
 (default src /root/testdata/sf0.01, all registry queries)
 """
 
@@ -53,16 +62,44 @@ def build_fixture(d: str, src: str = "/root/testdata/sf0.01") -> None:
             shutil.copy(f"{src}/{t}.parquet", f"{d}/{t}.parquet")
 
 
+def build_nanos_fixture(d: str, src: str = "/root/testdata/sf0.01") -> None:
+    """Rewrite every timestamp column as parquet TIMESTAMP(NANOS)
+    (same instants; ``store_schema=False`` so readers see the parquet
+    logical type, not a stored arrow schema)."""
+    for t in TABLES:
+        tab = pq.read_table(f"{src}/{t}.parquet")
+        fields, arrays = [], []
+        changed = False
+        for f, col in zip(tab.schema, tab.columns):
+            if pa.types.is_timestamp(f.type):
+                newt = pa.timestamp("ns")
+                col = col.cast(newt)
+                f = pa.field(f.name, newt)
+                changed = True
+            fields.append(f)
+            arrays.append(col)
+        if changed:
+            pq.write_table(
+                pa.table(arrays, schema=pa.schema(fields)),
+                f"{d}/{t}.parquet",
+                store_schema=False,
+            )
+        else:
+            shutil.copy(f"{src}/{t}.parquet", f"{d}/{t}.parquet")
+
+
 def main() -> int:
     from iot_data_pipeline_spark.queries import REGISTRY
     from iot_data_pipeline_spark.session import build_session
     from tests.oracle_harness import compare_query, duck_connection
 
     argv = sys.argv[1:]
+    with_nanos = "--nanos" in argv
+    argv = [a for a in argv if a != "--nanos"]
     src = argv[0] if argv and not argv[0].startswith("q") else "/root/testdata/sf0.01"
     names = [a for a in argv if a.startswith("q")] or list(REGISTRY)
-    d = tempfile.mkdtemp(prefix="tzaware_")
-    build_fixture(d, src=src)
+    d = tempfile.mkdtemp(prefix="nanots_" if with_nanos else "tzaware_")
+    (build_nanos_fixture if with_nanos else build_fixture)(d, src=src)
     spark = build_session("tzaware-timestamps-sweep")
     con = duck_connection(d)
     failed = 0
