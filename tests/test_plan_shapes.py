@@ -715,3 +715,30 @@ def test_q190_dft_probe_scan_pruned_and_pushed(spark, sf_dir):
     assert has_pushed_filters(df), formatted_plan(df)
     cols = read_schema_columns(df)
     assert cols == [["doc_id"]], cols  # one scan, one column
+
+
+def test_date_filters_push_through_timestamp_normalization(spark, sf_dir):
+    """The read-boundary normalization (round 8) rewrites the canonical
+    timestamp columns (ntz->ltz relabel, or LONG-nanos conversion) and
+    casts DECIMAL columns to DOUBLE above the scan. Catalyst pushes
+    comparison predicates through the UTC timezone-relabel cast, so date
+    filters must still reach the parquet scan -- losing that is
+    invisible at sf0.01 and fatal at 100 TB (no row-group pruning on
+    the biggest filter columns)."""
+    import re
+
+    for table, col in (
+        ("orders", "o_orderdate"),
+        ("lineitem", "l_shipdate"),
+        ("events", "ts"),
+    ):
+        df = (
+            read_table(spark, sf_dir, table)
+            .filter(F.col(col) >= "1996-01-01")
+            .select(F.col(col))
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+        assert any(col in p for p in pushed), (
+            f"{table}.{col} filter not pushed to scan: {pushed}"
+        )
