@@ -279,3 +279,43 @@ def test_seed_zone_schema_empty_then_real_data(spark, tmp_path):
     got = spark.read.parquet(zone)
     assert got.count() == 4
     assert got.agg(F.sum("k")).first()[0] == 6
+
+
+def test_corrupt_parquet_fails_loudly(spark, tmp_path):
+    """Posture pin (round 8): a truncated/corrupt parquet file must fail
+    the read, never silently shrink the dataset. Spark's
+    ignoreCorruptFiles stays at its default (false) in the engine conf:
+    at 100 TB one corrupted object silently dropped is an invisible
+    correctness hole, while a loud failure is a retryable incident.
+    (The JSONL surface is different by design: the reference's
+    log-and-drop contract routes bad LINES to the dead letter -- file-
+    level corruption of a columnar format has no per-row recovery.)"""
+    import shutil
+
+    import pytest as _pytest
+
+    from iot_data_pipeline_spark.sources.readers import read_table
+
+    src = "/root/testdata/sf0.001/lineitem.parquet"
+    dst = tmp_path / "lineitem.parquet"
+    data = open(src, "rb").read()
+    dst.write_bytes(data[: len(data) // 2])
+    with _pytest.raises(Exception):
+        read_table(spark, str(tmp_path), "lineitem").count()
+
+
+def test_empty_part_file_is_transparent(spark, tmp_path):
+    """A 0-row, schema-only part file inside a multi-file table (a
+    routine artifact of upstream jobs with empty partitions) must not
+    change any result or fail the scan."""
+    import pyarrow.parquet as pq
+
+    tab = pq.read_table("/root/testdata/sf0.001/orders.parquet")
+    d = tmp_path / "orders.parquet"
+    d.mkdir()
+    pq.write_table(tab, str(d / "part-000.parquet"))
+    pq.write_table(tab.slice(0, 0), str(d / "part-999.parquet"))
+
+    from iot_data_pipeline_spark.sources.readers import read_table
+
+    assert read_table(spark, str(tmp_path), "orders").count() == tab.num_rows
