@@ -37,11 +37,19 @@ def exact_dedup(df: DataFrame, content_cols: list[str], id_col: str) -> DataFram
     has map-side partial merge: each input task collapses its local
     copies first, so a hot digest ships one partial per task regardless
     of cluster size (measured: tools/skew_sweep.py, SCALE.md section 7d).
-    Contract: ``id_col`` is non-NULL (min_by ignores NULL-ordered rows).
+
+    Contract: ``id_col`` is non-NULL. Enforced with a pre-shuffle filter
+    rather than documentation: ``min_by`` skips NULL-ordered rows, so a
+    digest group whose rows ALL had NULL ids would otherwise emit one
+    fabricated all-NULL row (NULL struct expanded by ``__rep.*``). NULL-id
+    rows can never be representatives either way; dropping them before
+    the shuffle makes the contract violation visible (rows disappear)
+    instead of corrupting output.
     """
     digest = F.sha2(F.concat_ws("\x1f", *content_cols), 256)
     return (
-        df.groupBy(digest.alias("__h"))
+        df.filter(F.col(id_col).isNotNull())
+        .groupBy(digest.alias("__h"))
         .agg(F.min_by(F.struct(*df.columns), F.col(id_col)).alias("__rep"))
         .select("__rep.*")
     )
@@ -118,10 +126,17 @@ def lsh_candidate_pairs(
     Star pairing preserves bucket connectivity (each member reaches the
     hub), so connected-component clustering -- how dedup actually
     consumes candidate pairs -- produces identical clusters; only the
-    redundant transitive pair enumeration is dropped. Cost of the cap:
-    one extra (band, key) count+min aggregation, fully partial-merged.
-    Measured: tools/skew_sweep.py, SCALE.md section 7d. Default None
-    keeps the exhaustive semantics (q23's oracle-matched form).
+    redundant transitive pair enumeration is dropped. The cap therefore
+    ASSUMES a connected-component consumer: if an over-cap bucket is not
+    a pure duplicate cluster (banding false positives mixing dissimilar
+    docs), member-member pairs not involving the hub are never emitted,
+    and a consumer that verifies pairs INDIVIDUALLY (per-pair Jaccard
+    filter, no transitive closure) would miss those candidates. Keep the
+    default ``None`` for per-pair-verification pipelines. Cost of the
+    cap: one extra (band, key) count+min aggregation, fully
+    partial-merged. Measured: tools/skew_sweep.py, SCALE.md section 7d.
+    Default None keeps the exhaustive semantics (q23's oracle-matched
+    form).
     """
     sig_cols = [c for c in sigs.columns if c.startswith("sig_")]
     if n_bands <= 0 or not sig_cols:

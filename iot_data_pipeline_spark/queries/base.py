@@ -96,10 +96,13 @@ def finite_or_null(col: F.Column) -> F.Column:
 ORACLE_FINITE = "(CASE WHEN isfinite({0}) THEN {0} END)"
 
 
-#: modal embedding dimension, keyed by (corpus dir, parquet fingerprint)
-#: so a rewritten embeddings.parquet re-derives instead of serving a
-#: stale dimension (see valid_embeddings)
-_MODAL_DIM_CACHE: dict[tuple, int | None] = {}
+#: modal embedding dimension, one entry per corpus dir holding
+#: (parquet fingerprint, dim). A fingerprint mismatch REPLACES the
+#: entry -- the latest fingerprint is authoritative and a corpus that is
+#: rewritten repeatedly mid-session occupies one slot, not one per
+#: rewrite (round-8 advice: the (path, fingerprint)-keyed form grew
+#: unboundedly and kept stale entries alive). See valid_embeddings.
+_MODAL_DIM_CACHE: dict[str, tuple[tuple, int | None]] = {}
 
 
 def _embeddings_fingerprint(sf_dir: str) -> tuple:
@@ -176,16 +179,19 @@ def valid_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     # corpus dir mid-session (a broken write-once assumption) re-derives
     # the dimension instead of silently filtering on a stale one while
     # the DuckDB oracle recomputes it fresh (round-7 advice).
-    key = (os.path.abspath(sf_dir), _embeddings_fingerprint(sf_dir))
-    if key not in _MODAL_DIM_CACHE:
+    path_key = os.path.abspath(sf_dir)
+    fingerprint = _embeddings_fingerprint(sf_dir)
+    cached = _MODAL_DIM_CACHE.get(path_key)
+    if cached is None or cached[0] != fingerprint:
         row = (
             valid.groupBy(F.size(e).alias("emb_dim"))
             .agg(F.count(F.lit(1)).alias("n"))
             .orderBy(F.desc("n"), F.asc("emb_dim"))
             .first()
         )
-        _MODAL_DIM_CACHE[key] = None if row is None else row["emb_dim"]
-    dim = _MODAL_DIM_CACHE[key]
+        cached = (fingerprint, None if row is None else row["emb_dim"])
+        _MODAL_DIM_CACHE[path_key] = cached
+    dim = cached[1]
     if dim is None:  # empty corpus: the oracle's scalar subquery is NULL
         return valid.filter(F.lit(False))
     return valid.filter(F.size(e) == F.lit(dim))

@@ -637,11 +637,14 @@ def q46_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = read_table(spark, sf_dir, "customer").filter(
         F.col("c_mktsegment") == "BUILDING"
     )
-    orders = read_table(spark, sf_dir, "orders").filter(
-        F.col("o_orderdate") < "1998-01-01"
+    orders = read_table(
+        spark, sf_dir, "orders", bounds={"o_orderdate": (None, "1998-01-01")}
     )
-    lineitem = read_table(spark, sf_dir, "lineitem").filter(
-        F.col("l_shipdate") > "1998-01-01"
+    lineitem = read_table(
+        spark,
+        sf_dir,
+        "lineitem",
+        bounds={"l_shipdate": ((">", "1998-01-01"),)},
     )
     return (
         lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)

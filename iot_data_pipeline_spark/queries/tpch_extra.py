@@ -53,9 +53,11 @@ def q76_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     l_orderkey with the inequality as a join residual -- linear, not a
     nested loop; the date slice prunes the orders scan first.
     """
-    orders = read_table(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    orders = read_table(
+        spark,
+        sf_dir,
+        "orders",
+        bounds={"o_orderdate": ("1996-01-01", "1996-07-01")},
     )
     lineitem = read_table(spark, sf_dir, "lineitem")
     return (
@@ -412,9 +414,11 @@ def q101_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer side) plus a disjunctive pair filter -- the nation dims
     broadcast, the pair predicate survives as a join residual, and the
     date slice pushes to the lineitem scan."""
-    li = read_table(spark, sf_dir, "lineitem").filter(
-        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
-        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    li = read_table(
+        spark,
+        sf_dir,
+        "lineitem",
+        bounds={"l_shipdate": ("1996-01-01", "1998-01-01")},
     )
     orders = read_table(spark, sf_dir, "orders")
     cust = read_table(spark, sf_dir, "customer")
@@ -481,9 +485,11 @@ def q102_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     part/supplier/customer join unhinted -- the planner broadcasts them
     while they fit and shuffle-joins at SFs where they no longer do."""
     li = read_table(spark, sf_dir, "lineitem")
-    orders = read_table(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    orders = read_table(
+        spark,
+        sf_dir,
+        "orders",
+        bounds={"o_orderdate": ("1996-01-01", "1998-01-01")},
     )
     part = read_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
     supp = read_table(spark, sf_dir, "supplier")
@@ -539,9 +545,11 @@ def q103_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     the two fact scans; the top-20 is a TakeOrderedAndProject, never a
     global sort."""
     cust = read_table(spark, sf_dir, "customer")
-    orders = read_table(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= F.lit("1996-10-01").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    orders = read_table(
+        spark,
+        sf_dir,
+        "orders",
+        bounds={"o_orderdate": ("1996-10-01", "1997-01-01")},
     )
     li = read_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     nation = read_table(spark, sf_dir, "nation")
@@ -679,11 +687,14 @@ def q107_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchange. At 100 TB this is the shape that most rewards date
     partitioning of the fact table (partition pruning replaces the
     row-group skip)."""
-    li = read_table(spark, sf_dir, "lineitem")
+    li = read_table(
+        spark,
+        sf_dir,
+        "lineitem",
+        bounds={"l_shipdate": ("1996-01-01", "1997-01-01")},
+    )
     return li.filter(
-        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
-        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
-        & (F.col("l_discount").between(0.03, 0.07))
+        (F.col("l_discount").between(0.03, 0.07))
         & (F.col("l_quantity") < 24)
     ).agg(
         F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
@@ -790,9 +801,11 @@ def q111_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     partkey-to-partkey on co-partitioned data (AQE keeps it a local
     shuffle-reuse at scale). Quantities are whole-number doubles, so the
     0.5*tot comparison is IEEE-exact in both engines."""
-    li = read_table(spark, sf_dir, "lineitem").filter(
-        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
-        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    li = read_table(
+        spark,
+        sf_dir,
+        "lineitem",
+        bounds={"l_shipdate": ("1996-01-01", "1997-01-01")},
     )
     part_supp = li.groupBy("l_partkey", "l_suppkey").agg(
         F.sum("l_quantity").alias("qty")

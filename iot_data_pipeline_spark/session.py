@@ -79,8 +79,17 @@ def build_session(
     # SPARK_GRAFT_EXTRA_CONF="spark.sql.adaptive.enabled=false;
     # spark.sql.shuffle.partitions=1" and compared against the oracle
     # again. Applied last because a sweep exists precisely to overrule
-    # the defaults (including caller extra_conf).
-    conf.update(_env_extra_conf(os.environ.get("SPARK_GRAFT_EXTRA_CONF", "")))
+    # the defaults (including caller extra_conf). Overrides are printed
+    # so a sweep run is self-documenting and a stray env var leaking
+    # into a non-sweep deployment is visible in the logs instead of
+    # silently reconfiguring the engine.
+    env_conf = _env_extra_conf(os.environ.get("SPARK_GRAFT_EXTRA_CONF", ""))
+    if env_conf:
+        print(
+            "[iot-data-pipeline-spark] SPARK_GRAFT_EXTRA_CONF overrides: "
+            + "; ".join(f"{k}={v}" for k, v in sorted(env_conf.items()))
+        )
+    conf.update(env_conf)
     for k, v in conf.items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

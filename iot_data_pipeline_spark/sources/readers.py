@@ -12,7 +12,7 @@ Scale notes (100 TB design point):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -62,7 +62,33 @@ TIMESTAMP_COLUMNS: dict[str, tuple[str, ...]] = {
 }
 
 
-def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def _nanos_since_epoch(value: str) -> int:
+    """ISO date/timestamp string -> exact int nanoseconds since epoch (UTC).
+
+    Integer arithmetic throughout: a float epoch would lose nanosecond
+    precision above 2**53 ns (~104 days after epoch)."""
+    from datetime import datetime, timezone
+
+    for fmt in ("%Y-%m-%d %H:%M:%S.%f", "%Y-%m-%d %H:%M:%S", "%Y-%m-%d"):
+        try:
+            dt = datetime.strptime(value, fmt).replace(tzinfo=timezone.utc)
+        except ValueError:
+            continue
+        epoch = datetime(1970, 1, 1, tzinfo=timezone.utc)
+        delta = dt - epoch
+        return (
+            delta.days * 86_400 + delta.seconds
+        ) * 1_000_000_000 + delta.microseconds * 1_000
+    raise ValueError(f"unparseable timestamp bound: {value!r}")
+
+
+def read_table(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    *,
+    bounds: dict[str, tuple] | None = None,
+) -> DataFrame:
     """Read one driver testdata table, normalizing types.
 
     ``events.ts`` may arrive two ways depending on how the parquet was
@@ -77,10 +103,63 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
       and ``withWatermark`` both refuse. Cast to TIMESTAMP (LTZ); the
       session timezone is pinned to UTC (session.py), so the cast is a
       lossless relabel of the same instant.
+
+    ``bounds`` -- optional ``{column: (lo, hi)}`` range predicates,
+    ``lo`` inclusive / ``hi`` exclusive, either side ``None`` for open;
+    or, for other comparison shapes, ``{column: ((op, value), ...)}``
+    with ``op`` in ``>= > < <= =``.
+    They are applied on the RAW scan column, BELOW the normalization
+    conversions, with the literal rewritten into the column's source
+    domain (nanos integer for a LONG-nanos timestamp, a typed
+    timestamp/decimal literal otherwise). This is the scan-pruning path
+    for hot filter columns: a predicate applied *after* ``read_table``
+    still answers correctly on every layout (round-8 invariance certs),
+    but on a nanos- or DECIMAL-written corpus it sits above a conversion
+    expression that Catalyst cannot translate into ``PushedFilters``, so
+    parquet row-group pruning is lost -- invisible at sf0.01, a
+    full-scan at 100 TB. Queries whose hot path slices a canonical
+    date/money column pass ``bounds`` instead
+    (``tests/test_plan_shapes.py`` pins PushedFilters on all three
+    physical layouts).
     """
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     dtypes = dict(df.dtypes)
-    for c in TIMESTAMP_COLUMNS.get(name, ()):
+    ts_cols = set(TIMESTAMP_COLUMNS.get(name, ()))
+    _OPS = {
+        ">=": Column.__ge__,
+        ">": Column.__gt__,
+        "<": Column.__lt__,
+        "<=": Column.__le__,
+        "=": Column.__eq__,
+    }
+    for c, spec in (bounds or {}).items():
+        dtype = dtypes.get(c)
+        if dtype is None:
+            raise KeyError(f"bounds column {c!r} not in {name} ({dtypes})")
+        if spec and isinstance(spec[0], (tuple, list)):
+            preds = [(op, v) for op, v in spec]
+        else:
+            lo, hi = spec
+            preds = []
+            if lo is not None:
+                preds.append((">=", lo))
+            if hi is not None:
+                preds.append(("<", hi))
+        for op, value in preds:
+            if c in ts_cols and dtype == "bigint":
+                # LONG-nanos physical layout: compare in the nanos
+                # domain so the predicate stays a bare
+                # attribute-vs-literal comparison the parquet source
+                # can prune row groups with.
+                lit = F.lit(_nanos_since_epoch(value))
+            else:
+                # Typed literal on the raw column (timestamp_ntz,
+                # timestamp, decimal, double...). The cast folds to a
+                # literal at optimization time, so the predicate pushes
+                # down unchanged.
+                lit = F.lit(value).cast(dtype)
+            df = df.filter(_OPS[op](F.col(c), lit))
+    for c in ts_cols:
         dtype = dtypes.get(c)
         if dtype == "bigint":
             df = df.withColumn(
@@ -95,20 +174,36 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # arithmetic into final projections (raw-DecimalType output, which
     # the oracle harness rejects) and decimal-vs-double summation
     # diverges in the last ulp. One columnar cast at the scan boundary
-    # (free under whole-stage codegen, pushdown-transparent) makes every
-    # downstream plan invariant to the writer's numeric physical type;
-    # the DuckDB oracle applies the same cast in its view definitions
+    # (free under whole-stage codegen) makes every downstream plan
+    # invariant to the writer's numeric physical type; the DuckDB oracle
+    # applies the same cast in its view definitions
     # (tests/oracle_harness.duck_connection), so both engines compute on
-    # identical doubles. Queries that WANT exact decimal arithmetic
+    # identical values. Queries that WANT exact decimal arithmetic
     # opt in explicitly downstream (the q72/q164 DECIMAL recipe).
+    #
+    # Scale-0 decimals (DECIMAL(p,0) surrogate keys / ids) cast to
+    # BIGINT, not DOUBLE: a DECIMAL(18,0) key above 2**53 would silently
+    # lose integer precision in a double and corrupt joins. p > 18 does
+    # not fit a long, so it stays DECIMAL (exactness over convenience --
+    # the no-raw-decimal-output rule then forces any query that emits it
+    # to cast explicitly).
+    #
+    # NOTE on pushdown: filters applied ABOVE these casts are generally
+    # NOT translated into PushedFilters (Catalyst only unwraps a narrow
+    # family of casts in comparisons); answers stay correct, but scan
+    # pruning on that column is lost. Range predicates on normalized
+    # columns belong in ``bounds`` (applied on the raw column, above).
     from pyspark.sql import types as _T
 
-    dec_cols = [
-        f.name for f in df.schema.fields
-        if isinstance(f.dataType, _T.DecimalType)
-    ]
-    for c in dec_cols:
-        df = df.withColumn(c, F.col(c).cast("double"))
+    for f in df.schema.fields:
+        if not isinstance(f.dataType, _T.DecimalType):
+            continue
+        if f.dataType.scale == 0:
+            if f.dataType.precision <= 18:
+                df = df.withColumn(f.name, F.col(f.name).cast("bigint"))
+            # p > 18, scale 0: keep exact DECIMAL (see note above)
+        else:
+            df = df.withColumn(f.name, F.col(f.name).cast("double"))
     return df
 
 

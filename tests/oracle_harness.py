@@ -268,9 +268,26 @@ def helper_round_sum_hazards() -> list[str]:
 def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     """Register the testdata tables as DuckDB views, applying the same
     read-boundary normalization as the engine's ``read_table``: DECIMAL
-    physical columns (a routine writer choice for money) cast to DOUBLE,
-    so both engines compute on identical doubles regardless of the
-    writer's numeric physical type (round-8 decimal-money sweep)."""
+    physical columns (a routine writer choice for money) cast to DOUBLE
+    -- except scale-0 decimals (surrogate keys), which cast to BIGINT
+    when they fit (p <= 18; a DECIMAL(18,0) key above 2**53 would lose
+    integer precision in a double) and stay DECIMAL otherwise. Both
+    engines then compute on identical values regardless of the writer's
+    numeric physical type (round-8 decimal-money sweep; round-9 key
+    variant)."""
+    import re as _re
+
+    def _dec_cast(name: str, dtype: str) -> str:
+        m = _re.match(r"DECIMAL\((\d+),(\d+)\)", dtype)
+        if not m:
+            return f'"{name}"'
+        p, s = int(m.group(1)), int(m.group(2))
+        if s == 0:
+            if p <= 18:
+                return f'CAST("{name}" AS BIGINT) AS "{name}"'
+            return f'"{name}"'
+        return f'CAST("{name}" AS DOUBLE) AS "{name}"'
+
     con = duckdb.connect()
     con.execute("SET TimeZone='UTC'")
     for t in TABLES:
@@ -278,8 +295,7 @@ def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
             f"DESCRIBE SELECT * FROM '{sf_dir}/{t}.parquet'"
         ).fetchall()
         select = ", ".join(
-            f'CAST("{name}" AS DOUBLE) AS "{name}"'
-            if dtype.startswith("DECIMAL")
+            _dec_cast(name, dtype) if dtype.startswith("DECIMAL")
             else f'"{name}"'
             for name, dtype, *_ in cols
         )

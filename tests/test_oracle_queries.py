@@ -1062,3 +1062,184 @@ def test_text_queries_survive_mass_duplicates(
 ):
     problems = compare_query(spark, dup_heavy_doc_duck, name, dup_heavy_doc_dir)
     assert not problems, problems
+
+
+# ---------------------------------------------------------------------------
+# Round-9 frozen bands for the formerly probe-only invariance axes
+# (round-8 verdict task 6) plus the DECIMAL(18,0)-key layout (task 3).
+# Builders live in tools/probe_fixtures.py / tools/decimal_money_sweep.py;
+# the representative bands are duplicated there -- keep in sync.
+
+
+@pytest.fixture(scope="module")
+def reversed_rows_dir(tmp_path_factory):
+    from tools.probe_fixtures import build_reversed_fixture
+
+    d = str(tmp_path_factory.mktemp("reversed_rows"))
+    build_reversed_fixture(d, src="/root/testdata/sf0.001")
+    return d
+
+
+@pytest.fixture(scope="module")
+def reversed_rows_duck(reversed_rows_dir):
+    con = duck_connection(reversed_rows_dir)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        # tie-sensitive shapes: windows, top-k, dedup representatives,
+        # order-dependent fills, as-of matches, exact medians
+        "q15_topk_per_group",
+        "q15b_rank_ntile",
+        "q43_percent_rank",
+        "q16_lag_lead_running",
+        "q59_forward_fill",
+        "q66_arg_extremes",
+        "q67_sorted_list_agg",
+        "q22_exact_dedup",
+        "q178_scalable_exact_median",
+        "q11_distinct",
+        "q08b_asof_join",
+        "q21_sessionization",
+    ],
+)
+def test_order_sensitive_band_survives_reversed_rows(
+    spark, reversed_rows_duck, reversed_rows_dir, name
+):
+    """Every table rewritten back-to-front: the answer must not depend on
+    physical row order (within-partition arrival order at scale). The
+    round-8 one-shot probe ran the full registry 205/205; this band keeps
+    the most order-sensitive shapes regression-guarded between rounds."""
+    problems = compare_query(spark, reversed_rows_duck, name, reversed_rows_dir)
+    assert not problems, problems
+
+
+@pytest.fixture(scope="module")
+def float64_emb_dir(tmp_path_factory):
+    from tools.probe_fixtures import build_float64_fixture
+
+    d = str(tmp_path_factory.mktemp("float64_emb"))
+    build_float64_fixture(d, src="/root/testdata/sf0.001")
+    return d
+
+
+@pytest.fixture(scope="module")
+def float64_emb_duck(float64_emb_dir):
+    con = duck_connection(float64_emb_dir)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "q31_ann_ivf",
+        "q97_embedding_standardize",
+        "q136_semdedup",
+        "q141_quality_aware_dedup",
+        "q143_rag_retrieval",
+        "q148_ivf_recall_audit",
+        "q154_rag_rerank",
+        "q176_retrieval_ndcg",
+        "q183_ivf_adaptive_probe",
+    ],
+)
+def test_similarity_band_survives_float64_embeddings(
+    spark, float64_emb_duck, float64_emb_dir, name
+):
+    """embeddings.embedding stored as array<double> (a writer that never
+    narrowed) instead of the driver's array<float>: every similarity/ANN
+    kernel must be element-width-agnostic. Round-8 probe: 17/17."""
+    problems = compare_query(spark, float64_emb_duck, name, float64_emb_dir)
+    assert not problems, problems
+
+
+@pytest.fixture(scope="module")
+def allnull_cols_dir(tmp_path_factory):
+    from tools.probe_fixtures import build_allnull_fixture
+
+    d = str(tmp_path_factory.mktemp("allnull_cols"))
+    build_allnull_fixture(d, src="/root/testdata/sf0.001")
+    return d
+
+
+@pytest.fixture(scope="module")
+def allnull_cols_duck(allnull_cols_dir):
+    con = duck_connection(allnull_cols_dir)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "q27_langid",
+        "q28_quality_score",
+        "q45_stopword_charset",
+        "q122_mix_rebalance",
+        "q128_domain_quota",
+        "q16b_range_frame",
+        "q56_stats_agg",
+        "q68_histogram",
+        "q98_winsorized_values",
+        "q20_tumbling_window",
+    ],
+)
+def test_band_survives_allnull_value_and_lang(
+    spark, allnull_cols_duck, allnull_cols_dir, name
+):
+    """events.value and documents.lang 100% NULL: the all-None pandas
+    dtype-collapse hazard on the Arrow fetch path, NULL language groups,
+    and aggregates over an entirely-NULL measure. Round-8 probe:
+    100/100."""
+    problems = compare_query(spark, allnull_cols_duck, name, allnull_cols_dir)
+    assert not problems, problems
+
+
+@pytest.fixture(scope="module")
+def decimal_key_dir(tmp_path_factory):
+    from tools.decimal_money_sweep import build_fixture
+
+    d = str(tmp_path_factory.mktemp("decimal_keys"))
+    build_fixture(d, src="/root/testdata/sf0.001", with_keys=True)
+    return d
+
+
+@pytest.fixture(scope="module")
+def decimal_key_duck(decimal_key_dir):
+    con = duck_connection(decimal_key_dir)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        # key-join / key-group shapes: the rows that corrupt first if a
+        # DECIMAL(18,0) key were narrowed through double
+        "q05_revenue_per_nation",
+        "q46_shipping_priority",
+        "q64_upsert_merge",
+        "q76_priority_exists",
+        "q77_customer_distribution",
+        "q103_returned_items",
+        "q111_dominant_suppliers",
+        "q11c_dedup_events",
+        "q22_exact_dedup",
+        "q119_incremental_dedup",
+        "q179_table_fingerprint",
+    ],
+)
+def test_key_band_survives_decimal18_keys(
+    spark, decimal_key_duck, decimal_key_dir, name
+):
+    """Every BIGINT surrogate/join key stored as parquet DECIMAL(18,0)
+    (the classic NUMBER(18) warehouse export): the read boundary must
+    cast scale-0 decimals to BIGINT -- a DOUBLE cast silently corrupts
+    keys above 2**53 and every join on them. Full-registry sweep:
+    tools/decimal_money_sweep.py --keys (round 9, 205/205)."""
+    problems = compare_query(spark, decimal_key_duck, name, decimal_key_dir)
+    assert not problems, problems

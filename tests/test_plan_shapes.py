@@ -742,3 +742,78 @@ def test_date_filters_push_through_timestamp_normalization(spark, sf_dir):
         assert any(col in p for p in pushed), (
             f"{table}.{col} filter not pushed to scan: {pushed}"
         )
+
+
+@pytest.fixture(scope="module")
+def hostile_layout_dirs(sf_dir, tmp_path_factory):
+    """Hostile physical re-encodings of the driver corpus (round-8
+    sweep-tool builders): TIMESTAMP(NANOS) on every canonical timestamp
+    column, and DECIMAL(p,s) on every money/measure column."""
+    from tools.decimal_money_sweep import build_fixture as build_decimal
+    from tools.tzaware_timestamps_sweep import build_nanos_fixture
+
+    nanos = str(tmp_path_factory.mktemp("nanos_layout"))
+    dec = str(tmp_path_factory.mktemp("decimal_layout"))
+    build_nanos_fixture(nanos, src=sf_dir)
+    build_decimal(dec, src=sf_dir)
+    return {"nanos": nanos, "decimal": dec}
+
+
+def _pushed_segments(df) -> str:
+    """All PushedFilters line segments of the executed plan. Matched to
+    end-of-line, not to the closing bracket -- long filter lists are
+    truncated by treeString with an ellipsis before the ']'."""
+    import re
+
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return "\n".join(re.findall(r"PushedFilters: \[([^\n]*)", plan))
+
+
+def test_bounds_push_to_scan_on_hostile_layouts(
+    spark, sf_dir, hostile_layout_dirs
+):
+    """Round-9 pin for the round-8 verdict's one real gap: on a nanos- or
+    DECIMAL-written corpus, a predicate applied ABOVE read_table's
+    normalization sits on a conversion expression and loses
+    PushedFilters (answers stay correct, scan pruning is lost -- a
+    full-scan at 100 TB). ``read_table(bounds=...)`` applies the range
+    in the SOURCE domain below the conversion; this pins that the
+    comparison reaches the parquet scan on all three physical layouts,
+    and that the selected rows are identical to the post-filter form."""
+    layouts = {"default": sf_dir, **hostile_layout_dirs}
+    for label, d in layouts.items():
+        for table, col, lo, hi in (
+            ("orders", "o_orderdate", "1996-01-01", "1996-07-01"),
+            ("lineitem", "l_shipdate", "1996-01-01", None),
+            ("events", "ts", "1996-01-01", None),
+        ):
+            bounded = read_table(spark, d, table, bounds={col: (lo, hi)})
+            seg = _pushed_segments(bounded.select(col))
+            assert f"GreaterThanOrEqual({col}" in seg, (
+                f"{label}: {table}.{col} lower bound not pushed: [{seg}]"
+            )
+            post = read_table(spark, d, table).filter(F.col(col) >= lo)
+            if hi is not None:
+                post = post.filter(F.col(col) < hi)
+            assert bounded.count() == post.count(), (label, table, col)
+
+
+def test_money_bounds_push_to_scan_on_decimal_layout(
+    spark, sf_dir, hostile_layout_dirs
+):
+    """Money-column range predicates above the DECIMAL->DOUBLE read cast
+    are not unwrapped by Catalyst; the bounds path compares the raw
+    DECIMAL column against a decimal literal and must stay pushed."""
+    for label, d in (("default", sf_dir), ("decimal", hostile_layout_dirs["decimal"])):
+        bounded = read_table(
+            spark, d, "lineitem",
+            bounds={"l_extendedprice": ((">", 30000.0),)},
+        )
+        seg = _pushed_segments(bounded.select("l_extendedprice"))
+        assert "GreaterThan(l_extendedprice" in seg, (
+            f"{label}: money bound not pushed: [{seg}]"
+        )
+        post = read_table(spark, d, "lineitem").filter(
+            F.col("l_extendedprice") > 30000.0
+        )
+        assert bounded.count() == post.count(), label

@@ -16,7 +16,13 @@ decimal types propagated through arithmetic into final projections
 the driver's value-store), and decimal-vs-double summation split in
 the last ulp. With it: 205/205.
 
-Usage: python -m tools.decimal_money_sweep [src_sf_dir] [query ...]
+The --keys variant additionally stores every BIGINT surrogate/join key
+as DECIMAL(18,0) (the classic NUMBER(18) warehouse export). The read
+boundary casts scale-0 decimals to BIGINT -- a DOUBLE cast would
+silently corrupt keys above 2**53 and every join on them (round-9 fix);
+``duck_connection`` mirrors the same rule.
+
+Usage: python -m tools.decimal_money_sweep [--keys] [src_sf_dir] [query ...]
 (default src /root/testdata/sf0.01, all registry queries)
 """
 
@@ -48,9 +54,30 @@ MONEY_COLUMNS: dict[str, dict[str, tuple[int, int]]] = {
 }
 
 
-def build_fixture(d: str, src: str = "/root/testdata/sf0.01") -> None:
+#: BIGINT surrogate/join keys a warehouse-bred writer would store as
+#: DECIMAL(18,0) (the classic Oracle/Teradata NUMBER(18) export). The
+#: read boundary must cast these to BIGINT, not DOUBLE: above 2**53 a
+#: double silently corrupts the key and every join on it (round-9 fix,
+#: sources/readers.py).
+KEY_COLUMNS: dict[str, tuple[str, ...]] = {
+    "customer": ("c_custkey",),
+    "supplier": ("s_suppkey",),
+    "part": ("p_partkey",),
+    "orders": ("o_orderkey", "o_custkey"),
+    "lineitem": ("l_orderkey", "l_partkey", "l_suppkey"),
+    "events": ("event_id", "user_id"),
+    "documents": ("doc_id",),
+    "embeddings": ("vec_id",),
+}
+
+
+def build_fixture(
+    d: str, src: str = "/root/testdata/sf0.01", with_keys: bool = False
+) -> None:
     for t in TABLES:
-        spec = MONEY_COLUMNS.get(t)
+        spec = dict(MONEY_COLUMNS.get(t, {}))
+        if with_keys:
+            spec.update({c: (18, 0) for c in KEY_COLUMNS.get(t, ())})
         if not spec:
             shutil.copy(f"{src}/{t}.parquet", f"{d}/{t}.parquet")
             continue
@@ -60,7 +87,13 @@ def build_fixture(d: str, src: str = "/root/testdata/sf0.01") -> None:
             if f.name in spec:
                 p, s = spec[f.name]
                 newt = pa.decimal128(p, s)
-                col = col.cast(newt)
+                if s == 0 and pa.types.is_integer(f.type):
+                    # Arrow's int64->decimal cast checks the TYPE's digit
+                    # range (19 > 18) rather than the values; parse via
+                    # string so in-range keys cast per-value.
+                    col = col.cast(pa.string()).cast(newt)
+                else:
+                    col = col.cast(newt)
                 f = pa.field(f.name, newt)
             fields.append(f)
             arrays.append(col)
@@ -75,10 +108,12 @@ def main() -> int:
     from tests.oracle_harness import compare_query, duck_connection
 
     argv = sys.argv[1:]
+    with_keys = "--keys" in argv
+    argv = [a for a in argv if a != "--keys"]
     src = argv[0] if argv and not argv[0].startswith("q") else "/root/testdata/sf0.01"
     names = [a for a in argv if a.startswith("q")] or list(REGISTRY)
-    d = tempfile.mkdtemp(prefix="decmoney_")
-    build_fixture(d, src=src)
+    d = tempfile.mkdtemp(prefix="deckeys_" if with_keys else "decmoney_")
+    build_fixture(d, src=src, with_keys=with_keys)
     spark = build_session("decimal-money-sweep")
     con = duck_connection(d)
     failed = 0

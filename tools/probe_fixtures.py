@@ -1,0 +1,140 @@
+"""Fixture builders for the three formerly probe-only invariance axes
+(round-8 verdict task 6), now frozen as pytest bands in
+tests/test_oracle_queries.py:
+
+- reversed row order: every table rewritten back-to-front. Exercises
+  within-partition order -- tie-breaking in windows/top-k/dedup
+  representatives beyond what file splits perturb. Round-8 probe:
+  205/205.
+- float64-stored embeddings: ``array<double>`` where the driver writes
+  ``array<float>``. Exercises kernel width assumptions in the
+  similarity/ANN band. Round-8 probe: 17/17.
+- all-NULL columns: every ``events.value`` and every ``documents.lang``
+  NULL. Exercises the all-None pandas dtype-collapse hazard on the
+  Arrow fetch path and NULL-group handling in language/quality
+  aggregation. Round-8 probe: 100/100.
+
+Usage: python -m tools.probe_fixtures [--reversed|--float64|--allnull]
+[src_sf_dir] [query ...] -- runs the matching representative band (or
+the given queries) against a freshly built fixture, mirroring the other
+tools/*_sweep.py entry points.
+"""
+
+from __future__ import annotations
+
+import shutil
+import sys
+import tempfile
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from iot_data_pipeline_spark.sources.readers import TABLES
+
+
+def build_reversed_fixture(d: str, src: str = "/root/testdata/sf0.01") -> None:
+    for t in TABLES:
+        tab = pq.read_table(f"{src}/{t}.parquet")
+        idx = pa.array(range(len(tab) - 1, -1, -1), type=pa.int64())
+        pq.write_table(tab.take(idx), f"{d}/{t}.parquet")
+
+
+def build_float64_fixture(d: str, src: str = "/root/testdata/sf0.01") -> None:
+    for t in TABLES:
+        if t != "embeddings":
+            shutil.copy(f"{src}/{t}.parquet", f"{d}/{t}.parquet")
+            continue
+        tab = pq.read_table(f"{src}/{t}.parquet")
+        fields, arrays = [], []
+        for f, col in zip(tab.schema, tab.columns):
+            if f.name == "embedding":
+                newt = pa.list_(pa.float64())
+                col = col.cast(newt)
+                f = pa.field(f.name, newt)
+            fields.append(f)
+            arrays.append(col)
+        pq.write_table(
+            pa.table(arrays, schema=pa.schema(fields)), f"{d}/{t}.parquet"
+        )
+
+
+def build_allnull_fixture(d: str, src: str = "/root/testdata/sf0.01") -> None:
+    """events.value and documents.lang 100% NULL, types preserved."""
+    for t in TABLES:
+        if t not in ("events", "documents"):
+            shutil.copy(f"{src}/{t}.parquet", f"{d}/{t}.parquet")
+            continue
+        null_col = "value" if t == "events" else "lang"
+        tab = pq.read_table(f"{src}/{t}.parquet")
+        fields, arrays = [], []
+        for f, col in zip(tab.schema, tab.columns):
+            if f.name == null_col:
+                col = pa.nulls(len(tab), type=f.type)
+            fields.append(f)
+            arrays.append(col)
+        pq.write_table(
+            pa.table(arrays, schema=pa.schema(fields)), f"{d}/{t}.parquet"
+        )
+
+
+#: representative query bands per axis (frozen twins live in
+#: tests/test_oracle_queries.py; keep the lists in sync there)
+REVERSED_BAND = [
+    "q15_topk_per_group", "q15b_rank_ntile", "q43_percent_rank",
+    "q16_lag_lead_running", "q59_forward_fill", "q66_arg_extremes",
+    "q67_sorted_list_agg", "q22_exact_dedup",
+    "q178_scalable_exact_median", "q11_distinct", "q08b_asof_join",
+    "q21_sessionization",
+]
+FLOAT64_BAND = [
+    "q31_ann_ivf", "q97_embedding_standardize", "q136_semdedup",
+    "q141_quality_aware_dedup", "q143_rag_retrieval",
+    "q148_ivf_recall_audit", "q154_rag_rerank", "q176_retrieval_ndcg",
+    "q183_ivf_adaptive_probe",
+]
+ALLNULL_BAND = [
+    "q27_langid", "q28_quality_score", "q45_stopword_charset",
+    "q122_mix_rebalance", "q128_domain_quota", "q16b_range_frame",
+    "q56_stats_agg", "q68_histogram", "q98_winsorized_values",
+    "q20_tumbling_window",
+]
+
+_MODES = {
+    "--reversed": (build_reversed_fixture, REVERSED_BAND, "revrows_"),
+    "--float64": (build_float64_fixture, FLOAT64_BAND, "f64emb_"),
+    "--allnull": (build_allnull_fixture, ALLNULL_BAND, "allnull_"),
+}
+
+
+def main() -> int:
+    from iot_data_pipeline_spark.session import build_session
+    from tests.oracle_harness import compare_query, duck_connection
+
+    argv = sys.argv[1:]
+    mode = next((a for a in argv if a in _MODES), "--reversed")
+    argv = [a for a in argv if a not in _MODES]
+    build, band, prefix = _MODES[mode]
+    src = argv[0] if argv and not argv[0].startswith("q") else "/root/testdata/sf0.01"
+    names = [a for a in argv if a.startswith("q")] or band
+    d = tempfile.mkdtemp(prefix=prefix)
+    build(d, src=src)
+    spark = build_session("probe-fixtures-sweep")
+    con = duck_connection(d)
+    failed = 0
+    for name in names:
+        try:
+            problems = compare_query(spark, con, name, d)
+        except Exception as e:  # noqa: BLE001
+            problems = [f"EXCEPTION: {type(e).__name__}: {str(e)[:400]}"]
+        status = "PASS" if not problems else "FAIL"
+        if problems:
+            failed += 1
+        print(f"[{status}] {name}")
+        for p in problems:
+            print(f"    {p}")
+    print(f"{len(names) - failed}/{len(names)} passed  (fixture: {d})")
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
