@@ -483,6 +483,24 @@ def main() -> int:
         print(f"# b00_ngram_pair_graph_build: {dt:.3f}s", flush=True)
     except Exception as exc:
         print(f"# pair-graph prewarm failed: {exc}", flush=True)
+    # Pre-build the streaming probes' staged fixtures as one explicit
+    # timed line (b00's rationale): the seven fixtures are process-cached,
+    # so whichever streaming query the rotation ran first used to absorb
+    # its build -- charging construction here makes the per-query
+    # streaming numbers measure steady-state micro-batch execution and
+    # keeps them order-independent, while the total stays honest.
+    try:
+        from iot_data_pipeline_spark.queries.ingest_q import STREAM_PRESTAGE
+
+        t0 = time.perf_counter()
+        for stage in STREAM_PRESTAGE:
+            stage(spark, SF_DIR)
+        dt = time.perf_counter() - t0
+        per_query["b08_stream_staging"] = round(dt, 3)
+        total += dt
+        print(f"# b08_stream_staging: {dt:.3f}s", flush=True)
+    except Exception as exc:
+        print(f"# stream staging prewarm failed: {exc}", flush=True)
     runnables = {name: dq.fn for name, dq in REGISTRY.items()}
     runnables.update(bench_extras())
     for name, fn in runnables.items():
