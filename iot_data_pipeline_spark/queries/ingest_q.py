@@ -289,7 +289,7 @@ def _stage_q177_events(spark: SparkSession, sf_dir: str) -> str:
             read_table(spark, sf_dir, "events")
             .filter(
                 F.col("event_type").isin("purchase", "click")
-                & (F.col("event_id") < 200000)
+                & (F.col("event_id") < 10000)
             )
             # normalize the staged schema: the sentinel batch below is
             # built from -1L/0.0D literals, and a source whose physical
@@ -470,7 +470,7 @@ def q34_stateful_device_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cap it for the stream, restore after. (A real 1M-device deployment
     # sizes this UP, same knob.)
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
     try:
         q = (
             apply_last_state_stream(stream)
@@ -716,7 +716,7 @@ def q53_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pure per-batch commit overhead (same knob as q34; a real deployment
     # sizes it to state volume).
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
     try:
         (
             joined.writeStream.format("memory")
@@ -921,7 +921,7 @@ def q167_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ~8 event_type groups: 32 shuffle partitions would mean 32 near-empty
     # tasks + files per micro-batch partial write (the q34/q177 knob)
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
     try:
         q = start_incremental_rollup(
             stream,
@@ -1246,11 +1246,11 @@ def q174_matview_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH p AS (
       SELECT event_id, ts, user_id, user_id % 50 AS user_bucket
-      FROM events WHERE event_type = 'purchase' AND event_id < 200000
+      FROM events WHERE event_type = 'purchase' AND event_id < 10000
     ),
     c AS (
       SELECT ts, user_id, value FROM events
-      WHERE event_type = 'click' AND event_id < 200000
+      WHERE event_type = 'click' AND event_id < 10000
     ),
     pairs AS (
       SELECT p.event_id, p.user_bucket, c.value
