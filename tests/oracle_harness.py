@@ -288,20 +288,25 @@ def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
             return f'"{name}"'
         return f'CAST("{name}" AS DOUBLE) AS "{name}"'
 
+    import os as _os
+
     con = duckdb.connect()
     con.execute("SET TimeZone='UTC'")
     for t in TABLES:
-        cols = con.execute(
-            f"DESCRIBE SELECT * FROM '{sf_dir}/{t}.parquet'"
-        ).fetchall()
+        src = f"{sf_dir}/{t}.parquet"
+        if _os.path.isdir(src):
+            # Spark-written / multifile-layout table: DuckDB cannot scan
+            # a bare directory path, so glob the part files (the
+            # composed-hostile and multifile sweep corpora)
+            src = f"{src}/*.parquet"
+        cols = con.execute(f"DESCRIBE SELECT * FROM '{src}'").fetchall()
         select = ", ".join(
             _dec_cast(name, dtype) if dtype.startswith("DECIMAL")
             else f'"{name}"'
             for name, dtype, *_ in cols
         )
         con.execute(
-            f"CREATE OR REPLACE VIEW {t} AS "
-            f"SELECT {select} FROM '{sf_dir}/{t}.parquet'"
+            f"CREATE OR REPLACE VIEW {t} AS SELECT {select} FROM '{src}'"
         )
     return con
 
