@@ -242,7 +242,11 @@ def q80_rich_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = read_table(spark, sf_dir, "customer")
     orders = read_table(spark, sf_dir, "orders")
     avg_bal = (
-        customer.filter(F.col("c_acctbal") > 0)
+        # source-domain bound: pushes to the scan on a DECIMAL-money corpus
+        read_table(
+            spark, sf_dir, "customer",
+            bounds={"c_acctbal": ((">", 0.0),)},
+        )
         .agg(F.avg("c_acctbal").alias("avg_bal"))
     )
     return (
@@ -680,23 +684,28 @@ def q107_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     predicates and no join or grouping -- the canonical predicate-pushdown
     probe (SURVEY.md B8/B17).
 
-    Every predicate is a plain column-vs-literal comparison, so all three
-    reach the parquet reader as PushedFilters and row groups outside the
-    shipdate year are skipped via min/max statistics; what survives is a
-    single partial+final agg with no shuffle beyond the final single-row
-    exchange. At 100 TB this is the shape that most rewards date
-    partitioning of the fact table (partition pruning replaces the
-    row-group skip)."""
+    Every predicate is a plain column-vs-literal comparison; all three go
+    through ``read_table(bounds=...)`` so they compare against the RAW
+    scan columns below the read-boundary normalization and reach the
+    parquet reader as PushedFilters on EVERY physical layout (date and
+    money columns alike -- on a DECIMAL-written corpus a post-read filter
+    would sit above the cast and lose row-group pruning); what survives
+    is a single partial+final agg with no shuffle beyond the final
+    single-row exchange. At 100 TB this is the shape that most rewards
+    date partitioning of the fact table (partition pruning replaces the
+    row-group skip). Plan-pinned over the hostile layouts in
+    tests/test_plan_shapes.py."""
     li = read_table(
         spark,
         sf_dir,
         "lineitem",
-        bounds={"l_shipdate": ("1996-01-01", "1997-01-01")},
+        bounds={
+            "l_shipdate": ("1996-01-01", "1997-01-01"),
+            "l_discount": ((">=", 0.03), ("<=", 0.07)),
+            "l_quantity": (("<", 24),),
+        },
     )
-    return li.filter(
-        (F.col("l_discount").between(0.03, 0.07))
-        & (F.col("l_quantity") < 24)
-    ).agg(
+    return li.agg(
         F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
             "revenue"
         ),

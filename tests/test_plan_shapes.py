@@ -798,6 +798,24 @@ def test_bounds_push_to_scan_on_hostile_layouts(
             assert bounded.count() == post.count(), (label, table, col)
 
 
+def test_q107_all_predicates_pushed_on_every_layout(
+    spark, sf_dir, hostile_layout_dirs
+):
+    """q107 (TPC-H Q6, the canonical pushdown probe) routes all three
+    range predicates through read_table(bounds=...): date AND money
+    comparisons must reach the parquet scan on the default, nanos, and
+    DECIMAL physical layouts alike -- the registry-query-level pin on
+    top of the read_table-level ones."""
+    layouts = {"default": sf_dir, **hostile_layout_dirs}
+    for label, d in layouts.items():
+        df = REGISTRY["q107_forecast_revenue"].fn(spark, d)
+        seg = _pushed_segments(df)
+        for col in ("l_shipdate", "l_discount", "l_quantity"):
+            assert f"({col}" in seg, (
+                f"{label}: {col} predicate not pushed: [{seg}]"
+            )
+
+
 def test_money_bounds_push_to_scan_on_decimal_layout(
     spark, sf_dir, hostile_layout_dirs
 ):
