@@ -627,6 +627,13 @@ def q51_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale plan: the reader takes an explicit schema because inference
     is a second full scan of the input; PERMISSIVE mode keeps the
     dirty-data contract of the JSONL path (reference app/app.py:62-65).
+
+    CSV is a POSITIONAL format: Spark's declared-schema read binds
+    columns by position (enforceSchema ignores the header row), so the
+    writer pins the column order explicitly. Without the select, a
+    source parquet whose footer lists columns in a different order --
+    the round-9 column-order sweep -- wrote a CSV whose layout silently
+    swapped n_nationkey and n_regionkey under the by-position read.
     """
     import pyspark.sql.types as T
 
@@ -636,6 +643,7 @@ def q51_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q51_nation_csv",
         sf_dir,
         lambda d: read_table(spark, sf_dir, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
         .coalesce(1)
         .write.mode("overwrite")
         .option("header", "true")

@@ -1243,3 +1243,58 @@ def test_key_band_survives_decimal18_keys(
     tools/decimal_money_sweep.py --keys (round 9, 205/205)."""
     problems = compare_query(spark, decimal_key_duck, name, decimal_key_dir)
     assert not problems, problems
+
+
+@pytest.fixture(
+    scope="module", params=["colorder", "extracol"], ids=["colorder", "extracol"]
+)
+def boundary_layout_dir(request, tmp_path_factory):
+    from tools.probe_fixtures import (
+        build_colorder_fixture,
+        build_extracol_fixture,
+    )
+
+    d = str(tmp_path_factory.mktemp("boundary_layout"))
+    if request.param == "colorder":
+        build_colorder_fixture(d, src="/root/testdata/sf0.001")
+    else:
+        build_extracol_fixture(d, src="/root/testdata/sf0.001")
+    return d
+
+
+@pytest.fixture(scope="module")
+def boundary_layout_duck(boundary_layout_dir):
+    con = duck_connection(boundary_layout_dir)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "q51_csv_roundtrip",
+        "q74_orc_roundtrip",
+        "q87_xml_roundtrip",
+        "q69_partitioned_sink",
+        "q01_ingest_project",
+        "q05_revenue_per_nation",
+        "q09_lineitem_agg",
+        "q19_json_extract",
+        "q31_ann_ivf",
+        "q170_custom_datasource",
+        "q179_table_fingerprint",
+    ],
+)
+def test_boundary_band_survives_permuted_and_extended_schemas(
+    spark, boundary_layout_duck, boundary_layout_dir, name
+):
+    """Reversed parquet column order / one trailing unknown column: every
+    read/write boundary must bind by NAME, never position, and hold its
+    contract when the writer's footer differs from the canonical schema.
+    The round-9 column-order sweep caught q51's CSV staging writing
+    source-footer order under a by-position declared-schema read
+    (silently swapped keys); the writer now pins the CSV column order."""
+    problems = compare_query(
+        spark, boundary_layout_duck, name, boundary_layout_dir
+    )
+    assert not problems, problems

@@ -13,8 +13,17 @@ tests/test_oracle_queries.py:
   NULL. Exercises the all-None pandas dtype-collapse hazard on the
   Arrow fetch path and NULL-group handling in language/quality
   aggregation. Round-8 probe: 100/100.
+- reversed COLUMN order: every table's parquet footer lists columns
+  back-to-front (a writer serializing fields in its own order).
+  Exercises by-name vs by-position binding at every read/write
+  boundary. Round-9 probe: 204/205 on first run -- q51's CSV round-trip
+  wrote the staged CSV in source-footer order while the declared-schema
+  CSV read binds BY POSITION, silently swapping n_nationkey and
+  n_regionkey; the writer now pins the column order (CSV is a
+  positional format; the writer owns the layout).
 
-Usage: python -m tools.probe_fixtures [--reversed|--float64|--allnull]
+Usage: python -m tools.probe_fixtures
+[--reversed|--float64|--allnull|--colorder]
 [src_sf_dir] [query ...] -- runs the matching representative band (or
 the given queries) against a freshly built fixture, mirroring the other
 tools/*_sweep.py entry points.
@@ -77,6 +86,33 @@ def build_allnull_fixture(d: str, src: str = "/root/testdata/sf0.01") -> None:
         )
 
 
+def build_extracol_fixture(d: str, src: str = "/root/testdata/sf0.01") -> None:
+    """Every table with one trailing unknown column ``_ingest_seq``
+    (schema evolution: a writer added a field the engine contract does
+    not know). Both engines see the same extra column, so explicit
+    projections are invariant and ``SELECT *`` shapes stay aligned;
+    what this axis guards is a boundary that would DROP or REORDER the
+    unknown column on one side only. Round-9 probe: 205/205."""
+    for t in TABLES:
+        tab = pq.read_table(f"{src}/{t}.parquet")
+        extra = pa.array(range(len(tab)), type=pa.int64())
+        pq.write_table(
+            tab.append_column("_ingest_seq", extra), f"{d}/{t}.parquet"
+        )
+
+
+def build_colorder_fixture(d: str, src: str = "/root/testdata/sf0.01") -> None:
+    """Every table with its parquet column order REVERSED (row content
+    identical). Readers binding by name are invariant; anything
+    positional (CSV staging, index-based tuple access) flips."""
+    for t in TABLES:
+        tab = pq.read_table(f"{src}/{t}.parquet")
+        pq.write_table(
+            tab.select(list(reversed(tab.column_names))),
+            f"{d}/{t}.parquet",
+        )
+
+
 #: representative query bands per axis (frozen twins live in
 #: tests/test_oracle_queries.py; keep the lists in sync there)
 REVERSED_BAND = [
@@ -99,10 +135,21 @@ ALLNULL_BAND = [
     "q20_tumbling_window",
 ]
 
+COLORDER_BAND = [
+    # every FILE-FORMAT round-trip boundary (where positional binding
+    # can bite) plus representative multi-table by-name readers
+    "q51_csv_roundtrip", "q74_orc_roundtrip", "q87_xml_roundtrip",
+    "q69_partitioned_sink", "q01_ingest_project", "q05_revenue_per_nation",
+    "q09_lineitem_agg", "q19_json_extract", "q31_ann_ivf",
+    "q170_custom_datasource", "q179_table_fingerprint",
+]
+
 _MODES = {
     "--reversed": (build_reversed_fixture, REVERSED_BAND, "revrows_"),
     "--float64": (build_float64_fixture, FLOAT64_BAND, "f64emb_"),
     "--allnull": (build_allnull_fixture, ALLNULL_BAND, "allnull_"),
+    "--colorder": (build_colorder_fixture, COLORDER_BAND, "colorder_"),
+    "--extracol": (build_extracol_fixture, COLORDER_BAND, "extracol_"),
 }
 
 
