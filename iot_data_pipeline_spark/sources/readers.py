@@ -123,6 +123,19 @@ def read_table(
     physical layouts).
     """
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # Canonical name-case normalization: column-name CASE is a writer
+    # choice (an Oracle/Snowflake-bred exporter upper-cases every
+    # identifier). Spark RESOLVES references case-insensitively but
+    # PRESERVES the stored spelling in outputs and in pandas-UDF batch
+    # columns (which are case-sensitive), so an uppercase corpus leaked
+    # the writer's spelling into results and broke Python kernels
+    # (round-9 --upper sweep). One rename projection at the scan -- a
+    # bare-attribute alias, transparent to filter pushdown -- pins the
+    # engine contract's lowercase names; duck_connection aliases its
+    # views identically.
+    lower = [c.lower() for c in df.columns]
+    if lower != list(df.columns):
+        df = df.toDF(*lower)
     dtypes = dict(df.dtypes)
     ts_cols = set(TIMESTAMP_COLUMNS.get(name, ()))
     _OPS = {

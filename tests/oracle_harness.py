@@ -278,15 +278,19 @@ def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     import re as _re
 
     def _dec_cast(name: str, dtype: str) -> str:
+        # alias to lowercase: name-case normalization, mirroring
+        # read_table (column-name case is a writer choice; the engine
+        # contract's names are lowercase)
+        lo = name.lower()
         m = _re.match(r"DECIMAL\((\d+),(\d+)\)", dtype)
         if not m:
-            return f'"{name}"'
+            return f'"{name}" AS "{lo}"' if name != lo else f'"{name}"'
         p, s = int(m.group(1)), int(m.group(2))
         if s == 0:
             if p <= 18:
-                return f'CAST("{name}" AS BIGINT) AS "{name}"'
-            return f'"{name}"'
-        return f'CAST("{name}" AS DOUBLE) AS "{name}"'
+                return f'CAST("{name}" AS BIGINT) AS "{lo}"'
+            return f'"{name}" AS "{lo}"' if name != lo else f'"{name}"'
+        return f'CAST("{name}" AS DOUBLE) AS "{lo}"'
 
     import os as _os
 
@@ -301,9 +305,7 @@ def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
             src = f"{src}/*.parquet"
         cols = con.execute(f"DESCRIBE SELECT * FROM '{src}'").fetchall()
         select = ", ".join(
-            _dec_cast(name, dtype) if dtype.startswith("DECIMAL")
-            else f'"{name}"'
-            for name, dtype, *_ in cols
+            _dec_cast(name, dtype) for name, dtype, *_ in cols
         )
         con.execute(
             f"CREATE OR REPLACE VIEW {t} AS SELECT {select} FROM '{src}'"

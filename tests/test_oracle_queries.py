@@ -1246,19 +1246,24 @@ def test_key_band_survives_decimal18_keys(
 
 
 @pytest.fixture(
-    scope="module", params=["colorder", "extracol"], ids=["colorder", "extracol"]
+    scope="module",
+    params=["colorder", "extracol", "upper"],
+    ids=["colorder", "extracol", "upper"],
 )
 def boundary_layout_dir(request, tmp_path_factory):
     from tools.probe_fixtures import (
         build_colorder_fixture,
         build_extracol_fixture,
+        build_upper_fixture,
     )
 
+    build = {
+        "colorder": build_colorder_fixture,
+        "extracol": build_extracol_fixture,
+        "upper": build_upper_fixture,
+    }[request.param]
     d = str(tmp_path_factory.mktemp("boundary_layout"))
-    if request.param == "colorder":
-        build_colorder_fixture(d, src="/root/testdata/sf0.001")
-    else:
-        build_extracol_fixture(d, src="/root/testdata/sf0.001")
+    build(d, src="/root/testdata/sf0.001")
     return d
 
 

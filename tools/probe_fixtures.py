@@ -101,6 +101,23 @@ def build_extracol_fixture(d: str, src: str = "/root/testdata/sf0.01") -> None:
         )
 
 
+def build_upper_fixture(d: str, src: str = "/root/testdata/sf0.01") -> None:
+    """Every column name UPPER-CASED (the Oracle/Snowflake-bred exporter
+    that upper-cases all identifiers). Spark resolves references
+    case-insensitively but preserves the stored spelling in outputs and
+    pandas-UDF batch columns (case-sensitive), so this axis leaked the
+    writer's spelling into results and broke Python kernels until the
+    round-9 read-boundary name-case normalization (read_table lowercases
+    at the scan; duck_connection aliases its views identically).
+    First run: 15/40 -> after the fix 205/205."""
+    for t in TABLES:
+        tab = pq.read_table(f"{src}/{t}.parquet")
+        pq.write_table(
+            tab.rename_columns([c.upper() for c in tab.column_names]),
+            f"{d}/{t}.parquet",
+        )
+
+
 def build_colorder_fixture(d: str, src: str = "/root/testdata/sf0.01") -> None:
     """Every table with its parquet column order REVERSED (row content
     identical). Readers binding by name are invariant; anything
@@ -150,6 +167,7 @@ _MODES = {
     "--allnull": (build_allnull_fixture, ALLNULL_BAND, "allnull_"),
     "--colorder": (build_colorder_fixture, COLORDER_BAND, "colorder_"),
     "--extracol": (build_extracol_fixture, COLORDER_BAND, "extracol_"),
+    "--upper": (build_upper_fixture, COLORDER_BAND, "upper_"),
 }
 
 
