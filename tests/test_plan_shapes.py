@@ -752,11 +752,15 @@ def hostile_layout_dirs(sf_dir, tmp_path_factory):
     from tools.decimal_money_sweep import build_fixture as build_decimal
     from tools.tzaware_timestamps_sweep import build_nanos_fixture
 
+    from tools.probe_fixtures import build_upper_fixture
+
     nanos = str(tmp_path_factory.mktemp("nanos_layout"))
     dec = str(tmp_path_factory.mktemp("decimal_layout"))
+    upper = str(tmp_path_factory.mktemp("upper_layout"))
     build_nanos_fixture(nanos, src=sf_dir)
     build_decimal(dec, src=sf_dir)
-    return {"nanos": nanos, "decimal": dec}
+    build_upper_fixture(upper, src=sf_dir)
+    return {"nanos": nanos, "decimal": dec, "upper": upper}
 
 
 def _pushed_segments(df) -> str:
@@ -788,8 +792,10 @@ def test_bounds_push_to_scan_on_hostile_layouts(
             ("events", "ts", "1996-01-01", None),
         ):
             bounded = read_table(spark, d, table, bounds={col: (lo, hi)})
-            seg = _pushed_segments(bounded.select(col))
-            assert f"GreaterThanOrEqual({col}" in seg, (
+            # case-insensitive: on the upper-cased layout the scan (and
+            # therefore PushedFilters) carries the writer's spelling
+            seg = _pushed_segments(bounded.select(col)).lower()
+            assert f"greaterthanorequal({col}" in seg, (
                 f"{label}: {table}.{col} lower bound not pushed: [{seg}]"
             )
             post = read_table(spark, d, table).filter(F.col(col) >= lo)
@@ -809,7 +815,7 @@ def test_q107_all_predicates_pushed_on_every_layout(
     layouts = {"default": sf_dir, **hostile_layout_dirs}
     for label, d in layouts.items():
         df = REGISTRY["q107_forecast_revenue"].fn(spark, d)
-        seg = _pushed_segments(df)
+        seg = _pushed_segments(df).lower()
         for col in ("l_shipdate", "l_discount", "l_quantity"):
             assert f"({col}" in seg, (
                 f"{label}: {col} predicate not pushed: [{seg}]"

@@ -4,7 +4,14 @@ corpus -- every single-axis layout perturbation applied at once:
     TIMESTAMP(NANOS) timestamps  (tzaware_timestamps_sweep --nanos)
  -> DECIMAL-typed money columns  (decimal_money_sweep)
  -> int32-narrowed keys          (narrowed_types_sweep)
+ -> trailing unknown column      (probe_fixtures --extracol, round 9)
+ -> reversed column order        (probe_fixtures --colorder, round 9)
+ -> UPPER-CASED column names     (probe_fixtures --upper, round 9)
  -> 4-part reverse-named multi-file layout (multifile_layout_sweep)
+
+The value-type stages run first (their builders address columns by the
+canonical lowercase names); the name/order/extra perturbations follow;
+the multifile split runs last (name-agnostic row slicing).
 
 The single-axis sweeps prove each read-boundary normalization alone;
 this one proves they COMPOSE -- axis interactions (e.g. a nanos column
@@ -28,9 +35,21 @@ def build_fixture(d: str, src: str = "/root/testdata/sf0.01") -> None:
     from tools.decimal_money_sweep import build_fixture as build_decimal
     from tools.multifile_layout_sweep import build_fixture as build_multifile
     from tools.narrowed_types_sweep import build_fixture as build_narrowed
+    from tools.probe_fixtures import (
+        build_colorder_fixture,
+        build_extracol_fixture,
+        build_upper_fixture,
+    )
     from tools.tzaware_timestamps_sweep import build_nanos_fixture
 
-    stages = [build_nanos_fixture, build_decimal, build_narrowed]
+    stages = [
+        build_nanos_fixture,
+        build_decimal,
+        build_narrowed,
+        build_extracol_fixture,
+        build_colorder_fixture,
+        build_upper_fixture,
+    ]
     cur = src
     tmps: list[str] = []
     try:
