@@ -482,6 +482,10 @@ def main() -> int:
         total += dt
         print(f"# b00_ngram_pair_graph_build: {dt:.3f}s", flush=True)
     except Exception as exc:
+        # Record in errors, not just the comment stream: a silent miss
+        # folds the graph build back into whichever consumer runs first,
+        # skewing exactly the numbers b00 exists to stabilize.
+        errors["b00_ngram_pair_graph_build"] = f"{type(exc).__name__}: {exc}"[:300]
         print(f"# pair-graph prewarm failed: {exc}", flush=True)
     # Pre-build the streaming probes' staged fixtures as one explicit
     # timed line (b00's rationale): the seven fixtures are process-cached,
@@ -500,6 +504,10 @@ def main() -> int:
         total += dt
         print(f"# b08_stream_staging: {dt:.3f}s", flush=True)
     except Exception as exc:
+        # Same rationale as b00: a missing staging line must show up in
+        # the summary JSON's errors, or the cost silently migrates into
+        # the first streaming query's number (round-9 ADVICE).
+        errors["b08_stream_staging"] = f"{type(exc).__name__}: {exc}"[:300]
         print(f"# stream staging prewarm failed: {exc}", flush=True)
     runnables = {name: dq.fn for name, dq in REGISTRY.items()}
     runnables.update(bench_extras())

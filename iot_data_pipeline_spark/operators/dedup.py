@@ -21,6 +21,11 @@ from pyspark.sql import functions as F
 
 from iot_data_pipeline_spark.functions.hashing import PORTABLE_MOD, portable_hash
 
+#: observation names must be unique per query; a query composing
+#: exact_dedup twice would otherwise collide (module counter, not a
+#: timestamp: plan text stays deterministic for plan-shape tests).
+_OBS_SEQ = 0
+
 
 def exact_dedup(df: DataFrame, content_cols: list[str], id_col: str) -> DataFrame:
     """Keep one representative row (min ``id_col``) per exact content match.
@@ -43,12 +48,23 @@ def exact_dedup(df: DataFrame, content_cols: list[str], id_col: str) -> DataFram
     digest group whose rows ALL had NULL ids would otherwise emit one
     fabricated all-NULL row (NULL struct expanded by ``__rep.*``). NULL-id
     rows can never be representatives either way; dropping them before
-    the shuffle makes the contract violation visible (rows disappear)
-    instead of corrupting output.
+    the shuffle makes the contract violation visible instead of
+    corrupting output -- and since round 10 it is SURFACED, not merely
+    inferable from row counts (round-9 ADVICE): an ``observe`` metric
+    (``exact_dedup_contract_N.null_id_rows``) counts the dropped rows on
+    the same pass, zero extra jobs; consumers read it from
+    ``QueryExecutionListener``/``StreamingQueryListener`` observed
+    metrics, the standard data-quality channel.
     """
+    global _OBS_SEQ
+    _OBS_SEQ += 1
     digest = F.sha2(F.concat_ws("\x1f", *content_cols), 256)
     return (
-        df.filter(F.col(id_col).isNotNull())
+        df.observe(
+            f"exact_dedup_contract_{_OBS_SEQ}",
+            F.sum(F.col(id_col).isNull().cast("bigint")).alias("null_id_rows"),
+        )
+        .filter(F.col(id_col).isNotNull())
         .groupBy(digest.alias("__h"))
         .agg(F.min_by(F.struct(*df.columns), F.col(id_col)).alias("__rep"))
         .select("__rep.*")

@@ -493,17 +493,19 @@ def q64_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     combine. Spark has no MERGE INTO against raw parquet, so this is
     the idiomatic formulation -- and the scale path: both sides are
     pre-aggregated by the join key before the join, so the shuffle
-    carries one row per key per side.
+    carries one row per key per side. The snapshot/changelog time slices
+    go through ``read_table(bounds=...)`` so each scan keeps parquet
+    row-group pruning on every physical layout (round-10 sweep,
+    tools/pushdown_sweep.py).
     """
-    ev = read_table(spark, sf_dir, "events")
     cutoff = "2024-06-01"
     base = (
-        ev.filter(F.col("ts") < cutoff)
+        read_table(spark, sf_dir, "events", bounds={"ts": (None, cutoff)})
         .groupBy("user_id")
         .agg(F.round(F.sum("value"), 2).alias("balance"))
     )
     changes = (
-        ev.filter(F.col("ts") >= cutoff)
+        read_table(spark, sf_dir, "events", bounds={"ts": (cutoff, None)})
         .groupBy("user_id")
         .agg(F.round(F.sum("value"), 2).alias("delta"))
     )
@@ -1008,19 +1010,21 @@ def q146_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     outer join (rank-prune windows over the (user_id, ts) shuffle), so
     the join carries keys, not history; deletes drop in the same
     projection. At 100 TB the changelog side is a micro-batch -- tiny
-    against the snapshot -- and the same plan broadcast-joins it.
+    against the snapshot -- and the same plan broadcast-joins it. The
+    snapshot/changelog time slices go through ``read_table(bounds=...)``
+    so each scan keeps parquet row-group pruning on every physical
+    layout (round-10 sweep, tools/pushdown_sweep.py).
     """
-    ev = read_table(spark, sf_dir, "events")
-    cutoff = F.lit("2024-06-01").cast("timestamp")
+    cutoff = "2024-06-01"
     w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
     base = (
-        ev.filter(F.col("ts") < cutoff)
+        read_table(spark, sf_dir, "events", bounds={"ts": (None, cutoff)})
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("user_id", F.col("value").alias("base_value"))
     )
     latest = (
-        ev.filter(F.col("ts") >= cutoff)
+        read_table(spark, sf_dir, "events", bounds={"ts": (cutoff, None)})
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select(

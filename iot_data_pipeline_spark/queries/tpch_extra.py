@@ -190,9 +190,18 @@ def q79_disjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     Catalyst derives the implied single-side filters (brand IN (...),
     quantity BETWEEN overall bounds) and pushes them below the join, so
     the scans shrink before the broadcast join evaluates the residual
-    disjunction.
+    disjunction. On a DECIMAL-written corpus the derived quantity
+    envelope sits above the read-boundary double cast and loses
+    PushedFilters, so the envelope [1, 40] -- implied by the disjunction,
+    therefore a no-op on results -- is ALSO declared explicitly via
+    ``bounds`` in the source domain (round-10 sweep,
+    tools/pushdown_sweep.py); p_size/p_brand keep their native types on
+    every layout and push as derived.
     """
-    lineitem = read_table(spark, sf_dir, "lineitem")
+    lineitem = read_table(
+        spark, sf_dir, "lineitem",
+        bounds={"l_quantity": ((">=", 1.0), ("<=", 40.0))},
+    )
     part = read_table(spark, sf_dir, "part")
     qty = F.col("l_quantity")
     size = F.col("p_size")

@@ -24,6 +24,13 @@ from pyspark.sql import SparkSession
 
 _DEFAULTS = {
     "spark.sql.session.timeZone": "UTC",
+    # Pin ANSI explicitly (Spark 4 default, but the engine RELIES on it):
+    # the read boundary casts DECIMAL(p<=18,0) keys to BIGINT
+    # (sources/readers.py), so a whole-unit measure stored as DECIMAL(18,0)
+    # that overflows a long under SUM must fail loudly, not wrap
+    # (round-9 ADVICE). With ANSI off the overflow would be silent and
+    # only the DuckDB oracle's HUGEINT sum would catch it.
+    "spark.sql.ansi.enabled": "true",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",

@@ -62,24 +62,24 @@ TIMESTAMP_COLUMNS: dict[str, tuple[str, ...]] = {
 }
 
 
-def _nanos_since_epoch(value: str) -> int:
-    """ISO date/timestamp string -> exact int nanoseconds since epoch (UTC).
+def _nanos_bound_literal(value: str) -> Column:
+    """ISO date/timestamp string -> nanos-since-epoch literal expression.
 
-    Integer arithmetic throughout: a float epoch would lose nanosecond
-    precision above 2**53 ns (~104 days after epoch)."""
-    from datetime import datetime, timezone
+    Built from Spark's own string->timestamp cast so the literal resolves
+    in ``spark.sql.session.timeZone`` -- the SAME zone the non-bigint
+    bounds branch (``lit(value).cast(dtype)``) uses. A Python-side UTC
+    conversion (the round-9 shape) silently diverged from the typed
+    branch whenever the session tz wasn't UTC (round-9 ADVICE). The whole
+    expression is deterministic over literals, so ConstantFolding
+    collapses it to one bigint literal at optimize time and the
+    comparison still reaches ``PushedFilters`` as a bare
+    attribute-vs-literal predicate (pinned:
+    tests/test_plan_shapes.py::test_bounds_push_to_scan_on_hostile_layouts).
 
-    for fmt in ("%Y-%m-%d %H:%M:%S.%f", "%Y-%m-%d %H:%M:%S", "%Y-%m-%d"):
-        try:
-            dt = datetime.strptime(value, fmt).replace(tzinfo=timezone.utc)
-        except ValueError:
-            continue
-        epoch = datetime(1970, 1, 1, tzinfo=timezone.utc)
-        delta = dt - epoch
-        return (
-            delta.days * 86_400 + delta.seconds
-        ) * 1_000_000_000 + delta.microseconds * 1_000
-    raise ValueError(f"unparseable timestamp bound: {value!r}")
+    Nanos = micros * 1000: bound literals carry at most microsecond
+    precision (ISO strings), so the multiply is exact.
+    """
+    return F.unix_micros(F.lit(value).cast("timestamp")) * F.lit(1000)
 
 
 def read_table(
@@ -135,6 +135,19 @@ def read_table(
     # views identically.
     lower = [c.lower() for c in df.columns]
     if lower != list(df.columns):
+        if len(set(lower)) != len(lower):
+            # Writer emitted columns differing only by case ("Id" and
+            # "ID"): renaming would mint duplicate names and defer the
+            # failure to a confusing ambiguous-reference error far from
+            # the read boundary (round-9 ADVICE). Fail here, by name.
+            # (Case-insensitive sessions reject such a footer at the
+            # scan itself; this guard is the case-SENSITIVE-session
+            # path, where the scan succeeds.)
+            dupes = sorted({c for c in lower if lower.count(c) > 1})
+            raise ValueError(
+                f"{name}: column names collide after lowercase "
+                f"normalization: {dupes} (source columns {list(df.columns)})"
+            )
         df = df.toDF(*lower)
     dtypes = dict(df.dtypes)
     ts_cols = set(TIMESTAMP_COLUMNS.get(name, ()))
@@ -163,8 +176,9 @@ def read_table(
                 # LONG-nanos physical layout: compare in the nanos
                 # domain so the predicate stays a bare
                 # attribute-vs-literal comparison the parquet source
-                # can prune row groups with.
-                lit = F.lit(_nanos_since_epoch(value))
+                # can prune row groups with (folds to a bigint literal
+                # at optimize time, in the session timezone).
+                lit = _nanos_bound_literal(value)
             else:
                 # Typed literal on the raw column (timestamp_ntz,
                 # timestamp, decimal, double...). The cast folds to a
@@ -199,7 +213,10 @@ def read_table(
     # lose integer precision in a double and corrupt joins. p > 18 does
     # not fit a long, so it stays DECIMAL (exactness over convenience --
     # the no-raw-decimal-output rule then forces any query that emits it
-    # to cast explicitly).
+    # to cast explicitly). If the column is actually a whole-unit
+    # measure, a SUM that overflows BIGINT fails loudly rather than
+    # wrapping: session.py pins spark.sql.ansi.enabled=true for exactly
+    # this hazard (round-9 ADVICE).
     #
     # NOTE on pushdown: filters applied ABOVE these casts are generally
     # NOT translated into PushedFilters (Catalyst only unwraps a narrow
@@ -341,13 +358,110 @@ def read_parquet_evolving(
     NULL backfill and casts are per-row projections in the same codegen
     span as the scan, and column pruning still reaches parquet for
     contract columns.
+
+    VALUE-TYPE evolution (round-10 probe, tools/schema_evolution_probe.py):
+    Spark's footer merge refuses any type change -- an int32-narrowed
+    generation later widened back, a TIMESTAMP(NANOS) generation (which
+    ``nanosAsLong`` surfaces as BIGINT), or a DECIMAL-retyped money
+    column all raise ``CANNOT_MERGE_SCHEMAS`` and the lake becomes
+    unreadable, even though every generation individually satisfies the
+    contract after a cast. On that error this read falls back to
+    per-schema-group scans: group the files by footer schema (a
+    metadata-only pass), read each group homogeneously, align each to
+    the contract, and ``unionByName`` -- ONE scan per generation schema,
+    not per file, so the plan stays small and filters/pruning still push
+    into every branch (Catalyst pushes predicates through Union). The
+    footer pass also recovers what the merged read cannot see: a
+    parquet TIMESTAMP(NANOS) column arrives in Spark as bare BIGINT, but
+    the arrow footer says ``timestamp[ns]``, so the fallback converts
+    nanos -> timestamp exactly (integer div) instead of misreading the
+    longs as seconds.
     """
-    df = spark.read.option("mergeSchema", "true").parquet(path)
-    present = {f.name: f for f in df.schema.fields}
+    try:
+        df = spark.read.option("mergeSchema", "true").parquet(path)
+    except Exception as e:  # noqa: BLE001
+        if "CANNOT_MERGE_SCHEMAS" not in str(e):
+            raise
+        return _read_evolving_by_schema_group(spark, path, target_schema)
+    return _align_to_contract(df, target_schema, nanos_cols=frozenset())
+
+
+def _align_to_contract(
+    df: DataFrame, target_schema: T.StructType, nanos_cols: frozenset[str]
+) -> DataFrame:
+    """Project ``df`` onto the contract: case-insensitive name match,
+    typed-NULL backfill, contract casts; ``nanos_cols`` are BIGINT
+    nanos-since-epoch columns converted with integer division (a plain
+    cast would read them as seconds)."""
+    present = {f.name.lower(): f.name for f in df.schema.fields}
     cols = []
     for field in target_schema.fields:
-        if field.name in present:
-            cols.append(F.col(field.name).cast(field.dataType).alias(field.name))
-        else:
+        src = present.get(field.name.lower())
+        if src is None:
             cols.append(F.lit(None).cast(field.dataType).alias(field.name))
+        elif src.lower() in nanos_cols and isinstance(
+            field.dataType, (T.TimestampType, T.TimestampNTZType)
+        ):
+            cols.append(
+                F.timestamp_micros(F.expr(f"`{src}` div 1000"))
+                .cast(field.dataType)
+                .alias(field.name)
+            )
+        else:
+            cols.append(F.col(src).cast(field.dataType).alias(field.name))
     return df.select(*cols)
+
+
+def _read_evolving_by_schema_group(
+    spark: SparkSession, path: str, target_schema: T.StructType
+) -> DataFrame:
+    """CANNOT_MERGE_SCHEMAS fallback: one aligned scan per distinct
+    footer schema, unioned. Footer fingerprinting is distributed over
+    the executors (metadata-only -- pyarrow reads the footer, never row
+    groups); the driver collects one (fingerprint, type-map) row per
+    FILE, bounded state, and groups. Local filesystem paths only in this
+    build -- object stores would route the same listing through their
+    pyarrow filesystem."""
+    import os
+
+    if "://" in path and not path.startswith("file://"):
+        raise NotImplementedError(
+            "per-schema-group evolving read is implemented for local "
+            f"paths; got {path!r}"
+        )
+    root = path.removeprefix("file://")
+    files = sorted(
+        os.path.join(dp, fn)
+        for dp, _dirs, fns in os.walk(root)
+        for fn in fns
+        if fn.endswith(".parquet")
+    )
+    if not files:
+        raise FileNotFoundError(f"no parquet files under {path!r}")
+
+    def footer(p: str) -> tuple[str, tuple[tuple[str, str], ...]]:
+        import pyarrow.parquet as pq
+
+        sch = pq.read_schema(p)
+        types = tuple((f.name, str(f.type)) for f in sch)
+        return p, types
+
+    pairs = (
+        spark.sparkContext.parallelize(files, min(len(files), 64))
+        .map(footer)
+        .collect()
+    )
+    groups: dict[tuple[tuple[str, str], ...], list[str]] = {}
+    for p, types in pairs:
+        groups.setdefault(types, []).append(p)
+    aligned = []
+    for types, paths in sorted(groups.items()):
+        nanos = frozenset(
+            n.lower() for n, t in types if t.startswith("timestamp[ns")
+        )
+        gdf = spark.read.parquet(*paths)
+        aligned.append(_align_to_contract(gdf, target_schema, nanos))
+    out = aligned[0]
+    for gdf in aligned[1:]:
+        out = out.unionByName(gdf)
+    return out

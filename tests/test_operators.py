@@ -139,6 +139,32 @@ def test_exact_dedup_null_safety(spark):
     assert kept == [1, 2, 4]
 
 
+def test_exact_dedup_null_id_contract_observed(spark):
+    """Round-10 (r9 ADVICE): NULL-id rows violate exact_dedup's contract
+    and are dropped pre-shuffle; the drop must be SURFACED via the
+    observe metric, not only inferable from row counts."""
+    df = spark.createDataFrame(
+        [
+            Row(id=1, a="x", b="y"),
+            Row(id=None, a="x", b="y"),
+            Row(id=None, a="q", b="r"),
+        ]
+    )
+    out = exact_dedup(df, ["a", "b"], "id")
+    assert sorted(r["id"] for r in out.collect()) == [1]
+    jmetrics = out._jdf.queryExecution().observedMetrics()
+    it = jmetrics.keysIterator()
+    observed = {}
+    while it.hasNext():
+        k = it.next()
+        row = jmetrics.apply(k)
+        observed[k] = row.getLong(row.fieldIndex("null_id_rows"))
+    assert len(observed) == 1, observed
+    (name, null_rows), = observed.items()
+    assert name.startswith("exact_dedup_contract_"), name
+    assert null_rows == 2, observed
+
+
 def test_minhash_candidates_find_neardups(spark, sf_dir):
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
     # plant a near-dup: doc 0's text minus its last token, as id 900000

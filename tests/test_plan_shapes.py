@@ -841,3 +841,35 @@ def test_money_bounds_push_to_scan_on_decimal_layout(
             F.col("l_extendedprice") > 30000.0
         )
         assert bounded.count() == post.count(), label
+
+
+def test_registry_pushdown_discipline_on_composed_corpus(
+    spark, sf_dir, tmp_path_factory
+):
+    """Round-10 mechanization of the round-9 point-fix (verdict task 1):
+    EVERY registry query, planned against the composed nanos+DECIMAL
+    corpus, must show no column-vs-literal comparison on a canonical
+    timestamp/money column that sits in a Filter without a same-class
+    entry in PushedFilters. The round-9 bounds migration fixed 9 hot
+    queries by hand; this sweep makes the whole class of bug -- a
+    literal slice evaluated above the read-boundary conversion, losing
+    parquet row-group pruning on a hostile physical layout -- impossible
+    to reintroduce anywhere in the registry without a red test. Sweep
+    semantics and known imprecision: tools/pushdown_sweep.py docstring.
+    On first freeze it found q64/q146 (snapshot-vs-changelog ts slices)
+    and q79 (the derived TPC-H-Q19 quantity envelope); all migrated to
+    read_table(bounds=...)."""
+    from iot_data_pipeline_spark.queries import REGISTRY
+    from tools.pushdown_sweep import audit_query, build_fixture
+
+    d = str(tmp_path_factory.mktemp("pushdown_corpus"))
+    build_fixture(d, src=sf_dir)
+    failures = {}
+    for name in REGISTRY:
+        try:
+            problems = audit_query(spark, name, d)
+        except Exception as e:  # noqa: BLE001
+            problems = [f"EXCEPTION {type(e).__name__}: {str(e)[:300]}"]
+        if problems:
+            failures[name] = problems
+    assert not failures, failures

@@ -249,6 +249,70 @@ def test_read_parquet_evolving_backfills_and_enforces(spark, tmp_path):
     assert not hasattr(rows[2], "junk")
 
 
+def test_read_table_case_colliding_columns_fail_loudly(spark, tmp_path):
+    """Round-10 (r9 ADVICE): a writer emitting columns that differ only
+    by case must fail AT THE READ BOUNDARY with the colliding names in
+    the message -- not as a later ambiguous-reference error far from the
+    cause. Under the default case-insensitive resolution Spark itself
+    rejects such a footer (COLUMN_ALREADY_EXISTS) before read_table's
+    rename; the guard's live path is a case-SENSITIVE session, where the
+    scan succeeds and the lowercase normalization would otherwise mint
+    duplicate names silently."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from iot_data_pipeline_spark.sources.readers import read_table
+
+    d = str(tmp_path)
+    tab = pa.table(
+        {"Id": pa.array([1], pa.int64()), "ID": pa.array([2], pa.int64())}
+    )
+    pq.write_table(tab, f"{d}/part.parquet")
+    spark.conf.set("spark.sql.caseSensitive", "true")
+    try:
+        with pytest.raises(ValueError, match=r"part.*collide.*\['id'\]"):
+            read_table(spark, d, "part")
+    finally:
+        spark.conf.set("spark.sql.caseSensitive", "false")
+
+
+def test_read_parquet_evolving_value_type_generations(spark, sf_dir, tmp_path):
+    """Round-10 frozen band (tools/schema_evolution_probe.py): a lake
+    whose generations re-TYPE columns -- int32-narrowed keys, a
+    TIMESTAMP(NANOS) generation (BIGINT to the merged read), DECIMAL
+    money -- raises CANNOT_MERGE_SCHEMAS under mergeSchema; the
+    per-footer-schema-group fallback must read it anyway and align every
+    generation to the contract, including the nanos generation by
+    integer division (a plain BIGINT->timestamp cast would misread nanos
+    as seconds)."""
+    from tools.schema_evolution_probe import build_lake, verify
+
+    lake = str(tmp_path / "lake")
+    import os
+
+    os.makedirs(lake)
+    truth = build_lake(lake, sf_dir)
+    problems = verify(spark, lake, truth)
+    assert not problems, problems
+
+
+def test_read_parquet_evolving_merge_failure_unrelated_errors_propagate(
+    spark, tmp_path
+):
+    """The fallback triggers ONLY on CANNOT_MERGE_SCHEMAS; a genuinely
+    broken path must keep its original error, not a confusing
+    footer-group failure."""
+    import pytest
+
+    from iot_data_pipeline_spark.sources.readers import read_parquet_evolving
+    from pyspark.sql import types as T
+
+    contract = T.StructType([T.StructField("x", T.LongType())])
+    with pytest.raises(Exception, match="PATH_NOT_FOUND|Path does not exist"):
+        read_parquet_evolving(spark, str(tmp_path / "nope"), contract)
+
+
 def test_seed_zone_schema_empty_then_real_data(spark, tmp_path):
     """The 0-row schema seed makes an empty partitioned zone readable, is
     typed by the partition directory encoding, folds away once real
