@@ -58,18 +58,16 @@ import tempfile
 
 from iot_data_pipeline_spark.sources.readers import TIMESTAMP_COLUMNS
 
-#: canonical hot filter columns: every normalized timestamp column plus
-#: every money/measure column the DECIMAL axis re-types.
+#: canonical hot filter columns: every normalized timestamp column, every
+#: money/measure column the DECIMAL axis re-types, and every surrogate key
+#: the DECIMAL(18,0) axis re-types (read boundary casts those to BIGINT;
+#: a literal key filter above that cast loses pushdown identically).
 TS_COLS = sorted({c for cols in TIMESTAMP_COLUMNS.values() for c in cols})
-MONEY_COLS = sorted(
-    {
-        c
-        for spec in __import__(
-            "tools.decimal_money_sweep", fromlist=["MONEY_COLUMNS"]
-        ).MONEY_COLUMNS.values()
-        for c in spec
-    }
+_DMS = __import__(
+    "tools.decimal_money_sweep", fromlist=["MONEY_COLUMNS", "KEY_COLUMNS"]
 )
+MONEY_COLS = sorted({c for spec in _DMS.MONEY_COLUMNS.values() for c in spec})
+KEY_COLS = sorted({c for cols in _DMS.KEY_COLUMNS.values() for c in cols})
 
 _CMP = r"(>=|<=|=|<|>)"
 #: literal side: anything up to the enclosing ')' that does not
@@ -106,6 +104,11 @@ def _markers() -> list[tuple[str, re.Pattern[str], bool]]:
         pats.append((c, re.compile(rf"{expr} {_CMP} {_LIT}\)"), False))
         pats.append((c, re.compile(rf"\({_LIT} {_CMP} {expr}"), True))
         pats.append((c, re.compile(rf"{expr} (IN) \("), False))
+    for c in KEY_COLS:
+        expr = rf"cast\({c}#\d+ as bigint\)"
+        pats.append((c, re.compile(rf"{expr} {_CMP} {_LIT}\)"), False))
+        pats.append((c, re.compile(rf"\({_LIT} {_CMP} {expr}"), True))
+        pats.append((c, re.compile(rf"{expr} (IN) \("), False))
     return pats
 
 
@@ -113,15 +116,16 @@ _MARKERS = _markers()
 
 
 def build_fixture(d: str, src: str = "/root/testdata/sf0.01") -> None:
-    """nanos timestamps -> DECIMAL money, composed (value axes only --
-    the name/order axes don't affect which predicates push)."""
+    """nanos timestamps -> DECIMAL money -> DECIMAL(18,0) keys, composed
+    (value axes only -- the name/order axes don't affect which
+    predicates push)."""
     from tools.decimal_money_sweep import build_fixture as build_decimal
     from tools.tzaware_timestamps_sweep import build_nanos_fixture
 
     mid = tempfile.mkdtemp(prefix="pushdown_stage_")
     try:
         build_nanos_fixture(mid, src=src)
-        build_decimal(d, src=mid)
+        build_decimal(d, src=mid, with_keys=True)
     finally:
         shutil.rmtree(mid, ignore_errors=True)
 
