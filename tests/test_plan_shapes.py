@@ -873,3 +873,39 @@ def test_registry_pushdown_discipline_on_composed_corpus(
         if problems:
             failures[name] = problems
     assert not failures, failures
+
+
+def test_bounds_session_tz_coherent_on_nanos_layout(
+    spark, hostile_layout_dirs
+):
+    """Round-10 (r9 ADVICE): the bounds literal for a LONG-nanos layout
+    is built from Spark's own string->timestamp cast, so it resolves in
+    spark.sql.session.timeZone exactly like the non-bigint branch and
+    the equivalent post-read filter. The r9 shape (a Python-side UTC
+    epoch conversion) diverged from the post-filter by the session
+    offset whenever the session tz wasn't UTC. Pin: under a +14 session,
+    bounded == post-filter on the nanos corpus for a cutoff inside the
+    data range -- and the window is proven discriminating by differing
+    from the UTC-session count (so coherence cannot pass vacuously)."""
+    d = hostile_layout_dirs["nanos"]
+    lo, hi = "2024-01-10", "2024-01-20"
+
+    def counts():
+        bounded = read_table(spark, d, "events", bounds={"ts": (lo, hi)})
+        post = read_table(spark, d, "events").filter(
+            (F.col("ts") >= lo) & (F.col("ts") < hi)
+        )
+        return bounded.count(), post.count()
+
+    utc_bounded, utc_post = counts()
+    assert utc_bounded == utc_post
+    spark.conf.set("spark.sql.session.timeZone", "Pacific/Kiritimati")
+    try:
+        k_bounded, k_post = counts()
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    assert k_bounded == k_post, (k_bounded, k_post)
+    assert k_bounded != utc_bounded, (
+        "test window not discriminating: +14 and UTC selected the same "
+        f"rows ({k_bounded})"
+    )
