@@ -34,6 +34,25 @@ def write_parquet(
     mode: str = "overwrite",
     partition_by: tuple[str, ...] = (),
 ) -> None:
+    """Parquet sink, optionally hive-partitioned (B4).
+
+    Partition-VALUE caveats (round-10 probe, frozen in
+    tests/test_sources.py::test_partitioned_sink_adversarial_values):
+
+    - Special characters in partition values (space, ``/``, ``:``, ``=``,
+      ``%``, unicode, leading/trailing blanks) are percent-escaped in the
+      directory name and round-trip EXACTLY through Spark's read.
+    - EMPTY-STRING partition values do NOT round-trip: the Hive directory
+      convention encodes both NULL and ``''`` as
+      ``__HIVE_DEFAULT_PARTITION__``, so an empty string comes back as
+      NULL. If ``''`` is a meaningful key, normalize it to a sentinel
+      before partitioning.
+    - Non-Spark readers may not unescape: DuckDB's ``hive_partitioning``
+      returns the RAW escaped directory text (``a%2Fb``) and the literal
+      ``__HIVE_DEFAULT_PARTITION__`` string for NULL -- an oracle-side
+      divergence to remember if a DuckDB twin ever reads a partitioned
+      zone keyed by values that need escaping.
+    """
     writer = df.write.mode(mode)
     if partition_by:
         writer = writer.partitionBy(*partition_by)

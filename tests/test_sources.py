@@ -249,6 +249,76 @@ def test_read_parquet_evolving_backfills_and_enforces(spark, tmp_path):
     assert not hasattr(rows[2], "junk")
 
 
+def test_read_jsonl_byte_level_writer_choices(spark, tmp_path):
+    """Round-10 probe, frozen: byte-level JSONL writer choices -- a UTF-8
+    BOM (Windows notepad/PowerShell), CRLF and bare-CR line endings, and
+    a missing trailing newline -- must not cost records or pollute the
+    dead-letter channel. The reference's loop DROPS the first record of
+    a BOM'd file (``line.strip()`` keeps the BOM, ``json.loads`` raises
+    -- reference app/app.py:35-37,60-65); the engine beneficially
+    diverges: Jackson strips the BOM and parses the record. UTF-16
+    (probed, not frozen here): auto-detection recovers every record with
+    one BOM-artifact dead-letter row; Spark's explicit ``encoding``
+    option is strictly worse (UTF-16 denylisted in line mode, UTF-16LE +
+    lineSep glues the BOM to the first record), so no encoding knob is
+    exposed."""
+    import json
+
+    from iot_data_pipeline_spark.sources.readers import read_jsonl, split_corrupt
+
+    rec = {
+        "device_id": "a", "location": "x", "temperature": 20.0,
+        "humidity": 1.0, "pressure": 2.0,
+        "timestamp": "2024-01-01T00:00:00Z",
+    }
+    rec2 = dict(rec, device_id="b")
+    raw = json.dumps(rec).encode(), json.dumps(rec2).encode()
+    cases = {
+        "bom": b"\xef\xbb\xbf" + raw[0] + b"\n" + raw[1] + b"\n",
+        "crlf": raw[0] + b"\r\n" + raw[1] + b"\r\n",
+        "cr": raw[0] + b"\r" + raw[1] + b"\r",
+        "no_trailing_newline": raw[0] + b"\n" + raw[1],
+    }
+    for name, payload in cases.items():
+        p = str(tmp_path / f"{name}.jsonl")
+        with open(p, "wb") as f:
+            f.write(payload)
+        good, bad = split_corrupt(read_jsonl(spark, p))
+        ids = sorted(r.device_id for r in good.collect())
+        assert ids == ["a", "b"], (name, ids)
+        assert bad.count() == 0, name
+
+
+def test_partitioned_sink_adversarial_values(spark, tmp_path):
+    """Round-10 probe, frozen: hive-partition VALUES that need directory
+    escaping (space, slash, colon, percent, equals, unicode,
+    leading/trailing blanks) round-trip exactly through Spark's
+    partitioned write+read; empty string is PINNED to its known Hive
+    behavior -- it shares ``__HIVE_DEFAULT_PARTITION__`` with NULL and
+    comes back as NULL (documented in write_parquet; normalize '' to a
+    sentinel when it is a meaningful key)."""
+    from pyspark.sql import Row
+
+    from iot_data_pipeline_spark.sources.sinks import write_parquet
+
+    vals = [
+        "plain", "has space", "a/b slash", "colon:val", "per%cent",
+        "uni-ü-中", "eq=val", "dot.", "  lead-trail  ", None,
+    ]
+    df = spark.createDataFrame([Row(k=v, x=i) for i, v in enumerate(vals)])
+    d = str(tmp_path / "zone")
+    write_parquet(df, d, partition_by=("k",))
+    got = {(r.k, r.x) for r in spark.read.parquet(d).collect()}
+    assert got == {(v, i) for i, v in enumerate(vals)}
+
+    # empty string: pinned Hive semantics -- round-trips as NULL
+    df2 = spark.createDataFrame([Row(k="", x=0), Row(k="real", x=1)])
+    d2 = str(tmp_path / "zone2")
+    write_parquet(df2, d2, partition_by=("k",))
+    got2 = {(r.k, r.x) for r in spark.read.parquet(d2).collect()}
+    assert got2 == {(None, 0), ("real", 1)}
+
+
 def test_read_table_case_colliding_columns_fail_loudly(spark, tmp_path):
     """Round-10 (r9 ADVICE): a writer emitting columns that differ only
     by case must fail AT THE READ BOUNDARY with the colliding names in
