@@ -307,16 +307,50 @@ def split_corrupt(df: DataFrame) -> tuple[DataFrame, DataFrame]:
 
 
 def read_csv(
-    spark: SparkSession, path: str, schema: T.StructType, header: bool = True
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    header: bool = True,
+    multiline: bool = False,
+    keep_corrupt: bool = False,
 ) -> DataFrame:
     """CSV scan with a declared schema (B2). No inference: at scale an
-    inference pass is a second full read of the input."""
-    return (
+    inference pass is a second full read of the input.
+
+    EMBEDDED NEWLINES (round-10 probe, frozen in
+    tests/test_sources.py::test_read_csv_embedded_newlines): Spark's CSV
+    WRITER quotes fields containing newlines, but the default line-mode
+    READER splits records on raw newlines before the quote parser runs,
+    so a quoted multi-line field silently TRUNCATES at the newline and
+    its continuation lines surface as phantom rows -- the engine's own
+    write->read round-trip corrupts. Two remedies, by data contract:
+
+    - ``multiline=True``: the correct parse when text fields may contain
+      newlines. Scale trade-off: a multiLine CSV file is not splittable
+      (one parse stream per file; files still parallelize across tasks),
+      so prefer it for many-modest-files layouts, and prefer parquet for
+      anything big.
+    - ``keep_corrupt=True`` (line mode): appends a ``_corrupt_record``
+      column (the read_jsonl/A13 dead-letter channel; pair with
+      :func:`split_corrupt`). Continuation fragments land there instead
+      of passing as silent NULL rows, so the corruption is at least
+      DETECTED -- the truncated first fragment still parses, which is
+      why multiline is the fix and this is only the tripwire.
+    """
+    full = schema
+    if keep_corrupt and CORRUPT_COL not in schema.fieldNames():
+        full = T.StructType(
+            schema.fields + [T.StructField(CORRUPT_COL, T.StringType())]
+        )
+    reader = (
         spark.read.option("header", str(header).lower())
-        .schema(schema)
+        .schema(full)
         .option("mode", "PERMISSIVE")
-        .csv(path)
+        .option("multiLine", str(multiline).lower())
     )
+    if keep_corrupt:
+        reader = reader.option("columnNameOfCorruptRecord", CORRUPT_COL)
+    return reader.csv(path)
 
 
 def read_binary_files(

@@ -289,6 +289,40 @@ def test_read_jsonl_byte_level_writer_choices(spark, tmp_path):
         assert bad.count() == 0, name
 
 
+def test_read_csv_embedded_newlines(spark, tmp_path):
+    """Round-10 found-and-fixed: the engine's own CSV write -> read_csv
+    round-trip silently corrupted records whose quoted fields contain
+    newlines (field truncated at the newline + phantom NULL continuation
+    rows, hidden by PERMISSIVE). multiline=True round-trips exactly;
+    line mode with keep_corrupt=True surfaces the continuation fragments
+    in the dead-letter channel instead of passing them as NULL rows."""
+    from pyspark.sql import Row, types as T
+
+    from iot_data_pipeline_spark.sources.readers import read_csv, split_corrupt
+
+    rows = [
+        Row(id=1, txt="plain"),
+        Row(id=2, txt="embedded\nnewline"),
+        Row(id=3, txt='quote " and, comma'),
+        Row(id=4, txt="crlf\r\nline"),
+    ]
+    d = str(tmp_path / "csv")
+    spark.createDataFrame(rows).write.option("header", "true").csv(d)
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("txt", T.StringType())]
+    )
+
+    back = read_csv(spark, d, schema, multiline=True)
+    assert {(r.id, r.txt) for r in back.collect()} == {
+        (r.id, r.txt) for r in rows
+    }
+
+    # line mode + tripwire: corruption is detected, not silent
+    good, bad = split_corrupt(read_csv(spark, d, schema, keep_corrupt=True))
+    assert bad.count() > 0
+    assert good.filter("id IS NULL").count() == 0
+
+
 def test_partitioned_sink_adversarial_values(spark, tmp_path):
     """Round-10 probe, frozen: hive-partition VALUES that need directory
     escaping (space, slash, colon, percent, equals, unicode,
