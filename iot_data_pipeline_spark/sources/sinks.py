@@ -16,13 +16,23 @@ def write_jsonl(
     df: DataFrame,
     path: str,
     mode: str = "overwrite",
-    timestamp_format: str = "yyyy-MM-dd'T'HH:mm:ssXXX",
+    timestamp_format: str = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX",
     coalesce: int | None = None,
 ) -> None:
     """One JSON object per line, ISO-8601 UTC timestamps (reference A11).
 
     ``coalesce=1`` reproduces the reference's one-file-out contract for
     small micro-batches; leave None for scale (one file per partition).
+
+    The default format keeps FULL microsecond precision (round-10 probe:
+    the previous seconds-only format silently truncated sub-second
+    timestamps on write, and even Spark's default keeps only millis --
+    lossy for the reference's own microsecond-emitting clock,
+    app/app.py:48 ``isoformat()``). String-form divergence from the
+    reference, accepted and documented: the reference omits the fraction
+    when it is exactly zero and emits no timezone suffix
+    (``utcnow().isoformat()``); this sink always prints ``.SSSSSS`` and
+    ``Z`` -- same instants, lossless, and trivially machine-parseable.
     """
     out = df.coalesce(coalesce) if coalesce else df
     out.write.mode(mode).option("timestampFormat", timestamp_format).json(path)

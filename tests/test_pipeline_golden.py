@@ -52,7 +52,11 @@ def test_dummy_dataset(spark, tmp_path):
     assert by_dev["sensor-002"]["temp_fahrenheit"] == pytest.approx(86.0)
     assert by_dev["sensor-003"]["temp_fahrenheit"] == pytest.approx(68.18)
     assert "temp_fahrenheit" not in by_dev["sensor-004"]
-    assert all(r["processed_timestamp"] == "2024-01-01T00:00:00Z" for r in rows)
+    # round 10: the sink keeps full microsecond precision (lossless for
+    # sub-second clocks; previously truncated to whole seconds)
+    assert all(
+        r["processed_timestamp"] == "2024-01-01T00:00:00.000000Z" for r in rows
+    )
 
 
 def test_readme_sample(spark, tmp_path):

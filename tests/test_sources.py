@@ -289,6 +289,32 @@ def test_read_jsonl_byte_level_writer_choices(spark, tmp_path):
         assert bad.count() == 0, name
 
 
+def test_write_jsonl_subsecond_timestamps_lossless(spark, tmp_path):
+    """Round-10 found-and-fixed: the JSONL sink's seconds-only timestamp
+    format silently truncated sub-second timestamps on write (and even
+    Spark's default keeps only millis); the sink now renders full
+    microseconds, so write -> read round-trips the exact instant."""
+    import datetime
+
+    from pyspark.sql import Row, types as T
+
+    from iot_data_pipeline_spark.sources.readers import read_jsonl
+    from iot_data_pipeline_spark.sources.sinks import write_jsonl
+
+    ts = datetime.datetime(2024, 1, 1, 0, 0, 0, 123456)
+    df = spark.createDataFrame([Row(device_id="a", timestamp=ts)])
+    out = str(tmp_path / "out")
+    write_jsonl(df, out, coalesce=1)
+    schema = T.StructType(
+        [
+            T.StructField("device_id", T.StringType()),
+            T.StructField("timestamp", T.TimestampType()),
+        ]
+    )
+    back = read_jsonl(spark, out, schema, keep_corrupt=False)
+    assert [r.timestamp for r in back.collect()] == [ts]
+
+
 def test_read_csv_embedded_newlines(spark, tmp_path):
     """Round-10 found-and-fixed: the engine's own CSV write -> read_csv
     round-trip silently corrupted records whose quoted fields contain
