@@ -35,6 +35,15 @@ _DEFAULTS = {
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Round-10 found-and-fixed: under the default EXCEPTION dedup policy,
+    # a JSONL record with a DUPLICATE KEY ({"t":1,"t":2}) is silently
+    # swallowed by the JSON reader -- no parsed row, no corrupt-record
+    # row, and FAILFAST doesn't even raise. LAST_WIN parses it with the
+    # last value, which is exactly the reference's json.loads semantics
+    # (app/app.py:60). Affects map-building functions only when duplicate
+    # keys actually occur (dedup instead of raise) -- the preferable
+    # behavior at scale anyway.
+    "spark.sql.mapKeyDedupPolicy": "LAST_WIN",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # Python DataSource connectors (sources/custom.py) may implement
     # pushFilters; without this flag Spark refuses to plan them at all.

@@ -289,6 +289,31 @@ def test_read_jsonl_byte_level_writer_choices(spark, tmp_path):
         assert bad.count() == 0, name
 
 
+def test_read_jsonl_duplicate_keys_last_win(spark, tmp_path):
+    """Round-10 found-and-fixed: under Spark's default
+    mapKeyDedupPolicy=EXCEPTION, a JSONL record with a duplicate key was
+    SILENTLY SWALLOWED -- no parsed row, no corrupt-record row, and even
+    FAILFAST raised nothing. The engine pins LAST_WIN (session defaults),
+    which parses the record with the last value -- the reference's exact
+    json.loads semantics (app/app.py:60)."""
+    import json
+
+    from iot_data_pipeline_spark.sources.readers import read_jsonl, split_corrupt
+
+    p = str(tmp_path / "dup.jsonl")
+    with open(p, "w") as f:
+        f.write('{"device_id": "dup", "temperature": 1.0, "temperature": 2.0}\n')
+        f.write('{"device_id": "ok", "temperature": 3.0}\n')
+    good, bad = split_corrupt(read_jsonl(spark, p))
+    got = {(r.device_id, r.temperature) for r in good.collect()}
+    assert got == {("dup", 2.0), ("ok", 3.0)}, got
+    assert bad.count() == 0
+    # reference parity: json.loads last-wins
+    assert json.loads(
+        '{"device_id": "dup", "temperature": 1.0, "temperature": 2.0}'
+    )["temperature"] == 2.0
+
+
 def test_write_jsonl_subsecond_timestamps_lossless(spark, tmp_path):
     """Round-10 found-and-fixed: the JSONL sink's seconds-only timestamp
     format silently truncated sub-second timestamps on write (and even
