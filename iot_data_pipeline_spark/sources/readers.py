@@ -82,6 +82,146 @@ def _nanos_bound_literal(value: str) -> Column:
     return F.unix_micros(F.lit(value).cast("timestamp")) * F.lit(1000)
 
 
+def _stat_to_micros(value) -> int | None:
+    """Parquet footer timestamp statistic -> epoch microseconds, or None
+    if unconvertible (unknown type, overflow). Naive values are the
+    engine contract's UTC wall time; tz-aware values convert exactly."""
+    from datetime import datetime, timezone
+
+    try:
+        if hasattr(value, "to_pydatetime"):  # pandas.Timestamp
+            value = value.to_pydatetime()
+        if isinstance(value, datetime):
+            if value.tzinfo is None:
+                value = value.replace(tzinfo=timezone.utc)
+            epoch = datetime(1970, 1, 1, tzinfo=timezone.utc)
+            delta = value - epoch
+            return (delta.days * 86_400 + delta.seconds) * 1_000_000 + (
+                delta.microseconds
+            )
+    except (OverflowError, ValueError, AttributeError):
+        return None
+    return None
+
+
+def _literal_to_micros(value: str) -> int | None:
+    from datetime import datetime, timezone
+
+    for fmt in ("%Y-%m-%d %H:%M:%S.%f", "%Y-%m-%d %H:%M:%S", "%Y-%m-%d"):
+        try:
+            dt = datetime.strptime(value, fmt).replace(tzinfo=timezone.utc)
+        except ValueError:
+            continue
+        epoch = datetime(1970, 1, 1, tzinfo=timezone.utc)
+        delta = dt - epoch
+        return (delta.days * 86_400 + delta.seconds) * 1_000_000 + (
+            delta.microseconds
+        )
+    return None
+
+
+def _prune_files_for_ts_bounds(
+    spark: SparkSession, src: str, name: str, preds_by_col: dict[str, list]
+) -> list[str] | None:
+    """FILE-level pruning for bounded canonical timestamp columns.
+
+    Round-10 measurement (tools/rowgroup_pruning_probe.py): Spark's
+    parquet reader converts pushed timestamp predicates into actual
+    row-group filters ONLY for ``isAdjustedToUTC=true`` µs/ms columns.
+    The driver corpus's `timestamp[us]` NTZ encoding -- and the NANOS
+    layout -- are silently declined: ``PushedFilters`` lists the
+    predicate, but every row group is read. No session conf changes this
+    (it is the FILE's logical annotation that is matched). At 100 TB,
+    the table is thousands of part files, so the recoverable unit is the
+    FILE: read each footer's min/max for the bounded column (a
+    metadata-only pass, the same stats the row-group filter would have
+    used) and hand Spark only the files whose range can intersect the
+    bounds. Conservative by construction: any file whose stats are
+    missing/unconvertible is kept; non-UTC sessions skip pruning
+    entirely (literals here are parsed in the contract's UTC);
+    single-file tables are returned as-is (nothing to prune).
+    Stats are widened by 1ms each side against sub-unit truncation
+    (pruning must never drop a matching file; a kept extra file only
+    costs what the scan already cost).
+    """
+    import os
+
+    if "://" in src and not src.startswith("file://"):
+        return None
+    if spark.conf.get("spark.sql.session.timeZone", "") != "UTC":
+        return None
+    root = src.removeprefix("file://")
+    if not os.path.isdir(root):
+        return None
+    files = sorted(
+        os.path.join(root, fn)
+        for fn in os.listdir(root)
+        if fn.endswith(".parquet")
+    )
+    if len(files) < 2:
+        return None
+    # (op, micros) per column; unconvertible literals drop the predicate
+    ops: list[tuple[str, str, int]] = []
+    for c, preds in preds_by_col.items():
+        for op, value in preds:
+            micros = _literal_to_micros(value) if isinstance(value, str) else None
+            if micros is not None:
+                ops.append((c, op, micros))
+    if not ops:
+        return None
+    import pyarrow.parquet as pq
+
+    SLACK = 1_000  # 1ms in micros
+    keep: list[str] = []
+    for f in files:
+        try:
+            md = pq.ParquetFile(f).metadata
+            # lowercase: the footer carries the writer's spelling (the
+            # --upper layout), canonical names are lowercase
+            idx = {
+                md.row_group(0).column(i).path_in_schema.lower(): i
+                for i in range(md.row_group(0).num_columns)
+            }
+        except Exception:  # noqa: BLE001 -- unreadable footer: keep
+            keep.append(f)
+            continue
+        survives = False
+        for g in range(md.num_row_groups):
+            rg = md.row_group(g)
+            group_ok = True
+            for c, op, v in ops:
+                i = idx.get(c)
+                if i is None:
+                    continue
+                st = rg.column(i).statistics
+                if st is None or not st.has_min_max:
+                    continue
+                lo = _stat_to_micros(st.min)
+                hi = _stat_to_micros(st.max)
+                if lo is None or hi is None:
+                    continue
+                lo, hi = lo - SLACK, hi + SLACK
+                if (
+                    (op == ">=" and hi < v)
+                    or (op == ">" and hi <= v)
+                    or (op == "<" and lo >= v)
+                    or (op == "<=" and lo > v)
+                    or (op == "=" and not (lo <= v <= hi))
+                ):
+                    group_ok = False
+                    break
+            if group_ok:
+                survives = True
+                break
+        if survives:
+            keep.append(f)
+    if not keep:
+        # Spark cannot read zero paths; one file + the pushed predicate
+        # yields the correct empty result.
+        keep = files[:1]
+    return keep if len(keep) < len(files) else None
+
+
 def read_table(
     spark: SparkSession,
     sf_dir: str,
@@ -115,14 +255,54 @@ def read_table(
     for hot filter columns: a predicate applied *after* ``read_table``
     still answers correctly on every layout (round-8 invariance certs),
     but on a nanos- or DECIMAL-written corpus it sits above a conversion
-    expression that Catalyst cannot translate into ``PushedFilters``, so
-    parquet row-group pruning is lost -- invisible at sf0.01, a
-    full-scan at 100 TB. Queries whose hot path slices a canonical
-    date/money column pass ``bounds`` instead
+    expression that Catalyst cannot translate into ``PushedFilters`` --
+    invisible at sf0.01, a full-scan at 100 TB. Queries whose hot path
+    slices a canonical date/money column pass ``bounds`` instead
     (``tests/test_plan_shapes.py`` pins PushedFilters on all three
     physical layouts).
+
+    What the handshake actually buys, MEASURED per physical type
+    (round-10, tools/rowgroup_pruning_probe.py -- ``PushedFilters`` is
+    necessary but NOT sufficient; the parquet-level conversion can
+    silently decline):
+
+    - DECIMAL money: bounds delivers real row-group pruning (6.7x fewer
+      scan rows on the probe corpus); the post-filter form reads all.
+    - double/long/int: both forms prune (Catalyst pushes the bare
+      comparison either way).
+    - isAdjustedToUTC µs/ms timestamps: both forms prune.
+    - NTZ µs/ms (the DRIVER CORPUS encoding) and NANOS timestamps:
+      parquet DECLINES the row filter regardless of bounds -- so for
+      bounded canonical timestamp columns on MULTI-FILE tables,
+      ``read_table`` additionally FILE-prunes from footer statistics
+      (:func:`_prune_files_for_ts_bounds`): at 100 TB the table is
+      thousands of part files and the file is the recoverable unit.
+      Conservative: stats-less files are kept, non-UTC sessions and
+      single-file tables skip the pass.
     """
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    src = f"{sf_dir}/{name}.parquet"
+    ts_cols = set(TIMESTAMP_COLUMNS.get(name, ()))
+    # Parse the bounds spec once: {col: [(op, value), ...]}.
+    preds_by_col: dict[str, list] = {}
+    for c, spec in (bounds or {}).items():
+        if spec and isinstance(spec[0], (tuple, list)):
+            preds_by_col[c] = [(op, v) for op, v in spec]
+        else:
+            lo, hi = spec
+            preds_by_col[c] = []
+            if lo is not None:
+                preds_by_col[c].append((">=", lo))
+            if hi is not None:
+                preds_by_col[c].append(("<", hi))
+    # FILE-level pruning for bounded canonical timestamp columns: Spark's
+    # parquet reader declines the row-group filter on NTZ/NANOS-encoded
+    # files (see _prune_files_for_ts_bounds), so the footer pass here is
+    # the only scan pruning those layouts get.
+    pruned = None
+    ts_preds = {c: p for c, p in preds_by_col.items() if c in ts_cols}
+    if ts_preds:
+        pruned = _prune_files_for_ts_bounds(spark, src, name, ts_preds)
+    df = spark.read.parquet(*pruned) if pruned else spark.read.parquet(src)
     # Canonical name-case normalization: column-name CASE is a writer
     # choice (an Oracle/Snowflake-bred exporter upper-cases every
     # identifier). Spark RESOLVES references case-insensitively but
@@ -150,7 +330,6 @@ def read_table(
             )
         df = df.toDF(*lower)
     dtypes = dict(df.dtypes)
-    ts_cols = set(TIMESTAMP_COLUMNS.get(name, ()))
     _OPS = {
         ">=": Column.__ge__,
         ">": Column.__gt__,
@@ -158,19 +337,10 @@ def read_table(
         "<=": Column.__le__,
         "=": Column.__eq__,
     }
-    for c, spec in (bounds or {}).items():
+    for c, preds in preds_by_col.items():
         dtype = dtypes.get(c)
         if dtype is None:
             raise KeyError(f"bounds column {c!r} not in {name} ({dtypes})")
-        if spec and isinstance(spec[0], (tuple, list)):
-            preds = [(op, v) for op, v in spec]
-        else:
-            lo, hi = spec
-            preds = []
-            if lo is not None:
-                preds.append((">=", lo))
-            if hi is not None:
-                preds.append(("<", hi))
         for op, value in preds:
             if c in ts_cols and dtype == "bigint":
                 # LONG-nanos physical layout: compare in the nanos

@@ -909,3 +909,105 @@ def test_bounds_session_tz_coherent_on_nanos_layout(
         "test window not discriminating: +14 and UTC selected the same "
         f"rows ({k_bounded})"
     )
+
+
+@pytest.fixture(scope="module")
+def date_split_table_dirs(sf_dir, tmp_path_factory):
+    """8 date-ordered part files per layout -- the natural ingest-by-day
+    multi-file layout file-level pruning exists for."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = pq.read_table(f"{sf_dir}/lineitem.parquet").sort_by("l_shipdate")
+    n = src.num_rows
+    out = {}
+    for variant, typ in (("ntz", None), ("nanos", pa.timestamp("ns"))):
+        d = str(tmp_path_factory.mktemp(f"datesplit_{variant}"))
+        tdir = os.path.join(d, "lineitem.parquet")
+        os.makedirs(tdir)
+        t = src
+        if typ is not None:
+            i = t.column_names.index("l_shipdate")
+            t = t.set_column(i, "l_shipdate", t.column("l_shipdate").cast(typ))
+        cut = [round(k * n / 8) for k in range(9)]
+        for k in range(8):
+            pq.write_table(
+                t.slice(cut[k], cut[k + 1] - cut[k]),
+                os.path.join(tdir, f"part-{k}.parquet"),
+            )
+        out[variant] = d
+    return out
+
+
+def test_bounds_file_level_pruning_on_unprunable_encodings(
+    spark, date_split_table_dirs
+):
+    """Round-10 found-and-fixed (tools/rowgroup_pruning_probe.py): Spark's
+    parquet reader converts pushed timestamp predicates into row-group
+    filters ONLY for isAdjustedToUTC µs/ms columns -- on the driver
+    corpus's NTZ encoding and on the NANOS layout, PushedFilters lists
+    the predicate but every row group is read. read_table(bounds=...)
+    therefore FILE-prunes multi-file tables from footer stats (the same
+    min/max the row-group filter would have used). Pin: on an 8-file
+    date-ordered corpus, a half-year slice reads a strict subset of the
+    files and returns exactly the post-filter rows; a no-match slice
+    returns an empty frame."""
+    from tools.rowgroup_pruning_probe import scan_rows
+
+    lo, hi = "1996-01-01", "1996-07-01"
+    for variant, d in date_split_table_dirs.items():
+        bnd = read_table(spark, d, "lineitem", bounds={"l_shipdate": (lo, hi)})
+        post = read_table(spark, d, "lineitem").filter(
+            (F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi)
+        )
+        total = post.count()
+        # the scan-level metric: rows actually READ. The post-filter form
+        # reads the whole corpus on these encodings (parquet declines the
+        # row filter); the bounded form reads only the surviving files.
+        read_post, read_bnd = scan_rows(post), scan_rows(bnd)
+        assert read_bnd < read_post, (variant, read_bnd, read_post)
+        assert read_bnd <= read_post // 2, (variant, read_bnd, read_post)
+        assert bnd.count() == total, variant
+        empty = read_table(
+            spark, d, "lineitem", bounds={"l_shipdate": ("2035-01-01", None)}
+        )
+        assert empty.count() == 0, variant
+
+
+def test_bounds_file_pruning_is_conservative(spark, sf_dir, tmp_path):
+    """Files whose footer stats are missing for the bounded column must
+    be KEPT (pruning may only drop files that provably cannot match),
+    and single-file tables bypass the footer pass entirely."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = pq.read_table(f"{sf_dir}/events.parquet")
+    d = str(tmp_path)
+    tdir = os.path.join(d, "events.parquet")
+    os.makedirs(tdir)
+    half = src.num_rows // 2
+    pq.write_table(src.slice(0, half), os.path.join(tdir, "part-0.parquet"))
+    # second file: ts all NULL -> no min/max stats for the bounded column
+    t = src.slice(half)
+    i = t.column_names.index("ts")
+    t = t.set_column(i, "ts", pa.nulls(t.num_rows, pa.timestamp("us")))
+    pq.write_table(t, os.path.join(tdir, "part-1.parquet"))
+
+    from iot_data_pipeline_spark.sources.readers import _prune_files_for_ts_bounds
+
+    pruned = _prune_files_for_ts_bounds(
+        spark, tdir, "events", {"ts": [("<", "2035-01-01")]}
+    )
+    assert pruned is None, "stats-less file kept -> nothing prunable -> full read"
+    bnd = read_table(spark, d, "events", bounds={"ts": (("<", "2035-01-01"),)})
+    assert bnd.count() == half  # NULL ts rows fail the predicate itself
+
+    # single-file table: the footer pass is bypassed entirely
+    single = _prune_files_for_ts_bounds(
+        spark, f"{sf_dir}/events.parquet", "events", {"ts": [("<", "2035-01-01")]}
+    )
+    assert single is None
