@@ -120,6 +120,54 @@ def _literal_to_micros(value: str) -> int | None:
     return None
 
 
+def _ts_file_survives(path: str, ops: list[tuple[str, str, int]]) -> bool:
+    """One file's keep-decision for :func:`_prune_files_for_ts_bounds`
+    (module-level and self-importing so it ships to executors when the
+    footer pass is distributed). Conservative: unreadable footers,
+    missing columns, and stats-less row groups all KEEP the file; stats
+    are widened 1ms each side against sub-unit truncation."""
+    import pyarrow.parquet as pq
+
+    SLACK = 1_000  # 1ms in micros
+    try:
+        md = pq.ParquetFile(path).metadata
+        # lowercase: the footer carries the writer's spelling (the
+        # --upper layout), canonical names are lowercase
+        idx = {
+            md.row_group(0).column(i).path_in_schema.lower(): i
+            for i in range(md.row_group(0).num_columns)
+        }
+    except Exception:  # noqa: BLE001 -- unreadable footer: keep
+        return True
+    for g in range(md.num_row_groups):
+        rg = md.row_group(g)
+        group_ok = True
+        for c, op, v in ops:
+            i = idx.get(c)
+            if i is None:
+                continue
+            st = rg.column(i).statistics
+            if st is None or not st.has_min_max:
+                continue
+            lo = _stat_to_micros(st.min)
+            hi = _stat_to_micros(st.max)
+            if lo is None or hi is None:
+                continue
+            lo, hi = lo - SLACK, hi + SLACK
+            if (
+                (op == ">=" and hi < v)
+                or (op == ">" and hi <= v)
+                or (op == "<" and lo >= v)
+                or (op == "<=" and lo > v)
+                or (op == "=" and not (lo <= v <= hi))
+            ):
+                group_ok = False
+                break
+        if group_ok:
+            return True
+    return False
+
+
 def _prune_files_for_ts_bounds(
     spark: SparkSession, src: str, name: str, preds_by_col: dict[str, list]
 ) -> list[str] | None:
@@ -169,52 +217,20 @@ def _prune_files_for_ts_bounds(
                 ops.append((c, op, micros))
     if not ops:
         return None
-    import pyarrow.parquet as pq
-
-    SLACK = 1_000  # 1ms in micros
-    keep: list[str] = []
-    for f in files:
-        try:
-            md = pq.ParquetFile(f).metadata
-            # lowercase: the footer carries the writer's spelling (the
-            # --upper layout), canonical names are lowercase
-            idx = {
-                md.row_group(0).column(i).path_in_schema.lower(): i
-                for i in range(md.row_group(0).num_columns)
-            }
-        except Exception:  # noqa: BLE001 -- unreadable footer: keep
-            keep.append(f)
-            continue
-        survives = False
-        for g in range(md.num_row_groups):
-            rg = md.row_group(g)
-            group_ok = True
-            for c, op, v in ops:
-                i = idx.get(c)
-                if i is None:
-                    continue
-                st = rg.column(i).statistics
-                if st is None or not st.has_min_max:
-                    continue
-                lo = _stat_to_micros(st.min)
-                hi = _stat_to_micros(st.max)
-                if lo is None or hi is None:
-                    continue
-                lo, hi = lo - SLACK, hi + SLACK
-                if (
-                    (op == ">=" and hi < v)
-                    or (op == ">" and hi <= v)
-                    or (op == "<" and lo >= v)
-                    or (op == "<=" and lo > v)
-                    or (op == "=" and not (lo <= v <= hi))
-                ):
-                    group_ok = False
-                    break
-            if group_ok:
-                survives = True
-                break
-        if survives:
-            keep.append(f)
+    # The footer pass is metadata-only but linear in file count: beyond
+    # a threshold, distribute it over the executors (the same move
+    # Spark's own mergeSchema makes) -- at 100 TB the table is thousands
+    # of part files and a driver-side loop becomes the bottleneck the
+    # pruning exists to remove.
+    if len(files) > 64:
+        flags = (
+            spark.sparkContext.parallelize(files, 32)
+            .map(lambda p: (p, _ts_file_survives(p, ops)))
+            .collect()
+        )
+        keep = [p for p, ok in sorted(flags) if ok]
+    else:
+        keep = [f for f in files if _ts_file_survives(f, ops)]
     if not keep:
         # Spark cannot read zero paths; one file + the pushed predicate
         # yields the correct empty result.

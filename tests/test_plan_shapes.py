@@ -1011,3 +1011,35 @@ def test_bounds_file_pruning_is_conservative(spark, sf_dir, tmp_path):
         spark, f"{sf_dir}/events.parquet", "events", {"ts": [("<", "2035-01-01")]}
     )
     assert single is None
+
+
+def test_bounds_file_pruning_distributed_path(spark, sf_dir, tmp_path):
+    """Above 64 part files the footer pass distributes over the
+    executors (a driver-side loop over thousands of footers would be the
+    bottleneck the pruning exists to remove). 80-file date-ordered
+    corpus: the same slice, the same exact rows, a strict file subset."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from tools.rowgroup_pruning_probe import scan_rows
+
+    src = pq.read_table(f"{sf_dir}/events.parquet").sort_by("ts")
+    n = src.num_rows
+    d = str(tmp_path)
+    tdir = os.path.join(d, "events.parquet")
+    os.makedirs(tdir)
+    cut = [round(k * n / 80) for k in range(81)]
+    for k in range(80):
+        pq.write_table(
+            src.slice(cut[k], cut[k + 1] - cut[k]),
+            os.path.join(tdir, f"part-{k:03d}.parquet"),
+        )
+    lo, hi = "2024-01-10", "2024-01-12"
+    bnd = read_table(spark, d, "events", bounds={"ts": (lo, hi)})
+    post = read_table(spark, d, "events").filter(
+        (F.col("ts") >= lo) & (F.col("ts") < hi)
+    )
+    assert bnd.count() == post.count()
+    read_bnd, read_post = scan_rows(bnd), scan_rows(post)
+    assert read_bnd < read_post // 4, (read_bnd, read_post)
