@@ -24,7 +24,12 @@ from iot_data_pipeline_spark.functions.hashing import PORTABLE_MOD, portable_has
 #: observation names must be unique per query; a query composing
 #: exact_dedup twice would otherwise collide (module counter, not a
 #: timestamp: plan text stays deterministic for plan-shape tests).
-_OBS_SEQ = 0
+#: itertools.count: next() is atomic in CPython, so concurrent query
+#: construction from threads cannot mint duplicate names (round-10
+#: ADVICE -- the bare ``+= 1`` global could race).
+import itertools as _itertools
+
+_OBS_SEQ = _itertools.count(1)
 
 
 def exact_dedup(df: DataFrame, content_cols: list[str], id_col: str) -> DataFrame:
@@ -56,12 +61,11 @@ def exact_dedup(df: DataFrame, content_cols: list[str], id_col: str) -> DataFram
     ``QueryExecutionListener``/``StreamingQueryListener`` observed
     metrics, the standard data-quality channel.
     """
-    global _OBS_SEQ
-    _OBS_SEQ += 1
+    obs_id = next(_OBS_SEQ)
     digest = F.sha2(F.concat_ws("\x1f", *content_cols), 256)
     return (
         df.observe(
-            f"exact_dedup_contract_{_OBS_SEQ}",
+            f"exact_dedup_contract_{obs_id}",
             F.sum(F.col(id_col).isNull().cast("bigint")).alias("null_id_rows"),
         )
         .filter(F.col(id_col).isNotNull())

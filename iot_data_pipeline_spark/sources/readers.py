@@ -120,17 +120,127 @@ def _literal_to_micros(value: str) -> int | None:
     return None
 
 
-def _ts_file_survives(path: str, ops: list[tuple[str, str, int]]) -> bool:
+#: Session-timezone spellings equivalent to UTC. The footer-pruning pass
+#: parses bound literals as UTC wall time, so it must only run when the
+#: session resolves literals the same way -- but gating on the exact
+#: string "UTC" (the round-10 shape) silently forfeited ALL file-level
+#: pruning for sessions pinned to an equivalent zone ("Etc/UTC", "GMT",
+#: "+00:00"), a quiet 100 TB perf cliff (round-10 ADVICE). Explicit
+#: aliases plus the fixed-zero-offset pattern; region zones that merely
+#: OBSERVE UTC today (Africa/Abidjan) stay conservative -- their rules
+#: can carry historical offsets the stats era may straddle.
+_UTC_EQUIVALENT = frozenset(
+    {
+        "UTC",
+        "GMT",
+        "GMT0",
+        "Etc/UTC",
+        "Etc/GMT",
+        "Etc/GMT0",
+        "Etc/GMT+0",
+        "Etc/GMT-0",
+        "Etc/UCT",
+        "Etc/Universal",
+        "Etc/Greenwich",
+        "Etc/Zulu",
+        "UCT",
+        "Universal",
+        "Greenwich",
+        "Zulu",
+        "Z",
+    }
+)
+
+
+def _session_tz_is_utc(tz: str) -> bool:
+    import re
+
+    if tz in _UTC_EQUIVALENT:
+        return True
+    # fixed zero offsets: "+00:00", "-00", "UTC+0", "GMT+00:00:00"
+    return bool(re.fullmatch(r"(?:UTC|GMT)?[+-]0{1,2}(?::?00){0,2}", tz))
+
+
+def _pafs_for(uri: str):
+    """Resolve a table URI/path to ``(pyarrow FileSystem, fs-local path)``,
+    or ``(None, None)`` for schemes pyarrow cannot handle (a Spark-only
+    scheme like ``viewfs://`` skips footer passes conservatively). The
+    returned filesystem objects are picklable (pyarrow contract), so
+    distributed footer passes ship them to executors directly."""
+    from pyarrow import fs as pafs
+
+    if "://" not in uri:
+        return pafs.LocalFileSystem(), uri
+    try:
+        return pafs.FileSystem.from_uri(uri)
+    except Exception:  # noqa: BLE001 -- unknown scheme: no footer access
+        return None, None
+
+
+def _respell(uri: str, fs_path: str) -> str:
+    """Map an fs-local path back to the caller's URI spelling so Spark
+    reads through the same scheme the table was named with."""
+    if "://" not in uri:
+        return fs_path
+    scheme = uri.split("://", 1)[0]
+    return f"{scheme}://{fs_path.lstrip('/') if scheme != 'file' else fs_path}"
+
+
+def _list_parquet_files(fs, root: str) -> list[str] | None:
+    """Recursive parquet listing under ``root`` (fs-local paths), skipping
+    any path segment Spark's own listing hides (leading ``_`` or ``.`` --
+    ``_SUCCESS``, ``_temporary``, checksum files): the pruner must never
+    hand Spark a file its directory scan would not have read. Returns
+    None when ``root`` is not a listable directory."""
+    from pyarrow import fs as pafs
+
+    try:
+        info = fs.get_file_info(root)
+        if info.type == pafs.FileType.File:
+            return [root]  # bare-file table: one-element listing
+        if info.type != pafs.FileType.Directory:
+            return None
+        entries = fs.get_file_info(pafs.FileSelector(root, recursive=True))
+    except Exception:  # noqa: BLE001 -- unlistable: no pruning
+        return None
+    base = root.rstrip("/")
+    files = []
+    for e in entries:
+        if e.type != pafs.FileType.File or not e.path.endswith(".parquet"):
+            continue
+        rel = e.path[len(base) :].lstrip("/")
+        if any(seg.startswith(("_", ".")) for seg in rel.split("/")):
+            continue
+        files.append(e.path)
+    return sorted(files)
+
+
+def _ts_file_survives(
+    path: str, ops: list[tuple[str, str, int]], fs=None
+) -> bool:
     """One file's keep-decision for :func:`_prune_files_for_ts_bounds`
     (module-level and self-importing so it ships to executors when the
-    footer pass is distributed). Conservative: unreadable footers,
+    footer pass is distributed; ``fs`` is a picklable pyarrow filesystem,
+    None for plain local paths). Conservative: unreadable footers,
     missing columns, and stats-less row groups all KEEP the file; stats
     are widened 1ms each side against sub-unit truncation."""
     import pyarrow.parquet as pq
 
+    try:
+        if fs is not None:
+            md = pq.ParquetFile(path, filesystem=fs).metadata
+        else:
+            md = pq.ParquetFile(path).metadata
+    except Exception:  # noqa: BLE001 -- unreadable footer: keep
+        return True
+    return _md_survives(md, ops)
+
+
+def _md_survives(md, ops: list[tuple[str, str, int]]) -> bool:
+    """Keep-decision from an already-open parquet footer (shared by the
+    pruner and the evolving reader's single fingerprint+prune pass)."""
     SLACK = 1_000  # 1ms in micros
     try:
-        md = pq.ParquetFile(path).metadata
         # lowercase: the footer carries the writer's spelling (the
         # --upper layout), canonical names are lowercase
         idx = {
@@ -186,27 +296,35 @@ def _prune_files_for_ts_bounds(
     used) and hand Spark only the files whose range can intersect the
     bounds. Conservative by construction: any file whose stats are
     missing/unconvertible is kept; non-UTC sessions skip pruning
-    entirely (literals here are parsed in the contract's UTC);
-    single-file tables are returned as-is (nothing to prune).
-    Stats are widened by 1ms each side against sub-unit truncation
-    (pruning must never drop a matching file; a kept extra file only
-    costs what the scan already cost).
-    """
-    import os
+    entirely (literals here are parsed in the contract's UTC; since
+    round 11 UTC is matched by zone EQUIVALENCE -- "Etc/UTC"/"GMT"/
+    "+00:00" sessions prune too, round-10 ADVICE); single-file tables
+    are returned as-is (nothing to prune). Stats are widened by 1ms
+    each side against sub-unit truncation (pruning must never drop a
+    matching file; a kept extra file only costs what the scan already
+    cost).
 
-    if "://" in src and not src.startswith("file://"):
+    Since round 11 the pass goes through ``pyarrow.fs`` (round-10
+    verdict item 1): any URI ``pyarrow.fs.FileSystem.from_uri``
+    resolves (``s3://``, ``gs://``, ``file://``...) reads the same
+    footers remotely, and the listing is RECURSIVE with Spark's
+    hidden-file rules (``_``/``.`` path segments skipped), so
+    partitioned/nested layouts prune too -- at the 100 TB design point
+    the table IS a partitioned object-store prefix, exactly where the
+    round-10 local-only pass vanished. Spark-only schemes pyarrow
+    cannot resolve (``viewfs://``) still skip conservatively. Callers
+    must read the returned explicit file list with ``basePath=src`` so
+    Spark keeps inferring partition columns from the pruned paths.
+    """
+    if not _session_tz_is_utc(
+        spark.conf.get("spark.sql.session.timeZone", "")
+    ):
         return None
-    if spark.conf.get("spark.sql.session.timeZone", "") != "UTC":
+    fs, root = _pafs_for(src)
+    if fs is None:
         return None
-    root = src.removeprefix("file://")
-    if not os.path.isdir(root):
-        return None
-    files = sorted(
-        os.path.join(root, fn)
-        for fn in os.listdir(root)
-        if fn.endswith(".parquet")
-    )
-    if len(files) < 2:
+    files = _list_parquet_files(fs, root)
+    if files is None or len(files) < 2:
         return None
     # (op, micros) per column; unconvertible literals drop the predicate
     ops: list[tuple[str, str, int]] = []
@@ -221,21 +339,89 @@ def _prune_files_for_ts_bounds(
     # a threshold, distribute it over the executors (the same move
     # Spark's own mergeSchema makes) -- at 100 TB the table is thousands
     # of part files and a driver-side loop becomes the bottleneck the
-    # pruning exists to remove.
+    # pruning exists to remove. pyarrow filesystems are picklable, so
+    # the same handle ships to the executors.
     if len(files) > 64:
         flags = (
             spark.sparkContext.parallelize(files, 32)
-            .map(lambda p: (p, _ts_file_survives(p, ops)))
+            .map(lambda p: (p, _ts_file_survives(p, ops, fs)))
             .collect()
         )
         keep = [p for p, ok in sorted(flags) if ok]
     else:
-        keep = [f for f in files if _ts_file_survives(f, ops)]
+        keep = [f for f in files if _ts_file_survives(f, ops, fs)]
     if not keep:
         # Spark cannot read zero paths; one file + the pushed predicate
         # yields the correct empty result.
         keep = files[:1]
-    return keep if len(keep) < len(files) else None
+    if len(keep) == len(files):
+        return None
+    return [_respell(src, p) for p in keep]
+
+
+_OPS = {
+    ">=": Column.__ge__,
+    ">": Column.__gt__,
+    "<": Column.__lt__,
+    "<=": Column.__le__,
+    "=": Column.__eq__,
+}
+
+
+def _parse_bounds(bounds: dict[str, tuple] | None) -> dict[str, list]:
+    """Normalize the public ``bounds`` spec (``(lo, hi)`` half-open range
+    or ``((op, value), ...)``) to ``{col: [(op, value), ...]}``."""
+    preds_by_col: dict[str, list] = {}
+    for c, spec in (bounds or {}).items():
+        if spec and isinstance(spec[0], (tuple, list)):
+            preds_by_col[c] = [(op, v) for op, v in spec]
+        else:
+            lo, hi = spec
+            preds_by_col[c] = []
+            if lo is not None:
+                preds_by_col[c].append((">=", lo))
+            if hi is not None:
+                preds_by_col[c].append(("<", hi))
+    return preds_by_col
+
+
+def _apply_bounds(
+    df: DataFrame,
+    preds_by_col: dict[str, list],
+    *,
+    nanos_cols: frozenset[str] | set[str] = frozenset(),
+) -> DataFrame:
+    """Apply parsed bounds on RAW scan columns as bare
+    attribute-vs-literal comparisons (the pushdown-preserving shape).
+    ``nanos_cols`` are columns that, when they surface as BIGINT, carry
+    nanos-since-epoch and compare against a nanos literal; every other
+    column gets a typed literal cast that folds at optimize time.
+    Column names resolve case-insensitively (writer spelling varies;
+    bounds keys are the contract's lowercase)."""
+    actual = {c.lower(): c for c in df.columns}
+    dtypes = {c.lower(): t for c, t in df.dtypes}
+    for c, preds in preds_by_col.items():
+        key = c.lower()
+        src_col = actual.get(key)
+        if src_col is None:
+            raise KeyError(f"bounds column {c!r} not in {list(df.columns)}")
+        dtype = dtypes[key]
+        for op, value in preds:
+            if key in nanos_cols and dtype == "bigint":
+                # LONG-nanos physical layout: compare in the nanos
+                # domain so the predicate stays a bare
+                # attribute-vs-literal comparison the parquet source
+                # can prune row groups with (folds to a bigint literal
+                # at optimize time, in the session timezone).
+                lit = _nanos_bound_literal(value)
+            else:
+                # Typed literal on the raw column (timestamp_ntz,
+                # timestamp, decimal, double...). The cast folds to a
+                # literal at optimization time, so the predicate pushes
+                # down unchanged.
+                lit = F.lit(value).cast(dtype)
+            df = df.filter(_OPS[op](F.col(src_col), lit))
+    return df
 
 
 def read_table(
@@ -298,18 +484,7 @@ def read_table(
     """
     src = f"{sf_dir}/{name}.parquet"
     ts_cols = set(TIMESTAMP_COLUMNS.get(name, ()))
-    # Parse the bounds spec once: {col: [(op, value), ...]}.
-    preds_by_col: dict[str, list] = {}
-    for c, spec in (bounds or {}).items():
-        if spec and isinstance(spec[0], (tuple, list)):
-            preds_by_col[c] = [(op, v) for op, v in spec]
-        else:
-            lo, hi = spec
-            preds_by_col[c] = []
-            if lo is not None:
-                preds_by_col[c].append((">=", lo))
-            if hi is not None:
-                preds_by_col[c].append(("<", hi))
+    preds_by_col = _parse_bounds(bounds)
     # FILE-level pruning for bounded canonical timestamp columns: Spark's
     # parquet reader declines the row-group filter on NTZ/NANOS-encoded
     # files (see _prune_files_for_ts_bounds), so the footer pass here is
@@ -318,7 +493,13 @@ def read_table(
     ts_preds = {c: p for c, p in preds_by_col.items() if c in ts_cols}
     if ts_preds:
         pruned = _prune_files_for_ts_bounds(spark, src, name, ts_preds)
-    df = spark.read.parquet(*pruned) if pruned else spark.read.parquet(src)
+    if pruned:
+        # basePath: the pruned list is explicit leaf files; without the
+        # table root Spark would stop inferring partition columns from
+        # the directory names (silent column loss on partitioned layouts).
+        df = spark.read.option("basePath", src).parquet(*pruned)
+    else:
+        df = spark.read.parquet(src)
     # Canonical name-case normalization: column-name CASE is a writer
     # choice (an Oracle/Snowflake-bred exporter upper-cases every
     # identifier). Spark RESOLVES references case-insensitively but
@@ -346,32 +527,7 @@ def read_table(
             )
         df = df.toDF(*lower)
     dtypes = dict(df.dtypes)
-    _OPS = {
-        ">=": Column.__ge__,
-        ">": Column.__gt__,
-        "<": Column.__lt__,
-        "<=": Column.__le__,
-        "=": Column.__eq__,
-    }
-    for c, preds in preds_by_col.items():
-        dtype = dtypes.get(c)
-        if dtype is None:
-            raise KeyError(f"bounds column {c!r} not in {name} ({dtypes})")
-        for op, value in preds:
-            if c in ts_cols and dtype == "bigint":
-                # LONG-nanos physical layout: compare in the nanos
-                # domain so the predicate stays a bare
-                # attribute-vs-literal comparison the parquet source
-                # can prune row groups with (folds to a bigint literal
-                # at optimize time, in the session timezone).
-                lit = _nanos_bound_literal(value)
-            else:
-                # Typed literal on the raw column (timestamp_ntz,
-                # timestamp, decimal, double...). The cast folds to a
-                # literal at optimization time, so the predicate pushes
-                # down unchanged.
-                lit = F.lit(value).cast(dtype)
-            df = df.filter(_OPS[op](F.col(c), lit))
+    df = _apply_bounds(df, preds_by_col, nanos_cols=ts_cols)
     for c in ts_cols:
         dtype = dtypes.get(c)
         if dtype == "bigint":
@@ -564,6 +720,8 @@ def read_parquet_evolving(
     spark: SparkSession,
     path: str,
     target_schema: T.StructType,
+    *,
+    bounds: dict[str, tuple] | None = None,
 ) -> DataFrame:
     """Schema-evolution read with contract enforcement: merge the footers
     of every file generation under ``path`` (``mergeSchema`` -- columns
@@ -595,15 +753,122 @@ def read_parquet_evolving(
     parquet TIMESTAMP(NANOS) column arrives in Spark as bare BIGINT, but
     the arrow footer says ``timestamp[ns]``, so the fallback converts
     nanos -> timestamp exactly (integer div) instead of misreading the
-    longs as seconds.
+    longs as seconds. Since round 11 the MERGED path runs the same
+    detection (round-10 ADVICE: a HOMOGENEOUS nanos lake merges fine --
+    every footer surfaces the same BIGINT -- and was still seconds-cast):
+    any contract timestamp column that merged as BIGINT gets a footer
+    probe; all-``timestamp[ns]`` converts exactly, a ns/int64 MIX across
+    files raises (per-file semantics differ -- unrecoverable ambiguity,
+    fail loud over guessing).
+
+    ``bounds`` -- optional, the :func:`read_table` spec, applied on the
+    RAW columns of every generation BEFORE contract alignment so the
+    predicates reach ``PushedFilters`` in each Union branch (a filter
+    above the alignment casts would not translate). In the
+    schema-group fallback the same bound additionally FILE-prunes each
+    generation from footer stats on the one metadata pass the grouping
+    already makes (UTC-equivalent sessions, string literals -- the
+    :func:`_prune_files_for_ts_bounds` contract); a generation written
+    BEFORE the bounded column existed contributes nothing (its rows
+    would be NULL-backfilled, and a range predicate on NULL keeps no
+    row), enforced post-alignment.
+
+    Since round 11 both paths route listing and footer reads through
+    ``pyarrow.fs``: object-store lakes (``s3://``...) get the identical
+    evolution/bounds treatment; Spark-only schemes pyarrow cannot
+    resolve raise (fallback) or fail loud on ambiguity (merged path)
+    rather than silently corrupting.
     """
+    preds_by_col = _parse_bounds(bounds)
     try:
         df = spark.read.option("mergeSchema", "true").parquet(path)
     except Exception as e:  # noqa: BLE001
         if "CANNOT_MERGE_SCHEMAS" not in str(e):
             raise
-        return _read_evolving_by_schema_group(spark, path, target_schema)
-    return _align_to_contract(df, target_schema, nanos_cols=frozenset())
+        return _read_evolving_by_schema_group(
+            spark, path, target_schema, preds_by_col
+        )
+    nanos = _merged_bigint_ts_nanos_cols(spark, path, df, target_schema)
+    if preds_by_col:
+        df = _apply_bounds(df, preds_by_col, nanos_cols=nanos)
+    return _align_to_contract(df, target_schema, nanos_cols=nanos)
+
+
+def _footer_probes(
+    spark: SparkSession, fs, files: list[str], ops: list[tuple[str, str, int]]
+) -> list[tuple[str, tuple[tuple[str, str], ...], bool]]:
+    """One metadata-only pass over every footer: ``(path, arrow-type
+    fingerprint, survives-bounds)`` per file. Distributed over the
+    executors above 64 files (pyarrow filesystems are picklable); footer
+    read errors PROPAGATE here -- unlike the best-effort pruner, the
+    evolving reader is about to read these files, so an unreadable
+    footer is the job's failure, not a keep-decision."""
+
+    def probe(p: str) -> tuple[str, tuple[tuple[str, str], ...], bool]:
+        import pyarrow.parquet as pq
+
+        pf = pq.ParquetFile(p, filesystem=fs)
+        types = tuple((f.name, str(f.type)) for f in pf.schema_arrow)
+        survives = _md_survives(pf.metadata, ops) if ops else True
+        return p, types, survives
+
+    if len(files) > 64:
+        return (
+            spark.sparkContext.parallelize(files, 32).map(probe).collect()
+        )
+    return [probe(p) for p in files]
+
+
+def _merged_bigint_ts_nanos_cols(
+    spark: SparkSession, path: str, df: DataFrame, target_schema: T.StructType
+) -> frozenset[str]:
+    """Round-10 ADVICE fix for the merged (mergeSchema-success) path: a
+    homogeneous TIMESTAMP(NANOS) lake surfaces every footer as the SAME
+    BIGINT under ``nanosAsLong``, so the merge succeeds -- and the plain
+    contract cast then misreads nanos as SECONDS (silent near-epoch
+    corruption; ANSI only catches modern values by overflow). Detect:
+    for each contract timestamp column whose merged dtype is bigint,
+    probe the footers. All ``timestamp[ns]`` -> exact integer-div
+    conversion; a ns/int64 MIX -> ValueError (per-file semantics differ,
+    no cast is right for both); all plain int64 -> the documented
+    seconds-cast contract stands. Zero cost for lakes without a
+    bigint-surfaced timestamp column (the common case: no footer pass
+    runs at all)."""
+    dtypes = {c.lower(): t for c, t in df.dtypes}
+    suspects = [
+        f.name.lower()
+        for f in target_schema.fields
+        if isinstance(f.dataType, (T.TimestampType, T.TimestampNTZType))
+        and dtypes.get(f.name.lower()) == "bigint"
+    ]
+    if not suspects:
+        return frozenset()
+    fs, root = _pafs_for(path)
+    files = _list_parquet_files(fs, root) if fs is not None else None
+    if not files:
+        raise NotImplementedError(
+            f"contract timestamp column(s) {suspects} surfaced as BIGINT "
+            f"but the footers of {path!r} are not reachable via pyarrow.fs "
+            "to disambiguate nanos vs plain int64; refusing the silent "
+            "seconds-cast"
+        )
+    probes = _footer_probes(spark, fs, files, ops=[])
+    nanos: set[str] = set()
+    for col in suspects:
+        seen = {
+            t for _p, types, _s in probes for n, t in types if n.lower() == col
+        }
+        ns = {t for t in seen if t.startswith("timestamp[ns")}
+        others = seen - ns
+        if ns and others:
+            raise ValueError(
+                f"column {col!r} under {path!r} is timestamp[ns] in some "
+                f"files and {sorted(others)} in others; per-file semantics "
+                "differ -- no single cast is correct, split the lake"
+            )
+        if ns:
+            nanos.add(col)
+    return frozenset(nanos)
 
 
 def _align_to_contract(
@@ -633,54 +898,78 @@ def _align_to_contract(
 
 
 def _read_evolving_by_schema_group(
-    spark: SparkSession, path: str, target_schema: T.StructType
+    spark: SparkSession,
+    path: str,
+    target_schema: T.StructType,
+    preds_by_col: dict[str, list] | None = None,
 ) -> DataFrame:
     """CANNOT_MERGE_SCHEMAS fallback: one aligned scan per distinct
     footer schema, unioned. Footer fingerprinting is distributed over
     the executors (metadata-only -- pyarrow reads the footer, never row
-    groups); the driver collects one (fingerprint, type-map) row per
-    FILE, bounded state, and groups. Local filesystem paths only in this
-    build -- object stores would route the same listing through their
-    pyarrow filesystem."""
-    import os
-
-    if "://" in path and not path.startswith("file://"):
+    groups); the driver collects one (fingerprint, type-map, survives)
+    row per FILE, bounded state, and groups. Routed through
+    ``pyarrow.fs`` since round 11 (object-store lakes included); each
+    group reads with ``basePath`` so PARTITION columns keep being
+    inferred from the explicit leaf paths (round-10 ADVICE: a
+    partitioned evolving lake silently NULL-backfilled its partition
+    keys). ``preds_by_col`` (parsed bounds) additionally file-prunes on
+    the same footer pass and pushes per-group raw-column predicates."""
+    preds_by_col = preds_by_col or {}
+    fs, root = _pafs_for(path)
+    if fs is None:
         raise NotImplementedError(
-            "per-schema-group evolving read is implemented for local "
-            f"paths; got {path!r}"
+            "per-schema-group evolving read needs footer access via "
+            f"pyarrow.fs; the scheme of {path!r} is not resolvable"
         )
-    root = path.removeprefix("file://")
-    files = sorted(
-        os.path.join(dp, fn)
-        for dp, _dirs, fns in os.walk(root)
-        for fn in fns
-        if fn.endswith(".parquet")
-    )
+    files = _list_parquet_files(fs, root)
     if not files:
         raise FileNotFoundError(f"no parquet files under {path!r}")
-
-    def footer(p: str) -> tuple[str, tuple[tuple[str, str], ...]]:
-        import pyarrow.parquet as pq
-
-        sch = pq.read_schema(p)
-        types = tuple((f.name, str(f.type)) for f in sch)
-        return p, types
-
-    pairs = (
-        spark.sparkContext.parallelize(files, min(len(files), 64))
-        .map(footer)
-        .collect()
-    )
+    # bounds -> footer keep-ops, under the same contract as
+    # _prune_files_for_ts_bounds: UTC-equivalent session only (the
+    # micros literals parse as UTC wall time), string literals only,
+    # stats-less/missing columns keep the file.
+    ops: list[tuple[str, str, int]] = []
+    if preds_by_col and _session_tz_is_utc(
+        spark.conf.get("spark.sql.session.timeZone", "")
+    ):
+        for c, preds in preds_by_col.items():
+            for op, value in preds:
+                micros = (
+                    _literal_to_micros(value) if isinstance(value, str) else None
+                )
+                if micros is not None:
+                    ops.append((c.lower(), op, micros))
+    probes = _footer_probes(spark, fs, files, ops)
     groups: dict[tuple[tuple[str, str], ...], list[str]] = {}
-    for p, types in pairs:
-        groups.setdefault(types, []).append(p)
+    for p, types, survives in probes:
+        groups.setdefault(types, [])
+        if survives:
+            groups[types].append(p)
     aligned = []
     for types, paths in sorted(groups.items()):
+        if not paths:
+            # every file of this generation provably outside the bounds
+            continue
         nanos = frozenset(
             n.lower() for n, t in types if t.startswith("timestamp[ns")
         )
-        gdf = spark.read.parquet(*paths)
-        aligned.append(_align_to_contract(gdf, target_schema, nanos))
+        gdf = spark.read.option("basePath", path).parquet(
+            *[_respell(path, p) for p in paths]
+        )
+        present = {c.lower() for c in gdf.columns}
+        pre = {c: v for c, v in preds_by_col.items() if c.lower() in present}
+        post = {c: v for c, v in preds_by_col.items() if c.lower() not in present}
+        gdf = _apply_bounds(gdf, pre, nanos_cols=nanos)
+        adf = _align_to_contract(gdf, target_schema, nanos)
+        if post:
+            # generation predates the bounded column: the contract
+            # backfills typed NULLs, and a range/equality predicate on
+            # NULL keeps no row -- applied on the aligned column so the
+            # semantics are exactly that.
+            adf = _apply_bounds(adf, post)
+        aligned.append(adf)
+    if not aligned:
+        return spark.createDataFrame([], target_schema)
     out = aligned[0]
     for gdf in aligned[1:]:
         out = out.unionByName(gdf)

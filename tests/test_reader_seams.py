@@ -1,0 +1,395 @@
+"""Round-11 reader seams: object-store routing (pyarrow.fs) for the two
+footer passes, recursive/partitioned pruning, UTC-equivalent session
+zones, and the evolving reader's merged-path nanos detection, partition
+columns, and bounds pushdown (round-10 verdict items 1/3 + all four
+round-10 ADVICE findings).
+
+The sandbox has no real S3; remote-scheme behavior is proven the way
+test_object_store.py proves Spark's: ``file://`` URIs exercise the full
+``pyarrow.fs.FileSystem.from_uri`` -> list -> remote-footer-read ->
+respell pipeline (LocalFileSystem is just another pyarrow filesystem on
+that path), and unknown schemes pin the conservative skip."""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from iot_data_pipeline_spark.sources.readers import (
+    _list_parquet_files,
+    _pafs_for,
+    _prune_files_for_ts_bounds,
+    _session_tz_is_utc,
+    read_parquet_evolving,
+    read_table,
+)
+
+
+def _split_events(sf_dir: str, root: str, n_files: int = 8) -> pa.Table:
+    """Write events as an n-file date-ordered corpus under root."""
+    src = pq.read_table(f"{sf_dir}/events.parquet").sort_by("ts")
+    os.makedirs(root, exist_ok=True)
+    n = src.num_rows
+    cut = [round(k * n / n_files) for k in range(n_files + 1)]
+    for k in range(n_files):
+        pq.write_table(
+            src.slice(cut[k], cut[k + 1] - cut[k]),
+            os.path.join(root, f"part-{k:03d}.parquet"),
+        )
+    return src
+
+
+def test_session_tz_is_utc_equivalence():
+    for tz in ("UTC", "Etc/UTC", "GMT", "Zulu", "+00:00", "-00", "UTC+0",
+               "GMT+00:00", "+0000"):
+        assert _session_tz_is_utc(tz), tz
+    for tz in ("Asia/Tokyo", "Pacific/Kiritimati", "+01:00", "UTC+09:00",
+               "Africa/Abidjan", "Europe/London", ""):
+        assert not _session_tz_is_utc(tz), tz
+
+
+def test_pruner_via_file_uri(spark, sf_dir, tmp_path):
+    """file:// URI drives the whole pyarrow.fs pipeline: from_uri,
+    FileSelector listing, filesystem= footer reads, URI respell. The
+    pruned read answers identically to the post-filter form."""
+    d = str(tmp_path)
+    _split_events(sf_dir, os.path.join(d, "events.parquet"))
+    lo, hi = "2024-01-10", "2024-01-12"
+    pruned = _prune_files_for_ts_bounds(
+        spark,
+        f"file://{d}/events.parquet",
+        "events",
+        {"ts": [(">=", lo), ("<", hi)]},
+    )
+    assert pruned is not None and 0 < len(pruned) < 8
+    assert all(p.startswith("file://") or p.startswith("/") for p in pruned)
+    bnd = read_table(spark, f"file://{d}", "events", bounds={"ts": (lo, hi)})
+    post = read_table(spark, d, "events").filter(
+        (F.col("ts") >= lo) & (F.col("ts") < hi)
+    )
+    assert bnd.count() == post.count() > 0
+
+
+def test_pruner_skips_unknown_scheme(spark):
+    """Spark-only schemes pyarrow cannot resolve (viewfs://) skip
+    conservatively -- pruning is an optimization, never a failure."""
+    pruned = _prune_files_for_ts_bounds(
+        spark,
+        "viewfs://testcell/data/events.parquet",
+        "events",
+        {"ts": [("<", "2035-01-01")]},
+    )
+    assert pruned is None
+
+
+def test_pruner_utc_equivalent_session_still_prunes(spark, sf_dir, tmp_path):
+    """Round-10 ADVICE: the exact-string "UTC" gate forfeited pruning for
+    equivalent zones. Etc/UTC prunes; a genuinely offset zone skips."""
+    d = str(tmp_path)
+    _split_events(sf_dir, os.path.join(d, "events.parquet"))
+    preds = {"ts": [(">=", "2024-01-10"), ("<", "2024-01-12")]}
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "Etc/UTC")
+        assert _prune_files_for_ts_bounds(
+            spark, f"{d}/events.parquet", "events", preds
+        )
+        spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+        assert (
+            _prune_files_for_ts_bounds(
+                spark, f"{d}/events.parquet", "events", preds
+            )
+            is None
+        )
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def test_pruner_recursive_partitioned_layout(spark, sf_dir, tmp_path):
+    """Partitioned/nested layouts prune too (the round-10 pass listed
+    non-recursively and silently skipped them), and the explicit-file
+    read keeps inferring the partition column (basePath)."""
+    src = pq.read_table(f"{sf_dir}/events.parquet").sort_by("ts")
+    d = str(tmp_path)
+    root = os.path.join(d, "events.parquet")
+    n = src.num_rows
+    cut = [round(k * n / 8) for k in range(9)]
+    for k in range(8):
+        pdir = os.path.join(root, f"shard={k % 2}")
+        os.makedirs(pdir, exist_ok=True)
+        pq.write_table(
+            src.slice(cut[k], cut[k + 1] - cut[k]),
+            os.path.join(pdir, f"part-{k:03d}.parquet"),
+        )
+    lo, hi = "2024-01-10", "2024-01-12"
+    pruned = _prune_files_for_ts_bounds(
+        spark, root, "events", {"ts": [(">=", lo), ("<", hi)]}
+    )
+    assert pruned is not None and 0 < len(pruned) < 8
+    bnd = read_table(spark, d, "events", bounds={"ts": (lo, hi)})
+    assert "shard" in bnd.columns, "partition column must survive pruning"
+    post = read_table(spark, d, "events").filter(
+        (F.col("ts") >= lo) & (F.col("ts") < hi)
+    )
+    assert bnd.count() == post.count() > 0
+    assert (
+        bnd.filter(F.col("shard").isNull()).count() == 0
+    ), "partition values must not NULL-backfill"
+
+
+def test_pruner_hidden_segments_excluded(spark, sf_dir, tmp_path):
+    """The pruner must never hand Spark a file its own listing would
+    hide: _-/.-prefixed files and directories are excluded, so the
+    pruned read equals the directory read."""
+    d = str(tmp_path)
+    root = os.path.join(d, "events.parquet")
+    src = _split_events(sf_dir, root)
+    # decoys Spark's listing hides: would double rows if included
+    pq.write_table(src, os.path.join(root, "_tmp.parquet"))
+    hdir = os.path.join(root, "_temporary")
+    os.makedirs(hdir)
+    pq.write_table(src, os.path.join(hdir, "part-x.parquet"))
+    fs, p = _pafs_for(root)
+    files = _list_parquet_files(fs, p)
+    assert len(files) == 8, files
+    full = read_table(spark, d, "events")
+    bnd = read_table(
+        spark, d, "events", bounds={"ts": (None, "2035-01-01")}
+    )
+    assert bnd.count() == full.count() == src.num_rows
+
+
+CONTRACT = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("v", T.DoubleType()),
+    ]
+)
+
+
+def _ts_table(ids, unit: str, tz: str | None = None) -> pa.Table:
+    base = 1_700_000_000_000_000  # 2023-11-14T22:13:20Z in micros
+    scale = {"us": 1, "ns": 1000}[unit]
+    return pa.table(
+        {
+            "id": pa.array(ids, pa.int64()),
+            "ts": pa.array(
+                [(base + i * 86_400_000_000) * scale for i in ids],
+                pa.timestamp(unit, tz=tz),
+            ),
+            "v": pa.array([float(i) for i in ids], pa.float64()),
+        }
+    )
+
+
+def test_evolving_merged_homogeneous_nanos_lake(spark, tmp_path):
+    """Round-10 ADVICE (medium): a lake whose every generation is
+    TIMESTAMP(NANOS) merges fine -- each footer surfaces the same BIGINT
+    under nanosAsLong -- and the merged path then seconds-cast the nanos.
+    Pin: values decode to the true instants."""
+    root = str(tmp_path / "lake")
+    os.makedirs(root)
+    pq.write_table(_ts_table([0, 1], "ns"), f"{root}/gen1.parquet")
+    pq.write_table(_ts_table([2, 3], "ns"), f"{root}/gen2.parquet")
+    out = read_parquet_evolving(spark, root, CONTRACT)
+    rows = {r["id"]: r["ts"] for r in out.collect()}
+    assert len(rows) == 4
+    assert rows[0].year == 2023 and rows[0].month == 11
+    assert (rows[1] - rows[0]).days == 1
+
+
+def test_evolving_mixed_ns_int64_same_column_raises(spark, tmp_path):
+    """timestamp[ns] in one file, plain int64 in another, SAME column:
+    both surface BIGINT, the merge succeeds, but per-file semantics
+    differ -- no single cast is correct. Fail loud, never guess."""
+    root = str(tmp_path / "lake")
+    os.makedirs(root)
+    pq.write_table(_ts_table([0, 1], "ns"), f"{root}/gen1.parquet")
+    plain = pa.table(
+        {
+            "id": pa.array([2, 3], pa.int64()),
+            "ts": pa.array([1_700_000_000, 1_700_086_400], pa.int64()),
+            "v": pa.array([2.0, 3.0], pa.float64()),
+        }
+    )
+    pq.write_table(plain, f"{root}/gen2.parquet")
+    with pytest.raises(ValueError, match="timestamp\\[ns\\]"):
+        read_parquet_evolving(spark, root, CONTRACT)
+
+
+def test_evolving_partitioned_lake_keeps_partition_columns(spark, tmp_path):
+    """Round-10 ADVICE (medium): the schema-group fallback read explicit
+    file paths without basePath, so a partitioned evolving lake's
+    partition keys silently NULL-backfilled. Pin: real values."""
+    contract = T.StructType(
+        CONTRACT.fields + [T.StructField("region", T.StringType())]
+    )
+    root = str(tmp_path / "lake")
+    for region, tbl in (
+        ("eu", _ts_table([0, 1], "us", tz="UTC")),
+        ("us", _ts_table([2, 3], "ns")),  # value-type change -> fallback
+    ):
+        pdir = f"{root}/region={region}"
+        os.makedirs(pdir)
+        pq.write_table(tbl, f"{pdir}/part-0.parquet")
+    out = read_parquet_evolving(spark, root, contract)
+    rows = {r["id"]: r for r in out.collect()}
+    assert len(rows) == 4
+    assert rows[0]["region"] == "eu" and rows[2]["region"] == "us"
+    assert rows[2]["ts"].year == 2023, "nanos generation must decode exactly"
+
+
+def test_evolving_bounds_pushdown_both_branches(spark, tmp_path):
+    """Round-10 verdict item 3: bounds wired through the fallback --
+    raw-column predicates in EVERY Union branch (PushedFilters twice in
+    the formatted plan), correct rows across a us/ns generation split,
+    and footer file-pruning on the same metadata pass."""
+    root = str(tmp_path / "lake")
+    os.makedirs(root)
+    pq.write_table(_ts_table([0, 1], "us", tz="UTC"), f"{root}/g1a.parquet")
+    pq.write_table(_ts_table([10, 11], "us", tz="UTC"), f"{root}/g1b.parquet")
+    pq.write_table(_ts_table([2, 3], "ns"), f"{root}/g2a.parquet")
+    pq.write_table(_ts_table([12, 13], "ns"), f"{root}/g2b.parquet")
+    lo, hi = "2023-11-14", "2023-11-20"  # ids 0..5 window
+    out = read_parquet_evolving(spark, root, CONTRACT, bounds={"ts": (lo, hi)})
+    assert sorted(r["id"] for r in out.collect()) == [0, 1, 2, 3]
+    import re
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    pushed = re.findall(r"PushedFilters: \[([^\n]*)", plan)
+    assert len(pushed) >= 2, plan
+    assert sum("ts" in p for p in pushed) >= 2, (
+        f"bounds must push into BOTH Union branches: {pushed}"
+    )
+    # file pruning on the same footer pass: the out-of-range file of
+    # each generation never reaches the scan
+    read_files = " ".join(out.inputFiles())
+    assert "g1b" not in read_files and "g2b" not in read_files, read_files
+    assert "g1a" in read_files and "g2a" in read_files, read_files
+
+
+def test_evolving_bounds_generation_missing_column(spark, tmp_path):
+    """A generation written before the bounded column existed can match
+    no bound (its values are contract NULLs): it contributes zero rows,
+    and the read still succeeds."""
+    root = str(tmp_path / "lake")
+    os.makedirs(root)
+    old = pa.table(
+        {
+            "id": pa.array([100, 101], pa.int64()),
+            "v": pa.array([1.5, 2.5], pa.float32()),  # type change -> fallback
+        }
+    )
+    pq.write_table(old, f"{root}/g0.parquet")
+    pq.write_table(_ts_table([0, 1], "us", tz="UTC"), f"{root}/g1.parquet")
+    unbounded = read_parquet_evolving(spark, root, CONTRACT)
+    assert unbounded.count() == 4
+    out = read_parquet_evolving(
+        spark, root, CONTRACT, bounds={"ts": ("2023-11-14", None)}
+    )
+    assert sorted(r["id"] for r in out.collect()) == [0, 1]
+
+
+def test_evolving_fallback_via_file_uri(spark, tmp_path):
+    """The fallback's listing + footer reads run through pyarrow.fs: a
+    file:// URI (formerly NotImplementedError) reads identically."""
+    root = str(tmp_path / "lake")
+    os.makedirs(root)
+    pq.write_table(_ts_table([0, 1], "us", tz="UTC"), f"{root}/g1.parquet")
+    pq.write_table(_ts_table([2, 3], "ns"), f"{root}/g2.parquet")
+    out = read_parquet_evolving(spark, f"file://{root}", CONTRACT)
+    assert sorted(r["id"] for r in out.collect()) == [0, 1, 2, 3]
+
+
+def _split_lineitem(sf_dir: str, root: str, statsless: tuple[int, ...] = (),
+                    per_column=None) -> None:
+    src = pq.read_table(f"{sf_dir}/lineitem.parquet").sort_by("l_shipdate")
+    os.makedirs(root)
+    n = src.num_rows
+    cut = [round(k * n / 8) for k in range(9)]
+    for k in range(8):
+        stats = True
+        if k in statsless:
+            stats = per_column if per_column is not None else False
+        pq.write_table(
+            src.slice(cut[k], cut[k + 1] - cut[k]),
+            os.path.join(root, f"part-{k:03d}.parquet"),
+            write_statistics=stats,
+        )
+
+
+def test_stats_absent_mix_prunes_around(spark, sf_dir, tmp_path):
+    """Round-11 probe band (tools/stats_absence_probe.py): files written
+    with statistics disabled are KEPT unconditionally while the
+    stats-bearing out-of-range files around them still prune, and the
+    bounded result matches the post-filter form exactly."""
+    d = str(tmp_path)
+    root = os.path.join(d, "lineitem.parquet")
+    _split_lineitem(sf_dir, root, statsless=(2, 5))
+    lo, hi = "1996-01-01", "1996-07-01"
+    preds = {"l_shipdate": [(">=", lo), ("<", hi)]}
+    keep = _prune_files_for_ts_bounds(spark, root, "lineitem", preds)
+    assert keep is not None and len(keep) < 8
+    kept = {os.path.basename(p) for p in keep}
+    assert {"part-002.parquet", "part-005.parquet"} <= kept, kept
+    bnd = read_table(spark, d, "lineitem", bounds={"l_shipdate": (lo, hi)})
+    post = read_table(spark, d, "lineitem").filter(
+        (F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi)
+    )
+    assert bnd.count() == post.count() > 0
+
+
+def test_pruner_all_statsless_degrades(spark, sf_dir, tmp_path):
+    """No file carries stats -> pruning degrades to None (full read),
+    never to a wrong answer."""
+    d = str(tmp_path)
+    root = os.path.join(d, "lineitem.parquet")
+    _split_lineitem(sf_dir, root, statsless=tuple(range(8)))
+    lo, hi = "1996-01-01", "1996-07-01"
+    keep = _prune_files_for_ts_bounds(
+        spark, root, "lineitem", {"l_shipdate": [(">=", lo), ("<", hi)]}
+    )
+    assert keep is None
+    bnd = read_table(spark, d, "lineitem", bounds={"l_shipdate": (lo, hi)})
+    post = read_table(spark, d, "lineitem").filter(
+        (F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi)
+    )
+    assert bnd.count() == post.count() > 0
+
+
+def test_mixed_encoding_bounded_subset(spark, sf_dir, tmp_path):
+    """Round-11 probe band: a single table directory MIXING us-UTC and
+    nanos encodings of the same ts column fails LOUD when the column
+    materializes (r10 posture held), but a bound that file-prunes the
+    read to a homogeneous subset succeeds and is exact -- pruning only
+    drops files that provably cannot match, so every matching row lives
+    in the surviving subset."""
+    import pyarrow.compute as pc
+
+    src = pq.read_table(f"{sf_dir}/events.parquet").sort_by("ts")
+    n = src.num_rows
+    d = str(tmp_path)
+    root = os.path.join(d, "events.parquet")
+    os.makedirs(root)
+    i = src.column_names.index("ts")
+    for g, (sl, unit, tz) in enumerate(
+        ((src.slice(0, n // 2), "us", "UTC"), (src.slice(n // 2), "ns", None))
+    ):
+        sl = sl.set_column(i, "ts", sl.column("ts").cast(pa.timestamp(unit, tz=tz)))
+        m = sl.num_rows
+        for k in range(2):
+            pq.write_table(
+                sl.slice(k * m // 2, m // 2 + (m % 2) * k),
+                os.path.join(root, f"g{g}-part{k}.parquet"),
+            )
+    with pytest.raises(Exception, match="DATA_TYPE_MISMATCH|convert"):
+        read_table(spark, d, "events").agg(F.min("ts")).collect()
+    q1 = src.column("ts")[n // 4].as_py().strftime("%Y-%m-%d %H:%M:%S")
+    bnd = read_table(spark, d, "events", bounds={"ts": (None, q1)})
+    exp = pc.sum(pc.less(src.column("ts"), src.column("ts")[n // 4])).as_py()
+    assert bnd.count() == exp > 0
