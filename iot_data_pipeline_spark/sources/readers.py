@@ -161,16 +161,34 @@ def _session_tz_is_utc(tz: str) -> bool:
     return bool(re.fullmatch(r"(?:UTC|GMT)?[+-]0{1,2}(?::?00){0,2}", tz))
 
 
+#: Hadoop-connector scheme spellings -> the scheme pyarrow's from_uri
+#: knows. Spark object-store tables are almost always named ``s3a://``
+#: (the Hadoop S3 connector), but the BYTES live in plain S3 -- pyarrow
+#: reads the same footers through its own handle. Without the alias the
+#: footer passes would conservatively skip exactly the mainstream
+#: deployment they were built for.
+#: (only aliases whose URI AUTHORITY layout matches the target scheme
+#: belong here -- wasb://c@acct.blob... vs abfs://c@acct.dfs... differ
+#: in endpoint, so Azure spellings stay conservative skips)
+_SCHEME_ALIASES = {"s3a": "s3", "s3n": "s3"}
+
+
 def _pafs_for(uri: str):
     """Resolve a table URI/path to ``(pyarrow FileSystem, fs-local path)``,
     or ``(None, None)`` for schemes pyarrow cannot handle (a Spark-only
-    scheme like ``viewfs://`` skips footer passes conservatively). The
-    returned filesystem objects are picklable (pyarrow contract), so
-    distributed footer passes ship them to executors directly."""
+    scheme like ``viewfs://`` skips footer passes conservatively;
+    Hadoop-connector spellings like ``s3a://`` alias to the pyarrow
+    scheme first -- same bytes, different client). The returned
+    filesystem objects are picklable (pyarrow contract), so distributed
+    footer passes ship them to executors directly."""
     from pyarrow import fs as pafs
 
     if "://" not in uri:
         return pafs.LocalFileSystem(), uri
+    scheme, rest = uri.split("://", 1)
+    alias = _SCHEME_ALIASES.get(scheme)
+    if alias is not None:
+        uri = f"{alias}://{rest}"
     try:
         return pafs.FileSystem.from_uri(uri)
     except Exception:  # noqa: BLE001 -- unknown scheme: no footer access

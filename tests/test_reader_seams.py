@@ -393,3 +393,34 @@ def test_mixed_encoding_bounded_subset(spark, sf_dir, tmp_path):
     bnd = read_table(spark, d, "events", bounds={"ts": (None, q1)})
     exp = pc.sum(pc.less(src.column("ts"), src.column("ts")[n // 4])).as_py()
     assert bnd.count() == exp > 0
+
+
+def test_hadoop_scheme_aliases_and_respell():
+    """Spark object-store tables are usually named s3a:// (the Hadoop
+    connector); the footer passes alias that to pyarrow's s3:// handle
+    (same bytes, different client) and respell results back in the
+    caller's scheme so Spark reads through its own connector. In this
+    sandbox from_uri's region lookup has no network, so resolution lands
+    on the conservative (None, None) skip -- structurally pinned here;
+    never an exception."""
+    from iot_data_pipeline_spark.sources.readers import (
+        _SCHEME_ALIASES,
+        _respell,
+    )
+
+    assert _SCHEME_ALIASES["s3a"] == "s3"
+    assert _SCHEME_ALIASES["s3n"] == "s3"
+    assert "wasb" not in _SCHEME_ALIASES  # authority layout differs
+    assert (
+        _respell("s3a://bucket/t.parquet", "bucket/t.parquet/p.parquet")
+        == "s3a://bucket/t.parquet/p.parquet"
+    )
+    assert _respell("file:///d/t.parquet", "/d/t.parquet/p.parquet") == (
+        "file:///d/t.parquet/p.parquet"
+    )
+    assert _respell("/d/t.parquet", "/d/t.parquet/p.parquet") == (
+        "/d/t.parquet/p.parquet"
+    )
+    # no-network resolution failure -> conservative skip, not an error
+    fs, p = _pafs_for("s3a://bucket/t.parquet")
+    assert (fs, p) == (None, None) or p == "bucket/t.parquet"
