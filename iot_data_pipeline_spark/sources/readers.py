@@ -807,9 +807,42 @@ def read_parquet_evolving(
             spark, path, target_schema, preds_by_col
         )
     nanos = _merged_bigint_ts_nanos_cols(spark, path, df, target_schema)
-    if preds_by_col:
-        df = _apply_bounds(df, preds_by_col, nanos_cols=nanos)
-    return _align_to_contract(df, target_schema, nanos_cols=nanos)
+    # FILE-level pruning on the merged path too: an evolving lake is
+    # multi-file by definition, and on NTZ/NANOS encodings the pushed
+    # predicates never become row-group filters (the round-10
+    # measurement), so the footer pass is the only scan pruning a
+    # bounded merged read gets. Same conservative gates as read_table's
+    # (_prune_files_for_ts_bounds); the re-read keeps mergeSchema and
+    # basePath so evolution and partition columns both survive.
+    ts_fields = {
+        f.name.lower()
+        for f in target_schema.fields
+        if isinstance(f.dataType, (T.TimestampType, T.TimestampNTZType))
+    }
+    ts_preds = {
+        c.lower(): p for c, p in preds_by_col.items() if c.lower() in ts_fields
+    }
+    if ts_preds:
+        pruned = _prune_files_for_ts_bounds(spark, path, "<evolving>", ts_preds)
+        if pruned:
+            df = (
+                spark.read.option("mergeSchema", "true")
+                .option("basePath", path)
+                .parquet(*pruned)
+            )
+    # Pre/post split (same as the fallback): a bounded column can vanish
+    # from the pruned re-read when every file carrying it was pruned
+    # away -- its surviving rows are contract NULLs, so the predicate
+    # belongs on the aligned column (keeps nothing), not a KeyError.
+    present = {c.lower() for c in df.columns}
+    pre = {c: v for c, v in preds_by_col.items() if c.lower() in present}
+    post = {c: v for c, v in preds_by_col.items() if c.lower() not in present}
+    if pre:
+        df = _apply_bounds(df, pre, nanos_cols=nanos)
+    adf = _align_to_contract(df, target_schema, nanos_cols=nanos)
+    if post:
+        adf = _apply_bounds(adf, post)
+    return adf
 
 
 def _footer_probes(

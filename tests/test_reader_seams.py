@@ -424,3 +424,34 @@ def test_hadoop_scheme_aliases_and_respell():
     # no-network resolution failure -> conservative skip, not an error
     fs, p = _pafs_for("s3a://bucket/t.parquet")
     assert (fs, p) == (None, None) or p == "bucket/t.parquet"
+
+
+def test_evolving_merged_path_file_prunes(spark, tmp_path):
+    """The MERGED (mergeSchema-success) path file-prunes bounded contract
+    timestamp columns too: an added-column evolving lake is multi-file
+    by definition, and on NTZ encodings the pushed predicate never
+    becomes a row-group filter -- the footer pass is the only scan
+    pruning the read gets. Evolution (NULL backfill of the new column)
+    must survive the pruned re-read."""
+    contract = T.StructType(
+        CONTRACT.fields + [T.StructField("extra", T.StringType())]
+    )
+    root = str(tmp_path / "lake")
+    os.makedirs(root)
+    # four date-disjoint files; gen2 adds a column (merge succeeds);
+    # ts stays NTZ microseconds (the encoding parquet declines to
+    # row-filter)
+    for k, ids in enumerate(([0, 1], [10, 11], [20, 21], [30, 31])):
+        t = _ts_table(ids, "us")
+        if k >= 2:
+            t = t.append_column(
+                "extra", pa.array([f"g{k}"] * 2, pa.string())
+            )
+        pq.write_table(t, f"{root}/part-{k}.parquet")
+    lo, hi = "2023-11-14", "2023-11-30"  # ids 0..15 window
+    out = read_parquet_evolving(spark, root, contract, bounds={"ts": (lo, hi)})
+    rows = sorted((r["id"], r["extra"]) for r in out.collect())
+    assert rows == [(0, None), (1, None), (10, None), (11, None)]
+    read_files = " ".join(out.inputFiles())
+    assert "part-2" not in read_files and "part-3" not in read_files
+    assert "part-0" in read_files and "part-1" in read_files
