@@ -205,11 +205,19 @@ def _respell(uri: str, fs_path: str) -> str:
 
 
 def _list_parquet_files(fs, root: str) -> list[str] | None:
-    """Recursive parquet listing under ``root`` (fs-local paths), skipping
-    any path segment Spark's own listing hides (leading ``_`` or ``.`` --
-    ``_SUCCESS``, ``_temporary``, checksum files): the pruner must never
-    hand Spark a file its directory scan would not have read. Returns
-    None when ``root`` is not a listable directory."""
+    """Recursive data-file listing under ``root`` (fs-local paths) with
+    Spark's OWN listing semantics: every file except those under a path
+    segment Spark hides (leading ``_`` or ``.`` -- ``_SUCCESS``,
+    ``_temporary``, checksum files). NO extension filter: Spark's
+    directory scan reads every visible file regardless of name, and
+    Hive-written parquet is classically extensionless (``000000_0``) --
+    a ``*.parquet`` glob here silently DROPPED those files' rows from
+    every explicit-file re-read (round-11 probe; frozen in
+    tests/test_reader_seams.py::test_pruner_keeps_extensionless_files).
+    A visible non-parquet stray behaves identically on both paths: the
+    footer probe can't read it, so the pruner KEEPS it and Spark fails
+    on it exactly as the unpruned directory read would. Returns None
+    when ``root`` is not a listable directory."""
     from pyarrow import fs as pafs
 
     try:
@@ -224,7 +232,7 @@ def _list_parquet_files(fs, root: str) -> list[str] | None:
     base = root.rstrip("/")
     files = []
     for e in entries:
-        if e.type != pafs.FileType.File or not e.path.endswith(".parquet"):
+        if e.type != pafs.FileType.File:
             continue
         rel = e.path[len(base) :].lstrip("/")
         if any(seg.startswith(("_", ".")) for seg in rel.split("/")):
