@@ -393,6 +393,47 @@ _OPS = {
     "=": Column.__eq__,
 }
 
+#: Largest epoch-micros value whose nanos form fits int64
+#: (9223372036854775 us; *1000 = 9223372036854775000 <= int64 max).
+_NANOS_HORIZON_MICROS = ((1 << 63) - 1) // 1000
+
+
+def _nanos_saturation(value, tz_is_utc: bool) -> str | None:
+    """Classify a bound literal against the int64-nanos horizon
+    (1677-09-21 .. 2262-04-11): ``"high"``/``"low"`` when the literal's
+    nanos form provably cannot fit int64, None when it fits (or cannot
+    be parsed here -- the Spark-side literal then resolves as before).
+
+    Why: ``_nanos_bound_literal`` multiplies epoch-micros by 1000 in
+    int64. A semantically valid bound beyond the horizon (``ts <
+    '2300-01-01'`` as an effectively-open upper bound) overflowed that
+    multiply -- ARITHMETIC_OVERFLOW under ANSI, and under ANSI-off a
+    silent WRAP to a negative literal that kept 0 of the matching rows
+    (round-11 probe; every stored nanos value fits int64 by
+    construction, so a beyond-horizon bound is decidable without
+    touching data). Parsing here is UTC; a non-UTC session can shift
+    the true literal by up to ~14h, so saturation then needs a one-day
+    margin and the sliver inside it raises rather than guessing.
+    """
+    micros = _literal_to_micros(value) if isinstance(value, str) else None
+    if micros is None:
+        return None
+    margin = 0 if tz_is_utc else 86_400_000_000
+    if micros > _NANOS_HORIZON_MICROS + margin:
+        return "high"
+    if micros < -_NANOS_HORIZON_MICROS - margin:
+        return "low"
+    if margin and not -_NANOS_HORIZON_MICROS + margin <= micros <= (
+        _NANOS_HORIZON_MICROS - margin
+    ):
+        raise ValueError(
+            f"bound literal {value!r} lies within one day of the "
+            "int64-nanos horizon and the session timezone is not UTC; "
+            "cannot decide saturation safely -- use a UTC session or an "
+            "open bound"
+        )
+    return None
+
 
 def _parse_bounds(bounds: dict[str, tuple] | None) -> dict[str, list]:
     """Normalize the public ``bounds`` spec (``(lo, hi)`` half-open range
@@ -438,7 +479,27 @@ def _apply_bounds(
                 # domain so the predicate stays a bare
                 # attribute-vs-literal comparison the parquet source
                 # can prune row groups with (folds to a bigint literal
-                # at optimize time, in the session timezone).
+                # at optimize time, in the session timezone). A bound
+                # beyond the int64-nanos horizon saturates: every
+                # stored value fits int64, so the comparison is
+                # decidable as a constant (the multiply would
+                # otherwise overflow -- loud under ANSI, silently
+                # WRONG under ANSI-off).
+                sat = _nanos_saturation(
+                    value,
+                    _session_tz_is_utc(
+                        df.sparkSession.conf.get(
+                            "spark.sql.session.timeZone", ""
+                        )
+                    ),
+                )
+                if sat is not None:
+                    always = (sat == "high" and op in ("<", "<=")) or (
+                        sat == "low" and op in (">", ">=")
+                    )
+                    if not always:
+                        df = df.filter(F.lit(False))
+                    continue
                 lit = _nanos_bound_literal(value)
             else:
                 # Typed literal on the raw column (timestamp_ntz,

@@ -473,6 +473,47 @@ def test_evolving_fallback_reads_extensionless_generation(spark, tmp_path):
     assert sorted(r["id"] for r in out.collect()) == [0, 1, 2, 3]
 
 
+def test_nanos_bounds_beyond_horizon_saturate(spark, tmp_path):
+    """Round-11 probe: a bound past the int64-nanos horizon (2262-04-11)
+    overflowed the micros*1000 literal -- ARITHMETIC_OVERFLOW under ANSI,
+    and under ANSI-off a silent wrap that kept 0 of the matching rows
+    (and the mirrored lo-bound kept rows it must not). Every stored
+    nanos value fits int64 by construction, so the comparison saturates
+    to a constant instead."""
+    d = str(tmp_path)
+    root = os.path.join(d, "events.parquet")
+    os.makedirs(root)
+    pq.write_table(_ts_table([0, 1], "ns"), f"{root}/a.parquet")
+    pq.write_table(_ts_table([2, 3], "ns"), f"{root}/b.parquet")
+    assert dict(spark.read.parquet(root).dtypes)["ts"] == "bigint"
+    cases = (
+        ({"ts": ("1970-01-01", "2300-01-01")}, 4),  # hi beyond: open
+        ({"ts": ("2290-01-01", None)}, 0),  # lo beyond: empty
+        ({"ts": (("=", "2300-06-01"),)}, 0),  # = beyond: empty
+        ({"ts": (None, "1600-01-01")}, 0),  # hi below -horizon: empty
+        ({"ts": ("1600-01-01", "2023-11-16")}, 2),  # lo below: open
+    )
+    for bounds, want in cases:
+        got = read_table(spark, d, "events", bounds=bounds).count()
+        assert got == want, (bounds, got, want)
+
+
+def test_nanos_saturation_classifier():
+    from iot_data_pipeline_spark.sources.readers import _nanos_saturation
+
+    assert _nanos_saturation("2300-01-01", True) == "high"
+    assert _nanos_saturation("1600-01-01", True) == "low"
+    assert _nanos_saturation("2262-04-11 23:00:00", True) is None
+    assert _nanos_saturation("2024-01-01", True) is None
+    assert _nanos_saturation(1234, True) is None  # non-string: Spark-side
+    # non-UTC sessions: one-day margin, sliver raises (a tz can shift
+    # the true literal by up to ~14h either way)
+    assert _nanos_saturation("2300-01-01", False) == "high"
+    assert _nanos_saturation("2024-01-01", False) is None
+    with pytest.raises(ValueError, match="horizon"):
+        _nanos_saturation("2262-04-11 12:00:00", False)
+
+
 def test_evolving_merged_path_file_prunes(spark, tmp_path):
     """The MERGED (mergeSchema-success) path file-prunes bounded contract
     timestamp columns too: an added-column evolving lake is multi-file
