@@ -397,6 +397,91 @@ _OPS = {
 #: (9223372036854775 us; *1000 = 9223372036854775000 <= int64 max).
 _NANOS_HORIZON_MICROS = ((1 << 63) - 1) // 1000
 
+_INT_BITS = {"tinyint": 8, "smallint": 16, "int": 32, "bigint": 64}
+
+
+def _normalize_bound(op: str, value, dtype: str):
+    """Rewrite a bound literal that is NOT exactly representable in the
+    column's dtype into an equivalent exact comparison, or decide it as
+    a constant. Returns None (keep the plain ``lit(value).cast(dtype)``
+    path -- literal exactly representable, dtype not discrete, or value
+    unparseable here), ``("drop",)`` (predicate always true),
+    ``("empty",)`` (always false), or ``(op2, literal_column)``.
+
+    Why (round-11 probe, all three measured as silent wrong answers):
+    ``lit(v).cast(dtype)`` makes the comparison exact only when ``v``
+    IS a dtype value. On discrete dtypes it is lossy three ways --
+    - DECIMAL(p,s): an out-of-range bound (``< 1e11`` on (12,2) as an
+      effectively-open range) casts to NULL under ANSI-off and the
+      filter silently kept 0 of 100 rows (ANSI: loud);
+    - integers: a fractional bound truncates toward zero, so
+      ``< 2.5`` became ``< 2`` (dropped v=2) and ``>= 2.5`` became
+      ``>= 2`` (phantom v=2);
+    - DATE: a sub-day bound truncates, so ``< '1996-01-03 12:00'``
+      became ``< 1996-01-03`` (dropped the whole matching day).
+    Every column value is exactly representable in its own dtype, so
+    each case is decidable: out-of-range bounds saturate, between-value
+    bounds shift to the adjacent representable value with the op
+    closed/opened to match (``v < B`` == ``v <= floor(B)`` when B is
+    strictly between representable values). The rewritten comparison is
+    still a bare attribute-vs-literal predicate, so pushdown survives.
+    """
+    import re
+    from decimal import ROUND_FLOOR, Decimal, InvalidOperation
+
+    m = re.fullmatch(r"decimal\((\d+),(\d+)\)", dtype)
+    if m or dtype in _INT_BITS:
+        if isinstance(value, bool) or not isinstance(
+            value, (int, float, str, Decimal)
+        ):
+            return None
+        try:
+            big = value if isinstance(value, Decimal) else Decimal(str(value))
+        except (InvalidOperation, ValueError):
+            return None
+        if not big.is_finite():
+            return None
+        if m:
+            p, s = int(m.group(1)), int(m.group(2))
+            step = Decimal(1).scaleb(-s)
+            max_v = Decimal(10) ** (p - s) - step
+            min_v = -max_v
+        else:
+            step = Decimal(1)
+            max_v = Decimal((1 << (_INT_BITS[dtype] - 1)) - 1)
+            min_v = Decimal(-(1 << (_INT_BITS[dtype] - 1)))
+        if big > max_v:
+            return ("drop",) if op in ("<", "<=") else ("empty",)
+        if big < min_v:
+            return ("drop",) if op in (">", ">=") else ("empty",)
+        floor = (big / step).to_integral_value(rounding=ROUND_FLOOR) * step
+        if floor != big:  # strictly between representable values
+            if op == "=":
+                return ("empty",)
+            exact = floor if op in ("<", "<=") else floor + step
+            op = "<=" if op in ("<", "<=") else ">="
+            big = exact
+        lit = (
+            F.lit(str(big)).cast(dtype) if m else F.lit(int(big)).cast(dtype)
+        )
+        return (op, lit)
+    if dtype == "date" and isinstance(value, str):
+        micros = _literal_to_micros(value)
+        if micros is None:
+            return None
+        days, rem = divmod(micros, 86_400_000_000)
+        if rem == 0:
+            return None  # midnight: the plain cast is already exact
+        if op == "=":
+            return ("empty",)
+        from datetime import date, timedelta
+
+        shift = 0 if op in ("<", "<=") else 1
+        d = date(1970, 1, 1) + timedelta(days=days + shift)
+        op = "<=" if op in ("<", "<=") else ">="
+        return (op, F.lit(d.isoformat()).cast("date"))
+    return None
+
 
 def _nanos_saturation(value, tz_is_utc: bool) -> str | None:
     """Classify a bound literal against the int64-nanos horizon
@@ -505,8 +590,22 @@ def _apply_bounds(
                 # Typed literal on the raw column (timestamp_ntz,
                 # timestamp, decimal, double...). The cast folds to a
                 # literal at optimization time, so the predicate pushes
-                # down unchanged.
-                lit = F.lit(value).cast(dtype)
+                # down unchanged. Literals not exactly representable in
+                # a DISCRETE dtype (out-of-range decimal/int bounds,
+                # fractional bounds on integers, sub-day bounds on
+                # dates) are first rewritten into an equivalent exact
+                # comparison -- the plain cast silently truncated them
+                # (see _normalize_bound).
+                norm = _normalize_bound(op, value, dtype)
+                if norm is not None:
+                    if norm[0] == "drop":
+                        continue
+                    if norm[0] == "empty":
+                        df = df.filter(F.lit(False))
+                        continue
+                    op, lit = norm
+                else:
+                    lit = F.lit(value).cast(dtype)
             df = df.filter(_OPS[op](F.col(src_col), lit))
     return df
 

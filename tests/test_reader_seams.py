@@ -514,6 +514,65 @@ def test_nanos_saturation_classifier():
         _nanos_saturation("2262-04-11 12:00:00", False)
 
 
+def test_discrete_bound_literals_rewrite_exactly(spark, tmp_path):
+    """Round-11 probe: ``lit(v).cast(dtype)`` is lossy on discrete
+    dtypes -- out-of-range DECIMAL bounds cast to NULL under ANSI-off
+    (silently kept 0 rows; ANSI: loud), fractional bounds on integers
+    truncate toward zero (``< 2.5`` dropped v=2, ``>= 2.5`` kept it),
+    sub-day bounds on DATE columns truncate to the day (dropped the
+    whole matching day). Bounds now rewrite to equivalent exact
+    comparisons (_normalize_bound)."""
+    from datetime import date
+    from decimal import Decimal
+
+    d = str(tmp_path)
+    root = os.path.join(d, "lineitem.parquet")
+    os.makedirs(root)
+    t = pa.table(
+        {
+            "l_quantity": pa.array(list(range(100)), pa.int64()),
+            "l_shipdate": pa.array(
+                [date(1996, 1, 1 + i % 28) for i in range(100)], pa.date32()
+            ),
+            "l_extendedprice": pa.array(
+                [Decimal(f"{100 + i}.50") for i in range(100)],
+                pa.decimal128(12, 2),
+            ),
+        }
+    )
+    pq.write_table(t.slice(0, 50), f"{root}/a.parquet")
+    pq.write_table(t.slice(50), f"{root}/b.parquet")
+    raw = spark.read.parquet(root)
+    assert dict(raw.dtypes)["l_shipdate"] == "date"
+    cases = (
+        ({"l_quantity": (None, 2.5)}, 3),  # v < 2.5 == v <= 2
+        ({"l_quantity": (2.5, None)}, 97),  # v >= 2.5 == v >= 3
+        ({"l_quantity": (("=", 2.5),)}, 0),  # unrepresentable =: empty
+        ({"l_quantity": (None, 1e20)}, 100),  # beyond int64: open
+        ({"l_quantity": (1e20, None)}, 0),  # beyond int64: empty
+        ({"l_extendedprice": (None, 1e11)}, 100),  # beyond DECIMAL(12,2)
+        ({"l_extendedprice": (1e11, None)}, 0),
+        ({"l_extendedprice": (None, "150.505")}, 51),  # v <= 150.50
+        ({"l_extendedprice": ("150.505", None)}, 49),  # v >= 150.51
+        # sub-day bound on a DATE column: v <= Jan 3 / v >= Jan 4
+        ({"l_shipdate": (None, "1996-01-03 12:00:00")}, 12),
+        ({"l_shipdate": ("1996-01-03 12:00:00", None)}, 88),
+        ({"l_shipdate": (("=", "1996-01-03 12:00:00"),)}, 0),
+        # exactly-representable bounds keep their semantics
+        ({"l_quantity": (2, 5)}, 3),
+        ({"l_shipdate": ("1996-01-03", None)}, 92),
+    )
+    for bounds, want in cases:
+        got = read_table(spark, d, "lineitem", bounds=bounds).count()
+        assert got == want, (bounds, got, want)
+    # the rewritten comparisons stay bare attribute-vs-literal: pushed
+    bnd = read_table(spark, d, "lineitem", bounds={"l_quantity": (None, 2.5)})
+    plan = bnd._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "l_quantity" in plan.split(
+        "PushedFilters: ["
+    )[1].split("]")[0], plan
+
+
 def test_evolving_merged_path_file_prunes(spark, tmp_path):
     """The MERGED (mergeSchema-success) path file-prunes bounded contract
     timestamp columns too: an added-column evolving lake is multi-file
