@@ -427,7 +427,7 @@ def _normalize_bound(op: str, value, dtype: str):
     still a bare attribute-vs-literal predicate, so pushdown survives.
     """
     import re
-    from decimal import ROUND_FLOOR, Decimal, InvalidOperation
+    from decimal import ROUND_FLOOR, Decimal, InvalidOperation, localcontext
 
     m = re.fullmatch(r"decimal\((\d+),(\d+)\)", dtype)
     if m or dtype in _INT_BITS:
@@ -454,7 +454,11 @@ def _normalize_bound(op: str, value, dtype: str):
             return ("drop",) if op in ("<", "<=") else ("empty",)
         if big < min_v:
             return ("drop",) if op in (">", ">=") else ("empty",)
-        floor = (big / step).to_integral_value(rounding=ROUND_FLOOR) * step
+        # wide precision: decimal(38,18) floors need ~60 significant
+        # digits; the default context (28) would round or raise
+        with localcontext() as ctx:
+            ctx.prec = 100
+            floor = big.quantize(step, rounding=ROUND_FLOOR)
         if floor != big:  # strictly between representable values
             if op == "=":
                 return ("empty",)

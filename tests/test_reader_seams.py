@@ -565,6 +565,14 @@ def test_discrete_bound_literals_rewrite_exactly(spark, tmp_path):
     for bounds, want in cases:
         got = read_table(spark, d, "lineitem", bounds=bounds).count()
         assert got == want, (bounds, got, want)
+    # wide decimals: the floor needs ~60 significant digits -- the
+    # default decimal context (28) would round or raise
+    from iot_data_pipeline_spark.sources.readers import _normalize_bound
+
+    wide = "19999999999999999999.123456789012345678"
+    assert _normalize_bound("<", Decimal(wide), "decimal(38,18)")[0] == "<"
+    assert _normalize_bound("<", wide + "5", "decimal(38,18)")[0] == "<="
+    assert _normalize_bound("<", "1e21", "decimal(38,18)") == ("drop",)
     # the rewritten comparisons stay bare attribute-vs-literal: pushed
     bnd = read_table(spark, d, "lineitem", bounds={"l_quantity": (None, 2.5)})
     plan = bnd._jdf.queryExecution().executedPlan().toString()
