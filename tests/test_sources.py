@@ -314,6 +314,50 @@ def test_read_jsonl_duplicate_keys_last_win(spark, tmp_path):
     )["temperature"] == 2.0
 
 
+def test_jsonl_nonfinite_numbers_reference_parity(spark, tmp_path):
+    """Round-11 probe band: the reference's ``json.loads`` accepts the
+    non-standard ``NaN``/``Infinity``/``-Infinity`` tokens, and an
+    overflowing numeric literal (``1e400``) parses to inf rather than
+    erroring (app/app.py:60). Spark's reader matches on every case
+    (``allowNonNumericNumbers`` default) -- pinned here so a conf or
+    Spark-version change cannot silently dead-letter records the
+    reference accepts. Sink divergence, documented as BENEFICIAL: the
+    sink encodes non-finite doubles as quoted strings ("NaN" -- valid
+    JSON any parser reads) where the reference's ``json.dumps`` emits
+    bare ``NaN`` tokens (invalid JSON per RFC 8259); the engine's own
+    write -> read round-trip recovers the exact double values."""
+    import json
+    import math
+
+    from iot_data_pipeline_spark.sources.readers import read_jsonl, split_corrupt
+    from iot_data_pipeline_spark.sources.sinks import write_jsonl
+
+    lines = [
+        '{"device_id":"d1","temperature":NaN}',
+        '{"device_id":"d2","temperature":Infinity}',
+        '{"device_id":"d3","temperature":-Infinity}',
+        '{"device_id":"d4","temperature":1e400}',
+    ]
+    for line in lines:  # reference accepts every one
+        json.loads(line)
+    p = str(tmp_path / "nonfinite.jsonl")
+    with open(p, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    good, bad = split_corrupt(read_jsonl(spark, p))
+    got = {r.device_id: r.temperature for r in good.collect()}
+    assert bad.count() == 0, "reference parses these; dead-lettering diverges"
+    assert math.isnan(got["d1"])
+    assert got["d2"] == math.inf and got["d3"] == -math.inf
+    assert got["d4"] == math.inf  # overflow -> inf, same as json.loads
+    out = str(tmp_path / "out")
+    write_jsonl(good, out, coalesce=1)
+    back, bad2 = split_corrupt(read_jsonl(spark, out))
+    rt = {r.device_id: r.temperature for r in back.collect()}
+    assert bad2.count() == 0
+    assert math.isnan(rt["d1"]) and rt["d2"] == math.inf
+    assert rt["d3"] == -math.inf and rt["d4"] == math.inf
+
+
 def test_write_jsonl_subsecond_timestamps_lossless(spark, tmp_path):
     """Round-10 found-and-fixed: the JSONL sink's seconds-only timestamp
     format silently truncated sub-second timestamps on write (and even
