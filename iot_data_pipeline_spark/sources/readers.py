@@ -1100,7 +1100,28 @@ def _align_to_contract(
     """Project ``df`` onto the contract: case-insensitive name match,
     typed-NULL backfill, contract casts; ``nanos_cols`` are BIGINT
     nanos-since-epoch columns converted with integer division (a plain
-    cast would read them as seconds)."""
+    cast would read them as seconds).
+
+    Source columns that differ only by case ("Id" and "ID", a
+    case-sensitive-session scan of a sloppy writer's footer) and both
+    match a contract field fail LOUDLY here: the dict-build otherwise
+    silently kept whichever column enumerated last (round-11 probe) --
+    the same hazard ``read_table`` already rejects by name at its scan
+    boundary."""
+    lower_counts: dict[str, int] = {}
+    for f in df.schema.fields:
+        lower_counts[f.name.lower()] = lower_counts.get(f.name.lower(), 0) + 1
+    collisions = sorted(
+        low
+        for low in (f.name.lower() for f in target_schema.fields)
+        if lower_counts.get(low, 0) > 1
+    )
+    if collisions:
+        raise ValueError(
+            f"contract column(s) {collisions} match multiple source "
+            "columns differing only by case; refusing to pick one "
+            f"silently (source columns {[f.name for f in df.schema.fields]})"
+        )
     present = {f.name.lower(): f.name for f in df.schema.fields}
     cols = []
     for field in target_schema.fields:

@@ -581,6 +581,47 @@ def test_discrete_bound_literals_rewrite_exactly(spark, tmp_path):
     )[1].split("]")[0], plan
 
 
+def test_evolving_case_colliding_contract_columns_fail_loudly(spark, tmp_path):
+    """Round-11 probe: a generation carrying BOTH "Id" and "ID" (a
+    case-sensitive-session scan of a sloppy writer) silently aligned
+    whichever column enumerated last onto the contract's "id" --
+    arbitrary data selection, where read_table rejects the identical
+    footer loudly. Pin the same posture; non-contract collisions and
+    merely case-VARIANT single columns still align fine."""
+    contract = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("v", T.DoubleType())]
+    )
+    root = str(tmp_path / "lake")
+    os.makedirs(root)
+    t = pa.table(
+        {
+            "Id": pa.array([1, 2], pa.int64()),
+            "ID": pa.array([100, 200], pa.int64()),
+            "v": pa.array([1.0, 2.0], pa.float64()),
+        }
+    )
+    pq.write_table(t, f"{root}/g1.parquet")
+    was = spark.conf.get("spark.sql.caseSensitive")
+    try:
+        spark.conf.set("spark.sql.caseSensitive", "true")
+        with pytest.raises(ValueError, match="differing only by case"):
+            read_parquet_evolving(spark, root, contract).collect()
+    finally:
+        spark.conf.set("spark.sql.caseSensitive", was)
+    # a single case-variant column still aligns
+    root2 = str(tmp_path / "lake2")
+    os.makedirs(root2)
+    t2 = pa.table(
+        {
+            "ID": pa.array([1, 2], pa.int64()),
+            "v": pa.array([1.0, 2.0], pa.float64()),
+        }
+    )
+    pq.write_table(t2, f"{root2}/g1.parquet")
+    out = read_parquet_evolving(spark, root2, contract)
+    assert sorted((r["id"], r["v"]) for r in out.collect()) == [(1, 1.0), (2, 2.0)]
+
+
 def test_evolving_merged_path_file_prunes(spark, tmp_path):
     """The MERGED (mergeSchema-success) path file-prunes bounded contract
     timestamp columns too: an added-column evolving lake is multi-file
