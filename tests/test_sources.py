@@ -314,6 +314,36 @@ def test_read_jsonl_duplicate_keys_last_win(spark, tmp_path):
     )["temperature"] == 2.0
 
 
+def test_jsonl_invalid_utf8_dead_letters_not_crash(spark, tmp_path):
+    """Round-11 probe, beneficial divergence pinned: the reference
+    decodes each line OUTSIDE its try block
+    (``line_bytes.decode('utf-8')``, app/app.py:34 vs the try at
+    app/app.py:38), so ONE invalid-UTF-8 line crashes its whole job
+    with UnicodeDecodeError -- no output, no dead letter. The engine
+    routes such lines to the corrupt-record channel (U+FFFD-replaced
+    raw text preserved for triage) and every valid record still flows."""
+    from iot_data_pipeline_spark.sources.readers import read_jsonl, split_corrupt
+
+    p = str(tmp_path / "badutf.jsonl")
+    with open(p, "wb") as f:
+        f.write(b'{"device_id":"ok1","temperature":1.5}\n')
+        f.write(b'{"device_id":"bad\xff\xfe","temperature":2.5}\n')
+        f.write(b"\xc3\x28 not json\n")
+        f.write(b'{"device_id":"ok2","temperature":3.5}\n')
+    # reference parity check of the crash itself
+    import pytest as _pytest
+
+    with _pytest.raises(UnicodeDecodeError):
+        for line_bytes in open(p, "rb"):
+            line_bytes.decode("utf-8")  # the reference's exact move
+    good, bad = split_corrupt(read_jsonl(spark, p))
+    assert {(r.device_id, r.temperature) for r in good.collect()} == {
+        ("ok1", 1.5),
+        ("ok2", 3.5),
+    }
+    assert bad.count() == 2
+
+
 def test_jsonl_nonfinite_numbers_reference_parity(spark, tmp_path):
     """Round-11 probe band: the reference's ``json.loads`` accepts the
     non-standard ``NaN``/``Infinity``/``-Infinity`` tokens, and an
