@@ -817,9 +817,18 @@ def split_corrupt(df: DataFrame) -> tuple[DataFrame, DataFrame]:
 
     ``bad`` carries only the raw line (dead-letter channel, the engine
     realization of the reference's planned DLQ, reference README.md:215).
-    A blank line yields an all-NULL row (including the corrupt column);
-    the reference skips blank lines silently (app/app.py:35-37), so rows
-    that are entirely NULL are dropped from both sides.
+    Blank/whitespace-only lines never surface here -- Spark's JSON
+    source skips them at the scan (measured, round 11), matching the
+    reference's own skip (app/app.py:35-37). The all-NULL drop
+    therefore governs FIELD-LESS records: ``{}``, all-explicit-null
+    objects, and objects carrying only non-contract fields. Documented
+    DIVERGENCE (round-11 probe, pinned in
+    tests/test_sources.py::test_jsonl_fieldless_records_dropped): the
+    reference passes such dicts through (its output would be
+    ``{"processed_timestamp": ...}`` alone); the engine's schema
+    contract drops them -- a record with no contract field carries
+    nothing downstream, and the reference's own README validation
+    (A20) would reject it there.
 
     The parsed frame is cached: Spark refuses to answer queries that
     reference only the internal corrupt-record column of a raw JSON scan

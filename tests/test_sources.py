@@ -314,6 +314,34 @@ def test_read_jsonl_duplicate_keys_last_win(spark, tmp_path):
     )["temperature"] == 2.0
 
 
+def test_jsonl_fieldless_records_dropped(spark, tmp_path):
+    """Round-11 probe, behavior pinned: Spark's JSON source skips
+    blank/whitespace lines at the scan (no row at all -- the historical
+    docstring premise that blanks yield all-NULL rows no longer holds),
+    so split_corrupt's all-NULL drop governs FIELD-LESS records: {},
+    all-explicit-null objects, unknown-fields-only objects. Documented
+    divergence: the reference keeps such dicts (output would be a bare
+    processed_timestamp record); the engine's schema contract drops
+    them. Non-dict top-level values still dead-letter (A5 parity)."""
+    from iot_data_pipeline_spark.sources.readers import read_jsonl, split_corrupt
+
+    p = str(tmp_path / "degen.jsonl")
+    with open(p, "w") as f:
+        f.write("\n")
+        f.write("   \n")
+        f.write("{}\n")
+        f.write('{"device_id":null}\n')
+        f.write('{"unknown_field":1}\n')
+        f.write("null\n")
+        f.write("[1,2]\n")
+        f.write('{"device_id":"ok"}\n')
+    raw = read_jsonl(spark, p)
+    assert raw.count() == 6, "blank/whitespace lines never surface as rows"
+    good, bad = split_corrupt(raw)
+    assert [r.device_id for r in good.collect()] == ["ok"]
+    assert bad.count() == 2  # null and [1,2]: non-object top level
+
+
 def test_jsonl_invalid_utf8_dead_letters_not_crash(spark, tmp_path):
     """Round-11 probe, beneficial divergence pinned: the reference
     decodes each line OUTSIDE its try block
