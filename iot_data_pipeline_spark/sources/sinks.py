@@ -35,7 +35,18 @@ def write_jsonl(
     ``Z`` -- same instants, lossless, and trivially machine-parseable.
     """
     out = df.coalesce(coalesce) if coalesce else df
-    out.write.mode(mode).option("timestampFormat", timestamp_format).json(path)
+    # TIMESTAMP_NTZ columns render through the SEPARATE
+    # timestampNTZFormat option (round-11 probe: the round-10 fix set
+    # only timestampFormat, so NTZ columns still silently truncated to
+    # Spark's default millis). Same full-micros format minus the offset
+    # suffix -- an NTZ value has no zone to print.
+    ntz_format = timestamp_format.replace("XXX", "")
+    (
+        out.write.mode(mode)
+        .option("timestampFormat", timestamp_format)
+        .option("timestampNTZFormat", ntz_format)
+        .json(path)
+    )
 
 
 def write_parquet(

@@ -440,6 +440,24 @@ def test_write_jsonl_subsecond_timestamps_lossless(spark, tmp_path):
     )
     back = read_jsonl(spark, out, schema, keep_corrupt=False)
     assert [r.timestamp for r in back.collect()] == [ts]
+    # the NTZ twin renders through the SEPARATE timestampNTZFormat
+    # option (round-11 probe: the round-10 fix covered only LTZ and NTZ
+    # columns still truncated to millis)
+    ntz_schema = T.StructType(
+        [
+            T.StructField("device_id", T.StringType()),
+            T.StructField("timestamp", T.TimestampNTZType()),
+        ]
+    )
+    ndf = spark.createDataFrame([("a", ts)], schema=ntz_schema)
+    out2 = str(tmp_path / "out_ntz")
+    write_jsonl(ndf, out2, coalesce=1)
+    import glob as _glob
+
+    [part] = _glob.glob(f"{out2}/part-*")
+    assert ".123456" in open(part).read()
+    back2 = read_jsonl(spark, out2, ntz_schema, keep_corrupt=False)
+    assert [r.timestamp for r in back2.collect()] == [ts]
 
 
 def test_read_csv_embedded_newlines(spark, tmp_path):
