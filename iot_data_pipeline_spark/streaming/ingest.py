@@ -51,9 +51,26 @@ def read_sensor_stream(
     )
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    # input_file_name() returns the file's URI, whose path segments are
+    # percent-encoded (a raw file "data file.jsonl" surfaces as
+    # "data%20file.jsonl"), so the basename is decoded back to the real
+    # file name before it becomes the routing key (round-11 probe).
+    # try_url_decode: a non-URI name can never reach here (Hadoop always
+    # encodes, a literal '%' arrives as %25), but a malformed escape
+    # must degrade to the raw segment, not fail the stream. url_decode
+    # is FORM decoding (java.net.URLDecoder): it also turns '+' into a
+    # space, but URI paths keep a literal '+' raw -- so '+' is
+    # re-escaped to %2B first, making the composition percent-decoding
+    # only (probe: "a+b ü.jsonl" must round-trip, not become "a b").
+    # Reference divergence, beneficial: the reference passes the S3
+    # event key UNDECODED into get_object
+    # (lambda/s3_event_handler.py:38,63), so any key with a space or
+    # non-ASCII character 404s (NoSuchKey) and the file is never
+    # processed at all.
+    segment = F.element_at(F.split(F.input_file_name(), "/"), -1)
+    plus_safe = F.regexp_replace(segment, r"\+", "%2B")
     return reader.json(raw_dir).withColumn(
-        "_source_file",
-        F.element_at(F.split(F.input_file_name(), "/"), -1),
+        "_source_file", F.coalesce(F.try_url_decode(plus_safe), segment)
     )
 
 

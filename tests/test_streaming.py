@@ -108,6 +108,27 @@ def test_per_file_routing_and_dead_letter(spark, raw_dir, tmp_path):
     assert rows[0]["source_file"] == "b.jsonl"
 
 
+def test_routing_decodes_special_character_basenames(spark, tmp_path):
+    """Round-11 probe: input_file_name() returns the file's URI, so a
+    raw file "data file u.jsonl" routed as "data%20file%20u.jsonl". The
+    basename is now percent-decoded back to the real name -- with '+'
+    pre-escaped first, because url_decode is FORM decoding and would
+    turn a literal plus into a space. Beneficial divergence from the
+    reference, which passes the S3 event key UNDECODED into get_object
+    (lambda/s3_event_handler.py:38,63) and NoSuchKey-fails such files
+    entirely."""
+    d = tmp_path / "raw"
+    d.mkdir()
+    _write_file(d, "data file ü.jsonl", _records(1, 2, 10.0))
+    _write_file(d, "a+b.jsonl", _records(2, 2, 20.0))
+    out, _ = _run(spark, d, tmp_path)
+    routed = sorted(
+        r["source_file"]
+        for r in spark.read.parquet(str(out)).select("source_file").distinct().collect()
+    )
+    assert routed == ["a+b.jsonl", "data file ü.jsonl"], routed
+
+
 def test_checkpoint_processes_only_new_files(spark, raw_dir, tmp_path):
     out, ckpt = _run(spark, raw_dir, tmp_path)
     first = spark.read.parquet(str(out)).count()
