@@ -581,6 +581,30 @@ def test_discrete_bound_literals_rewrite_exactly(spark, tmp_path):
     )[1].split("]")[0], plan
 
 
+def test_evolving_composed_uri_extensionless_bounds(spark, tmp_path):
+    """Round-11 composition pin: file:// URI x extensionless Hive files
+    x bounds, through the schema-group fallback. Each generation
+    file-prunes from its own footers, the IN-window extensionless file
+    contributes its rows (it formerly vanished from the listing), and
+    the OUT-window file of each generation never reaches the scan."""
+    root = str(tmp_path / "lake")
+    os.makedirs(root)
+    pq.write_table(_ts_table([0, 1], "us", tz="UTC"), f"{root}/g1a.parquet")
+    pq.write_table(_ts_table([20, 21], "us", tz="UTC"), f"{root}/000000_0")
+    pq.write_table(_ts_table([2, 3], "ns"), f"{root}/000001_0")
+    pq.write_table(_ts_table([22, 23], "ns"), f"{root}/g2b.parquet")
+    out = read_parquet_evolving(
+        spark,
+        f"file://{root}",
+        CONTRACT,
+        bounds={"ts": ("2023-11-14", "2023-11-20")},
+    )
+    assert sorted(r["id"] for r in out.collect()) == [0, 1, 2, 3]
+    files = " ".join(out.inputFiles())
+    assert "g1a" in files and "000001_0" in files, files
+    assert "g2b" not in files and "000000_0" not in files, files
+
+
 def test_evolving_case_colliding_contract_columns_fail_loudly(spark, tmp_path):
     """Round-11 probe: a generation carrying BOTH "Id" and "ID" (a
     case-sensitive-session scan of a sloppy writer) silently aligned
