@@ -83,10 +83,14 @@ def _nanos_bound_literal(value: str) -> Column:
 
 
 def _stat_to_micros(value) -> int | None:
-    """Parquet footer timestamp statistic -> epoch microseconds, or None
-    if unconvertible (unknown type, overflow). Naive values are the
-    engine contract's UTC wall time; tz-aware values convert exactly."""
-    from datetime import datetime, timezone
+    """Parquet footer timestamp/date statistic -> epoch microseconds, or
+    None if unconvertible (unknown type, overflow). Naive values are the
+    engine contract's UTC wall time; tz-aware values convert exactly;
+    ``datetime.date`` (a DATE32 column's footer stat -- the Hive/Trino
+    writer default for date-granular columns) converts as midnight UTC,
+    so file pruning works on date-encoded layouts too (round-12: the
+    pruner previously kept ALL files on a DATE32 corpus)."""
+    from datetime import date, datetime, timezone
 
     try:
         if hasattr(value, "to_pydatetime"):  # pandas.Timestamp
@@ -99,6 +103,9 @@ def _stat_to_micros(value) -> int | None:
             return (delta.days * 86_400 + delta.seconds) * 1_000_000 + (
                 delta.microseconds
             )
+        if isinstance(value, date):  # datetime checked first (subclass)
+            days = (value - date(1970, 1, 1)).days
+            return days * 86_400_000_000
     except (OverflowError, ValueError, AttributeError):
         return None
     return None
@@ -118,6 +125,20 @@ def _literal_to_micros(value: str) -> int | None:
             delta.microseconds
         )
     return None
+
+
+def _bound_to_micros(value) -> int | None:
+    """Bound LITERAL of any accepted Python type -> epoch microseconds
+    (contract semantics: naive values and ISO strings are UTC wall time,
+    tz-aware values convert exactly), or None when unparseable here.
+    Shared by the nanos-horizon classifier, the date-dtype bound rewrite,
+    and the file pruner so that a ``datetime``/``pandas.Timestamp`` bound
+    gets the SAME exactness guarantees as its string spelling (round-11
+    ADVICE: the str-only gates left the datetime spelling on the old
+    silently-lossy paths)."""
+    if isinstance(value, str):
+        return _literal_to_micros(value)
+    return _stat_to_micros(value)
 
 
 #: Session-timezone spellings equivalent to UTC. The footer-pruning pass
@@ -168,8 +189,13 @@ def _session_tz_is_utc(tz: str) -> bool:
 #: footer passes would conservatively skip exactly the mainstream
 #: deployment they were built for.
 #: (only aliases whose URI AUTHORITY layout matches the target scheme
-#: belong here -- wasb://c@acct.blob... vs abfs://c@acct.dfs... differ
-#: in endpoint, so Azure spellings stay conservative skips)
+#: belong here. Azure ADLS Gen2 spellings need NO alias: pyarrow >= 16
+#: resolves ``abfs://``/``abfss://`` natively via AzureFileSystem, so
+#: those footer passes run as-is -- round 12 fixed ``_respell`` to keep
+#: the ``container@account.host`` authority those URIs carry. The legacy
+#: blob-endpoint ``wasb://`` and fsspec-style ``az://`` spellings are
+#: NOT resolvable (from_uri raises) and skip footer passes
+#: conservatively -- pinned in tests/test_reader_seams.py.)
 _SCHEME_ALIASES = {"s3a": "s3", "s3n": "s3"}
 
 
@@ -195,13 +221,32 @@ def _pafs_for(uri: str):
         return None, None
 
 
-def _respell(uri: str, fs_path: str) -> str:
-    """Map an fs-local path back to the caller's URI spelling so Spark
-    reads through the same scheme the table was named with."""
+def _respell(uri: str, root: str, fs_path: str) -> str:
+    """Map an fs-local path under ``root`` (the fs-local form of ``uri``,
+    as returned by :func:`_pafs_for`) back to the caller's URI spelling
+    so Spark reads through the same scheme the table was named with.
+
+    Suffix-based: the listed path extends the table root, so the
+    respelled URI is the ORIGINAL URI plus the same suffix. Rebuilding
+    from ``scheme + fs_path`` (the round-11 shape) silently DROPPED any
+    URI authority that is not part of the filesystem path -- an
+    ``abfs://container@account.dfs.core.windows.net/tbl`` table listed
+    as fs-local ``container/tbl/...``, so every pruned re-read came back
+    ``abfs://container/tbl/...`` with the account gone (round-12 probe;
+    pinned in tests/test_reader_seams.py)."""
     if "://" not in uri:
         return fs_path
-    scheme = uri.split("://", 1)[0]
-    return f"{scheme}://{fs_path.lstrip('/') if scheme != 'file' else fs_path}"
+    base = root.rstrip("/")
+    if fs_path == base:
+        return uri
+    if fs_path.startswith(base + "/"):
+        return uri.rstrip("/") + fs_path[len(base):]
+    # A listing can never escape its own root; reaching here is a logic
+    # error upstream. Fail loudly rather than hand Spark a guessed URI.
+    raise ValueError(
+        f"listed path {fs_path!r} is not under table root {root!r} "
+        f"(table URI {uri!r})"
+    )
 
 
 def _list_parquet_files(fs, root: str) -> list[str] | None:
@@ -356,7 +401,7 @@ def _prune_files_for_ts_bounds(
     ops: list[tuple[str, str, int]] = []
     for c, preds in preds_by_col.items():
         for op, value in preds:
-            micros = _literal_to_micros(value) if isinstance(value, str) else None
+            micros = _bound_to_micros(value)
             if micros is not None:
                 ops.append((c, op, micros))
     if not ops:
@@ -382,7 +427,7 @@ def _prune_files_for_ts_bounds(
         keep = files[:1]
     if len(keep) == len(files):
         return None
-    return [_respell(src, p) for p in keep]
+    return [_respell(src, root, p) for p in keep]
 
 
 _OPS = {
@@ -469,8 +514,13 @@ def _normalize_bound(op: str, value, dtype: str):
             F.lit(str(big)).cast(dtype) if m else F.lit(int(big)).cast(dtype)
         )
         return (op, lit)
-    if dtype == "date" and isinstance(value, str):
-        micros = _literal_to_micros(value)
+    if dtype == "date":
+        # str AND datetime/pandas-Timestamp spellings: a sub-day bound is
+        # lossy through lit().cast('date') whichever way it is spelled
+        # (round-11 ADVICE: the str-only gate left the datetime spelling
+        # silently truncating). A pure datetime.date value is midnight by
+        # construction, so it falls through rem==0 to the exact plain cast.
+        micros = _bound_to_micros(value)
         if micros is None:
             return None
         days, rem = divmod(micros, 86_400_000_000)
@@ -504,7 +554,10 @@ def _nanos_saturation(value, tz_is_utc: bool) -> str | None:
     the true literal by up to ~14h, so saturation then needs a one-day
     margin and the sliver inside it raises rather than guessing.
     """
-    micros = _literal_to_micros(value) if isinstance(value, str) else None
+    # str AND datetime/pandas-Timestamp spellings (round-11 ADVICE: the
+    # str-only gate let a datetime bound beyond the horizon reach the
+    # int64 multiply -- overflow under ANSI, silent wrap under ANSI-off)
+    micros = _bound_to_micros(value)
     if micros is None:
         return None
     margin = 0 if tz_is_utc else 86_400_000_000
@@ -725,6 +778,18 @@ def read_table(
                 c, F.timestamp_micros(F.expr(f"{c} div 1000"))
             )
         elif dtype == "timestamp_ntz":
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
+        elif dtype == "date":
+            # DATE32-encoded canonical timestamp column (the Hive/Trino
+            # writer default for date-granular values like o_orderdate /
+            # l_shipdate). The contract types these TIMESTAMP; left as
+            # DATE, the logical type leaks into downstream plans where
+            # Spark and the oracle diverge (round-12 sweep: date_trunc
+            # returns DATE in DuckDB but TIMESTAMP in Spark, date+interval
+            # arithmetic changes type, projections emit date where every
+            # other layout emits timestamp). Midnight-UTC cast under the
+            # pinned UTC session -- lossless, same read-boundary move as
+            # ntz->ltz above; duck_connection applies the identical cast.
             df = df.withColumn(c, F.col(c).cast("timestamp"))
     # Canonical logical schema normalization: the engine's contract types
     # every numeric measure as DOUBLE (TESTDATA.md -- no table carries
@@ -966,7 +1031,8 @@ def read_parquet_evolving(
     above the alignment casts would not translate). In the
     schema-group fallback the same bound additionally FILE-prunes each
     generation from footer stats on the one metadata pass the grouping
-    already makes (UTC-equivalent sessions, string literals -- the
+    already makes (UTC-equivalent sessions; str/datetime/date literals
+    via :func:`_bound_to_micros` -- the
     :func:`_prune_files_for_ts_bounds` contract); a generation written
     BEFORE the bounded column existed contributes nothing (its rows
     would be NULL-backfilled, and a range predicate on NULL keeps no
@@ -1179,17 +1245,15 @@ def _read_evolving_by_schema_group(
         raise FileNotFoundError(f"no parquet files under {path!r}")
     # bounds -> footer keep-ops, under the same contract as
     # _prune_files_for_ts_bounds: UTC-equivalent session only (the
-    # micros literals parse as UTC wall time), string literals only,
-    # stats-less/missing columns keep the file.
+    # micros literals parse as UTC wall time), stats-less/missing
+    # columns keep the file.
     ops: list[tuple[str, str, int]] = []
     if preds_by_col and _session_tz_is_utc(
         spark.conf.get("spark.sql.session.timeZone", "")
     ):
         for c, preds in preds_by_col.items():
             for op, value in preds:
-                micros = (
-                    _literal_to_micros(value) if isinstance(value, str) else None
-                )
+                micros = _bound_to_micros(value)
                 if micros is not None:
                     ops.append((c.lower(), op, micros))
     probes = _footer_probes(spark, fs, files, ops)
@@ -1207,7 +1271,7 @@ def _read_evolving_by_schema_group(
             n.lower() for n, t in types if t.startswith("timestamp[ns")
         )
         gdf = spark.read.option("basePath", path).parquet(
-            *[_respell(path, p) for p in paths]
+            *[_respell(path, root, p) for p in paths]
         )
         present = {c.lower() for c in gdf.columns}
         pre = {c: v for c, v in preds_by_col.items() if c.lower() in present}

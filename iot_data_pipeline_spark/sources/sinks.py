@@ -38,9 +38,16 @@ def write_jsonl(
     # TIMESTAMP_NTZ columns render through the SEPARATE
     # timestampNTZFormat option (round-11 probe: the round-10 fix set
     # only timestampFormat, so NTZ columns still silently truncated to
-    # Spark's default millis). Same full-micros format minus the offset
-    # suffix -- an NTZ value has no zone to print.
-    ntz_format = timestamp_format.replace("XXX", "")
+    # Spark's default millis). Same full-micros format minus the zone
+    # suffix -- an NTZ value has no zone to print. Any TRAILING unquoted
+    # zone-pattern run is stripped (X/x/Z/z/O/V/v), not just the
+    # default's exact "XXX" spelling (round-11 ADVICE: a caller format
+    # ending "xxx"/"VV" left a zone pattern in timestampNTZFormat, which
+    # fails at write time when NTZ columns are present); a quoted
+    # literal like "'Z'" ends in the quote character and is preserved.
+    import re
+
+    ntz_format = re.sub(r"[XxZzOVv]+$", "", timestamp_format)
     (
         out.write.mode(mode)
         .option("timestampFormat", timestamp_format)

@@ -277,11 +277,19 @@ def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     variant)."""
     import re as _re
 
-    def _dec_cast(name: str, dtype: str) -> str:
+    from iot_data_pipeline_spark.sources.readers import TIMESTAMP_COLUMNS
+
+    def _dec_cast(table: str, name: str, dtype: str) -> str:
         # alias to lowercase: name-case normalization, mirroring
         # read_table (column-name case is a writer choice; the engine
         # contract's names are lowercase)
         lo = name.lower()
+        if dtype == "DATE" and lo in TIMESTAMP_COLUMNS.get(table, ()):
+            # DATE32-encoded canonical timestamp column: read_table casts
+            # it to TIMESTAMP at the scan (midnight UTC); the view applies
+            # the identical cast so both engines compute on the same
+            # logical type (round-12 date32 sweep)
+            return f'CAST("{name}" AS TIMESTAMP) AS "{lo}"'
         m = _re.match(r"DECIMAL\((\d+),(\d+)\)", dtype)
         if not m:
             return f'"{name}" AS "{lo}"' if name != lo else f'"{name}"'
@@ -305,7 +313,7 @@ def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
             src = f"{src}/*.parquet"
         cols = con.execute(f"DESCRIBE SELECT * FROM '{src}'").fetchall()
         select = ", ".join(
-            _dec_cast(name, dtype) for name, dtype, *_ in cols
+            _dec_cast(t, name, dtype) for name, dtype, *_ in cols
         )
         con.execute(
             f"CREATE OR REPLACE VIEW {t} AS SELECT {select} FROM '{src}'"

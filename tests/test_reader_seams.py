@@ -412,18 +412,56 @@ def test_hadoop_scheme_aliases_and_respell():
     assert _SCHEME_ALIASES["s3n"] == "s3"
     assert "wasb" not in _SCHEME_ALIASES  # authority layout differs
     assert (
-        _respell("s3a://bucket/t.parquet", "bucket/t.parquet/p.parquet")
+        _respell(
+            "s3a://bucket/t.parquet",
+            "bucket/t.parquet",
+            "bucket/t.parquet/p.parquet",
+        )
         == "s3a://bucket/t.parquet/p.parquet"
     )
-    assert _respell("file:///d/t.parquet", "/d/t.parquet/p.parquet") == (
-        "file:///d/t.parquet/p.parquet"
-    )
-    assert _respell("/d/t.parquet", "/d/t.parquet/p.parquet") == (
-        "/d/t.parquet/p.parquet"
+    assert _respell(
+        "file:///d/t.parquet", "/d/t.parquet", "/d/t.parquet/p.parquet"
+    ) == ("file:///d/t.parquet/p.parquet")
+    assert _respell(
+        "/d/t.parquet", "/d/t.parquet", "/d/t.parquet/p.parquet"
+    ) == ("/d/t.parquet/p.parquet")
+    # bare-file table: the root IS the file
+    assert (
+        _respell("s3a://b/f.parquet", "b/f.parquet", "b/f.parquet")
+        == "s3a://b/f.parquet"
     )
     # no-network resolution failure -> conservative skip, not an error
     fs, p = _pafs_for("s3a://bucket/t.parquet")
     assert (fs, p) == (None, None) or p == "bucket/t.parquet"
+
+
+def test_azure_scheme_posture():
+    """Round-12 posture decision (r11 verdict item 3): pyarrow >= 16
+    resolves ``abfs://``/``abfss://`` natively (AzureFileSystem), so
+    those URIs get footer passes -- and ``_respell`` must keep the
+    ``container@account.host`` AUTHORITY, which is NOT part of the
+    fs-local path (the round-11 scheme-prefix rebuild silently dropped
+    the account from every pruned re-read URI). The legacy blob-endpoint
+    ``wasb://`` and fsspec-style ``az://`` spellings are unresolvable
+    and skip footer passes conservatively."""
+    from iot_data_pipeline_spark.sources.readers import _respell
+
+    uri = "abfs://cont@acct.dfs.core.windows.net/lake/tbl"
+    fs, root = _pafs_for(uri)
+    if fs is not None:  # pyarrow built with Azure support
+        assert type(fs).__name__ == "AzureFileSystem"
+        assert root == "cont/lake/tbl"
+        # authority survives the respell of a listed file
+        assert (
+            _respell(uri, root, "cont/lake/tbl/x=1/part-0.parquet")
+            == "abfs://cont@acct.dfs.core.windows.net/lake/tbl/x=1/part-0.parquet"
+        )
+    # unresolvable Azure spellings: conservative skip, never an exception
+    assert _pafs_for("wasb://c@a.blob.core.windows.net/t") == (None, None)
+    assert _pafs_for("az://cont/t") == (None, None)
+    # a path that escaped its root is a logic error -> loud, not guessed
+    with pytest.raises(ValueError, match="not under table root"):
+        _respell(uri, "cont/lake/tbl", "cont/other/part-0.parquet")
 
 
 def test_pruner_keeps_extensionless_files(spark, sf_dir, tmp_path):
@@ -675,3 +713,98 @@ def test_evolving_merged_path_file_prunes(spark, tmp_path):
     read_files = " ".join(out.inputFiles())
     assert "part-2" not in read_files and "part-3" not in read_files
     assert "part-0" in read_files and "part-1" in read_files
+
+
+def _date32_orders(sf_dir: str, root: str, n_files: int = 4) -> None:
+    """Write orders as an n-file o_orderdate-ordered DATE32 corpus (the
+    Hive/Trino writer default encoding for date-granular columns)."""
+    src = pq.read_table(f"{sf_dir}/orders.parquet").sort_by("o_orderdate")
+    idx = src.schema.get_field_index("o_orderdate")
+    src = src.set_column(
+        idx, "o_orderdate", src.column(idx).cast(pa.date32())
+    )
+    os.makedirs(root, exist_ok=True)
+    n = src.num_rows
+    cut = [round(k * n / n_files) for k in range(n_files + 1)]
+    for k in range(n_files):
+        pq.write_table(
+            src.slice(cut[k], cut[k + 1] - cut[k]),
+            os.path.join(root, f"part-{k:03d}.parquet"),
+            store_schema=False,
+        )
+
+
+def test_date32_canonical_column_normalizes_and_prunes(spark, sf_dir, tmp_path):
+    """Round-12 probe axis (SCALE.md section 7e): a DATE32-encoded
+    canonical timestamp column (a) normalizes to TIMESTAMP at the read
+    boundary (midnight UTC -- the contract's logical type, so downstream
+    date_trunc/interval/projection types stay layout-invariant), and
+    (b) FILE-prunes from its date footer statistics (previously
+    _stat_to_micros returned None on datetime.date stats -> keep-all)."""
+    d = str(tmp_path / "sf")
+    os.makedirs(d)
+    _date32_orders(sf_dir, f"{d}/orders.parquet")
+    df = read_table(spark, d, "orders")
+    assert dict(df.dtypes)["o_orderdate"] == "timestamp"
+    lo, hi = "1995-01-01", "1995-06-01"
+    bounded = read_table(
+        spark, d, "orders", bounds={"o_orderdate": (lo, hi)}
+    )
+    post = df.filter(
+        (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)
+    )
+    assert bounded.count() == post.count() > 0
+    # the pruner must actually drop out-of-range files
+    read_files = bounded.inputFiles()
+    assert 0 < len(read_files) < 4
+    # values identical to the timestamp-encoded layout
+    canon = read_table(spark, sf_dir, "orders", bounds={"o_orderdate": (lo, hi)})
+    assert sorted(r["o_orderkey"] for r in bounded.collect()) == sorted(
+        r["o_orderkey"] for r in canon.collect()
+    )
+
+
+def test_date_bounds_datetime_spelling_exact(spark, sf_dir, tmp_path):
+    """Round-11 ADVICE: _normalize_bound's date rewrite gated on str, so
+    a datetime bound with sub-day time still silently truncated through
+    lit().cast('date'). Both spellings must now agree exactly."""
+    from datetime import datetime
+
+    d = str(tmp_path / "sf")
+    os.makedirs(d)
+    _date32_orders(sf_dir, f"{d}/orders.parquet", n_files=2)
+    # noon bound: '< 1995-06-02 12:00' must KEEP the whole day 1995-06-02
+    s_rows = read_table(
+        spark, d, "orders",
+        bounds={"o_orderdate": ((">=", "1995-01-01"), ("<", "1995-06-02 12:00:00"))},
+    ).count()
+    dt_rows = read_table(
+        spark, d, "orders",
+        bounds={"o_orderdate": (
+            (">=", datetime(1995, 1, 1)), ("<", datetime(1995, 6, 2, 12)))},
+    ).count()
+    truth = read_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1995-01-01")
+        & (F.col("o_orderdate") < "1995-06-02 12:00:00")
+    ).count()
+    assert s_rows == dt_rows == truth > 0
+
+
+def test_nanos_saturation_datetime_spelling():
+    """Round-11 ADVICE: the horizon classifier gated on str literals, so
+    a datetime bound beyond the int64-nanos horizon reached the *1000
+    multiply (overflow / silent wrap). Datetime and pandas spellings now
+    classify identically to their string forms."""
+    from datetime import datetime
+
+    import pandas as pd
+
+    from iot_data_pipeline_spark.sources.readers import _nanos_saturation
+
+    assert _nanos_saturation(datetime(2300, 1, 1), True) == "high"
+    assert _nanos_saturation(pd.Timestamp("2300-01-01"), True) == "high"
+    assert _nanos_saturation(datetime(1400, 1, 1), True) == "low"
+    assert _nanos_saturation(datetime(2000, 1, 1), True) is None
+    # parity with the string spellings
+    assert _nanos_saturation("2300-01-01", True) == "high"
+    assert _nanos_saturation("1400-01-01", True) == "low"

@@ -458,6 +458,20 @@ def test_write_jsonl_subsecond_timestamps_lossless(spark, tmp_path):
     assert ".123456" in open(part).read()
     back2 = read_jsonl(spark, out2, ntz_schema, keep_corrupt=False)
     assert [r.timestamp for r in back2.collect()] == [ts]
+    # round-11 ADVICE: caller formats spelling the offset with OTHER
+    # zone letters ("xxx", "VV", bare "Z") must also strip for the NTZ
+    # option -- the old replace("XXX","") left a zone pattern behind,
+    # which fails at write time when NTZ columns are present; a QUOTED
+    # literal 'Z' is not a zone pattern and must be preserved.
+    for fmt, frag in (
+        ("yyyy-MM-dd'T'HH:mm:ss.SSSSSSxxx", ".123456"),
+        ("yyyy-MM-dd HH:mm:ss.SSSSSSVV", ".123456"),
+        ("yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'", ".123456Z"),
+    ):
+        out3 = str(tmp_path / f"out_{abs(hash(fmt))}")
+        write_jsonl(ndf, out3, coalesce=1, timestamp_format=fmt)
+        [part] = _glob.glob(f"{out3}/part-*")
+        assert frag in open(part).read(), fmt
 
 
 def test_read_csv_embedded_newlines(spark, tmp_path):

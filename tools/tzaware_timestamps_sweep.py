@@ -22,7 +22,13 @@ original events.ts-only special case leaving orders/lineitem dates as
 bigint -- every date_trunc over a nanos-written corpus crashed; now
 ``read_table`` normalizes all of TIMESTAMP_COLUMNS.
 
-Usage: python -m tools.tzaware_timestamps_sweep [--nanos] [src_sf_dir] [query ...]
+The --date32 variant rewrites the date-SEMANTICS canonical columns
+(o_orderdate, l_shipdate -- midnight-only in the corpus) as parquet
+DATE32, the Hive/Trino writer default for dates (round-12 probe axis).
+read_table normalizes DATE canonical timestamp columns back to
+TIMESTAMP at the scan; duck_connection applies the identical view cast.
+
+Usage: python -m tools.tzaware_timestamps_sweep [--nanos|--date32] [src_sf_dir] [query ...]
 (default src /root/testdata/sf0.01, all registry queries)
 """
 
@@ -88,6 +94,40 @@ def build_nanos_fixture(d: str, src: str = "/root/testdata/sf0.01") -> None:
             shutil.copy(f"{src}/{t}.parquet", f"{d}/{t}.parquet")
 
 
+#: Date-SEMANTICS canonical columns (midnight-only by construction in
+#: the driver corpus; verified by the builder). ``events.ts`` carries
+#: real time-of-day, so the date32 variant is column-selective.
+_DATE_SEMANTICS = {"orders": ("o_orderdate",), "lineitem": ("l_shipdate",)}
+
+
+def build_date32_fixture(d: str, src: str = "/root/testdata/sf0.01") -> None:
+    """Rewrite the date-granular canonical columns (o_orderdate,
+    l_shipdate) as parquet DATE32 -- the encoding a Hive/Trino writer
+    actually chooses for dates (round-12 probe axis, SCALE.md section 7e).
+    Lossless: those columns are midnight-only in the corpus."""
+    for t in TABLES:
+        targets = _DATE_SEMANTICS.get(t, ())
+        tab = pq.read_table(f"{src}/{t}.parquet")
+        fields, arrays = [], []
+        changed = False
+        for f, col in zip(tab.schema, tab.columns):
+            if f.name in targets and pa.types.is_timestamp(f.type):
+                newt = pa.date32()
+                col = col.cast(newt)
+                f = pa.field(f.name, newt)
+                changed = True
+            fields.append(f)
+            arrays.append(col)
+        if changed:
+            pq.write_table(
+                pa.table(arrays, schema=pa.schema(fields)),
+                f"{d}/{t}.parquet",
+                store_schema=False,
+            )
+        else:
+            shutil.copy(f"{src}/{t}.parquet", f"{d}/{t}.parquet")
+
+
 def main() -> int:
     from iot_data_pipeline_spark.queries import REGISTRY
     from iot_data_pipeline_spark.session import build_session
@@ -95,11 +135,19 @@ def main() -> int:
 
     argv = sys.argv[1:]
     with_nanos = "--nanos" in argv
-    argv = [a for a in argv if a != "--nanos"]
+    with_date32 = "--date32" in argv
+    argv = [a for a in argv if a not in ("--nanos", "--date32")]
     src = argv[0] if argv and not argv[0].startswith("q") else "/root/testdata/sf0.01"
     names = [a for a in argv if a.startswith("q")] or list(REGISTRY)
-    d = tempfile.mkdtemp(prefix="nanots_" if with_nanos else "tzaware_")
-    (build_nanos_fixture if with_nanos else build_fixture)(d, src=src)
+    d = tempfile.mkdtemp(
+        prefix="date32_" if with_date32 else ("nanots_" if with_nanos else "tzaware_")
+    )
+    builder = (
+        build_date32_fixture
+        if with_date32
+        else (build_nanos_fixture if with_nanos else build_fixture)
+    )
+    builder(d, src=src)
     spark = build_session("tzaware-timestamps-sweep")
     con = duck_connection(d)
     failed = 0
