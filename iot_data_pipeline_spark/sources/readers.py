@@ -309,19 +309,44 @@ def _ts_file_survives(
 
 def _md_survives(md, ops: list[tuple[str, str, int]]) -> bool:
     """Keep-decision from an already-open parquet footer (shared by the
-    pruner and the evolving reader's single fingerprint+prune pass)."""
+    pruner and the evolving reader's single fingerprint+prune pass).
+
+    0-row row groups (a streaming writer's empty-batch flush, a
+    committed-but-empty micro-batch) are skipped EXACTLY, not kept
+    conservatively: they carry no statistics, so the stats-less
+    keep-gate force-kept the whole file -- and an entirely-empty file
+    could never be pruned at all, silently degrading file pruning to
+    keep-everything on corpora with such artifacts (round-12 probe;
+    answers stayed correct, scans did not). A row group with zero rows
+    cannot contain a matching row, so skipping it is a theorem, not a
+    heuristic; a file whose every row group is empty contributes no
+    rows and prunes outright."""
     SLACK = 1_000  # 1ms in micros
     try:
+        if md.num_row_groups == 0:
+            return False  # no row groups: the file carries no rows
+        first_data = next(
+            (
+                g
+                for g in range(md.num_row_groups)
+                if md.row_group(g).num_rows > 0
+            ),
+            None,
+        )
+        if first_data is None:
+            return False  # every row group empty: no rows to contribute
         # lowercase: the footer carries the writer's spelling (the
         # --upper layout), canonical names are lowercase
         idx = {
-            md.row_group(0).column(i).path_in_schema.lower(): i
-            for i in range(md.row_group(0).num_columns)
+            md.row_group(first_data).column(i).path_in_schema.lower(): i
+            for i in range(md.row_group(first_data).num_columns)
         }
     except Exception:  # noqa: BLE001 -- unreadable footer: keep
         return True
     for g in range(md.num_row_groups):
         rg = md.row_group(g)
+        if rg.num_rows == 0:
+            continue
         group_ok = True
         for c, op, v in ops:
             i = idx.get(c)
@@ -428,6 +453,80 @@ def _prune_files_for_ts_bounds(
     if len(keep) == len(files):
         return None
     return [_respell(src, root, p) for p in keep]
+
+
+def _hive_partition_cols(src: str, files: list[str]) -> list[str]:
+    """Partition column names appearing as ``name=value`` path segments
+    between the table root ``src`` and the data files (discovery order,
+    deduped)."""
+    base = src.rstrip("/")
+    cols: list[str] = []
+    for f in files:
+        if not f.startswith(base + "/"):
+            continue
+        for seg in f[len(base) + 1:].split("/")[:-1]:
+            if "=" in seg:
+                name = seg.split("=", 1)[0]
+                if name and name not in cols:
+                    cols.append(name)
+    return cols
+
+
+def _read_explicit_files(
+    spark: SparkSession, src: str, files: list[str], *, merge_schema: bool = False
+) -> DataFrame:
+    """Read an EXPLICIT file subset of table ``src`` with partition
+    columns typed and canonicalized exactly as the WHOLE-table read
+    types them.
+
+    Why (round-12 probe, measured as silent corruption): Spark infers a
+    partition column's TYPE from the partition values present in the
+    file index. An explicit subset (a bounds-pruned read, or one
+    generation of an evolving lake) re-runs that inference over ONLY
+    the subset's values, so a table whose spellings span types
+    (``batch=01`` next to ``batch=abc``) answers differently bounded vs
+    unbounded: the full read infers STRING and keeps ``'01'``, the
+    pruned read infers INT and returns ``1`` -- a different value AND a
+    different column type from the same table. Fix: capture the
+    whole-table partition schema once (a driver metadata pass -- data
+    columns resolve from one arbitrary footer under
+    ``mergeSchema=false``, partition columns from the full listing,
+    which is exactly Spark's own inference), read the subset with
+    partition-type inference OFF (raw spellings), and cast to the
+    whole-table types -- bit-identical to the unpruned read on every
+    layout. Tables without hive-partition segments skip all of this
+    (one string scan of the path list). The inference conf is captured
+    at ANALYSIS time (probed), so the brief session-conf toggle cannot
+    leak into the returned lazy plan."""
+    reader = spark.read.option("basePath", src)
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    part_cols = _hive_partition_cols(src, files)
+    if not part_cols:
+        return reader.parquet(*files)
+    try:
+        lake_fields = {
+            f.name.lower(): f.dataType
+            for f in spark.read.option("mergeSchema", "false")
+            .parquet(src)
+            .schema.fields
+        }
+    except Exception:  # noqa: BLE001 -- whole-table schema unreadable:
+        # keep the subset read's own inference (the pre-round-12
+        # behavior); the subset read itself will surface any real error
+        return reader.parquet(*files)
+    key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    old = spark.conf.get(key, "true")
+    spark.conf.set(key, "false")
+    try:
+        df = reader.parquet(*files)
+    finally:
+        spark.conf.set(key, old)
+    for c in part_cols:
+        t = lake_fields.get(c.lower())
+        if t is not None:
+            df = df.withColumn(c, F.col(c).cast(t))
+    return df
 
 
 _OPS = {
@@ -737,10 +836,12 @@ def read_table(
     if ts_preds:
         pruned = _prune_files_for_ts_bounds(spark, src, name, ts_preds)
     if pruned:
-        # basePath: the pruned list is explicit leaf files; without the
-        # table root Spark would stop inferring partition columns from
-        # the directory names (silent column loss on partitioned layouts).
-        df = spark.read.option("basePath", src).parquet(*pruned)
+        # explicit leaf files: basePath keeps partition columns inferred,
+        # and _read_explicit_files pins their TYPES to the whole-table
+        # inference (round-12 probe: a pruned subset re-ran inference
+        # over only its own partition values, silently re-typing
+        # batch=01 from string '01' to int 1).
+        df = _read_explicit_files(spark, src, pruned)
     else:
         df = spark.read.parquet(src)
     # Canonical name-case normalization: column-name CASE is a writer
@@ -1072,11 +1173,7 @@ def read_parquet_evolving(
     if ts_preds:
         pruned = _prune_files_for_ts_bounds(spark, path, "<evolving>", ts_preds)
         if pruned:
-            df = (
-                spark.read.option("mergeSchema", "true")
-                .option("basePath", path)
-                .parquet(*pruned)
-            )
+            df = _read_explicit_files(spark, path, pruned, merge_schema=True)
     # Pre/post split (same as the fallback): a bounded column can vanish
     # from the pruned re-read when every file carrying it was pruned
     # away -- its surviving rows are contract NULLs, so the predicate
@@ -1270,8 +1367,8 @@ def _read_evolving_by_schema_group(
         nanos = frozenset(
             n.lower() for n, t in types if t.startswith("timestamp[ns")
         )
-        gdf = spark.read.option("basePath", path).parquet(
-            *[_respell(path, root, p) for p in paths]
+        gdf = _read_explicit_files(
+            spark, path, [_respell(path, root, p) for p in paths]
         )
         present = {c.lower() for c in gdf.columns}
         pre = {c: v for c, v in preds_by_col.items() if c.lower() in present}

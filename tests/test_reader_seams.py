@@ -808,3 +808,139 @@ def test_nanos_saturation_datetime_spelling():
     # parity with the string spellings
     assert _nanos_saturation("2300-01-01", True) == "high"
     assert _nanos_saturation("1400-01-01", True) == "low"
+
+
+def _partitioned_mixed_events(tmp_path) -> str:
+    """events table with hive-partition VALUES spanning types: batch=01
+    (int-like, early ts) next to batch=abc (string, late ts)."""
+    root = str(tmp_path / "sf" / "events.parquet")
+    base = 1_700_000_000_000_000
+    for d, ids in (("batch=01", [0, 1]), ("batch=abc", [30, 31])):
+        os.makedirs(f"{root}/{d}", exist_ok=True)
+        tab = pa.table(
+            {
+                "id": pa.array(ids, pa.int64()),
+                "ts": pa.array(
+                    [base + i * 86_400_000_000 for i in ids],
+                    pa.timestamp("us"),
+                ),
+                "value": pa.array([float(i) for i in ids], pa.float64()),
+            }
+        )
+        pq.write_table(tab, f"{root}/{d}/part-0.parquet", store_schema=False)
+    return str(tmp_path / "sf")
+
+
+def test_pruned_read_partition_type_parity(spark, tmp_path):
+    """Round-12 found-and-fixed: Spark infers a partition column's TYPE
+    from the values in the file index, so a bounds-PRUNED explicit-file
+    read re-ran inference over only the surviving values -- a table with
+    batch=01 next to batch=abc answered string '01' unbounded but int 1
+    bounded (different value AND type from the same table). The pruned
+    read must be bit-identical to the whole-table read."""
+    d = _partitioned_mixed_events(tmp_path)
+    full = read_table(spark, d, "events")
+    assert dict(full.dtypes)["batch"] == "string"
+    lo, hi = "2023-11-14", "2023-11-17"
+    bnd = read_table(spark, d, "events", bounds={"ts": (lo, hi)})
+    assert dict(bnd.dtypes)["batch"] == "string"
+    assert len(bnd.inputFiles()) == 1  # pruning itself must survive
+    assert sorted((r["id"], r["batch"]) for r in bnd.collect()) == [
+        (0, "01"),
+        (1, "01"),
+    ]
+
+
+def test_evolving_fallback_partition_type_parity(spark, tmp_path):
+    """Same hazard through the evolving reader's schema-group fallback:
+    each generation read alone re-inferred partition types from its own
+    values. Generations under k=01 (µs) and k=abc (NANOS -- forces the
+    CANNOT_MERGE_SCHEMAS fallback) must surface k exactly as the
+    whole-lake string inference would."""
+    root = str(tmp_path / "lake")
+    base = 1_700_000_000_000_000
+    for d, ids, unit in (("k=01", [0, 1], "us"), ("k=abc", [10, 11], "ns")):
+        os.makedirs(f"{root}/{d}", exist_ok=True)
+        scale = 1000 if unit == "ns" else 1
+        tab = pa.table(
+            {
+                "id": pa.array(ids, pa.int64()),
+                "ts": pa.array(
+                    [(base + i * 86_400_000_000) * scale for i in ids],
+                    pa.timestamp(unit),
+                ),
+                "v": pa.array([float(i) for i in ids], pa.float64()),
+            }
+        )
+        pq.write_table(tab, f"{root}/{d}/part-0.parquet", store_schema=False)
+    contract = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("v", T.DoubleType()),
+            T.StructField("k", T.StringType()),
+        ]
+    )
+    df = read_parquet_evolving(spark, root, contract)
+    assert sorted((r["id"], r["k"]) for r in df.collect()) == [
+        (0, "01"),
+        (1, "01"),
+        (10, "abc"),
+        (11, "abc"),
+    ]
+    # bounded: prunes to the µs generation, k spelling still exact
+    bnd = read_parquet_evolving(
+        spark, root, contract, bounds={"ts": ("2023-11-14", "2023-11-17")}
+    )
+    assert sorted((r["id"], r["k"]) for r in bnd.collect()) == [
+        (0, "01"),
+        (1, "01"),
+    ]
+
+
+def test_pruner_skips_empty_row_groups_exactly(spark, tmp_path):
+    """Round-12 found-and-fixed: a 0-row row group (a streaming writer's
+    empty-batch flush) carries no statistics, and the stats-less
+    keep-gate force-kept its whole file -- an entirely-empty file could
+    never be pruned, silently degrading file pruning to keep-everything
+    on corpora with such artifacts. Empty row groups now skip exactly
+    (they provably contain no matching row); empty files prune."""
+    root = str(tmp_path / "sf" / "events.parquet")
+    os.makedirs(root)
+    base = 1_700_000_000_000_000
+
+    def tab(ids):
+        return pa.table(
+            {
+                "id": pa.array(ids, pa.int64()),
+                "ts": pa.array(
+                    [base + i * 86_400_000_000 for i in ids],
+                    pa.timestamp("us"),
+                ),
+                "value": pa.array([float(i) for i in ids], pa.float64()),
+            }
+        )
+
+    # file A: 0-row row group SANDWICHED between data groups (early ts)
+    w = pq.ParquetWriter(f"{root}/a.parquet", tab([0]).schema)
+    w.write_table(tab([0, 1]))
+    w.write_table(tab([]))
+    w.write_table(tab([2, 3]))
+    w.close()
+    pq.write_table(tab([30, 31]), f"{root}/b.parquet")  # late ts
+    pq.write_table(tab([]), f"{root}/c.parquet")  # entirely empty
+    d = str(tmp_path / "sf")
+    lo, hi = "2023-12-13", "2023-12-16"  # only file B's range
+    bnd = read_table(spark, d, "events", bounds={"ts": (lo, hi)})
+    post = read_table(spark, d, "events").filter(
+        (F.col("ts") >= lo) & (F.col("ts") < hi)
+    )
+    assert bnd.count() == post.count() == 2
+    files = " ".join(bnd.inputFiles())
+    assert "b.parquet" in files and len(bnd.inputFiles()) == 1
+    # a bound matching file A keeps it (data groups still gate exactly;
+    # base is 22:13Z, so ids 0,1,2 land inside [11-14, 11-17))
+    lo2, hi2 = "2023-11-14", "2023-11-17"
+    bnd2 = read_table(spark, d, "events", bounds={"ts": (lo2, hi2)})
+    assert bnd2.count() == 3
+    assert "a.parquet" in " ".join(bnd2.inputFiles())
