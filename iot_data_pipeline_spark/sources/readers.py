@@ -472,6 +472,22 @@ def _hive_partition_cols(src: str, files: list[str]) -> list[str]:
     return cols
 
 
+def _glob_escape(p: str) -> str:
+    """Backslash-escape Hadoop glob metacharacters in an engine-generated
+    explicit file path. Spark's multi-path read GLOB-expands every path
+    it is handed: a foreign-written partition dir carrying a literal
+    ``[`` made the bounded read CRASH (``PATH_NOT_FOUND`` -- the glob
+    matches nothing, while the unpruned directory read of the same
+    table works), and a literal ``*`` silently matched MORE files than
+    the pruner chose (round-12 probe). Spark's own writer
+    percent-escapes these in dir names, but Hive's escaping set
+    differs and the lake contract is writer-agnostic -- the engine's
+    explicit lists name exact files and must never re-glob."""
+    import re
+
+    return re.sub(r"([{}\[\]*?\\])", r"\\\1", p)
+
+
 def _read_explicit_files(
     spark: SparkSession, src: str, files: list[str], *, merge_schema: bool = False
 ) -> DataFrame:
@@ -501,7 +517,8 @@ def _read_explicit_files(
     reader = spark.read.option("basePath", src)
     if merge_schema:
         reader = reader.option("mergeSchema", "true")
-    part_cols = _hive_partition_cols(src, files)
+    part_cols = _hive_partition_cols(src, files)  # on RAW paths
+    files = [_glob_escape(f) for f in files]  # Spark globs every path
     if not part_cols:
         return reader.parquet(*files)
     try:
