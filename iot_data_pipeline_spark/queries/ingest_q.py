@@ -310,9 +310,20 @@ def _stage_q177_events(spark: SparkSession, sf_dir: str) -> str:
         # piggyback max(ts) on the fixture write itself (df.observe):
         # the sentinel needs it, and a separate agg would re-scan events
         obs = Observation("q177_maxts")
-        ev.observe(obs, F.max("ts").alias("m")).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(d)
+        # observe epoch-MICROS, not the timestamp itself: PySpark
+        # converts a fetched TIMESTAMP to a Python datetime in the HOST
+        # zone (naive local wall time), and rebuilding it as a
+        # TIMESTAMP'...' literal reinterprets that wall time in the UTC
+        # session -- on a host BEHIND UTC the sentinel landed hours
+        # before the real max, the watermark never passed the newest
+        # purchases, and their outer emissions were silently lost
+        # (round-12 DST-zone sweep: 204/205 under TZ=America/New_York;
+        # the long-standing UTC+14 sweep zone is AHEAD of UTC, which
+        # only over-advances the watermark -- directionally blind).
+        # A bigint rides the fetch unchanged on any host.
+        ev.observe(
+            obs, F.max(F.unix_micros(F.col("ts"))).alias("m")
+        ).coalesce(1).write.mode("overwrite").parquet(d)
         stamp = batch_mtime_pinner(d)
         stamp()
         row = obs.get
@@ -328,12 +339,10 @@ def _stage_q177_events(spark: SparkSession, sf_dir: str) -> str:
         # slice is empty; any fixed point works then -- the sentinel only
         # exists to advance the watermark, and with no real rows there is
         # nothing to evict (output stays empty either way)
-        from datetime import datetime
-
-        m = (row["m"] or datetime(2024, 1, 1)).strftime("%Y-%m-%d %H:%M:%S.%f")
+        m_us = row["m"] if row["m"] is not None else 1_704_067_200_000_000
         spark.range(2).selectExpr(
             "-1L AS event_id",
-            f"TIMESTAMP'{m}' + INTERVAL 2 HOURS AS ts",
+            f"timestamp_micros({m_us}L) + INTERVAL 2 HOURS AS ts",
             "-1L AS user_id",
             "CASE WHEN id = 0 THEN 'purchase' ELSE 'click' END AS event_type",
             "0.0D AS value",

@@ -1033,3 +1033,28 @@ def test_pruned_read_globmeta_and_escaped_partition_dirs(spark, tmp_path):
     )
     assert sorted(set(r["batch"] for r in bnd2.collect())) == ["a b"]
     assert len(bnd2.inputFiles()) == 1
+
+
+def test_pruner_distributed_branch_above_64_files(spark, sf_dir, tmp_path):
+    """The footer passes DISTRIBUTE above 64 files (parallelize + pickled
+    pyarrow filesystem) -- the branch a 100 TB table always takes, and
+    the only branch no small fixture exercises. 72 date-ordered files:
+    the distributed pass must prune exactly like the driver-side one,
+    through a file:// URI so the pickled-fs path is the one under test."""
+    d = str(tmp_path)
+    root = os.path.join(d, "events.parquet")
+    _split_events(sf_dir, root, n_files=72)
+    lo, hi = "2024-01-10", "2024-01-12"
+    pruned = _prune_files_for_ts_bounds(
+        spark,
+        f"file://{root}",
+        "events",
+        {"ts": [(">=", lo), ("<", hi)]},
+    )
+    assert pruned is not None and 0 < len(pruned) < 72
+    bnd = read_table(spark, f"file://{d}", "events", bounds={"ts": (lo, hi)})
+    post = read_table(spark, d, "events").filter(
+        (F.col("ts") >= lo) & (F.col("ts") < hi)
+    )
+    assert bnd.count() == post.count() > 0
+    assert len(bnd.inputFiles()) == len(pruned)

@@ -58,3 +58,50 @@ def test_batch_mtime_pinner_orders_batches(tmp_path):
     # pinned mtimes sit in the past: a file appended later at natural
     # time cannot sort before any pinned batch
     assert mt["part-00000-c.parquet"] < os.path.getmtime(d)
+
+
+def test_q177_staging_sentinel_host_tz_independent(spark, sf_dir):
+    """Round-12 found-and-fixed (DST-zone sweep, 204/205 under
+    TZ=America/New_York): the q177 watermark sentinel observed max(ts)
+    as a TIMESTAMP, which PySpark fetches as a Python datetime in HOST
+    wall time; rebuilding it as a TIMESTAMP'...' literal reinterpreted
+    that wall time in the UTC session, so on a host BEHIND UTC the
+    sentinel landed hours before the real max and the newest purchases'
+    outer emissions were silently lost (the UTC+14 battery zone is
+    AHEAD of UTC — directionally blind to this). The staging now
+    observes epoch-micros; the sentinel must sit exactly +2h past the
+    real max under ANY host zone."""
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from iot_data_pipeline_spark.queries.ingest_q import _stage_q177_events
+
+    old = os.environ.get("TZ")
+    os.environ["TZ"] = "America/New_York"
+    time.tzset()
+    try:
+        staging._CACHE.pop(("q177_events", sf_dir), None)
+        d = _stage_q177_events(spark, sf_dir)
+    finally:
+        if old is None:
+            os.environ.pop("TZ", None)
+        else:
+            os.environ["TZ"] = old
+        time.tzset()
+    df = spark.read.parquet(d)
+    real_max = df.filter(F.col("user_id") >= 0).agg(
+        F.max(F.unix_micros("ts"))
+    ).collect()[0][0]
+    sentinel = df.filter(F.col("user_id") < 0).agg(
+        F.min(F.unix_micros("ts"))
+    ).collect()[0][0]
+    assert sentinel == real_max + 2 * 3600 * 1_000_000
+    # rebuilt under the restored zone the fixture must be identical
+    staging._CACHE.pop(("q177_events", sf_dir), None)
+    d2 = _stage_q177_events(spark, sf_dir)
+    s2 = spark.read.parquet(d2).filter(F.col("user_id") < 0).agg(
+        F.min(F.unix_micros("ts"))
+    ).collect()[0][0]
+    assert s2 == sentinel

@@ -1,7 +1,8 @@
 """One-shot audit: run the FULL registry against the COMPOSED hostile
 corpus -- every single-axis layout perturbation applied at once:
 
-    TIMESTAMP(NANOS) timestamps  (tzaware_timestamps_sweep --nanos)
+    DATE32 canonical date columns (tzaware_timestamps_sweep --date32, round 12)
+ -> TIMESTAMP(NANOS) timestamps  (tzaware_timestamps_sweep --nanos)
  -> DECIMAL-typed money columns  (decimal_money_sweep)
  -> int32-narrowed keys          (narrowed_types_sweep)
  -> trailing unknown column      (probe_fixtures --extracol, round 9)
@@ -11,7 +12,11 @@ corpus -- every single-axis layout perturbation applied at once:
 
 The value-type stages run first (their builders address columns by the
 canonical lowercase names); the name/order/extra perturbations follow;
-the multifile split runs last (name-agnostic row slicing).
+the multifile split runs last (name-agnostic row slicing). DATE32 runs
+before NANOS: o_orderdate/l_shipdate become parquet DATE while every
+remaining timestamp goes nanos -- a table whose date columns and
+instant columns took DIFFERENT writer encodings, the mix a real
+warehouse export actually produces (round 12).
 
 The single-axis sweeps prove each read-boundary normalization alone;
 this one proves they COMPOSE -- axis interactions (e.g. a nanos column
@@ -40,9 +45,13 @@ def build_fixture(d: str, src: str = "/root/testdata/sf0.01") -> None:
         build_extracol_fixture,
         build_upper_fixture,
     )
-    from tools.tzaware_timestamps_sweep import build_nanos_fixture
+    from tools.tzaware_timestamps_sweep import (
+        build_date32_fixture,
+        build_nanos_fixture,
+    )
 
     stages = [
+        build_date32_fixture,
         build_nanos_fixture,
         build_decimal,
         build_narrowed,
