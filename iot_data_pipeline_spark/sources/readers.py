@@ -1216,13 +1216,18 @@ def _footer_probes(
     evolving reader is about to read these files, so an unreadable
     footer is the job's failure, not a keep-decision."""
 
-    def probe(p: str) -> tuple[str, tuple[tuple[str, str], ...], bool]:
+    def probe(
+        p: str,
+    ) -> tuple[str, tuple[tuple[str, str], ...], tuple[tuple[str, str], ...], bool]:
         import pyarrow.parquet as pq
 
         pf = pq.ParquetFile(p, filesystem=fs)
         types = tuple((f.name, str(f.type)) for f in pf.schema_arrow)
+        # dotted-leaf-path -> arrow type: the nested nanos-as-bigint
+        # disambiguation (nanosAsLong applies inside structs too)
+        ptypes = tuple(sorted(_arrow_path_types(pf.schema_arrow).items()))
         survives = _md_survives(pf.metadata, ops) if ops else True
-        return p, types, survives
+        return p, types, ptypes, survives
 
     if len(files) > 64:
         return (
@@ -1239,57 +1244,231 @@ def _merged_bigint_ts_nanos_cols(
     BIGINT under ``nanosAsLong``, so the merge succeeds -- and the plain
     contract cast then misreads nanos as SECONDS (silent near-epoch
     corruption; ANSI only catches modern values by overflow). Detect:
-    for each contract timestamp column whose merged dtype is bigint,
+    for each contract timestamp POSITION whose merged dtype is bigint --
+    top-level columns AND nested struct fields / array elements / map
+    values (round 12: ``nanosAsLong`` applies inside structs too, and
+    the positional struct cast misread nested nanos the same way) --
     probe the footers. All ``timestamp[ns]`` -> exact integer-div
     conversion; a ns/int64 MIX -> ValueError (per-file semantics differ,
     no cast is right for both); all plain int64 -> the documented
     seconds-cast contract stands. Zero cost for lakes without a
-    bigint-surfaced timestamp column (the common case: no footer pass
-    runs at all)."""
-    dtypes = {c.lower(): t for c, t in df.dtypes}
-    suspects = [
-        f.name.lower()
-        for f in target_schema.fields
-        if isinstance(f.dataType, (T.TimestampType, T.TimestampNTZType))
-        and dtypes.get(f.name.lower()) == "bigint"
-    ]
+    bigint-surfaced timestamp position (the common case: no footer pass
+    runs at all). Returns DOTTED lowercase paths (``ts``, ``meta.ts``,
+    ``events[]``)."""
+    src_fields = {f.name.lower(): f.dataType for f in df.schema.fields}
+    suspects: list[str] = []
+    for f in target_schema.fields:
+        st = src_fields.get(f.name.lower())
+        if st is not None:
+            suspects += _contract_bigint_ts_paths(
+                f.dataType, st, f.name.lower()
+            )
     if not suspects:
         return frozenset()
     fs, root = _pafs_for(path)
     files = _list_parquet_files(fs, root) if fs is not None else None
     if not files:
         raise NotImplementedError(
-            f"contract timestamp column(s) {suspects} surfaced as BIGINT "
+            f"contract timestamp position(s) {suspects} surfaced as BIGINT "
             f"but the footers of {path!r} are not reachable via pyarrow.fs "
             "to disambiguate nanos vs plain int64; refusing the silent "
             "seconds-cast"
         )
     probes = _footer_probes(spark, fs, files, ops=[])
     nanos: set[str] = set()
-    for col in suspects:
+    for p in suspects:
         seen = {
-            t for _p, types, _s in probes for n, t in types if n.lower() == col
+            t
+            for _f, _types, ptypes, _s in probes
+            for pp, t in ptypes
+            if pp == p
         }
         ns = {t for t in seen if t.startswith("timestamp[ns")}
         others = seen - ns
         if ns and others:
             raise ValueError(
-                f"column {col!r} under {path!r} is timestamp[ns] in some "
+                f"position {p!r} under {path!r} is timestamp[ns] in some "
                 f"files and {sorted(others)} in others; per-file semantics "
                 "differ -- no single cast is correct, split the lake"
             )
         if ns:
-            nanos.add(col)
+            nanos.add(p)
     return frozenset(nanos)
+
+
+def _arrow_path_types(schema_arrow) -> dict[str, str]:
+    """Flatten a pyarrow schema to ``{dotted lowercase leaf path: arrow
+    type string}``; array elements append ``[]``, map keys/values
+    ``{k}``/``{v}``. The nested twin of the footer fingerprint: the
+    nanos-as-bigint disambiguation needs the FILE's logical type at any
+    depth, because ``nanosAsLong`` applies inside structs too (round-12
+    probe: ``struct<ts: timestamp[ns]>`` surfaces as
+    ``struct<ts: bigint>``)."""
+    import pyarrow as pa
+
+    out: dict[str, str] = {}
+
+    def walk(t, pre: str) -> None:
+        if pa.types.is_struct(t):
+            for f in t:
+                walk(f.type, f"{pre}.{f.name.lower()}" if pre else f.name.lower())
+        elif pa.types.is_list(t) or pa.types.is_large_list(t):
+            walk(t.value_type, pre + "[]")
+        elif pa.types.is_map(t):
+            walk(t.key_type, pre + "{k}")
+            walk(t.item_type, pre + "{v}")
+        else:
+            out[pre] = str(t)
+
+    for f in schema_arrow:
+        walk(f.type, f.name.lower())
+    return out
+
+
+def _contract_bigint_ts_paths(
+    dst_t: T.DataType, src_t: T.DataType | None, prefix: str
+) -> list[str]:
+    """Dotted paths where the contract wants TIMESTAMP/NTZ but the
+    source surfaces BIGINT -- the positions whose footer logical type
+    (nanos vs plain int64) decides the conversion."""
+    if isinstance(dst_t, (T.TimestampType, T.TimestampNTZType)):
+        return [prefix] if isinstance(src_t, T.LongType) else []
+    if isinstance(dst_t, T.StructType) and isinstance(src_t, T.StructType):
+        src_fields = {f.name.lower(): f.dataType for f in src_t.fields}
+        out: list[str] = []
+        for f in dst_t.fields:
+            sub = src_fields.get(f.name.lower())
+            if sub is not None:
+                out += _contract_bigint_ts_paths(
+                    f.dataType, sub, f"{prefix}.{f.name.lower()}"
+                )
+        return out
+    if isinstance(dst_t, T.ArrayType) and isinstance(src_t, T.ArrayType):
+        return _contract_bigint_ts_paths(
+            dst_t.elementType, src_t.elementType, prefix + "[]"
+        )
+    if isinstance(dst_t, T.MapType) and isinstance(src_t, T.MapType):
+        return _contract_bigint_ts_paths(
+            dst_t.valueType, src_t.valueType, prefix + "{v}"
+        )
+    return []
+
+
+def _nested_cast(col, src_t, dst_t, nanos_paths: frozenset, path: str):
+    """Cast a source column/element to its contract type, recursing into
+    nested types BY NAME.
+
+    Why not a plain ``.cast`` (the pre-round-12 shape): Spark casts
+    struct-to-struct POSITIONALLY and only when field counts match, so
+    a generation whose struct gained a field made the whole lake
+    unreadable (CAST_WITHOUT_SUGGESTION), a generation with REORDERED
+    struct fields would silently swap values, and a missing nested
+    field has no NULL-backfill path at all -- while parquet itself is
+    a by-name format, and the reader's own top-level alignment is
+    by-name. Struct fields resolve case-insensitively with typed-NULL
+    backfill for contract fields the generation predates; extra source
+    fields drop (contract projection); case-colliding source fields
+    fail loudly (the top-level rule, recursed). ``nanos_paths`` are the
+    dotted positions where BIGINT carries nanos-since-epoch (from the
+    footer's logical types): those convert with integer division at
+    any depth -- the plain cast would read them as SECONDS, the silent
+    near-epoch corruption the merged-path probe measures."""
+    if isinstance(dst_t, (T.TimestampType, T.TimestampNTZType)) and isinstance(
+        src_t, T.LongType
+    ):
+        if path in nanos_paths:
+            return F.timestamp_micros(
+                F.call_function("div", col, F.lit(1000))
+            ).cast(dst_t)
+        return col.cast(dst_t)  # plain int64: the documented seconds cast
+    if isinstance(dst_t, T.StructType) and isinstance(src_t, T.StructType):
+        lower_counts: dict[str, int] = {}
+        for f in src_t.fields:
+            lower_counts[f.name.lower()] = lower_counts.get(f.name.lower(), 0) + 1
+        collisions = sorted(
+            low
+            for low in (f.name.lower() for f in dst_t.fields)
+            if lower_counts.get(low, 0) > 1
+        )
+        if collisions:
+            raise ValueError(
+                f"contract struct field(s) {collisions} at {path!r} match "
+                "multiple source fields differing only by case; refusing "
+                f"to pick one silently (source fields "
+                f"{[f.name for f in src_t.fields]})"
+            )
+        src_fields = {f.name.lower(): f for f in src_t.fields}
+        parts = []
+        for f in dst_t.fields:
+            sf = src_fields.get(f.name.lower())
+            if sf is None:
+                parts.append(F.lit(None).cast(f.dataType).alias(f.name))
+            else:
+                parts.append(
+                    _nested_cast(
+                        col.getField(sf.name),
+                        sf.dataType,
+                        f.dataType,
+                        nanos_paths,
+                        f"{path}.{f.name.lower()}",
+                    ).alias(f.name)
+                )
+        # struct() of NULL fields is a non-NULL struct: preserve NULL rows
+        return F.when(col.isNull(), F.lit(None).cast(dst_t)).otherwise(
+            F.struct(*parts)
+        )
+    if isinstance(dst_t, T.ArrayType) and isinstance(src_t, T.ArrayType):
+        if _needs_nested_cast(src_t.elementType, dst_t.elementType, nanos_paths, path + "[]"):
+            return F.transform(
+                col,
+                lambda x: _nested_cast(
+                    x, src_t.elementType, dst_t.elementType, nanos_paths, path + "[]"
+                ),
+            ).cast(dst_t)
+        return col.cast(dst_t)
+    if isinstance(dst_t, T.MapType) and isinstance(src_t, T.MapType):
+        if _needs_nested_cast(src_t.valueType, dst_t.valueType, nanos_paths, path + "{v}"):
+            return F.transform_values(
+                col,
+                lambda _k, v: _nested_cast(
+                    v, src_t.valueType, dst_t.valueType, nanos_paths, path + "{v}"
+                ),
+            ).cast(dst_t)
+        return col.cast(dst_t)
+    return col.cast(dst_t)
+
+
+def _needs_nested_cast(src_t, dst_t, nanos_paths: frozenset, path: str) -> bool:
+    """True when the plain Spark cast at this position would be wrong:
+    a struct anywhere below (positional cast), or a nanos conversion."""
+    if isinstance(dst_t, T.StructType):
+        return True
+    if isinstance(dst_t, (T.TimestampType, T.TimestampNTZType)) and isinstance(
+        src_t, T.LongType
+    ):
+        return path in nanos_paths
+    if isinstance(dst_t, T.ArrayType) and isinstance(src_t, T.ArrayType):
+        return _needs_nested_cast(
+            src_t.elementType, dst_t.elementType, nanos_paths, path + "[]"
+        )
+    if isinstance(dst_t, T.MapType) and isinstance(src_t, T.MapType):
+        return _needs_nested_cast(
+            src_t.valueType, dst_t.valueType, nanos_paths, path + "{v}"
+        )
+    return False
 
 
 def _align_to_contract(
     df: DataFrame, target_schema: T.StructType, nanos_cols: frozenset[str]
 ) -> DataFrame:
     """Project ``df`` onto the contract: case-insensitive name match,
-    typed-NULL backfill, contract casts; ``nanos_cols`` are BIGINT
-    nanos-since-epoch columns converted with integer division (a plain
-    cast would read them as seconds).
+    typed-NULL backfill, contract casts recursing into nested types BY
+    NAME (:func:`_nested_cast` -- round 12; the previous whole-column
+    cast was positional on structs and crashed on widened ones);
+    ``nanos_cols`` are dotted lowercase paths of BIGINT
+    nanos-since-epoch positions (top-level column names, or
+    ``meta.ts``/``col[]`` for nested ones) converted with integer
+    division (a plain cast would read them as seconds).
 
     Source columns that differ only by case ("Id" and "ID", a
     case-sensitive-session scan of a sloppy writer's footer) and both
@@ -1311,22 +1490,23 @@ def _align_to_contract(
             "columns differing only by case; refusing to pick one "
             f"silently (source columns {[f.name for f in df.schema.fields]})"
         )
-    present = {f.name.lower(): f.name for f in df.schema.fields}
+    present = {f.name.lower(): f for f in df.schema.fields}
+    nanos_paths = frozenset(nanos_cols)
     cols = []
     for field in target_schema.fields:
-        src = present.get(field.name.lower())
-        if src is None:
+        sf = present.get(field.name.lower())
+        if sf is None:
             cols.append(F.lit(None).cast(field.dataType).alias(field.name))
-        elif src.lower() in nanos_cols and isinstance(
-            field.dataType, (T.TimestampType, T.TimestampNTZType)
-        ):
-            cols.append(
-                F.timestamp_micros(F.expr(f"`{src}` div 1000"))
-                .cast(field.dataType)
-                .alias(field.name)
-            )
         else:
-            cols.append(F.col(src).cast(field.dataType).alias(field.name))
+            cols.append(
+                _nested_cast(
+                    F.col(sf.name),
+                    sf.dataType,
+                    field.dataType,
+                    nanos_paths,
+                    field.name.lower(),
+                ).alias(field.name)
+            )
     return df.select(*cols)
 
 
@@ -1372,8 +1552,10 @@ def _read_evolving_by_schema_group(
                     ops.append((c.lower(), op, micros))
     probes = _footer_probes(spark, fs, files, ops)
     groups: dict[tuple[tuple[str, str], ...], list[str]] = {}
-    for p, types, survives in probes:
+    group_ptypes: dict[tuple[tuple[str, str], ...], tuple] = {}
+    for p, types, ptypes, survives in probes:
         groups.setdefault(types, [])
+        group_ptypes[types] = ptypes  # fingerprint-homogeneous per group
         if survives:
             groups[types].append(p)
     aligned = []
@@ -1381,8 +1563,15 @@ def _read_evolving_by_schema_group(
         if not paths:
             # every file of this generation provably outside the bounds
             continue
+        # dotted nanos paths (nested included -- nanosAsLong applies
+        # inside structs); _apply_bounds takes only the top-level subset
+        # (bounds address top-level columns)
+        nanos_paths = frozenset(
+            p for p, t in group_ptypes[types] if t.startswith("timestamp[ns")
+        )
         nanos = frozenset(
-            n.lower() for n, t in types if t.startswith("timestamp[ns")
+            p for p in nanos_paths
+            if "." not in p and "[]" not in p and "{" not in p
         )
         gdf = _read_explicit_files(
             spark, path, [_respell(path, root, p) for p in paths]
@@ -1391,7 +1580,7 @@ def _read_evolving_by_schema_group(
         pre = {c: v for c, v in preds_by_col.items() if c.lower() in present}
         post = {c: v for c, v in preds_by_col.items() if c.lower() not in present}
         gdf = _apply_bounds(gdf, pre, nanos_cols=nanos)
-        adf = _align_to_contract(gdf, target_schema, nanos)
+        adf = _align_to_contract(gdf, target_schema, nanos_paths)
         if post:
             # generation predates the bounded column: the contract
             # backfills typed NULLs, and a range/equality predicate on

@@ -1058,3 +1058,122 @@ def test_pruner_distributed_branch_above_64_files(spark, sf_dir, tmp_path):
     )
     assert bnd.count() == post.count() > 0
     assert len(bnd.inputFiles()) == len(pruned)
+
+
+def test_evolving_nested_type_evolution(spark, tmp_path):
+    """Round-12 found-and-fixed (the queued nested-evolution axis):
+    contract alignment used a whole-column ``.cast``, which Spark
+    resolves POSITIONALLY on structs and only when field counts match --
+    a generation whose struct GAINED a field made the whole lake
+    unreadable (CAST_WITHOUT_SUGGESTION), and reordered struct fields
+    would have swapped values silently. Alignment now recurses BY NAME
+    (parquet's own semantics): missing nested fields NULL-backfill,
+    extra ones drop, array elements and map values recurse."""
+    root = str(tmp_path / "lake")
+    os.makedirs(root)
+    g1 = pa.table(
+        {
+            "id": pa.array([0, 1], pa.int64()),
+            "tags": pa.array([[1, 2], [3]], pa.list_(pa.int32())),
+            "meta": pa.array(
+                [{"a": 1}, {"a": 2}], pa.struct([("a", pa.int32())])
+            ),
+        }
+    )
+    g2 = pa.table(
+        {
+            "id": pa.array([10], pa.int64()),
+            "tags": pa.array([[10]], pa.list_(pa.int64())),
+            # field ADDED and declared order reversed vs the contract
+            "meta": pa.array(
+                [{"b": "x", "a": 10}],
+                pa.struct([("b", pa.string()), ("a", pa.int64())]),
+            ),
+        }
+    )
+    pq.write_table(g1, f"{root}/g1.parquet", store_schema=False)
+    pq.write_table(g2, f"{root}/g2.parquet", store_schema=False)
+    contract = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("tags", T.ArrayType(T.LongType())),
+            T.StructField(
+                "meta",
+                T.StructType(
+                    [
+                        T.StructField("a", T.LongType()),
+                        T.StructField("b", T.StringType()),
+                    ]
+                ),
+            ),
+        ]
+    )
+    df = read_parquet_evolving(spark, root, contract)
+    rows = sorted(
+        (r["id"], list(r["tags"]), r["meta"].asDict()) for r in df.collect()
+    )
+    assert rows == [
+        (0, [1, 2], {"a": 1, "b": None}),
+        (1, [3], {"a": 2, "b": None}),
+        (10, [10], {"a": 10, "b": "x"}),
+    ]
+
+
+def test_evolving_nested_nanos_decode_and_mix(spark, tmp_path):
+    """Round-12 found-and-fixed: ``nanosAsLong`` applies INSIDE structs
+    (probed: struct<ts: timestamp[ns]> surfaces as struct<ts: bigint>),
+    so a homogeneous nested-nanos lake through the merged path
+    seconds-cast the nanos -- silent near-epoch corruption, the nested
+    twin of the round-10 top-level find. The merged-path detector now
+    walks DOTTED paths; a nested ns/int64 mix fails loud by path."""
+    base_ns = 1_700_000_000_000_000_000  # 2023-11-14T22:13:20Z
+    contract = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField(
+                "meta",
+                T.StructType([T.StructField("ts", T.TimestampType())]),
+            ),
+        ]
+    )
+    root = str(tmp_path / "ns_lake")
+    os.makedirs(root)
+    for i, name in ((0, "g1"), (1, "g2")):
+        t = pa.table(
+            {
+                "id": pa.array([i], pa.int64()),
+                "meta": pa.array(
+                    [{"ts": base_ns + i * 1_000_000_000}],
+                    pa.struct([("ts", pa.timestamp("ns"))]),
+                ),
+            }
+        )
+        pq.write_table(t, f"{root}/{name}.parquet", store_schema=False)
+    df = read_parquet_evolving(spark, root, contract)
+    assert sorted(str(r["meta"]["ts"]) for r in df.collect()) == [
+        "2023-11-14 22:13:20",
+        "2023-11-14 22:13:21",
+    ]
+    # ns/int64 MIX at a nested path: loud, named by dotted path
+    root2 = str(tmp_path / "mix_lake")
+    os.makedirs(root2)
+    t1 = pa.table(
+        {
+            "id": pa.array([0], pa.int64()),
+            "meta": pa.array(
+                [{"ts": base_ns}], pa.struct([("ts", pa.timestamp("ns"))])
+            ),
+        }
+    )
+    t2 = pa.table(
+        {
+            "id": pa.array([1], pa.int64()),
+            "meta": pa.array(
+                [{"ts": 1_700_000_000}], pa.struct([("ts", pa.int64())])
+            ),
+        }
+    )
+    pq.write_table(t1, f"{root2}/g1.parquet", store_schema=False)
+    pq.write_table(t2, f"{root2}/g2.parquet", store_schema=False)
+    with pytest.raises(ValueError, match="meta.ts"):
+        read_parquet_evolving(spark, root2, contract).collect()
