@@ -271,3 +271,110 @@ def test_dedup_within_watermark_expiry_is_first_occurrence_only(
         (101, "2024-01-01 00:25:00"),
         (102, "2024-01-01 00:26:00"),
     ]
+
+
+def test_checkpoint_restart_invariance_stateful(spark, tmp_path):
+    """Round-12 probe axis: exactly-once across an engine RESTART with
+    live watermark/window state. The uninterrupted run (all four files,
+    one availableNow drain) and the restarted run (two files, full
+    drain, engine 'shutdown', two more files, SECOND drain from the
+    same checkpoint into the same sink) must produce byte-identical
+    output -- the checkpoint must restore watermark + window state, and
+    the file-sink manifest must neither lose nor duplicate finalized
+    windows across the restart. This is the exactly-once contract a
+    production availableNow pipeline actually leans on; q14 only proved
+    new-file tracking."""
+    base = "2024-01-01 00:{m:02d}:00"
+    files = [
+        [_ev(1, base.format(m=1)), _ev(2, base.format(m=2))],
+        [_ev(3, base.format(m=11)), _ev(4, base.format(m=12))],
+        [_ev(5, base.format(m=31)), _ev(6, base.format(m=32))],
+        [_ev(7, base.format(m=51)), _ev(8, base.format(m=52))],
+    ]
+
+    def run(raw_dir, out, ckpt, batches):
+        stream = spark.readStream.schema(EVENT_SCHEMA).option(
+            "maxFilesPerTrigger", "1"
+        ).json(str(raw_dir))
+        q = (
+            windowed_value_counts(stream, window="10 minutes", watermark="5 minutes")
+            .writeStream.format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", str(ckpt))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        if q.isActive:
+            q.stop()
+            raise TimeoutError("stream did not drain")
+
+    # uninterrupted reference
+    raw1 = tmp_path / "raw1"
+    raw1.mkdir()
+    for i, rows in enumerate(files):
+        _write(raw1, f"f{i}.jsonl", rows, mtime=1_700_000_000 + i)
+    run(raw1, tmp_path / "out1", tmp_path / "ck1", files)
+
+    # restarted: files 0-1, drain, 'restart', files 2-3, drain again
+    raw2 = tmp_path / "raw2"
+    raw2.mkdir()
+    for i in (0, 1):
+        _write(raw2, f"f{i}.jsonl", files[i], mtime=1_700_000_000 + i)
+    run(raw2, tmp_path / "out2", tmp_path / "ck2", files[:2])
+    for i in (2, 3):
+        _write(raw2, f"f{i}.jsonl", files[i], mtime=1_700_000_000 + i)
+    run(raw2, tmp_path / "out2", tmp_path / "ck2", files[2:])
+
+    a = sorted(map(tuple, spark.read.parquet(str(tmp_path / "out1")).collect()))
+    b = sorted(map(tuple, spark.read.parquet(str(tmp_path / "out2")).collect()))
+    assert a == b and len(a) > 0
+
+
+def test_checkpoint_restart_invariance_dedup_state(spark, tmp_path):
+    """Restart twin for the DEDUP state store: a key first seen before
+    the restart must still be suppressed when it recurs after the
+    restart (within the watermark horizon) -- the restored state, not
+    the re-scanned input, carries that knowledge, because the file
+    source never re-reads files 0-1 on the second drain."""
+    base = "2024-01-01 00:{m:02d}:00"
+    files = [
+        [_ev(1, base.format(m=1), uid=10), _ev(2, base.format(m=2), uid=11)],
+        [_ev(3, base.format(m=3), uid=12)],
+        # after restart: uid 10 recurs (must suppress), uid 13 is new
+        [_ev(4, base.format(m=4), uid=10), _ev(5, base.format(m=5), uid=13)],
+    ]
+
+    def run(raw_dir, name, ckpt):
+        stream = spark.readStream.schema(EVENT_SCHEMA).option(
+            "maxFilesPerTrigger", "1"
+        ).json(str(raw_dir))
+        q = (
+            dedup_stream(stream, ["user_id"], ts_col="ts", watermark="2 hours")
+            .select("event_id", "user_id")
+            .writeStream.format("parquet")
+            .option("path", str(tmp_path / f"out_{name}"))
+            .option("checkpointLocation", str(ckpt))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        if q.isActive:
+            q.stop()
+            raise TimeoutError("stream did not drain")
+
+    raw = tmp_path / "raw_d"
+    raw.mkdir()
+    for i in (0, 1):
+        _write(raw, f"f{i}.jsonl", files[i], mtime=1_700_000_000 + i)
+    run(raw, "d", tmp_path / "ck_d")
+    _write(raw, "f2.jsonl", files[2], mtime=1_700_000_002)
+    run(raw, "d", tmp_path / "ck_d")
+    rows = sorted(
+        (r["event_id"], r["user_id"])
+        for r in spark.read.parquet(str(tmp_path / "out_d")).collect()
+    )
+    # event 4 (uid 10 recurrence) suppressed ONLY if state survived restart
+    assert rows == [(1, 10), (2, 11), (3, 12), (5, 13)]
