@@ -378,3 +378,86 @@ def test_checkpoint_restart_invariance_dedup_state(spark, tmp_path):
     )
     # event 4 (uid 10 recurrence) suppressed ONLY if state survived restart
     assert rows == [(1, 10), (2, 11), (3, 12), (5, 13)]
+
+
+def test_state_store_provider_pinned_by_checkpoint(spark, tmp_path):
+    """Round-12 probe (the queued provider-migration axis): restarting a
+    checkpointed stateful query with a DIFFERENT
+    ``stateStore.providerClass`` does NOT migrate the state -- Spark
+    pins the ORIGINAL provider in the checkpoint's offsets conf and
+    silently ignores the new session conf. Exactly-once state carries
+    (the safe outcome; a dedup key from before the 'migration' still
+    suppresses after it), but an operator who believes they switched to
+    RocksDB did not: the state files stay .delta and the offsets conf
+    keeps the HDFS-backed class. Pinned so a Spark-version change in
+    either direction (real migration, or a loud refusal) surfaces."""
+    import glob as _glob
+    import json as _json
+
+    base = "2024-01-01 00:{m:02d}:00"
+    rocks = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    )
+
+    def run(provider=None):
+        key = "spark.sql.streaming.stateStore.providerClass"
+        old = spark.conf.get(key, "")
+        if provider:
+            spark.conf.set(key, provider)
+        try:
+            stream = spark.readStream.schema(EVENT_SCHEMA).option(
+                "maxFilesPerTrigger", "1"
+            ).json(str(tmp_path / "raw"))
+            q = (
+                dedup_stream(stream, ["user_id"], ts_col="ts", watermark="2 hours")
+                .select("event_id", "user_id")
+                .writeStream.format("parquet")
+                .option("path", str(tmp_path / "out"))
+                .option("checkpointLocation", str(tmp_path / "ck"))
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+            if q.isActive:
+                q.stop()
+                raise TimeoutError("stream did not drain")
+        finally:
+            if provider:
+                if old:
+                    spark.conf.set(key, old)
+                else:
+                    spark.conf.unset(key)
+
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    _write(raw, "f0.jsonl", [_ev(1, base.format(m=1), uid=10),
+                             _ev(2, base.format(m=2), uid=11)],
+           mtime=1_700_000_000)
+    run()  # default (HDFS-backed) provider owns the checkpoint
+    _write(raw, "f1.jsonl", [_ev(3, base.format(m=3), uid=10),
+                             _ev(4, base.format(m=4), uid=13)],
+           mtime=1_700_000_001)
+    run(provider=rocks)  # attempted migration
+    rows = sorted(
+        (r["event_id"], r["user_id"])
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    )
+    assert rows == [(1, 10), (2, 11), (4, 13)]  # state carried exactly
+    # ...because the checkpoint kept the ORIGINAL provider:
+    pinned = set()
+    for off in _glob.glob(str(tmp_path / "ck" / "offsets" / "*")):
+        for line in open(off):
+            if "providerClass" in line:
+                pinned.add(
+                    _json.loads(line)["conf"][
+                        "spark.sql.streaming.stateStore.providerClass"
+                    ]
+                )
+    assert pinned == {
+        "org.apache.spark.sql.execution.streaming.state."
+        "HDFSBackedStateStoreProvider"
+    }, pinned
+    assert _glob.glob(str(tmp_path / "ck" / "state" / "**" / "*.delta"),
+                      recursive=True)
