@@ -64,6 +64,17 @@ def write_parquet(
 ) -> None:
     """Parquet sink, optionally hive-partitioned (B4).
 
+    CONCURRENCY posture (round-12 probe, measured): two jobs appending
+    to the SAME output path race on the shared ``_temporary`` staging
+    dir -- the first committer's cleanup deletes the second job's
+    staging, which then fails LOUD (``FileNotFoundException:
+    _temporary/0``); rows committed before the crash stay intact and
+    deduplicated, so the failure mode is availability, not corruption.
+    One writer per zone is the contract; concurrent producers should
+    write to per-job directories (or publish via the matview
+    atomic-pointer pattern, sources/matview.py), and object-store
+    deployments should use the magic committer (SCALE.md section 8).
+
     Partition-VALUE caveats (round-10 probe, frozen in
     tests/test_sources.py::test_partitioned_sink_adversarial_values):
 
