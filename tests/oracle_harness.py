@@ -304,19 +304,32 @@ def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
     con = duckdb.connect()
     con.execute("SET TimeZone='UTC'")
+    import glob as _glob
+
     for t in TABLES:
         src = f"{sf_dir}/{t}.parquet"
+        rel = f"'{src}'"
         if _os.path.isdir(src):
             # Spark-written / multifile-layout table: DuckDB cannot scan
             # a bare directory path, so glob the part files (the
-            # composed-hostile and multifile sweep corpora)
-            src = f"{src}/*.parquet"
-        cols = con.execute(f"DESCRIBE SELECT * FROM '{src}'").fetchall()
+            # composed-hostile and multifile sweep corpora). A
+            # hive-PARTITIONED zone nests its part files under
+            # key=value dirs (the engine round-trip --partitioned
+            # corpus): recurse and restore the partition columns the
+            # way Spark's own directory scan does.
+            if _glob.glob(f"{src}/*.parquet"):
+                rel = f"'{src}/*.parquet'"
+            else:
+                rel = (
+                    f"read_parquet('{src}/**/*.parquet', "
+                    "hive_partitioning=1)"
+                )
+        cols = con.execute(f"DESCRIBE SELECT * FROM {rel}").fetchall()
         select = ", ".join(
             _dec_cast(t, name, dtype) for name, dtype, *_ in cols
         )
         con.execute(
-            f"CREATE OR REPLACE VIEW {t} AS SELECT {select} FROM '{src}'"
+            f"CREATE OR REPLACE VIEW {t} AS SELECT {select} FROM {rel}"
         )
     return con
 

@@ -461,3 +461,70 @@ def test_state_store_provider_pinned_by_checkpoint(spark, tmp_path):
     }, pinned
     assert _glob.glob(str(tmp_path / "ck" / "state" / "**" / "*.delta"),
                       recursive=True)
+
+
+def test_checkpoint_restart_invariance_rocksdb_provider(spark, tmp_path):
+    """RocksDB twin of the restart band (r13-queued, pulled forward):
+    the bounded-heap provider a real deployment tunes must restore its
+    dedup state across an engine restart exactly like the default
+    provider -- RocksDB's restore path (SST reload + changelog replay)
+    is otherwise exercised only within a single run."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    rocks = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    )
+    base = "2024-01-01 00:{m:02d}:00"
+
+    def run():
+        stream = spark.readStream.schema(EVENT_SCHEMA).option(
+            "maxFilesPerTrigger", "1"
+        ).json(str(tmp_path / "raw"))
+        q = (
+            dedup_stream(stream, ["user_id"], ts_col="ts", watermark="2 hours")
+            .select("event_id", "user_id")
+            .writeStream.format("parquet")
+            .option("path", str(tmp_path / "out"))
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        if q.isActive:
+            q.stop()
+            raise TimeoutError("stream did not drain")
+
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    old = spark.conf.get(key, "")
+    spark.conf.set(key, rocks)
+    try:
+        _write(raw, "f0.jsonl", [_ev(1, base.format(m=1), uid=10),
+                                 _ev(2, base.format(m=2), uid=11)],
+               mtime=1_700_000_000)
+        run()
+        _write(raw, "f1.jsonl", [_ev(3, base.format(m=3), uid=10),
+                                 _ev(4, base.format(m=4), uid=13)],
+               mtime=1_700_000_001)
+        run()
+    finally:
+        if old:
+            spark.conf.set(key, old)
+        else:
+            spark.conf.unset(key)
+    rows = sorted(
+        (r["event_id"], r["user_id"])
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    )
+    assert rows == [(1, 10), (2, 11), (4, 13)]
+    # the checkpoint really is RocksDB-provider-owned
+    import glob as _glob
+    import json as _json
+
+    pinned = set()
+    for off in _glob.glob(str(tmp_path / "ck" / "offsets" / "*")):
+        for line in open(off):
+            if "providerClass" in line:
+                pinned.add(_json.loads(line)["conf"][key])
+    assert pinned == {rocks}, pinned

@@ -19,7 +19,7 @@ Also asserts the round-12 writer pin structurally: every rewritten
 timestamp column must be physical INT64 (not INT96) with usable
 min/max statistics in at least one data-bearing row group.
 
-Usage: python -m tools.engine_roundtrip_sweep [src_sf_dir] [query ...]
+Usage: python -m tools.engine_roundtrip_sweep [--partitioned] [src_sf_dir] [query ...]
 (default src /root/testdata/sf0.01, all registry queries)
 """
 
@@ -33,14 +33,28 @@ import pyarrow.parquet as pq
 from iot_data_pipeline_spark.sources.readers import TABLES, read_table
 
 
-def build_fixture(spark, d: str, src: str = "/root/testdata/sf0.01") -> None:
+#: --partitioned mode: hive-partition the big tables on their natural
+#: low-cardinality string columns (the layout a processed zone actually
+#: has); the partition column round-trips through directory encoding +
+#: partition-value inference instead of the data pages.
+_PARTITION_BY = {
+    "events": ("event_type",),
+    "orders": ("o_orderstatus",),
+    "lineitem": ("l_returnflag",),
+}
+
+
+def build_fixture(
+    spark, d: str, src: str = "/root/testdata/sf0.01", partitioned: bool = False
+) -> None:
     """Rewrite each table through the engine's own sink (engine session
     confs apply: TIMESTAMP_MICROS output, snappy, Spark part naming)."""
     from iot_data_pipeline_spark.sources.sinks import write_parquet
 
     for t in TABLES:
         df = read_table(spark, src, t)
-        write_parquet(df, f"{d}/{t}.parquet")
+        part = _PARTITION_BY.get(t, ()) if partitioned else ()
+        write_parquet(df, f"{d}/{t}.parquet", partition_by=part)
 
 
 def check_writer_footers(d: str) -> list[str]:
@@ -53,7 +67,10 @@ def check_writer_footers(d: str) -> list[str]:
 
     problems = []
     for t in TABLES:
-        files = sorted(g.glob(f"{d}/{t}.parquet/*.parquet"))
+        files = sorted(
+            g.glob(f"{d}/{t}.parquet/*.parquet")
+            or g.glob(f"{d}/{t}.parquet/**/*.parquet", recursive=True)
+        )
         if not files:
             problems.append(f"{t}: engine sink wrote no part files")
             continue
@@ -90,11 +107,13 @@ def main() -> int:
     from tests.oracle_harness import compare_query, duck_connection
 
     argv = sys.argv[1:]
+    partitioned = "--partitioned" in argv
+    argv = [a for a in argv if a != "--partitioned"]
     src = argv[0] if argv and not argv[0].startswith("q") else "/root/testdata/sf0.01"
     names = [a for a in argv if a.startswith("q")] or list(REGISTRY)
     spark = build_session("engine-roundtrip-sweep")
-    d = tempfile.mkdtemp(prefix="engrt_")
-    build_fixture(spark, d, src=src)
+    d = tempfile.mkdtemp(prefix="engrtp_" if partitioned else "engrt_")
+    build_fixture(spark, d, src=src, partitioned=partitioned)
     problems = check_writer_footers(d)
     for p in problems:
         print(f"[WRITER] {p}")
