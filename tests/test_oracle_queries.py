@@ -1303,3 +1303,55 @@ def test_boundary_band_survives_permuted_and_extended_schemas(
         spark, boundary_layout_duck, name, boundary_layout_dir
     )
     assert not problems, problems
+
+
+@pytest.fixture(scope="module")
+def unicode_docs_dir(tmp_path_factory):
+    from tools.probe_fixtures import build_unicode_fixture
+
+    d = str(tmp_path_factory.mktemp("unicode_docs"))
+    build_unicode_fixture(d, src="/root/testdata/sf0.001")
+    return d
+
+
+@pytest.fixture(scope="module")
+def unicode_docs_duck(unicode_docs_dir):
+    con = duck_connection(unicode_docs_dir)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        # text-UNIT-sensitive shapes: lengths, tokens, shingles,
+        # fingerprints, entropy -- Spark strings are UTF-16 JVM strings,
+        # DuckDB's are UTF-8, and this suffix (NFD combining sequence,
+        # astral emoji = surrogate pair, RTL mark, ZWJ, non-BMP letter)
+        # is where unit choices diverge. Round-12 probe: 21/21 (the
+        # engines agree on every unit the registry actually uses;
+        # grapheme-level functions like reverse() DO diverge between
+        # engines on combining sequences -- measured, no registry
+        # exposure).
+        "q17b_token_counts",
+        "q27_langid",
+        "q29_doc_fingerprint",
+        "q23_minhash_lsh",
+        "q24_simhash_pairs",
+        "q25_ngram_jaccard",
+        "q110_length_trim",
+        "q118_winnowing_fingerprints",
+        "q120_char_entropy",
+        "q131_bpe_learn",
+        "q137_bpe_encode",
+    ],
+)
+def test_text_band_survives_hostile_unicode(
+    spark, unicode_docs_duck, unicode_docs_dir, name
+):
+    """documents.text with an NFD-combining/astral/RTL/ZWJ suffix on
+    every row: length, shingling, tokenization, and fingerprint
+    semantics must agree across engines on text whose codepoint,
+    UTF-8-byte, and UTF-16-unit counts all differ (round-12 axis)."""
+    problems = compare_query(spark, unicode_docs_duck, name, unicode_docs_dir)
+    assert not problems, problems

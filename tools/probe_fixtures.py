@@ -130,6 +130,37 @@ def build_colorder_fixture(d: str, src: str = "/root/testdata/sf0.01") -> None:
         )
 
 
+#: Hostile-unicode suffix for --unicode (round-12 axis): NFD combining
+#: sequence (e + U+0301), astral emoji (UTF-16 surrogate pair in the
+#: JVM), RTL mark, zero-width joiner, and a non-BMP math letter. Units
+#: disagree across engines on exactly this text: Spark strings are
+#: UTF-16 JVM strings, DuckDB's are UTF-8 -- length/substring/ngram
+#: semantics that silently count different units surface here.
+_UNI_SUFFIX = " é\U0001F600‏‍\U0001D518"
+
+
+def build_unicode_fixture(d: str, src: str = "/root/testdata/sf0.01") -> None:
+    """documents.text with the hostile-unicode suffix appended to every
+    row (deterministic; both engines see the same bytes, so any
+    divergence is a UNIT-of-text semantic difference, not data)."""
+    for t in TABLES:
+        if t != "documents":
+            shutil.copy(f"{src}/{t}.parquet", f"{d}/{t}.parquet")
+            continue
+        tab = pq.read_table(f"{src}/{t}.parquet")
+        idx = tab.schema.get_field_index("text")
+        import pyarrow.compute as pc
+
+        text = pc.binary_join_element_wise(
+            pc.cast(tab.column(idx), pa.string()),
+            pa.scalar(_UNI_SUFFIX, pa.string()),
+            "",
+        )
+        pq.write_table(
+            tab.set_column(idx, "text", text), f"{d}/{t}.parquet"
+        )
+
+
 #: representative query bands per axis (frozen twins live in
 #: tests/test_oracle_queries.py; keep the lists in sync there)
 REVERSED_BAND = [
@@ -161,8 +192,22 @@ COLORDER_BAND = [
     "q170_custom_datasource", "q179_table_fingerprint",
 ]
 
+#: text-unit-sensitive band: length/token/ngram/shingle/fingerprint
+#: queries over documents.text
+UNICODE_BAND = [
+    "q17b_token_counts", "q27_langid", "q28_quality_score",
+    "q29_doc_fingerprint", "q23_minhash_lsh", "q24_simhash_pairs",
+    "q25_ngram_jaccard", "q38_text_normalize", "q45_stopword_charset",
+    "q86_tfidf_top_terms", "q110_length_trim", "q115_paragraph_dedup",
+    "q116_bm25_scoring", "q118_winnowing_fingerprints",
+    "q120_char_entropy", "q121_repetition_rules", "q131_bpe_learn",
+    "q132_ngram_perplexity", "q137_bpe_encode", "q145_prefix_filter_join",
+    "q155_url_canonicalize",
+]
+
 _MODES = {
     "--reversed": (build_reversed_fixture, REVERSED_BAND, "revrows_"),
+    "--unicode": (build_unicode_fixture, UNICODE_BAND, "unicode_"),
     "--float64": (build_float64_fixture, FLOAT64_BAND, "f64emb_"),
     "--allnull": (build_allnull_fixture, ALLNULL_BAND, "allnull_"),
     "--colorder": (build_colorder_fixture, COLORDER_BAND, "colorder_"),
