@@ -13,6 +13,16 @@ Scale notes:
 - ``maxFilesPerTrigger`` bounds micro-batch size so a 10k-file backlog does
   not become one giant batch (at 100 TB the raw zone arrives in bursts).
 - ``pathGlobFilter='*.jsonl'`` reproduces the suffix filter at the source.
+- The CHECKPOINT and the SINK are one consistency unit (round-12 probe,
+  measured): with the native file sink, losing the checkpoint but
+  reusing the sink dir is SILENT LOSS -- the fresh query restarts at
+  batch 0, finds batch 0 already committed in the sink's
+  ``_spark_metadata`` log, and skips its own output (pinned:
+  tests/test_streaming_windows.py::
+  test_checkpoint_loss_with_reused_file_sink_loses_batches). With this
+  module's ``foreachBatch`` + plain append the same mistake DUPLICATES
+  instead. Either way: on checkpoint loss, start a fresh sink dir (or
+  reprocess into a new zone and atomically swap, sources/matview.py).
 - output is partitioned by source file basename, reproducing the
   ``processed/<basename>`` routing rule (lambda/s3_event_handler.py:65)
   while keeping one parquet dir per input file for downstream pruning.

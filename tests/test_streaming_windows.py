@@ -528,3 +528,48 @@ def test_checkpoint_restart_invariance_rocksdb_provider(spark, tmp_path):
             if "providerClass" in line:
                 pinned.add(_json.loads(line)["conf"][key])
     assert pinned == {rocks}, pinned
+
+
+def test_checkpoint_loss_with_reused_file_sink_loses_batches(spark, tmp_path):
+    """Round-12 probe, PINNED SPARK POSTURE (not engine behavior): the
+    file sink's _spark_metadata log and the checkpoint are ONE
+    consistency unit. Losing the checkpoint but reusing the sink dir is
+    SILENT LOSS, not duplication: the fresh query restarts at batch 0,
+    sees batch 0 already committed in the sink's metadata log, and
+    skips its own batch-0 output. Operational contract (documented in
+    streaming/ingest.py): on checkpoint loss, start a fresh sink dir
+    too. Pinned so a Spark-version change of this posture surfaces."""
+    import shutil
+
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    _write(raw, "f0.jsonl", [_ev(1, "2024-01-01 00:01:00")], mtime=1_700_000_000)
+
+    def run(ck):
+        q = (
+            spark.readStream.schema(EVENT_SCHEMA)
+            .json(str(raw))
+            .select("event_id")
+            .writeStream.format("parquet")
+            .option("path", str(tmp_path / "out"))
+            .option("checkpointLocation", str(ck))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(60)
+        if q.isActive:
+            q.stop()
+            raise TimeoutError("stream did not drain")
+
+    run(tmp_path / "ck1")
+    shutil.rmtree(tmp_path / "ck1")  # checkpoint lost
+    _write(raw, "f1.jsonl", [_ev(2, "2024-01-01 00:02:00")], mtime=1_700_000_001)
+    run(tmp_path / "ck2")  # fresh checkpoint, SAME sink dir
+    rows = sorted(
+        r["event_id"]
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    )
+    # exactly-once would be [1, 2]; the measured posture is loss of the
+    # re-run batch 0 (which re-read BOTH files) -> only the original row
+    assert rows == [1], rows
