@@ -75,6 +75,19 @@ def write_parquet(
     atomic-pointer pattern, sources/matview.py), and object-store
     deployments should use the magic committer (SCALE.md section 8).
 
+    CRASH posture for ``mode="overwrite"`` (round-12 probe, measured):
+    Spark's overwrite is DESTRUCTIVE-FIRST -- the old zone is deleted
+    before the new write commits, so a crash mid-overwrite loses the
+    OLD data entirely (probe: a SIGKILL mid-write left the zone empty;
+    the 3M-row previous state was gone). Zones whose previous state
+    must survive a failed refresh publish through the matview
+    write-then-swap pattern instead; partition-scoped refreshes use
+    dynamic partition overwrite (sources/backfill.py), which narrows
+    the destruction window to the partitions being replaced. An
+    APPEND crash, by contrast, is clean: committed data stays intact
+    and readable, and ``_temporary`` residue is ignored by readers and
+    cleared by the next write (pinned probes, SCALE.md section 7e).
+
     Partition-VALUE caveats (round-10 probe, frozen in
     tests/test_sources.py::test_partitioned_sink_adversarial_values):
 
