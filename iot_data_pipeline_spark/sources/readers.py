@@ -12,6 +12,8 @@ Scale notes (100 TB design point):
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -488,6 +490,33 @@ def _glob_escape(p: str) -> str:
     return re.sub(r"([{}\[\]*?\\])", r"\\\1", p)
 
 
+#: Whole-table schema per table root, captured once per process (round-12
+#: ADVICE: the partition-parity metadata pass re-listed the ENTIRE table on
+#: every pruned read -- on a large object-store table that full listing can
+#: erase much of the pruning win). Staleness tradeoff, documented: a table
+#: REWRITTEN in place with different partition-value spellings mid-process
+#: serves the captured types until :func:`clear_lake_schema_cache`; new
+#: FILES under the same root do not change the cached types unless they
+#: introduce a type-flipping spelling (the rare case the cache trades away).
+_LAKE_SCHEMA_CACHE: dict[str, dict[str, T.DataType]] = {}
+
+#: Serializes the brief partition-type-inference conf toggle below across
+#: the ENGINE'S OWN threads. Reads issued by foreign threads on the same
+#: SparkSession during the window would still see inference off -- the
+#: engine's contract is a single-threaded driver (every entry point in
+#: this repo runs reads sequentially); documented rather than isolated
+#: because a per-read spark.newSession() would detach the returned plan
+#: from the caller's session state (temp views, conf) for a hazard the
+#: deployment shape does not have.
+_INFERENCE_TOGGLE_LOCK = threading.Lock()
+
+
+def clear_lake_schema_cache() -> None:
+    """Drop the cached whole-table schemas (call after rewriting a table
+    in place with different partition-value spellings)."""
+    _LAKE_SCHEMA_CACHE.clear()
+
+
 def _read_explicit_files(
     spark: SparkSession, src: str, files: list[str], *, merge_schema: bool = False
 ) -> DataFrame:
@@ -504,16 +533,20 @@ def _read_explicit_files(
     unbounded: the full read infers STRING and keeps ``'01'``, the
     pruned read infers INT and returns ``1`` -- a different value AND a
     different column type from the same table. Fix: capture the
-    whole-table partition schema once (a driver metadata pass -- data
-    columns resolve from one arbitrary footer under
+    whole-table partition schema once per process (a driver metadata
+    pass -- data columns resolve from one arbitrary footer under
     ``mergeSchema=false``, partition columns from the full listing,
-    which is exactly Spark's own inference), read the subset with
-    partition-type inference OFF (raw spellings), and cast to the
-    whole-table types -- bit-identical to the unpruned read on every
-    layout. Tables without hive-partition segments skip all of this
-    (one string scan of the path list). The inference conf is captured
-    at ANALYSIS time (probed), so the brief session-conf toggle cannot
-    leak into the returned lazy plan."""
+    which is exactly Spark's own inference; cached in
+    :data:`_LAKE_SCHEMA_CACHE` so repeated pruned reads of the same
+    table do not re-list it), read the subset with partition-type
+    inference OFF (raw spellings), and cast to the whole-table types --
+    bit-identical to the unpruned read on every layout. Tables without
+    hive-partition segments skip all of this (one string scan of the
+    path list). The inference conf is captured at ANALYSIS time
+    (probed), so the brief session-conf toggle cannot leak into the
+    returned lazy plan; the toggle window is serialized across engine
+    threads by :data:`_INFERENCE_TOGGLE_LOCK` (single-threaded-driver
+    contract for foreign threads, see the lock's note)."""
     reader = spark.read.option("basePath", src)
     if merge_schema:
         reader = reader.option("mergeSchema", "true")
@@ -521,24 +554,41 @@ def _read_explicit_files(
     files = [_glob_escape(f) for f in files]  # Spark globs every path
     if not part_cols:
         return reader.parquet(*files)
-    try:
-        lake_fields = {
-            f.name.lower(): f.dataType
-            for f in spark.read.option("mergeSchema", "false")
-            .parquet(src)
-            .schema.fields
-        }
-    except Exception:  # noqa: BLE001 -- whole-table schema unreadable:
-        # keep the subset read's own inference (the pre-round-12
-        # behavior); the subset read itself will surface any real error
-        return reader.parquet(*files)
+    lake_fields = _LAKE_SCHEMA_CACHE.get(src)
+    if lake_fields is None:
+        try:
+            lake_fields = {
+                f.name.lower(): f.dataType
+                for f in spark.read.option("mergeSchema", "false")
+                .parquet(src)
+                .schema.fields
+            }
+        except Exception as e:  # noqa: BLE001 -- whole-table schema
+            # unreadable: keep the subset read's own inference (the
+            # pre-round-12 behavior) but say so -- silently reverting
+            # reintroduces the inconsistent-typing hazard this function
+            # exists to close (round-12 ADVICE: warn, don't swallow)
+            import warnings
+
+            warnings.warn(
+                f"partition-type parity: whole-table schema pass on "
+                f"{src!r} failed ({type(e).__name__}: {e}); the pruned "
+                "subset read falls back to its OWN partition-type "
+                "inference, which can re-type partition values the "
+                "full read spells differently",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+            return reader.parquet(*files)
+        _LAKE_SCHEMA_CACHE[src] = lake_fields
     key = "spark.sql.sources.partitionColumnTypeInference.enabled"
-    old = spark.conf.get(key, "true")
-    spark.conf.set(key, "false")
-    try:
-        df = reader.parquet(*files)
-    finally:
-        spark.conf.set(key, old)
+    with _INFERENCE_TOGGLE_LOCK:
+        old = spark.conf.get(key, "true")
+        spark.conf.set(key, "false")
+        try:
+            df = reader.parquet(*files)
+        finally:
+            spark.conf.set(key, old)
     for c in part_cols:
         t = lake_fields.get(c.lower())
         if t is not None:
@@ -1348,7 +1398,14 @@ def _contract_bigint_ts_paths(
             dst_t.elementType, src_t.elementType, prefix + "[]"
         )
     if isinstance(dst_t, T.MapType) and isinstance(src_t, T.MapType):
+        # keys AND values (round-12 ADVICE: a nanos-backed timestamp map
+        # KEY fell through to the plain positional cast -- the same
+        # silent seconds-misread class, at the key position;
+        # _arrow_path_types already emits '{k}' paths for the footer
+        # probe to match)
         return _contract_bigint_ts_paths(
+            dst_t.keyType, src_t.keyType, prefix + "{k}"
+        ) + _contract_bigint_ts_paths(
             dst_t.valueType, src_t.valueType, prefix + "{v}"
         )
     return []
@@ -1427,14 +1484,27 @@ def _nested_cast(col, src_t, dst_t, nanos_paths: frozenset, path: str):
             ).cast(dst_t)
         return col.cast(dst_t)
     if isinstance(dst_t, T.MapType) and isinstance(src_t, T.MapType):
+        # keys recurse via transform_keys exactly like values (round-12
+        # ADVICE: a struct-typed or nanos-bigint map KEY fell through to
+        # the plain positional cast -- value-swap / seconds-misread at
+        # the key position). Map keys are non-null by construction, so
+        # the struct branch's NULL guard folds away.
+        out = col
+        if _needs_nested_cast(src_t.keyType, dst_t.keyType, nanos_paths, path + "{k}"):
+            out = F.transform_keys(
+                out,
+                lambda k, _v: _nested_cast(
+                    k, src_t.keyType, dst_t.keyType, nanos_paths, path + "{k}"
+                ),
+            )
         if _needs_nested_cast(src_t.valueType, dst_t.valueType, nanos_paths, path + "{v}"):
-            return F.transform_values(
-                col,
+            out = F.transform_values(
+                out,
                 lambda _k, v: _nested_cast(
                     v, src_t.valueType, dst_t.valueType, nanos_paths, path + "{v}"
                 ),
-            ).cast(dst_t)
-        return col.cast(dst_t)
+            )
+        return out.cast(dst_t)
     return col.cast(dst_t)
 
 
@@ -1453,6 +1523,8 @@ def _needs_nested_cast(src_t, dst_t, nanos_paths: frozenset, path: str) -> bool:
         )
     if isinstance(dst_t, T.MapType) and isinstance(src_t, T.MapType):
         return _needs_nested_cast(
+            src_t.keyType, dst_t.keyType, nanos_paths, path + "{k}"
+        ) or _needs_nested_cast(
             src_t.valueType, dst_t.valueType, nanos_paths, path + "{v}"
         )
     return False

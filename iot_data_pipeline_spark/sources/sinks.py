@@ -12,6 +12,39 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _ntz_format(fmt: str) -> str:
+    """Derive the ``timestampNTZFormat`` from a caller's LTZ format by
+    dropping every UNQUOTED zone-pattern letter (X/x/Z/z/O/V/v) anywhere
+    in the pattern -- an NTZ value has no zone to print, and a leftover
+    zone letter fails the whole write when NTZ columns are present.
+
+    Round-12 ADVICE: the previous derivation stripped only a TRAILING
+    zone run, so a zone mid-pattern or followed by a quoted literal
+    (``...ssXXX'Z'``, ``VV yyyy...``) still leaked zone letters into
+    the NTZ option -- the exact failure the fix targets, on adjacent
+    spellings. This tokenizes around single-quoted literal sections
+    (java.time rules: ``''`` inside or outside a section is an escaped
+    quote) so quoted text like ``'Z'`` or ``'at VV'`` is preserved
+    verbatim while pattern-position zone letters drop wherever they sit.
+    """
+    out: list[str] = []
+    i, n = 0, len(fmt)
+    while i < n:
+        ch = fmt[i]
+        if ch == "'":
+            j = i + 1
+            while j < n and fmt[j] != "'":
+                j += 1
+            out.append(fmt[i : j + 1])  # quoted section, closing quote kept
+            i = j + 1
+        elif ch in "XxZzOVv":
+            i += 1  # unquoted zone-pattern letter: drop
+        else:
+            out.append(ch)
+            i += 1
+    return "".join(out)
+
+
 def write_jsonl(
     df: DataFrame,
     path: str,
@@ -39,15 +72,10 @@ def write_jsonl(
     # timestampNTZFormat option (round-11 probe: the round-10 fix set
     # only timestampFormat, so NTZ columns still silently truncated to
     # Spark's default millis). Same full-micros format minus the zone
-    # suffix -- an NTZ value has no zone to print. Any TRAILING unquoted
-    # zone-pattern run is stripped (X/x/Z/z/O/V/v), not just the
-    # default's exact "XXX" spelling (round-11 ADVICE: a caller format
-    # ending "xxx"/"VV" left a zone pattern in timestampNTZFormat, which
-    # fails at write time when NTZ columns are present); a quoted
-    # literal like "'Z'" ends in the quote character and is preserved.
-    import re
-
-    ntz_format = re.sub(r"[XxZzOVv]+$", "", timestamp_format)
+    # letters -- an NTZ value has no zone to print; see _ntz_format
+    # (round-12 ADVICE: zone patterns ANYWHERE in the format, not just
+    # a trailing run, quoted literals preserved).
+    ntz_format = _ntz_format(timestamp_format)
     (
         out.write.mode(mode)
         .option("timestampFormat", timestamp_format)

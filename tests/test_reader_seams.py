@@ -1177,3 +1177,181 @@ def test_evolving_nested_nanos_decode_and_mix(spark, tmp_path):
     pq.write_table(t2, f"{root2}/g2.parquet", store_schema=False)
     with pytest.raises(ValueError, match="meta.ts"):
         read_parquet_evolving(spark, root2, contract).collect()
+
+
+def test_evolving_map_key_nanos_decode(spark, tmp_path):
+    """Round-12 ADVICE closed: ``nanosAsLong`` applies to map KEYS too
+    (probed: map<timestamp[ns], v> surfaces as map<bigint, v>), and the
+    nanos detector/nested cast recursed into struct fields, array
+    elements, and map VALUES only -- a nanos-backed timestamp map key
+    fell through to the plain positional cast, the same silent
+    seconds-misread class at the key position. Keys now recurse via
+    transform_keys with '{k}' footer paths."""
+    base_ns = 1_700_000_000_000_000_000  # 2023-11-14T22:13:20Z
+    contract = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField(
+                "m", T.MapType(T.TimestampType(), T.LongType())
+            ),
+        ]
+    )
+    root = str(tmp_path / "nskey_lake")
+    os.makedirs(root)
+    for i, name in ((0, "g1"), (1, "g2")):
+        t = pa.table(
+            {
+                "id": pa.array([i], pa.int64()),
+                "m": pa.array(
+                    [[(base_ns + i * 1_000_000_000, i)]],
+                    pa.map_(pa.timestamp("ns"), pa.int64()),
+                ),
+            }
+        )
+        pq.write_table(t, f"{root}/{name}.parquet", store_schema=False)
+    df = read_parquet_evolving(spark, root, contract)
+    got = sorted(
+        (r["id"], str(k), v)
+        for r in df.collect()
+        for k, v in r["m"].items()
+    )
+    assert got == [
+        (0, "2023-11-14 22:13:20", 0),
+        (1, "2023-11-14 22:13:21", 1),
+    ]
+    # ns/int64 MIX at the key path: loud, named by the dotted {k} path
+    root2 = str(tmp_path / "nskey_mix")
+    os.makedirs(root2)
+    t1 = pa.table(
+        {
+            "id": pa.array([0], pa.int64()),
+            "m": pa.array(
+                [[(base_ns, 0)]], pa.map_(pa.timestamp("ns"), pa.int64())
+            ),
+        }
+    )
+    t2 = pa.table(
+        {
+            "id": pa.array([1], pa.int64()),
+            "m": pa.array(
+                [[(1_700_000_000, 1)]], pa.map_(pa.int64(), pa.int64())
+            ),
+        }
+    )
+    pq.write_table(t1, f"{root2}/g1.parquet", store_schema=False)
+    pq.write_table(t2, f"{root2}/g2.parquet", store_schema=False)
+    with pytest.raises(ValueError, match=r"m\{k\}"):
+        read_parquet_evolving(spark, root2, contract).collect()
+
+
+def test_evolving_map_struct_key_by_name(spark, tmp_path):
+    """Round-12 ADVICE twin: a STRUCT-typed map key whose generation
+    reordered/widened the struct hit the positional cast at the key
+    position (silent value swap / CAST_WITHOUT_SUGGESTION); keys now
+    recurse the by-name alignment exactly like struct values."""
+    contract = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField(
+                "m",
+                T.MapType(
+                    T.StructType(
+                        [
+                            T.StructField("a", T.LongType()),
+                            T.StructField("b", T.StringType()),
+                        ]
+                    ),
+                    T.LongType(),
+                ),
+            ),
+        ]
+    )
+    root = str(tmp_path / "structkey_lake")
+    os.makedirs(root)
+    g1 = pa.table(
+        {
+            "id": pa.array([0], pa.int64()),
+            # declared order REVERSED vs the contract: positional cast
+            # would swap a<->b (and crash on the string->long leg)
+            "m": pa.array(
+                [[({"b": "x", "a": 7}, 5)]],
+                pa.map_(
+                    pa.struct([("b", pa.string()), ("a", pa.int64())]),
+                    pa.int64(),
+                ),
+            ),
+        }
+    )
+    g2 = pa.table(
+        {
+            "id": pa.array([1], pa.int64()),
+            # field b MISSING: NULL-backfills inside the key struct
+            "m": pa.array(
+                [[({"a": 9}, 6)]],
+                pa.map_(pa.struct([("a", pa.int64())]), pa.int64()),
+            ),
+        }
+    )
+    pq.write_table(g1, f"{root}/g1.parquet", store_schema=False)
+    pq.write_table(g2, f"{root}/g2.parquet", store_schema=False)
+    df = read_parquet_evolving(spark, root, contract)
+    got = sorted(
+        (r["id"], k.asDict(), v)
+        for r in df.collect()
+        for k, v in r["m"].items()
+    )
+    assert got == [
+        (0, {"a": 7, "b": "x"}, 5),
+        (1, {"a": 9, "b": None}, 6),
+    ]
+
+
+def test_explicit_files_schema_cache_and_loud_fallback(spark, tmp_path):
+    """Round-12 ADVICE closed (two findings at _read_explicit_files):
+
+    - the partition-type parity pass re-listed the WHOLE table on every
+      pruned read; the schema is now cached per table root for the
+      process lifetime (clear_lake_schema_cache after an in-place
+      rewrite that changes partition-value spellings);
+    - the broad fallback when that pass fails now WARNS instead of
+      silently reverting to subset-local partition-type inference.
+    """
+    import warnings
+
+    from iot_data_pipeline_spark.sources.readers import (
+        _LAKE_SCHEMA_CACHE,
+        _read_explicit_files,
+        clear_lake_schema_cache,
+    )
+
+    root = str(tmp_path / "cached_tbl")
+    os.makedirs(f"{root}/a=1")
+    t = pa.table({"x": pa.array([1, 2], pa.int64())})
+    pq.write_table(t, f"{root}/a=1/p.parquet")
+    df = _read_explicit_files(spark, root, [f"{root}/a=1/p.parquet"])
+    assert dict(df.dtypes)["a"] == "int"
+    assert root in _LAKE_SCHEMA_CACHE
+    # cache is CONSULTED on the next read: poison the entry and observe
+    # the partition type follow it (no monkeypatching of spark.read)
+    _LAKE_SCHEMA_CACHE[root] = {"x": T.LongType(), "a": T.StringType()}
+    df2 = _read_explicit_files(spark, root, [f"{root}/a=1/p.parquet"])
+    assert dict(df2.dtypes)["a"] == "string"
+    clear_lake_schema_cache()
+    df3 = _read_explicit_files(spark, root, [f"{root}/a=1/p.parquet"])
+    assert dict(df3.dtypes)["a"] == "int"
+
+    # loud fallback: a table ROOT carrying a glob metachar defeats the
+    # whole-table metadata pass (Spark glob-expands the root; the
+    # engine's directory-path read of such a table fails the same way,
+    # so this only arises on explicit-file entry points) -- the subset
+    # still reads correctly, with a RuntimeWarning naming the hazard
+    # instead of the old silent revert
+    gd = str(tmp_path / "tbl[1]")
+    os.makedirs(f"{gd}/a=1")
+    pq.write_table(t, f"{gd}/a=1/p.parquet")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        df4 = _read_explicit_files(spark, gd, [f"{gd}/a=1/p.parquet"])
+        assert sorted(r["x"] for r in df4.collect()) == [1, 2]
+    msgs = [str(x.message) for x in w if x.category is RuntimeWarning]
+    assert any("partition-type parity" in m for m in msgs)

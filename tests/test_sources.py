@@ -463,10 +463,17 @@ def test_write_jsonl_subsecond_timestamps_lossless(spark, tmp_path):
     # option -- the old replace("XXX","") left a zone pattern behind,
     # which fails at write time when NTZ columns are present; a QUOTED
     # literal 'Z' is not a zone pattern and must be preserved.
+    # round-12 ADVICE twin: zone letters MID-pattern or followed by a
+    # quoted literal must also strip (the trailing-run regex left them,
+    # failing the write when NTZ columns are present); unquoted zone
+    # runs drop wherever they sit, quoted text survives verbatim.
     for fmt, frag in (
         ("yyyy-MM-dd'T'HH:mm:ss.SSSSSSxxx", ".123456"),
         ("yyyy-MM-dd HH:mm:ss.SSSSSSVV", ".123456"),
         ("yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'", ".123456Z"),
+        ("yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX'Z'", ".123456Z"),
+        ("yyyy-MM-dd HH:mm:ss.SSSSSSZ' utc'", ".123456 utc"),
+        ("yyyy-MM-dd HH:mm:ss.SSSSSSO' end'", ".123456 end"),
     ):
         out3 = str(tmp_path / f"out_{abs(hash(fmt))}")
         write_jsonl(ndf, out3, coalesce=1, timestamp_format=fmt)
