@@ -1,15 +1,17 @@
-"""Materialized views with versioned, atomically-published snapshots.
+"""Versioned, atomically-published parquet snapshots (zones + mat views).
 
 A rollup that dashboards hit thousands of times a day must not rescan
 the fact table per query -- it gets materialized once per refresh cycle.
 The publish step is the part that matters at scale: readers must never
 see a half-written snapshot. Without a table format (Delta/Iceberg),
 "overwrite in place" is NOT atomic on an object store -- a reader listing
-mid-rewrite sees a torn directory. This module uses the classic
-version-directory pattern instead:
+mid-rewrite sees a torn directory, and Spark's ``mode=overwrite`` is
+destructive-FIRST (the round-12 SIGKILL probe measured a killed refresh
+leaving the zone EMPTY: old data deleted, new write never committed).
+This module uses the classic version-directory pattern instead:
 
-    <root>/<name>/v=<N>/part-*.parquet   -- immutable snapshot N
-    <root>/<name>/_current               -- tiny pointer file: "N"
+    <zone>/v=<N>/part-*.parquet   -- immutable snapshot N
+    <zone>/_current               -- tiny pointer file: "N"
 
 A refresh writes the FULL new snapshot under ``v=<N+1>``, then swaps the
 pointer (write-temp + rename: rename is atomic on HDFS; on S3 the
@@ -17,6 +19,22 @@ single-object copy window is milliseconds on a byte-sized file). Readers
 resolve the pointer once at plan time and then only ever list an
 immutable directory. Old snapshots stay readable (in-flight queries,
 time travel) until ``vacuum`` reclaims them.
+
+Round 13 promotes this from the named-matview API to the default
+crash-safe shape for any full-zone refresh: ``write_parquet(...,
+atomic=True)`` (sources/sinks.py) publishes through
+:func:`publish_snapshot`, and the engine's read boundary
+(``read_table`` / the DuckDB oracle views) resolves the pointer
+transparently, so a zone written atomically reads exactly like a plain
+parquet directory -- but a killed or failed refresh always leaves the
+PREVIOUS snapshot fully readable.
+
+Name reservation: the snapshot directory is hive-spelled (``v=<N>``) so
+a whole-root ``spark.read.parquet(zone)`` still unions every snapshot
+with ``v`` as a partition column (time-travel listing), and readers that
+auto-detect hive segments (DuckDB) can identify and drop it. An atomic
+zone therefore RESERVES the top-level partition-column name ``v``; data
+partition columns keep any other name.
 
 All filesystem access goes through the Hadoop FileSystem API so the same
 code runs on file://, hdfs://, and s3a:// paths.
@@ -39,13 +57,14 @@ def _view_root(root: str, name: str) -> str:
     return f"{root.rstrip('/')}/{name}"
 
 
-def _version_dir(root: str, name: str, version: int) -> str:
-    return f"{_view_root(root, name)}/v={version}"
+def _snapshot_dir(zone: str, version: int) -> str:
+    return f"{zone.rstrip('/')}/v={version}"
 
 
-def current_version(spark: SparkSession, root: str, name: str) -> int | None:
-    """Version the pointer currently publishes, or None if never refreshed."""
-    fs, p, jvm = _jpath(spark, f"{_view_root(root, name)}/{_POINTER}")
+def current_snapshot_version(spark: SparkSession, zone: str) -> int | None:
+    """Version the zone's pointer currently publishes, or None if the
+    zone has never been atomically published (no ``_current`` file)."""
+    fs, p, jvm = _jpath(spark, f"{zone.rstrip('/')}/{_POINTER}")
     if not fs.exists(p):
         return None
     stream = fs.open(p)
@@ -58,26 +77,65 @@ def current_version(spark: SparkSession, root: str, name: str) -> int | None:
     return int(text) if text else None
 
 
-def refresh(spark: SparkSession, root: str, name: str, df: DataFrame) -> int:
-    """Materialize ``df`` as the next snapshot of view ``name`` and publish
+def resolve_snapshot_dir(spark: SparkSession, zone: str) -> str | None:
+    """The published snapshot directory for ``zone``, or None when the
+    path is not a versioned zone (the plain-directory read applies).
+
+    Local paths short-circuit through ``os.path`` (no py4j round-trip:
+    this sits on the engine's read boundary and runs once per table
+    read); remote schemes go through the Hadoop FileSystem API.
+    """
+    import os
+
+    z = zone.rstrip("/")
+    if z.startswith("file://"):
+        local = z[7:]
+    elif z.startswith("file:"):  # Hadoop's single-slash spelling
+        local = z[5:]
+    else:
+        local = z
+    if "://" not in local:
+        ptr = os.path.join(local, _POINTER)
+        if not os.path.isfile(ptr):
+            return None
+        with open(ptr, encoding="utf-8") as fh:
+            text = fh.read().strip()
+        return _snapshot_dir(z, int(text)) if text else None
+    v = current_snapshot_version(spark, z)
+    return None if v is None else _snapshot_dir(z, v)
+
+
+def publish_snapshot(
+    spark: SparkSession,
+    zone: str,
+    df: DataFrame,
+    partition_by: tuple[str, ...] = (),
+) -> int:
+    """Materialize ``df`` as the next snapshot of ``zone`` and publish
     it. Returns the new version number.
 
-    The dataframe is fully written under the new version directory BEFORE
-    the pointer moves; a crash mid-write leaves an orphan directory (the
-    pointer still names the last good snapshot) which the next ``vacuum``
-    clears. Publication is the pointer swap -- one tiny-file rename.
+    The dataframe is fully written under the new version directory
+    BEFORE the pointer moves: a crash or failure anywhere mid-write
+    leaves an orphan directory and the pointer still naming the last
+    good snapshot (the previous zone state stays fully readable -- the
+    frozen crash tests in tests/test_atomic_publish.py kill a publisher
+    mid-write and assert exactly that). Publication is the pointer
+    swap -- one tiny-file overwrite-rename.
     """
-    prev = current_version(spark, root, name)
+    zone = zone.rstrip("/")
+    prev = current_snapshot_version(spark, zone)
     version = 0 if prev is None else prev + 1
-    df.write.mode("overwrite").parquet(_version_dir(root, name, version))
-    vroot = _view_root(root, name)
-    fs, tmp, jvm = _jpath(spark, f"{vroot}/{_POINTER}.tmp")
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(_snapshot_dir(zone, version))
+    fs, tmp, jvm = _jpath(spark, f"{zone}/{_POINTER}.tmp")
     out = fs.create(tmp, True)
     try:
         out.write(bytearray(str(version), "utf-8"))
     finally:
         out.close()
-    final = jvm.org.apache.hadoop.fs.Path(f"{vroot}/{_POINTER}")
+    final = jvm.org.apache.hadoop.fs.Path(f"{zone}/{_POINTER}")
     # Atomic replace via FileContext.rename(OVERWRITE): a plain
     # delete-then-rename opens a window where a concurrent reader finds
     # NO pointer and fails instead of serving the previous snapshot --
@@ -97,26 +155,13 @@ def refresh(spark: SparkSession, root: str, name: str, df: DataFrame) -> int:
     except Exception:
         fs.delete(final, False)
         if not fs.rename(tmp, final):
-            raise IOError(f"could not publish pointer for view {name!r}")
+            raise IOError(f"could not publish pointer for zone {zone!r}")
     return version
 
 
-def read(
-    spark: SparkSession, root: str, name: str, version: int | None = None
-) -> DataFrame:
-    """Read the published snapshot (or a pinned ``version`` for time
-    travel). Raises FileNotFoundError when the view has never been
-    refreshed."""
-    if version is None:
-        version = current_version(spark, root, name)
-        if version is None:
-            raise FileNotFoundError(f"materialized view {name!r} has no snapshot")
-    return spark.read.parquet(_version_dir(root, name, version))
-
-
-def list_versions(spark: SparkSession, root: str, name: str) -> list[int]:
+def snapshot_versions(spark: SparkSession, zone: str) -> list[int]:
     """All snapshot versions present on storage (published or orphaned)."""
-    fs, p, _ = _jpath(spark, _view_root(root, name))
+    fs, p, _ = _jpath(spark, zone.rstrip("/"))
     if not fs.exists(p):
         return []
     out = []
@@ -127,17 +172,59 @@ def list_versions(spark: SparkSession, root: str, name: str) -> list[int]:
     return sorted(out)
 
 
+def vacuum_snapshots(
+    spark: SparkSession, zone: str, keep: int = 1
+) -> list[int]:
+    """Delete snapshot directories older than the newest ``keep``
+    published versions (orphans ABOVE the pointer are kept -- they may
+    be an in-flight refresh). Returns the versions removed."""
+    cur = current_snapshot_version(spark, zone)
+    if cur is None:
+        return []
+    removed = []
+    for v in snapshot_versions(spark, zone):
+        if v <= cur - keep:
+            fs, p, _ = _jpath(spark, _snapshot_dir(zone, v))
+            fs.delete(p, True)
+            removed.append(v)
+    return removed
+
+
+# --- named materialized-view API (the original surface; q174 time travel) ---
+
+
+def current_version(spark: SparkSession, root: str, name: str) -> int | None:
+    """Version the pointer currently publishes, or None if never refreshed."""
+    return current_snapshot_version(spark, _view_root(root, name))
+
+
+def refresh(spark: SparkSession, root: str, name: str, df: DataFrame) -> int:
+    """Materialize ``df`` as the next snapshot of view ``name`` and
+    publish it. Returns the new version number."""
+    return publish_snapshot(spark, _view_root(root, name), df)
+
+
+def read(
+    spark: SparkSession, root: str, name: str, version: int | None = None
+) -> DataFrame:
+    """Read the published snapshot (or a pinned ``version`` for time
+    travel). Raises FileNotFoundError when the view has never been
+    refreshed."""
+    zone = _view_root(root, name)
+    if version is None:
+        version = current_snapshot_version(spark, zone)
+        if version is None:
+            raise FileNotFoundError(f"materialized view {name!r} has no snapshot")
+    return spark.read.parquet(_snapshot_dir(zone, version))
+
+
+def list_versions(spark: SparkSession, root: str, name: str) -> list[int]:
+    """All snapshot versions present on storage (published or orphaned)."""
+    return snapshot_versions(spark, _view_root(root, name))
+
+
 def vacuum(spark: SparkSession, root: str, name: str, keep: int = 1) -> list[int]:
     """Delete snapshot directories older than the newest ``keep`` published
     versions (orphans above the pointer are kept -- they may be an
     in-flight refresh). Returns the versions removed."""
-    cur = current_version(spark, root, name)
-    if cur is None:
-        return []
-    removed = []
-    for v in list_versions(spark, root, name):
-        if v <= cur - keep:
-            fs, p, _ = _jpath(spark, _version_dir(root, name, v))
-            fs.delete(p, True)
-            removed.append(v)
-    return removed
+    return vacuum_snapshots(spark, _view_root(root, name), keep)

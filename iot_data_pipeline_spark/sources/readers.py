@@ -892,6 +892,18 @@ def read_table(
       single-file tables skip the pass.
     """
     src = f"{sf_dir}/{name}.parquet"
+    # Atomically-published zone (write_parquet(atomic=True) /
+    # matview.publish_snapshot): a `_current` pointer names the
+    # published immutable snapshot dir -- resolve it here so a
+    # versioned zone reads exactly like a plain directory (a direct
+    # spark.read.parquet of the zone root would instead UNION every
+    # version and surface `v` as a partition column). One os.path
+    # probe per read on local paths; Hadoop FS on remote schemes.
+    from iot_data_pipeline_spark.sources.matview import resolve_snapshot_dir
+
+    resolved = resolve_snapshot_dir(spark, src)
+    if resolved is not None:
+        src = resolved
     ts_cols = set(TIMESTAMP_COLUMNS.get(name, ()))
     preds_by_col = _parse_bounds(bounds)
     # FILE-level pruning for bounded canonical timestamp columns: Spark's
@@ -1213,6 +1225,14 @@ def read_parquet_evolving(
     rather than silently corrupting.
     """
     preds_by_col = _parse_bounds(bounds)
+    # Atomically-published zones resolve to their current snapshot dir
+    # first (same boundary move as read_table): evolution generations
+    # live INSIDE a snapshot, not across snapshots of the same zone.
+    from iot_data_pipeline_spark.sources.matview import resolve_snapshot_dir
+
+    resolved = resolve_snapshot_dir(spark, path)
+    if resolved is not None:
+        path = resolved
     try:
         df = spark.read.option("mergeSchema", "true").parquet(path)
     except Exception as e:  # noqa: BLE001

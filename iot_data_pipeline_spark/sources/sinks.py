@@ -89,8 +89,26 @@ def write_parquet(
     path: str,
     mode: str = "overwrite",
     partition_by: tuple[str, ...] = (),
+    atomic: bool = False,
 ) -> None:
     """Parquet sink, optionally hive-partitioned (B4).
+
+    ``atomic=True`` (round 13, closing the one 100 TB gap the round-12
+    probes measured): publish the refresh through the versioned
+    write-then-swap pattern (sources/matview.py) instead of Spark's
+    destructive-first ``mode=overwrite``. The new snapshot is fully
+    written under ``<path>/v=<N>`` before a tiny ``_current`` pointer
+    file swaps to it, so a crashed, killed, or failed refresh ALWAYS
+    leaves the previous zone state fully readable (the plain overwrite
+    leaves it EMPTY -- measured, SCALE.md section 7e), and a concurrent
+    reader sees old-or-new, never torn. The engine's read boundary
+    (``read_table``; the DuckDB oracle views) resolves the pointer
+    transparently; old snapshots stay readable until
+    ``matview.vacuum_snapshots``. Atomic publish IS a full-zone
+    refresh, so it requires ``mode="overwrite"``; appends don't need
+    it (an append crash is clean -- committed data intact, probed) and
+    partition-scoped refreshes use dynamic partition overwrite
+    (sources/backfill.py) with its narrower destruction window.
 
     CONCURRENCY posture (round-12 probe, measured): two jobs appending
     to the SAME output path race on the shared ``_temporary`` staging
@@ -108,10 +126,11 @@ def write_parquet(
     before the new write commits, so a crash mid-overwrite loses the
     OLD data entirely (probe: a SIGKILL mid-write left the zone empty;
     the 3M-row previous state was gone). Zones whose previous state
-    must survive a failed refresh publish through the matview
-    write-then-swap pattern instead; partition-scoped refreshes use
-    dynamic partition overwrite (sources/backfill.py), which narrows
-    the destruction window to the partitions being replaced. An
+    must survive a failed refresh pass ``atomic=True`` (the matview
+    write-then-swap, promoted to this sink in round 13 -- see below);
+    partition-scoped refreshes use dynamic partition overwrite
+    (sources/backfill.py), which narrows the destruction window to the
+    partitions being replaced. An
     APPEND crash, by contrast, is clean: committed data stays intact
     and readable, and ``_temporary`` residue is ignored by readers and
     cleared by the next write (pinned probes, SCALE.md section 7e).
@@ -133,6 +152,19 @@ def write_parquet(
       divergence to remember if a DuckDB twin ever reads a partitioned
       zone keyed by values that need escaping.
     """
+    if atomic:
+        if mode != "overwrite":
+            raise ValueError(
+                f"atomic=True publishes a full-zone refresh and requires "
+                f"mode='overwrite' (got mode={mode!r}); appends commit "
+                "crash-clean without it"
+            )
+        from iot_data_pipeline_spark.sources.matview import publish_snapshot
+
+        publish_snapshot(
+            df.sparkSession, path, df, partition_by=tuple(partition_by)
+        )
+        return
     writer = df.write.mode(mode)
     if partition_by:
         writer = writer.partitionBy(*partition_by)

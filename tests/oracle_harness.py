@@ -308,6 +308,16 @@ def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
     for t in TABLES:
         src = f"{sf_dir}/{t}.parquet"
+        # Atomically-published zone (write_parquet(atomic=True)): the
+        # `_current` pointer names the published snapshot dir -- resolve
+        # it the way the engine's read_table does, so the oracle views
+        # read the same immutable snapshot (a recursive glob would
+        # otherwise union EVERY version and surface `v` as a column).
+        ptr = _os.path.join(src, "_current")
+        snapshot = _os.path.isfile(ptr)
+        if snapshot:
+            with open(ptr, encoding="utf-8") as fh:
+                src = f"{src}/v={fh.read().strip()}"
         rel = f"'{src}'"
         if _os.path.isdir(src):
             # Spark-written / multifile-layout table: DuckDB cannot scan
@@ -325,6 +335,13 @@ def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
                     "hive_partitioning=1)"
                 )
         cols = con.execute(f"DESCRIBE SELECT * FROM {rel}").fetchall()
+        if snapshot:
+            # DuckDB auto-detects EVERY key=value path segment as a hive
+            # partition, including the snapshot machinery's `v=<N>` dir
+            # itself (Spark's side never sees it: basePath is the
+            # resolved dir). Drop the machinery column; atomic zones
+            # reserve the top-level partition name `v` (matview.py).
+            cols = [c for c in cols if c[0] != "v"]
         select = ", ".join(
             _dec_cast(t, name, dtype) for name, dtype, *_ in cols
         )

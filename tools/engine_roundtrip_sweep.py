@@ -19,7 +19,7 @@ Also asserts the round-12 writer pin structurally: every rewritten
 timestamp column must be physical INT64 (not INT96) with usable
 min/max statistics in at least one data-bearing row group.
 
-Usage: python -m tools.engine_roundtrip_sweep [--partitioned] [src_sf_dir] [query ...]
+Usage: python -m tools.engine_roundtrip_sweep [--partitioned] [--atomic] [src_sf_dir] [query ...]
 (default src /root/testdata/sf0.01, all registry queries)
 """
 
@@ -45,16 +45,24 @@ _PARTITION_BY = {
 
 
 def build_fixture(
-    spark, d: str, src: str = "/root/testdata/sf0.01", partitioned: bool = False
+    spark,
+    d: str,
+    src: str = "/root/testdata/sf0.01",
+    partitioned: bool = False,
+    atomic: bool = False,
 ) -> None:
     """Rewrite each table through the engine's own sink (engine session
-    confs apply: TIMESTAMP_MICROS output, snappy, Spark part naming)."""
+    confs apply: TIMESTAMP_MICROS output, snappy, Spark part naming).
+    ``atomic`` publishes every table through the round-13 versioned
+    write-then-swap path (write_parquet(atomic=True)), so the sweep
+    certifies the whole registry over pointer-resolved snapshots in
+    BOTH engines."""
     from iot_data_pipeline_spark.sources.sinks import write_parquet
 
     for t in TABLES:
         df = read_table(spark, src, t)
         part = _PARTITION_BY.get(t, ()) if partitioned else ()
-        write_parquet(df, f"{d}/{t}.parquet", partition_by=part)
+        write_parquet(df, f"{d}/{t}.parquet", partition_by=part, atomic=atomic)
 
 
 def check_writer_footers(d: str) -> list[str]:
@@ -108,12 +116,15 @@ def main() -> int:
 
     argv = sys.argv[1:]
     partitioned = "--partitioned" in argv
-    argv = [a for a in argv if a != "--partitioned"]
+    atomic = "--atomic" in argv
+    argv = [a for a in argv if a not in ("--partitioned", "--atomic")]
     src = argv[0] if argv and not argv[0].startswith("q") else "/root/testdata/sf0.01"
     names = [a for a in argv if a.startswith("q")] or list(REGISTRY)
     spark = build_session("engine-roundtrip-sweep")
-    d = tempfile.mkdtemp(prefix="engrtp_" if partitioned else "engrt_")
-    build_fixture(spark, d, src=src, partitioned=partitioned)
+    d = tempfile.mkdtemp(
+        prefix="engrta_" if atomic else ("engrtp_" if partitioned else "engrt_")
+    )
+    build_fixture(spark, d, src=src, partitioned=partitioned, atomic=atomic)
     problems = check_writer_footers(d)
     for p in problems:
         print(f"[WRITER] {p}")
