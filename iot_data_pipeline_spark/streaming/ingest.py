@@ -84,6 +84,124 @@ def read_sensor_stream(
     )
 
 
+def _batch_source_files(
+    spark: SparkSession, checkpoint_dir: str, batch_id: int
+) -> list[str]:
+    """URI paths the checkpointed file-source log assigned to
+    ``batch_id`` (``<ckpt>/sources/<i>/<batch_id>``: a ``v1`` header
+    then one JSON entry per file). Empty when the log entry is absent
+    (e.g. a foreachBatch replay whose log was already compacted)."""
+    import json
+
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    root = jvm.org.apache.hadoop.fs.Path(f"{checkpoint_dir}/sources")
+    fs = root.getFileSystem(conf)
+    if not fs.exists(root):
+        return []
+    out: list[str] = []
+    for src_status in fs.listStatus(root):
+        entry = jvm.org.apache.hadoop.fs.Path(
+            src_status.getPath(), str(batch_id)
+        )
+        if not fs.exists(entry):
+            continue
+        stream = fs.open(entry)
+        try:
+            text = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+        finally:
+            stream.close()
+        for line in text.splitlines():
+            line = line.strip()
+            if not line or line.startswith("v"):
+                continue
+            try:
+                rec = json.loads(line)
+            except ValueError:
+                continue
+            if isinstance(rec, dict) and rec.get("path"):
+                out.append(rec["path"])
+    return out
+
+
+def _decoded_basename(uri_path: str) -> str:
+    """The decoded basename of a checkpoint-log URI path -- the exact
+    twin of the ``_source_file`` derivation in
+    :func:`read_sensor_stream` (percent-decoding only: '+' stays
+    literal, matching the %2B re-escape there)."""
+    from urllib.parse import unquote
+
+    return unquote(uri_path.rsplit("/", 1)[-1])
+
+
+def detect_replaced_source_files(
+    spark: SparkSession, checkpoint_dir: str
+) -> list[str]:
+    """Raw-zone files whose current modification time is NEWER than the
+    checkpointed file-source log recorded when they were ingested --
+    i.e. files REPLACED or APPENDED-TO in place after processing.
+
+    Why this surface exists (round-13 probe, measured): Spark's file
+    source dedups on PATH, so a replaced file (same name, new content)
+    is never re-listed -- its new rows are SILENTLY lost. The
+    reference's S3-notification model does NOT have this mode: an S3
+    object overwrite emits a fresh ObjectCreated event and the file is
+    reprocessed (lambda/s3_event_handler.py:21-43), so silent-ignore is
+    a parity loss as well as a data loss. The raw-zone contract is
+    therefore immutable, uniquely-named files; this audit makes a
+    violation LOUD (``run_ingest_available_now`` runs it before and
+    after every burst). Limitation: detection keys on modification
+    time, so a copy tool that preserves the old mtime (``rsync -t``)
+    slips past; size is not recorded in Spark's log.
+    """
+    recorded: dict[str, int] = {}
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    root = jvm.org.apache.hadoop.fs.Path(f"{checkpoint_dir}/sources")
+    fs = root.getFileSystem(conf)
+    if not fs.exists(root):
+        return []
+    import json
+
+    for src_status in fs.listStatus(root):
+        for entry in fs.listStatus(src_status.getPath()):
+            name = entry.getPath().getName()
+            if name.endswith(".crc") or name.endswith(".tmp"):
+                continue
+            stream = fs.open(entry.getPath())
+            try:
+                text = jvm.org.apache.commons.io.IOUtils.toString(
+                    stream, "UTF-8"
+                )
+            finally:
+                stream.close()
+            for line in text.splitlines():
+                line = line.strip()
+                if not line or line.startswith("v"):
+                    continue
+                try:
+                    rec = json.loads(line)
+                except ValueError:
+                    continue
+                if isinstance(rec, dict) and rec.get("path"):
+                    ts = int(rec.get("timestamp", 0))
+                    p = rec["path"]
+                    recorded[p] = max(ts, recorded.get(p, 0))
+    if not recorded:
+        return []
+    replaced = []
+    for uri, ts in recorded.items():
+        p = jvm.org.apache.hadoop.fs.Path(uri)
+        pfs = p.getFileSystem(conf)
+        try:
+            status = pfs.getFileStatus(p)
+        except Exception:  # noqa: BLE001 -- deleted after processing:
+            continue  # legitimate (cleanSource-style tidying), not a replace
+        if status.getModificationTime() > ts:
+            replaced.append(uri)
+    return sorted(replaced)
+
+
 def start_sensor_ingest(
     spark: SparkSession,
     raw_dir: str,
@@ -157,6 +275,41 @@ def start_sensor_ingest(
                 .partitionBy("source_file")
                 .parquet(f"{out_dir}/_dead_letter")
             )
+        # Vanished-file guard (round-13 probe, measured as SILENT loss):
+        # the file source tolerates a listed file being deleted before
+        # its batch reads it (ignoreMissingFiles is forced internally to
+        # support cleanSource archiving), so the batch commits EMPTY,
+        # the checkpoint marks the file processed, and its rows are
+        # gone forever with a clean exit. Cross-check the checkpointed
+        # file list for THIS batch against the rows that survived: a
+        # listed file contributing zero rows AND no longer existing
+        # fails the query loudly (a legal empty file still exists; a
+        # file deleted AFTER a successful read has surviving rows).
+        listed = _batch_source_files(spark, checkpoint_dir, batch_id)
+        if listed:
+            seen = {
+                r[0]
+                for r in parent.select("_source_file").distinct().collect()
+            }
+            jvm = spark._jvm
+            conf = spark._jsc.hadoopConfiguration()
+            lost = []
+            for uri in listed:
+                if _decoded_basename(uri) in seen:
+                    continue
+                p = jvm.org.apache.hadoop.fs.Path(uri)
+                if not p.getFileSystem(conf).exists(p):
+                    lost.append(uri)
+            if lost:
+                parent.unpersist()
+                raise RuntimeError(
+                    f"source file(s) vanished mid-burst before batch "
+                    f"{batch_id} could read them -- their rows are NOT "
+                    f"in the output and the checkpoint would mark them "
+                    f"processed: {lost}. The raw zone must stay "
+                    "immutable until a burst drains (delete/archive "
+                    "only between runs)."
+                )
         parent.unpersist()
 
     writer = (
@@ -178,8 +331,41 @@ def run_ingest_available_now(
     timeout_s: int = 300,
     dim_location: DataFrame | None = None,
     max_files_per_trigger: int | None = None,
+    on_replaced: str = "error",
 ) -> None:
-    """Process-everything-then-stop convenience (the per-burst batch mode)."""
+    """Process-everything-then-stop convenience (the per-burst batch mode).
+
+    ``on_replaced`` -- what to do when :func:`detect_replaced_source_files`
+    finds raw files mutated in place since a previous burst ingested
+    them (their new content can NEVER be re-ingested through this
+    checkpoint -- the file source dedups on path): ``"error"`` (default;
+    fail before processing anything, and again after the drain for
+    mid-burst mutations), ``"warn"``, or ``"ignore"``.
+    """
+    if on_replaced not in ("error", "warn", "ignore"):
+        raise ValueError(f"on_replaced must be error|warn|ignore, got {on_replaced!r}")
+
+    def _audit(stage: str) -> None:
+        if on_replaced == "ignore":
+            return
+        replaced = detect_replaced_source_files(spark, checkpoint_dir)
+        if not replaced:
+            return
+        msg = (
+            f"raw file(s) REPLACED or appended-to in place ({stage} "
+            f"burst): {replaced}. The checkpointed file source dedups "
+            "on path, so the new content will never be ingested -- "
+            "write new data under new, unique file names (the "
+            "reference's S3-event model reprocesses an overwritten "
+            "object; a mutated local/HDFS raw zone silently cannot)."
+        )
+        if on_replaced == "error":
+            raise RuntimeError(msg)
+        import warnings
+
+        warnings.warn(msg, RuntimeWarning, stacklevel=3)
+
+    _audit("before")
     q = start_sensor_ingest(
         spark,
         raw_dir,
@@ -194,6 +380,7 @@ def run_ingest_available_now(
     if q.isActive:
         q.stop()
         raise TimeoutError(f"ingest did not drain within {timeout_s}s")
+    _audit("after")
 
 
 # ---------------------------------------------------------------- control plane

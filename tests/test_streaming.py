@@ -291,3 +291,143 @@ def test_crash_midstream_recovers_exactly_once(spark, raw_dir, tmp_path):
     assert final.count() == 9  # 3 (a) + 2 (b, bad line dropped) + 4 (c)
     # no row duplicated: device+timestamp+humidity is unique in fixtures
     assert final.dropDuplicates(["device_id", "timestamp", "humidity"]).count() == 9
+
+
+# ------------------------------------- raw-zone mutation between/within bursts
+# (round-13 probe: Spark's file source dedups on PATH and internally
+# tolerates missing files, so both mutation modes were SILENT loss)
+
+
+def test_replaced_raw_file_fails_loud(spark, tmp_path):
+    """A raw file REPLACED in place between bursts can never re-ingest
+    through the same checkpoint (path-keyed dedup) -- measured: its new
+    content silently vanished, where the reference's S3-event model
+    would reprocess the overwritten object. The default burst now fails
+    loud; warn/ignore opt out."""
+    import time
+
+    from iot_data_pipeline_spark.streaming.ingest import (
+        detect_replaced_source_files,
+    )
+
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    _write_file(raw, "f1.jsonl", _records(1, 2, 10.0))
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    run_ingest_available_now(
+        spark, str(raw), out, ckpt, config=PipelineConfig(fixed_clock=CLOCK)
+    )
+    assert spark.read.parquet(out).count() == 2
+    time.sleep(1.1)  # strictly newer mtime than the checkpoint recorded
+    _write_file(raw, "f1.jsonl", _records(1, 5, 20.0))
+    assert detect_replaced_source_files(spark, ckpt) == [
+        f"file://{raw}/f1.jsonl"
+    ]
+    with pytest.raises(RuntimeError, match="REPLACED"):
+        run_ingest_available_now(
+            spark, str(raw), out, ckpt, config=PipelineConfig(fixed_clock=CLOCK)
+        )
+    # ignore-mode pins the measured Spark behavior: the burst drains
+    # clean and the replacement content is NOT ingested (still 2 rows)
+    run_ingest_available_now(
+        spark,
+        str(raw),
+        out,
+        ckpt,
+        config=PipelineConfig(fixed_clock=CLOCK),
+        on_replaced="ignore",
+    )
+    assert spark.read.parquet(out).count() == 2
+    with pytest.warns(RuntimeWarning, match="REPLACED"):
+        run_ingest_available_now(
+            spark,
+            str(raw),
+            out,
+            ckpt,
+            config=PipelineConfig(fixed_clock=CLOCK),
+            on_replaced="warn",
+        )
+
+
+def test_vanished_mid_burst_fails_loud_and_recovers(
+    spark, tmp_path, monkeypatch
+):
+    """A listed file deleted before its micro-batch reads it: Spark
+    commits the batch EMPTY and the checkpoint marks the file processed
+    -- measured as silent loss with a clean exit. The per-batch guard
+    now fails the query BEFORE the commit, so restoring the file and
+    re-running drains its rows exactly once."""
+    import os as _os
+
+    from iot_data_pipeline_spark import streaming as _streaming_pkg  # noqa: F401
+    from iot_data_pipeline_spark.streaming import ingest as ingest_mod
+
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    _write_file(raw, "f1.jsonl", _records(1, 2, 10.0))
+    import time
+
+    time.sleep(1.1)
+    _write_file(raw, "f2.jsonl", _records(2, 3, 20.0))
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    real_transform = ingest_mod.transform_sensor
+    state = {"deleted": False}
+
+    def delete_f2_then_transform(df, config, dim=None):
+        # driver-side, runs once per micro-batch: the deletion lands
+        # deterministically between batch 0 (f1) and batch 1 (f2).
+        # (start_sensor_ingest also calls transform_sensor on a 0-row
+        # frame to seed the zone schema BEFORE the stream lists the
+        # raw dir -- only fire on a real, row-bearing batch.)
+        if not state["deleted"] and df.limit(1).count() > 0:
+            _os.remove(raw / "f2.jsonl")
+            state["deleted"] = True
+        return real_transform(df, config, dim)
+
+    monkeypatch.setattr(
+        ingest_mod, "transform_sensor", delete_f2_then_transform
+    )
+    with pytest.raises(Exception, match="vanished mid-burst"):
+        run_ingest_available_now(
+            spark,
+            str(raw),
+            out,
+            ckpt,
+            config=PipelineConfig(fixed_clock=CLOCK),
+            max_files_per_trigger=1,
+        )
+    monkeypatch.setattr(ingest_mod, "transform_sensor", real_transform)
+    # batch 1 never committed: f1's rows are out, f2's are recoverable
+    assert spark.read.parquet(out).count() == 2
+    assert not _os.path.exists(_os.path.join(ckpt, "commits", "1"))
+    _write_file(raw, "f2.jsonl", _records(2, 3, 20.0))  # restore
+    run_ingest_available_now(
+        spark,
+        str(raw),
+        out,
+        ckpt,
+        config=PipelineConfig(fixed_clock=CLOCK),
+        max_files_per_trigger=1,
+        on_replaced="ignore",  # the restore itself bumps f2's mtime
+    )
+    assert spark.read.parquet(out).count() == 5
+
+
+def test_deleted_after_ingest_is_clean(spark, tmp_path):
+    """Deleting an already-processed raw file between bursts is the
+    legitimate cleanSource-style tidy-up: the next burst processes new
+    arrivals normally and the default replaced-audit stays silent."""
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    _write_file(raw, "f1.jsonl", _records(1, 2, 10.0))
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    run_ingest_available_now(
+        spark, str(raw), out, ckpt, config=PipelineConfig(fixed_clock=CLOCK)
+    )
+    (raw / "f1.jsonl").unlink()
+    _write_file(raw, "f2.jsonl", _records(2, 3, 20.0))
+    run_ingest_available_now(
+        spark, str(raw), out, ckpt, config=PipelineConfig(fixed_clock=CLOCK)
+    )
+    assert spark.read.parquet(out).count() == 5
