@@ -287,19 +287,31 @@ def start_sensor_ingest(
         # file deleted AFTER a successful read has surviving rows).
         listed = _batch_source_files(spark, checkpoint_dir, batch_id)
         if listed:
-            seen = {
-                r[0]
-                for r in parent.select("_source_file").distinct().collect()
-            }
             jvm = spark._jvm
             conf = spark._jsc.hadoopConfiguration()
-            lost = []
+            missing = []
             for uri in listed:
-                if _decoded_basename(uri) in seen:
-                    continue
                 p = jvm.org.apache.hadoop.fs.Path(uri)
                 if not p.getFileSystem(conf).exists(p):
-                    lost.append(uri)
+                    missing.append(uri)
+            # normal bursts (every listed file still present) pay only
+            # the existence probes -- no extra Spark job; the row-level
+            # check runs only when a file actually vanished, to
+            # distinguish deleted-after-read (rows survived) from
+            # deleted-before-read (rows lost)
+            lost = []
+            if missing:
+                seen = {
+                    r[0]
+                    for r in parent.select("_source_file")
+                    .distinct()
+                    .collect()
+                }
+                lost = [
+                    uri
+                    for uri in missing
+                    if _decoded_basename(uri) not in seen
+                ]
             if lost:
                 parent.unpersist()
                 raise RuntimeError(
