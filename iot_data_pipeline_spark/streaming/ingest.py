@@ -124,6 +124,26 @@ def _batch_source_files(
     return out
 
 
+def _log_uri_to_path(jvm, uri: str):
+    """Hadoop Path for a checkpoint-log URI string. The log records
+    Hadoop's MIXED encoding (reserved ASCII percent-escaped, non-ASCII
+    raw: ``data%20file%20ü+x.jsonl``), and ``Path(String)`` re-escapes
+    the ``%`` so lookups miss the real file (round-13 probe: the
+    replaced-file audit silently SKIPPED any mutated file whose name
+    needed escaping — exists() false read as deleted-after-processing —
+    and an empty hostile-named file would have false-positived the
+    vanished guard). Decode the path component and rebuild through the
+    multi-arg ``java.net.URI`` constructor, which re-encodes correctly
+    for any name."""
+    from urllib.parse import unquote, urlsplit
+
+    parts = urlsplit(uri)
+    ju = jvm.java.net.URI(
+        parts.scheme or None, parts.netloc or None, unquote(parts.path), None, None
+    )
+    return jvm.org.apache.hadoop.fs.Path(ju)
+
+
 def _decoded_basename(uri_path: str) -> str:
     """The decoded basename of a checkpoint-log URI path -- the exact
     twin of the ``_source_file`` derivation in
@@ -191,7 +211,7 @@ def detect_replaced_source_files(
         return []
     replaced = []
     for uri, ts in recorded.items():
-        p = jvm.org.apache.hadoop.fs.Path(uri)
+        p = _log_uri_to_path(jvm, uri)
         pfs = p.getFileSystem(conf)
         try:
             status = pfs.getFileStatus(p)
@@ -291,7 +311,7 @@ def start_sensor_ingest(
             conf = spark._jsc.hadoopConfiguration()
             missing = []
             for uri in listed:
-                p = jvm.org.apache.hadoop.fs.Path(uri)
+                p = _log_uri_to_path(jvm, uri)
                 if not p.getFileSystem(conf).exists(p):
                     missing.append(uri)
             # normal bursts (every listed file still present) pay only

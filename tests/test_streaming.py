@@ -431,3 +431,37 @@ def test_deleted_after_ingest_is_clean(spark, tmp_path):
         spark, str(raw), out, ckpt, config=PipelineConfig(fixed_clock=CLOCK)
     )
     assert spark.read.parquet(out).count() == 5
+
+
+def test_mutation_guards_handle_hostile_basenames(spark, tmp_path):
+    """Round-13 second-wave find: the checkpoint log records Hadoop's
+    MIXED encoding (reserved ASCII escaped, non-ASCII raw), and
+    ``Path(String)`` re-escapes the '%', so the replaced-file audit
+    silently SKIPPED any mutated file whose name needed escaping and an
+    EMPTY hostile-named file would have false-positived the vanished
+    guard. Both now resolve log URIs via decode + multi-arg URI."""
+    import time
+
+    from iot_data_pipeline_spark.streaming.ingest import (
+        detect_replaced_source_files,
+    )
+
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    hostile = "data file ü+x.jsonl"
+    _write_file(raw, hostile, _records(1, 2, 10.0))
+    (raw / "empty ü.jsonl").write_text("")  # 0 rows, exists: never "lost"
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    run_ingest_available_now(
+        spark, str(raw), out, ckpt, config=PipelineConfig(fixed_clock=CLOCK)
+    )
+    assert spark.read.parquet(out).count() == 2
+    assert detect_replaced_source_files(spark, ckpt) == []
+    time.sleep(1.1)
+    _write_file(raw, hostile, _records(1, 5, 20.0))
+    replaced = detect_replaced_source_files(spark, ckpt)
+    assert len(replaced) == 1 and replaced[0].endswith("x.jsonl")
+    with pytest.raises(RuntimeError, match="REPLACED"):
+        run_ingest_available_now(
+            spark, str(raw), out, ckpt, config=PipelineConfig(fixed_clock=CLOCK)
+        )
