@@ -121,6 +121,16 @@ def publish_snapshot(
     frozen crash tests in tests/test_atomic_publish.py kill a publisher
     mid-write and assert exactly that). Publication is the pointer
     swap -- one tiny-file overwrite-rename.
+
+    MIGRATING a plain zone (part files at the zone root) to atomic
+    publish works in place: the first publish_snapshot writes ``v=0``
+    beside the old root files and every pointer-resolving reader
+    (read_table, the oracle views) serves the snapshot from then on
+    (probed + pinned: test_atomic_publish.py). The stale root files are
+    dead weight, invisible to engine reads -- delete them once the
+    first snapshot is verified; only a NON-resolving direct
+    ``spark.read.parquet(zone)`` could still be confused by the mixed
+    layout.
     """
     zone = zone.rstrip("/")
     prev = current_snapshot_version(spark, zone)
