@@ -47,6 +47,25 @@ from pyspark.sql import DataFrame, SparkSession
 _POINTER = "_current"
 
 
+def _parse_pointer(zone: str, text: str) -> int | None:
+    """Version number from pointer-file text; None for an empty file.
+    Garbage content fails LOUD naming the zone -- the pointer publish is
+    temp-write + atomic rename, so a torn pointer should be impossible;
+    corruption here means something else wrote the file."""
+    text = text.strip()
+    if not text:
+        return None
+    if not text.isdigit():
+        raise ValueError(
+            f"zone {zone!r}: snapshot pointer file {_POINTER!r} contains "
+            f"{text[:40]!r}, not a version number -- the pointer publish "
+            "is atomic, so this was written by something else; restore "
+            "it to the latest good version (see snapshot_versions) or "
+            "delete it to fall back to plain-directory reads"
+        )
+    return int(text)
+
+
 def _jpath(spark: SparkSession, path: str):
     jvm = spark._jvm
     p = jvm.org.apache.hadoop.fs.Path(path)
@@ -69,12 +88,10 @@ def current_snapshot_version(spark: SparkSession, zone: str) -> int | None:
         return None
     stream = fs.open(p)
     try:
-        text = jvm.org.apache.commons.io.IOUtils.toString(
-            stream, "UTF-8"
-        ).strip()
+        text = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
     finally:
         stream.close()
-    return int(text) if text else None
+    return _parse_pointer(zone, text)
 
 
 def resolve_snapshot_dir(spark: SparkSession, zone: str) -> str | None:
@@ -99,8 +116,8 @@ def resolve_snapshot_dir(spark: SparkSession, zone: str) -> str | None:
         if not os.path.isfile(ptr):
             return None
         with open(ptr, encoding="utf-8") as fh:
-            text = fh.read().strip()
-        return _snapshot_dir(z, int(text)) if text else None
+            v = _parse_pointer(z, fh.read())
+        return None if v is None else _snapshot_dir(z, v)
     v = current_snapshot_version(spark, z)
     return None if v is None else _snapshot_dir(z, v)
 

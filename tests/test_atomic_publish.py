@@ -262,3 +262,30 @@ def test_plain_zone_migrates_in_place(spark, tmp_path):
     v = open(ptr).read().strip()
     got = con.execute(f"SELECT id, val FROM '{zone}/v={v}/*.parquet'").fetchall()
     assert got == [(11, 22)]
+
+
+def test_corrupt_pointer_fails_loud_naming_the_zone(spark, tmp_path):
+    """The pointer publish is temp-write + atomic rename, so a torn
+    pointer should be impossible; garbage content means a foreign
+    writer. Both resolution paths fail loud naming the zone instead of
+    a bare int() traceback; an EMPTY pointer means never-published
+    (plain-directory read)."""
+    zone = str(tmp_path / "z" / "t.parquet")
+    df = spark.createDataFrame([Row(id=1)])
+    write_parquet(df, zone, atomic=True)
+    with open(os.path.join(zone, "_current"), "w") as fh:
+        fh.write("garbage\n")
+    # a foreign writer leaves no Hadoop CRC sidecar; with a stale one
+    # the JVM path fails ChecksumException instead (equally loud)
+    crc = os.path.join(zone, "._current.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    with pytest.raises(ValueError, match="t.parquet"):
+        read_table(spark, str(tmp_path / "z"), "t")
+    with pytest.raises(ValueError, match="not a version number"):
+        current_snapshot_version(spark, zone)
+    # empty pointer: treated as never-published; the plain-directory
+    # read sees the mixed layout instead (operator cleanup territory)
+    with open(os.path.join(zone, "_current"), "w") as fh:
+        fh.write("")
+    assert resolve_snapshot_dir(spark, zone) is None
