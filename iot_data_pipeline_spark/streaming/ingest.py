@@ -89,8 +89,13 @@ def _batch_source_files(
 ) -> list[str]:
     """URI paths the checkpointed file-source log assigned to
     ``batch_id`` (``<ckpt>/sources/<i>/<batch_id>``: a ``v1`` header
-    then one JSON entry per file). Empty when the log entry is absent
-    (e.g. a foreachBatch replay whose log was already compacted)."""
+    then one JSON entry per file). Every ``compactInterval``-th batch
+    (default 10) is written as ``<batch_id>.compact`` and carries the
+    ENTIRE history -- entries are filtered by their own ``batchId``
+    field there (round-13 probe: the plain-name lookup returned [] for
+    batch 9 of a 12-file burst, silently skipping the vanished-file
+    guard on exactly the compaction batches). Empty when no log entry
+    exists under either name."""
     import json
 
     jvm = spark._jvm
@@ -101,11 +106,17 @@ def _batch_source_files(
         return []
     out: list[str] = []
     for src_status in fs.listStatus(root):
+        compacted = False
         entry = jvm.org.apache.hadoop.fs.Path(
             src_status.getPath(), str(batch_id)
         )
         if not fs.exists(entry):
-            continue
+            entry = jvm.org.apache.hadoop.fs.Path(
+                src_status.getPath(), f"{batch_id}.compact"
+            )
+            compacted = True
+            if not fs.exists(entry):
+                continue
         stream = fs.open(entry)
         try:
             text = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
@@ -119,8 +130,11 @@ def _batch_source_files(
                 rec = json.loads(line)
             except ValueError:
                 continue
-            if isinstance(rec, dict) and rec.get("path"):
-                out.append(rec["path"])
+            if not (isinstance(rec, dict) and rec.get("path")):
+                continue
+            if compacted and rec.get("batchId") != batch_id:
+                continue  # compact files carry the whole history
+            out.append(rec["path"])
     return out
 
 

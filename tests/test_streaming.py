@@ -465,3 +465,37 @@ def test_mutation_guards_handle_hostile_basenames(spark, tmp_path):
         run_ingest_available_now(
             spark, str(raw), out, ckpt, config=PipelineConfig(fixed_clock=CLOCK)
         )
+
+
+def test_vanished_guard_covers_compaction_batches(spark, tmp_path):
+    """Round-13 second-wave find: every compactInterval-th source-log
+    entry (default 10) is written as `<id>.compact` carrying the WHOLE
+    history, so the plain-name lookup returned [] for exactly those
+    batches and the vanished-file guard silently skipped them. The
+    compact fallback filters entries by their own batchId."""
+    from iot_data_pipeline_spark.streaming.ingest import _batch_source_files
+
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    for i in range(12):
+        _write_file(raw, f"f{i:02d}.jsonl", _records(i, 1, 10.0))
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    run_ingest_available_now(
+        spark,
+        str(raw),
+        out,
+        ckpt,
+        config=PipelineConfig(fixed_clock=CLOCK),
+        max_files_per_trigger=1,
+    )
+    assert spark.read.parquet(out).count() == 12
+    import os as _os
+
+    logs = _os.listdir(_os.path.join(ckpt, "sources", "0"))
+    assert "9.compact" in logs  # the construction actually compacts
+    per_batch = [_batch_source_files(spark, ckpt, b) for b in range(12)]
+    # every batch resolves exactly one file, including the compacted one
+    assert all(len(p) == 1 for p in per_batch), per_batch
+    # and the union is exactly the 12 inputs, no history bleed-through
+    names = sorted(p[0].rsplit("/", 1)[-1] for p in per_batch)
+    assert names == sorted(f"f{i:02d}.jsonl" for i in range(12))
