@@ -289,3 +289,28 @@ def test_corrupt_pointer_fails_loud_naming_the_zone(spark, tmp_path):
     with open(os.path.join(zone, "_current"), "w") as fh:
         fh.write("")
     assert resolve_snapshot_dir(spark, zone) is None
+
+
+def test_resolution_via_file_uri_and_evolving_reader(spark, tmp_path):
+    """Pointer resolution covers the other read shapes: a file:// URI
+    spelling of the zone (the pyarrow/Hadoop composed-URI path other
+    reader seams exercise) and read_parquet_evolving (derived zones are
+    read through it when generations may differ)."""
+    from pyspark.sql import types as T
+
+    from iot_data_pipeline_spark.sources.readers import read_parquet_evolving
+
+    zone = str(tmp_path / "z" / "t.parquet")
+    df = spark.createDataFrame([Row(id=1, val=2)])
+    write_parquet(df, zone, atomic=True)
+    assert resolve_snapshot_dir(spark, f"file://{zone}") == f"file://{zone}/v=0"
+    contract = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("val", T.LongType())]
+    )
+    got = read_parquet_evolving(spark, zone, contract)
+    assert _rows(got) == _rows(df)
+    # and with a bound, through the same resolved snapshot
+    got2 = read_parquet_evolving(
+        spark, zone, contract, bounds={"id": ((">=", 0),)}
+    )
+    assert _rows(got2) == _rows(df)
