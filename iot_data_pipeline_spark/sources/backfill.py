@@ -113,7 +113,30 @@ def backfill(
     ``derive`` receives the source rows of the stale partitions only and
     must return a frame still carrying ``partition_col``. ``full=True``
     forces a complete rebuild (ignores the manifest).
+
+    Atomic-zone composition (round 13): an atomically-published SOURCE
+    resolves to its current snapshot (a direct root read would union
+    every version); an atomically-published DESTINATION is REFUSED loud
+    -- dynamic partition overwrite writes beside the snapshot dirs where
+    pointer-resolving readers never look, so the backfill would
+    "succeed" while every read keeps serving the old snapshot (the worst
+    failure shape: silent no-op). A zone is either partition-refreshed
+    (this module) or snapshot-published (matview), never both.
     """
+    from iot_data_pipeline_spark.sources.matview import resolve_snapshot_dir
+
+    resolved_src = resolve_snapshot_dir(spark, src_path)
+    if resolved_src is not None:
+        src_path = resolved_src
+    if resolve_snapshot_dir(spark, dst_path) is not None:
+        raise ValueError(
+            f"backfill destination {dst_path!r} is an atomically-published "
+            "zone (_current pointer present): dynamic partition overwrite "
+            "would write beside the snapshots, invisible to every "
+            "pointer-resolving reader. Refresh it via "
+            "write_parquet(atomic=True) / matview.publish_snapshot, or "
+            "choose a plain zone for partition-scoped backfill."
+        )
     # capture fingerprints ONCE, before reading any data: these are the
     # versions this run consumes, and they are what the manifest must
     # record -- re-listing after the derive would stamp a fingerprint for

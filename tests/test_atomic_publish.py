@@ -314,3 +314,58 @@ def test_resolution_via_file_uri_and_evolving_reader(spark, tmp_path):
         spark, zone, contract, bounds={"id": ((">=", 0),)}
     )
     assert _rows(got2) == _rows(df)
+
+
+def test_backfill_composes_with_atomic_zones(spark, tmp_path):
+    """Round-13 second-wave find: backfill into an atomically-published
+    destination would land beside the snapshots where pointer-resolving
+    readers never look -- a successful-looking silent no-op; and an
+    atomic SOURCE read at the root would union every version. The
+    destination is refused loud; the source resolves to its snapshot."""
+    from pyspark.sql import functions as F
+
+    from iot_data_pipeline_spark.sources.backfill import backfill
+
+    src = str(tmp_path / "src.parquet")
+    spark.createDataFrame(
+        [Row(day="d1", x=1), Row(day="d1", x=2), Row(day="d2", x=3)]
+    ).write.partitionBy("day").parquet(src)
+    # atomic destination: refused loud
+    dst_atomic = str(tmp_path / "dst_atomic.parquet")
+    write_parquet(spark.createDataFrame([Row(day="d0", n=0)]), dst_atomic, atomic=True)
+    with pytest.raises(ValueError, match="atomically-published"):
+        backfill(
+            spark,
+            src,
+            dst_atomic,
+            "day",
+            lambda df: df.groupBy("day").agg(F.sum("x").alias("n")),
+        )
+    # atomic SOURCE: resolves to the current snapshot (v=1 below), so the
+    # derived zone reflects the published version, not a cross-version union
+    src_atomic = str(tmp_path / "src_atomic.parquet")
+    write_parquet(
+        spark.createDataFrame([Row(day="d1", x=10)]),
+        src_atomic,
+        partition_by=("day",),
+        atomic=True,
+    )
+    write_parquet(
+        spark.createDataFrame([Row(day="d1", x=100), Row(day="d2", x=5)]),
+        src_atomic,
+        partition_by=("day",),
+        atomic=True,
+    )
+    dst = str(tmp_path / "dst.parquet")
+    done = backfill(
+        spark,
+        src_atomic,
+        dst,
+        "day",
+        lambda df: df.groupBy("day").agg(F.sum("x").alias("n")),
+    )
+    assert sorted(done) == ["d1", "d2"]
+    got = {
+        r["day"]: r["n"] for r in spark.read.parquet(dst).collect()
+    }
+    assert got == {"d1": 100, "d2": 5}
