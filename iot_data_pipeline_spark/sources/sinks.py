@@ -165,6 +165,20 @@ def write_parquet(
             df.sparkSession, path, df, partition_by=tuple(partition_by)
         )
         return
+    # Mirror guard (round 13): a NON-atomic write into a zone that has
+    # a published snapshot pointer is always wrong -- an append lands at
+    # the root where pointer-resolving readers never look (silent
+    # no-op), and an overwrite deletes the snapshots out from under the
+    # pointer. Same hazard class the backfill guard closes.
+    from iot_data_pipeline_spark.sources.matview import resolve_snapshot_dir
+
+    if resolve_snapshot_dir(df.sparkSession, path) is not None:
+        raise ValueError(
+            f"{path!r} is an atomically-published zone (_current pointer "
+            "present): plain-mode writes either land invisibly beside the "
+            "snapshots (append) or destroy them under the pointer "
+            "(overwrite). Pass atomic=True to publish the next snapshot."
+        )
     writer = df.write.mode(mode)
     if partition_by:
         writer = writer.partitionBy(*partition_by)

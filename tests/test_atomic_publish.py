@@ -369,3 +369,18 @@ def test_backfill_composes_with_atomic_zones(spark, tmp_path):
         r["day"]: r["n"] for r in spark.read.parquet(dst).collect()
     }
     assert got == {"d1": 100, "d2": 5}
+
+
+def test_plain_write_into_atomic_zone_refused(spark, tmp_path):
+    """Mirror of the backfill guard: a non-atomic write_parquet into a
+    pointer-published zone is either an invisible append or a
+    pointer-dangling overwrite -- refused loud with the remedy named."""
+    zone = str(tmp_path / "z.parquet")
+    df = spark.createDataFrame([Row(id=1)])
+    write_parquet(df, zone, atomic=True)
+    for mode in ("append", "overwrite"):
+        with pytest.raises(ValueError, match="atomic=True"):
+            write_parquet(df, zone, mode=mode)
+    # the atomic path itself still publishes fine
+    write_parquet(df, zone, atomic=True)
+    assert current_snapshot_version(spark, zone) == 1
