@@ -139,6 +139,12 @@ def publish_snapshot(
     mid-write and assert exactly that). Publication is the pointer
     swap -- one tiny-file overwrite-rename.
 
+    One PUBLISHER per zone (the write_parquet contract): two concurrent
+    publishers both read the same ``prev`` and race on the same ``v=N+1``
+    slot -- the committer's shared-staging race makes one fail loud
+    (round-12 measurement), but last-writer-wins on the slot is still a
+    lost update. Serialize refreshes externally.
+
     MIGRATING a plain zone (part files at the zone root) to atomic
     publish works in place: the first publish_snapshot writes ``v=0``
     beside the old root files and every pointer-resolving reader
