@@ -499,3 +499,37 @@ def test_vanished_guard_covers_compaction_batches(spark, tmp_path):
     # and the union is exactly the 12 inputs, no history bleed-through
     names = sorted(p[0].rsplit("/", 1)[-1] for p in per_batch)
     assert names == sorted(f"f{i:02d}.jsonl" for i in range(12))
+
+
+def test_replaced_audit_reads_only_latest_compact_and_tail(spark, tmp_path):
+    """Scale shape of the audit (round 13): a `.compact` entry carries
+    the entire history, so the audit reads only the latest compact plus
+    newer plain entries -- O(compactInterval) files per burst, not
+    O(total batches ever) -- and still sees replacements recorded
+    BEFORE the compaction."""
+    import time
+
+    from iot_data_pipeline_spark.streaming.ingest import (
+        detect_replaced_source_files,
+    )
+
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    for i in range(12):  # crosses the default compactInterval of 10
+        _write_file(raw, f"f{i:02d}.jsonl", _records(i, 1, 10.0))
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    run_ingest_available_now(
+        spark,
+        str(raw),
+        out,
+        ckpt,
+        config=PipelineConfig(fixed_clock=CLOCK),
+        max_files_per_trigger=1,
+    )
+    assert detect_replaced_source_files(spark, ckpt) == []
+    time.sleep(1.1)
+    # f00 was recorded in a batch BEFORE the compaction point: its entry
+    # now lives only inside 9.compact -- the audit must still see it
+    _write_file(raw, "f00.jsonl", _records(0, 3, 50.0))
+    replaced = detect_replaced_source_files(spark, ckpt)
+    assert [r.rsplit("/", 1)[-1] for r in replaced] == ["f00.jsonl"]
