@@ -16,11 +16,29 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
+def _guard_zone_write(spark: SparkSession, out_path: str, op: str) -> None:
+    """Refuse a plain maintenance rewrite into an atomically-published
+    zone (round-13 probe, measured as silent destruction: a plain
+    ``mode=overwrite`` into a pointer zone DELETED the snapshots and the
+    ``_current`` pointer, silently demoting the zone to plain layout).
+    Same hazard class as the write_parquet/backfill guards."""
+    from iot_data_pipeline_spark.sources.matview import resolve_snapshot_dir
+
+    if resolve_snapshot_dir(spark, out_path) is not None:
+        raise ValueError(
+            f"{op}: {out_path!r} is an atomically-published zone "
+            "(_current pointer present); a plain overwrite would destroy "
+            "its snapshots. Pass atomic=True to publish the rewrite as "
+            "the next snapshot."
+        )
+
+
 def compact_parquet(
     spark: SparkSession,
     path: str,
     out_path: str,
     target_file_bytes: int = 128 * 1024 * 1024,
+    atomic: bool = False,
 ) -> int:
     """Rewrite a parquet directory into ~``target_file_bytes`` files.
 
@@ -32,18 +50,37 @@ def compact_parquet(
     128 MiB default matches the HDFS-era sweet spot that parquet
     readers still assume: big enough to amortize footer+open cost,
     small enough to split work evenly.
+
+    Atomic-zone composition (round 13): an atomic SOURCE resolves to its
+    current snapshot (a root read would union every version);
+    ``atomic=True`` publishes the compacted data as the zone's next
+    snapshot -- the safe shape for IN-PLACE maintenance (``out_path ==
+    path``), where the plain overwrite opens the measured
+    destroy-then-rewrite crash window; and a plain write into a pointer
+    zone is refused loud (probed: it silently destroyed the snapshots
+    and pointer).
     """
+    from iot_data_pipeline_spark.sources.matview import (
+        publish_snapshot,
+        resolve_snapshot_dir,
+    )
+
+    src = resolve_snapshot_dir(spark, path) or path
     # JVM-side file listing via the input_file_name trick would scan; use
     # the FileSystem API through the JVM gateway instead (status only).
     jvm = spark._jvm
     jsc = spark._jsc
     hadoop_conf = jsc.hadoopConfiguration()
-    p = jvm.org.apache.hadoop.fs.Path(path)
+    p = jvm.org.apache.hadoop.fs.Path(src)
     fs = p.getFileSystem(hadoop_conf)
     total = fs.getContentSummary(p).getLength()
     n_files = max(1, math.ceil(total / target_file_bytes))
-    df = spark.read.parquet(path)
-    df.repartition(n_files).write.mode("overwrite").parquet(out_path)
+    df = spark.read.parquet(src).repartition(n_files)
+    if atomic:
+        publish_snapshot(spark, out_path, df)
+        return n_files
+    _guard_zone_write(spark, out_path, "compact_parquet")
+    df.write.mode("overwrite").parquet(out_path)
     return n_files
 
 
@@ -52,6 +89,7 @@ def rewrite_sorted(
     out_path: str,
     layout_cols: list[str],
     n_files: int | None = None,
+    atomic: bool = False,
 ) -> None:
     """Rewrite with rows clustered by ``layout_cols`` inside each file
     (``sortWithinPartitions`` -- a local sort, NO global shuffle).
@@ -64,9 +102,14 @@ def rewrite_sorted(
     overlap the predicate range.
     """
     out = df.repartition(n_files) if n_files else df
-    out.sortWithinPartitions(*[F.col(c) for c in layout_cols]).write.mode(
-        "overwrite"
-    ).parquet(out_path)
+    out = out.sortWithinPartitions(*[F.col(c) for c in layout_cols])
+    if atomic:
+        from iot_data_pipeline_spark.sources.matview import publish_snapshot
+
+        publish_snapshot(df.sparkSession, out_path, out)
+        return
+    _guard_zone_write(df.sparkSession, out_path, "rewrite_sorted")
+    out.write.mode("overwrite").parquet(out_path)
 
 
 def zorder_value(cols: list[str], bits: int = 16) -> F.Column:
@@ -101,6 +144,7 @@ def rewrite_zordered(
     layout_cols: list[str],
     n_files: int = 8,
     bits: int = 16,
+    atomic: bool = False,
 ) -> None:
     """Rewrite clustered on a multi-column Z-curve: range-partition and
     sort by the interleaved Z-value so EVERY layout column's per-file
@@ -115,14 +159,19 @@ def rewrite_zordered(
     monotonicity, not exactness.
     """
     z = zorder_value(layout_cols, bits)
-    (
+    out = (
         df.withColumn("_z", z)
         .repartitionByRange(n_files, "_z")
         .sortWithinPartitions("_z")
         .drop("_z")
-        .write.mode("overwrite")
-        .parquet(out_path)
     )
+    if atomic:
+        from iot_data_pipeline_spark.sources.matview import publish_snapshot
+
+        publish_snapshot(df.sparkSession, out_path, out)
+        return
+    _guard_zone_write(df.sparkSession, out_path, "rewrite_zordered")
+    out.write.mode("overwrite").parquet(out_path)
 
 
 def analyze_table(

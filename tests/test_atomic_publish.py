@@ -384,3 +384,43 @@ def test_plain_write_into_atomic_zone_refused(spark, tmp_path):
     # the atomic path itself still publishes fine
     write_parquet(df, zone, atomic=True)
     assert current_snapshot_version(spark, zone) == 1
+
+
+def test_maintenance_composes_with_atomic_zones(spark, tmp_path):
+    """Round-13 third-wave find (measured): a plain maintenance rewrite
+    into a pointer zone silently DESTROYED the snapshots and the
+    pointer, demoting the zone to plain layout. The three maintenance
+    writers now refuse pointer zones (remedy named), resolve atomic
+    sources to their snapshot, and offer atomic=True -- the safe shape
+    for in-place compaction, where plain overwrite opens the
+    destroy-then-rewrite crash window."""
+    from iot_data_pipeline_spark.sources.maintenance import (
+        compact_parquet,
+        rewrite_sorted,
+        rewrite_zordered,
+    )
+
+    zone = str(tmp_path / "z" / "t.parquet")
+    df = spark.range(0, 500, 1, 8).selectExpr("id", "id % 7 as k")
+    write_parquet(df, zone, atomic=True)
+    # plain rewrites into the pointer zone: refused, zone intact
+    with pytest.raises(ValueError, match="atomic=True"):
+        compact_parquet(spark, zone, zone)
+    with pytest.raises(ValueError, match="atomic=True"):
+        rewrite_sorted(df, zone, ["k"])
+    with pytest.raises(ValueError, match="atomic=True"):
+        rewrite_zordered(df, zone, ["k", "id"])
+    assert current_snapshot_version(spark, zone) == 0
+    # in-place atomic compaction: source resolves to the snapshot, the
+    # compacted data publishes as the next one, rows identical
+    compact_parquet(spark, zone, zone, atomic=True)
+    assert current_snapshot_version(spark, zone) == 1
+    back = read_table(spark, str(tmp_path / "z"), "t")
+    assert back.count() == 500
+    assert sorted(r["id"] for r in back.collect()) == list(range(500))
+    # sorted/zordered rewrites publish snapshots too
+    rewrite_sorted(back, zone, ["k"], atomic=True)
+    assert current_snapshot_version(spark, zone) == 2
+    rewrite_zordered(back, zone, ["k", "id"], atomic=True)
+    assert current_snapshot_version(spark, zone) == 3
+    assert read_table(spark, str(tmp_path / "z"), "t").count() == 500
