@@ -122,6 +122,22 @@ def resolve_snapshot_dir(spark: SparkSession, zone: str) -> str | None:
     return None if v is None else _snapshot_dir(z, v)
 
 
+def ensure_plain_zone(spark: SparkSession, path: str, op: str) -> None:
+    """Refuse to run a plain-layout writer against an atomically-published
+    zone: its output would either land invisibly beside the snapshots or
+    destroy them under the pointer (both measured, SCALE.md section 7e).
+    Writers with their own zone format (streaming ingest, incremental
+    rollup) call this once at start."""
+    if resolve_snapshot_dir(spark, path) is not None:
+        raise ValueError(
+            f"{op}: {path!r} is an atomically-published zone (_current "
+            "pointer present); this writer manages a plain-layout zone "
+            "and would corrupt or bypass the snapshots. Use a separate "
+            "directory, or vacuum + remove the pointer to convert the "
+            "zone back to plain layout first."
+        )
+
+
 def publish_snapshot(
     spark: SparkSession,
     zone: str,

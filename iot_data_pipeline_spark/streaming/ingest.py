@@ -292,8 +292,10 @@ def start_sensor_ingest(
     # emit no files -- and every downstream read_parquet(out_dir) dies on
     # schema inference. The seed is the exact transform output schema
     # computed on a 0-row frame (no data touched).
+    from iot_data_pipeline_spark.sources.matview import ensure_plain_zone
     from iot_data_pipeline_spark.sources.sinks import seed_zone_schema
 
+    ensure_plain_zone(spark, out_dir, "start_sensor_ingest")
     empty_good = spark.createDataFrame(
         [],
         T.StructType(

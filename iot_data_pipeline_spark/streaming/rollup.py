@@ -76,9 +76,11 @@ def start_incremental_rollup(
     # emit no files), leaving read_rollup unable to infer a schema. The
     # seed partition (batch_id=-2, 0 rows) carries the partial-agg schema
     # and folds away to nothing in every read.
+    from iot_data_pipeline_spark.sources.matview import ensure_plain_zone
     from iot_data_pipeline_spark.sources.sinks import seed_zone_schema
 
     spark = stream.sparkSession
+    ensure_plain_zone(spark, path, "start_incremental_rollup")
     empty = spark.createDataFrame([], stream.schema)
     seed_zone_schema(
         _partials(empty, keys, values).withColumn("batch_id", F.lit(-2)),
@@ -129,6 +131,9 @@ def compact_rollup(
     to double-count). Run only with the stream quiesced: a checkpoint
     replay racing the compaction could re-append a batch whose rows the
     fold already absorbed (q167's flow stops the stream first)."""
+    from iot_data_pipeline_spark.sources.matview import ensure_plain_zone
+
+    ensure_plain_zone(spark, path, "compact_rollup")
     df = spark.read.parquet(path)
     aggs = []
     for v in values:

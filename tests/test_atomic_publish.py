@@ -424,3 +424,29 @@ def test_maintenance_composes_with_atomic_zones(spark, tmp_path):
     rewrite_zordered(back, zone, ["k", "id"], atomic=True)
     assert current_snapshot_version(spark, zone) == 3
     assert read_table(spark, str(tmp_path / "z"), "t").count() == 500
+
+
+def test_plain_layout_writers_refuse_pointer_zones(spark, tmp_path):
+    """Streaming ingest and the incremental rollup manage their OWN
+    plain-layout zones; pointing them at an atomically-published zone
+    would write beside (or destroy) the snapshots -- refused at start."""
+    from iot_data_pipeline_spark.pipeline import PipelineConfig
+    from iot_data_pipeline_spark.streaming.ingest import (
+        run_ingest_available_now,
+    )
+    from iot_data_pipeline_spark.streaming.rollup import compact_rollup
+
+    zone = str(tmp_path / "z.parquet")
+    write_parquet(spark.createDataFrame([Row(id=1)]), zone, atomic=True)
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    with pytest.raises(ValueError, match="start_sensor_ingest"):
+        run_ingest_available_now(
+            spark,
+            str(raw),
+            zone,
+            str(tmp_path / "ckpt"),
+            config=PipelineConfig(fixed_clock="2026-01-01 00:00:00"),
+        )
+    with pytest.raises(ValueError, match="compact_rollup"):
+        compact_rollup(spark, zone, ["id"], ["id"])
