@@ -1043,3 +1043,27 @@ def test_bounds_file_pruning_distributed_path(spark, sf_dir, tmp_path):
     assert bnd.count() == post.count()
     read_bnd, read_post = scan_rows(bnd), scan_rows(post)
     assert read_bnd < read_post // 4, (read_bnd, read_post)
+
+
+def test_atomic_zone_read_keeps_pushdown(spark, sf_dir, tmp_path):
+    """Pointer resolution is a pure path swap ahead of the scan, so an
+    atomically-published zone must keep the exact pushdown shape a
+    plain directory gets: bare attribute filters in PushedFilters,
+    single-snapshot InMemoryFileIndex (never a cross-version union)."""
+    import re
+
+    from iot_data_pipeline_spark.sources.readers import read_table
+    from iot_data_pipeline_spark.sources.sinks import write_parquet
+
+    d = str(tmp_path / "zone")
+    ev = read_table(spark, sf_dir, "events")
+    write_parquet(ev, f"{d}/events.parquet", atomic=True)
+    write_parquet(ev, f"{d}/events.parquet", atomic=True)  # v=1 current
+    df = read_table(spark, d, "events", bounds={"value": ((">=", 100.0),)})
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    pushed = " ".join(re.findall(r"PushedFilters: \[([^\]]*)\]", plan))
+    assert "GreaterThanOrEqual(value,100.0)" in pushed, plan
+    # the scan lists the CURRENT snapshot only (the plan string
+    # truncates Location; inputFiles() names the actual scan files)
+    files = df.inputFiles()
+    assert files and all("/v=1/" in f for f in files), files[:3]
