@@ -324,19 +324,6 @@ def start_sensor_ingest(
         bad = parent.filter(F.col(CORRUPT_COL).isNotNull()).select(
             F.col(CORRUPT_COL).alias("raw_line"), source.alias("source_file")
         )
-        processed = transform_sensor(good, config, dim_location)
-        (
-            processed.write.mode("append")
-            .partitionBy("source_file")
-            .parquet(out_dir)
-        )
-        if bad.limit(1).count() > 0:
-            (
-                bad.withColumn("_ingest_ts", F.current_timestamp())
-                .write.mode("append")
-                .partitionBy("source_file")
-                .parquet(f"{out_dir}/_dead_letter")
-            )
         # Vanished-file guard (round-13 probe, measured as SILENT loss):
         # the file source tolerates a listed file being deleted before
         # its batch reads it (ignoreMissingFiles is forced internally to
@@ -347,6 +334,12 @@ def start_sensor_ingest(
         # listed file contributing zero rows AND no longer existing
         # fails the query loudly (a legal empty file still exists; a
         # file deleted AFTER a successful read has surviving rows).
+        # The guard runs BEFORE any output write (round-14, advisor
+        # find): raising after the appends left rows in the processed
+        # zone with the batch uncommitted, so every restart-retry of the
+        # same terminal condition re-appended the surviving files' rows
+        # -- duplicates compounding per retry. Guard-first means a
+        # failed batch writes NOTHING and a retry is idempotent-clean.
         listed = _batch_source_files(spark, checkpoint_dir, batch_id)
         if listed:
             jvm = spark._jvm
@@ -384,6 +377,19 @@ def start_sensor_ingest(
                     "immutable until a burst drains (delete/archive "
                     "only between runs)."
                 )
+        processed = transform_sensor(good, config, dim_location)
+        (
+            processed.write.mode("append")
+            .partitionBy("source_file")
+            .parquet(out_dir)
+        )
+        if bad.limit(1).count() > 0:
+            (
+                bad.withColumn("_ingest_ts", F.current_timestamp())
+                .write.mode("append")
+                .partitionBy("source_file")
+                .parquet(f"{out_dir}/_dead_letter")
+            )
         parent.unpersist()
 
     writer = (

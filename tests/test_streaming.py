@@ -414,6 +414,75 @@ def test_vanished_mid_burst_fails_loud_and_recovers(
     assert spark.read.parquet(out).count() == 5
 
 
+def test_vanished_guard_writes_nothing_so_retry_never_duplicates(
+    spark, tmp_path, monkeypatch
+):
+    """Round-14 advisor find: the guard used to raise AFTER the
+    processed/dead-letter appends, so in a multi-file batch the
+    SURVIVING files' rows were already in the output when the batch
+    failed to commit -- and because the terminal condition (file gone)
+    persists, every restart-retry re-appended them: duplicates
+    compounding per retry. The guard now runs before any write; a
+    failed batch writes NOTHING and the retry after restoring the file
+    drains every row exactly once.
+
+    Two loud failure shapes are both correct here: the guard's own
+    "vanished mid-burst" raise, or FAILED_READ_FILE.FILE_NOT_EXIST from
+    the guard's row probe when the deletion lands after the batch's
+    file index was resolved (Spark throws instead of tolerating in that
+    sub-window). Under the pre-fix ordering either one fired AFTER the
+    appends -- this test's count==0 assertion fails on that ordering."""
+    import os as _os
+
+    from iot_data_pipeline_spark.streaming import ingest as ingest_mod
+
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    _write_file(raw, "f1.jsonl", _records(1, 2, 10.0))
+    _write_file(raw, "f2.jsonl", _records(2, 3, 20.0))
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    real_lister = ingest_mod._batch_source_files
+    state = {"deleted": False}
+
+    def delete_f2_then_list(spark_, ckpt_, batch_id):
+        # Fires in the window the guard defends: the batch's offsets are
+        # checkpointed (f2 is listed) but its data hasn't been read yet.
+        if not state["deleted"]:
+            _os.remove(raw / "f2.jsonl")
+            state["deleted"] = True
+        return real_lister(spark_, ckpt_, batch_id)
+
+    monkeypatch.setattr(
+        ingest_mod, "_batch_source_files", delete_f2_then_list
+    )
+    with pytest.raises(
+        Exception, match="vanished mid-burst|FILE_NOT_EXIST"
+    ):
+        run_ingest_available_now(
+            spark,
+            str(raw),
+            out,
+            ckpt,
+            config=PipelineConfig(fixed_clock=CLOCK),
+        )
+    monkeypatch.setattr(ingest_mod, "_batch_source_files", real_lister)
+    # the failed batch wrote NOTHING: f1's 2 surviving rows are not in
+    # the zone (only the 0-row schema seed is), so a retry cannot dup
+    assert spark.read.parquet(out).count() == 0
+    _write_file(raw, "f2.jsonl", _records(2, 3, 20.0))  # restore
+    for _ in range(2):  # retry twice: idempotent, never duplicates
+        run_ingest_available_now(
+            spark,
+            str(raw),
+            out,
+            ckpt,
+            config=PipelineConfig(fixed_clock=CLOCK),
+            on_replaced="ignore",  # the restore bumps f2's mtime
+        )
+        assert spark.read.parquet(out).count() == 5
+
+
 def test_deleted_after_ingest_is_clean(spark, tmp_path):
     """Deleting an already-processed raw file between bursts is the
     legitimate cleanSource-style tidy-up: the next burst processes new
