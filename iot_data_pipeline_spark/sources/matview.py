@@ -103,15 +103,25 @@ def resolve_snapshot_dir(spark: SparkSession, zone: str) -> str | None:
     read); remote schemes go through the Hadoop FileSystem API.
     """
     import os
+    from urllib.parse import unquote, urlsplit
 
     z = zone.rstrip("/")
-    if z.startswith("file://"):
-        local = z[7:]
-    elif z.startswith("file:"):  # Hadoop's single-slash spelling
-        local = z[5:]
-    else:
+    local = None
+    if z.startswith("file:"):
+        # Proper URI parse (round-14 advisor find): naive prefix
+        # stripping turned the authority form 'file://host/tmp/zone'
+        # into the RELATIVE string 'host/tmp/zone', so the os.path
+        # pointer probe missed, the zone read as plain, and every
+        # ensure_plain_zone guard silently bypassed. Empty/localhost
+        # authority is the local filesystem; any other authority goes
+        # through the Hadoop FileSystem branch (which fails loud on
+        # schemes it cannot serve, never silently-plain).
+        parts = urlsplit(z)
+        if parts.netloc in ("", "localhost"):
+            local = unquote(parts.path)
+    elif "://" not in z:
         local = z
-    if "://" not in local:
+    if local is not None:
         ptr = os.path.join(local, _POINTER)
         if not os.path.isfile(ptr):
             return None

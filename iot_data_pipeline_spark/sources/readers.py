@@ -500,6 +500,17 @@ def _glob_escape(p: str) -> str:
 #: introduce a type-flipping spelling (the rare case the cache trades away).
 _LAKE_SCHEMA_CACHE: dict[str, dict[str, T.DataType]] = {}
 
+#: Partition spellings that already TRIGGERED a cache re-inference per
+#: table root (round-14 ADVICE: a later-added directory with a
+#: type-flipping spelling -- cached INT for ``p``, new dir ``p=1x`` --
+#: cast the raw string to the stale cached type and produced silent
+#: NULL partition values; the pruned read now revalidates every
+#: spelling in its file list against the cached types and re-infers
+#: once when one cannot cast). The memo caps the cost: a spelling that
+#: legitimately survives Spark's cast but fails the conservative
+#: driver-side check re-lists the table at most ONCE, not per read.
+_LAKE_SCHEMA_REVALIDATED: dict[str, set[tuple[str, str]]] = {}
+
 #: Serializes the brief partition-type-inference conf toggle below across
 #: the ENGINE'S OWN threads. Reads issued by foreign threads on the same
 #: SparkSession during the window would still see inference off -- the
@@ -515,6 +526,66 @@ def clear_lake_schema_cache() -> None:
     """Drop the cached whole-table schemas (call after rewriting a table
     in place with different partition-value spellings)."""
     _LAKE_SCHEMA_CACHE.clear()
+    _LAKE_SCHEMA_REVALIDATED.clear()
+
+
+def _partition_spellings(
+    src: str, files: list[str], part_cols: list[str]
+) -> set[tuple[str, str]]:
+    """(column, raw-spelling) pairs appearing as hive segments between
+    the table root and the given data files."""
+    base = src.rstrip("/")
+    wanted = {c.lower(): c for c in part_cols}
+    out: set[tuple[str, str]] = set()
+    for f in files:
+        if not f.startswith(base + "/"):
+            continue
+        for seg in f[len(base) + 1:].split("/")[:-1]:
+            if "=" in seg:
+                name, value = seg.split("=", 1)
+                col = wanted.get(name.lower())
+                if col is not None:
+                    out.add((col, value))
+    return out
+
+
+def _spelling_casts(value: str, dtype: T.DataType | None) -> bool:
+    """Conservative driver-side castability probe: True only when the
+    raw hive spelling definitely survives ``CAST(value AS dtype)``
+    non-null. False triggers a whole-table re-inference -- always safe
+    (it is exactly Spark's own typing pass), just one extra listing --
+    so unknown-here formats err toward False. Types outside partition
+    inference's output universe (int/long/double/decimal/date/
+    timestamp/string) are trusted: a cached exotic type means explicit
+    schema intent, not inference gone stale."""
+    import datetime
+    from decimal import Decimal, InvalidOperation
+    from urllib.parse import unquote
+
+    v = unquote(value)
+    if v == "__HIVE_DEFAULT_PARTITION__":
+        return True  # the null spelling: NULL under every typing
+    if dtype is None or isinstance(dtype, T.StringType):
+        return True
+    try:
+        if isinstance(
+            dtype, (T.IntegerType, T.LongType, T.ShortType, T.ByteType)
+        ):
+            int(v)
+        elif isinstance(dtype, (T.DoubleType, T.FloatType)):
+            float(v)
+        elif isinstance(dtype, T.DecimalType):
+            Decimal(v)
+        elif isinstance(dtype, T.DateType):
+            datetime.date.fromisoformat(v.strip())
+        elif isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
+            datetime.datetime.fromisoformat(v.strip())
+        elif isinstance(dtype, T.BooleanType):
+            if v.strip().lower() not in ("true", "false", "0", "1"):
+                return False
+    except (ValueError, ArithmeticError, InvalidOperation):
+        return False
+    return True
 
 
 def _read_explicit_files(
@@ -551,10 +622,32 @@ def _read_explicit_files(
     if merge_schema:
         reader = reader.option("mergeSchema", "true")
     part_cols = _hive_partition_cols(src, files)  # on RAW paths
+    raw_files = files
     files = [_glob_escape(f) for f in files]  # Spark globs every path
     if not part_cols:
         return reader.parquet(*files)
     lake_fields = _LAKE_SCHEMA_CACHE.get(src)
+    if lake_fields is not None:
+        # Staleness revalidation (round-14 ADVICE): a directory added
+        # AFTER the cached inference can carry a spelling the cached
+        # type cannot represent (cached INT, new dir ``p=1x``) -- the
+        # cast below would then produce silent NULLs where an uncached
+        # read re-infers STRING. Any subset spelling that fails the
+        # conservative castability probe invalidates the entry and
+        # re-runs the whole-table pass (which sees the new directory);
+        # the memo ensures a probe-vs-Spark disagreement costs one
+        # re-listing total, never one per read.
+        seen = _LAKE_SCHEMA_REVALIDATED.setdefault(src, set())
+        flipped = {
+            s
+            for s in _partition_spellings(src, raw_files, part_cols)
+            if s not in seen
+            and not _spelling_casts(s[1], lake_fields.get(s[0].lower()))
+        }
+        if flipped:
+            seen.update(flipped)
+            _LAKE_SCHEMA_CACHE.pop(src, None)
+            lake_fields = None
     if lake_fields is None:
         try:
             lake_fields = {

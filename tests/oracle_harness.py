@@ -314,11 +314,27 @@ def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
         # read the same immutable snapshot (a recursive glob would
         # otherwise union EVERY version and surface `v` as a column).
         ptr = _os.path.join(src, "_current")
-        snapshot = _os.path.isfile(ptr)
-        if snapshot:
+        snapshot = False
+        if _os.path.isfile(ptr):
+            # Mirror matview._parse_pointer exactly (round-14 advisor
+            # find): an EMPTY pointer means "not a versioned zone" --
+            # the engine reads the plain directory, so the oracle must
+            # too (the old f-string resolution built the nonexistent
+            # '<zone>/v=' path); garbage content fails LOUD the same
+            # way the engine does, never a silent divergence.
             with open(ptr, encoding="utf-8") as fh:
-                src = f"{src}/v={fh.read().strip()}"
+                text = fh.read().strip()
+            if text:
+                if not text.isdigit():
+                    raise ValueError(
+                        f"oracle view {t!r}: snapshot pointer at {ptr!r} "
+                        f"contains {text[:40]!r}, not a version number "
+                        "(engine _parse_pointer fails the same way)"
+                    )
+                src = f"{src}/v={text}"
+                snapshot = True
         rel = f"'{src}'"
+        snapshot_hive = False
         if _os.path.isdir(src):
             # Spark-written / multifile-layout table: DuckDB cannot scan
             # a bare directory path, so glob the part files (the
@@ -328,19 +344,51 @@ def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
             # corpus): recurse and restore the partition columns the
             # way Spark's own directory scan does.
             if _glob.glob(f"{src}/*.parquet"):
-                rel = f"'{src}/*.parquet'"
+                if snapshot:
+                    # flat snapshot: DuckDB's hive auto-detection would
+                    # resurrect the machinery `v=<N>` segment as a
+                    # column AND override a genuine data column named
+                    # `v` with the path value (measured) -- Spark never
+                    # sees either (basePath = the resolved dir). Turn
+                    # detection off: no partition columns exist below
+                    # a flat snapshot.
+                    rel = (
+                        f"read_parquet('{src}/*.parquet', "
+                        "hive_partitioning=0)"
+                    )
+                else:
+                    rel = f"'{src}/*.parquet'"
             else:
                 rel = (
                     f"read_parquet('{src}/**/*.parquet', "
                     "hive_partitioning=1)"
                 )
+                snapshot_hive = snapshot
         cols = con.execute(f"DESCRIBE SELECT * FROM {rel}").fetchall()
-        if snapshot:
-            # DuckDB auto-detects EVERY key=value path segment as a hive
-            # partition, including the snapshot machinery's `v=<N>` dir
-            # itself (Spark's side never sees it: basePath is the
-            # resolved dir). Drop the machinery column; atomic zones
-            # reserve the top-level partition name `v` (matview.py).
+        if snapshot_hive and any(c[0] == "v" for c in cols):
+            # partitioned snapshot (hive_partitioning=1 above): `v`
+            # here is the machinery segment -- UNLESS the files
+            # natively carry a data column named `v`, which DuckDB's
+            # detection would have silently overridden with the path
+            # value. Distinguish by the file-native schema and refuse
+            # loud on the override (Spark-side basePath serves the
+            # data column correctly; the oracle cannot).
+            native = {
+                c[0]
+                for c in con.execute(
+                    f"DESCRIBE SELECT * FROM read_parquet("
+                    f"'{src}/**/*.parquet', hive_partitioning=0)"
+                ).fetchall()
+            }
+            if "v" in native:
+                raise ValueError(
+                    f"oracle view {t!r}: partitioned snapshot at "
+                    f"{src!r} carries a DATA column named 'v'; DuckDB's "
+                    "hive detection would override it with the "
+                    "machinery version segment -- the oracle cannot "
+                    "represent this zone (the engine can: basePath "
+                    "scopes detection below the snapshot dir)"
+                )
             cols = [c for c in cols if c[0] != "v"]
         select = ", ".join(
             _dec_cast(t, name, dtype) for name, dtype, *_ in cols

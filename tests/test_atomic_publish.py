@@ -229,6 +229,55 @@ def test_duck_oracle_resolves_atomic_zone(spark, sf_dir, tmp_path):
     ]
 
 
+def test_duck_oracle_mirrors_pointer_parse_semantics(spark, sf_dir, tmp_path):
+    """Round-14 advisor find: the oracle's pointer resolution diverged
+    from the engine's _parse_pointer on three inputs. Frozen parity:
+
+    - EMPTY pointer text: engine reads the plain directory; the oracle
+      used to build the nonexistent '<zone>/v=' path and crash;
+    - garbage pointer: both fail LOUD (never a silent divergence);
+    - a flat snapshot with a genuine DATA column named ``v``: DuckDB's
+      hive auto-detection used to override it with the machinery
+      version segment AND the later filter dropped it entirely -- now
+      served verbatim, matching read_table."""
+    import shutil
+
+    from iot_data_pipeline_spark.sources.readers import TABLES
+    from tests.oracle_harness import duck_connection
+
+    d = str(tmp_path / "sfdir")
+    os.makedirs(d)
+    for t in TABLES:
+        if t != "events":
+            shutil.copy(f"{sf_dir}/{t}.parquet", f"{d}/{t}.parquet")
+
+    zone = f"{d}/events.parquet"
+    df = spark.createDataFrame([Row(id=1, v="data-a"), Row(id=2, v="data-b")])
+    write_parquet(df, zone, atomic=True)
+    con = duck_connection(d)
+    got = sorted(con.execute("SELECT id, v FROM events").fetchall())
+    assert got == [(1, "data-a"), (2, "data-b")]
+    assert _rows(read_table(spark, d, "events")) == got
+
+    # empty pointer: engine treats the zone as plain; oracle must too
+    import shutil as _sh
+
+    _sh.rmtree(zone)
+    spark.createDataFrame([Row(id=7)]).write.parquet(zone)
+    open(f"{zone}/_current", "w").close()  # empty pointer file
+    assert resolve_snapshot_dir(spark, zone) is None
+    con2 = duck_connection(d)
+    assert con2.execute("SELECT id FROM events").fetchall() == [(7,)]
+
+    # garbage pointer: loud on BOTH sides
+    with open(f"{zone}/_current", "w") as fh:
+        fh.write("banana")
+    with pytest.raises(ValueError, match="not a version number"):
+        resolve_snapshot_dir(spark, zone)
+    with pytest.raises(ValueError, match="not a version number"):
+        duck_connection(d)
+
+
 def test_plain_zone_migrates_in_place(spark, tmp_path):
     """A zone born as plain part files can adopt atomic publish in
     place: the first snapshot publishes beside the old root files and
@@ -314,6 +363,27 @@ def test_resolution_via_file_uri_and_evolving_reader(spark, tmp_path):
         spark, zone, contract, bounds={"id": ((">=", 0),)}
     )
     assert _rows(got2) == _rows(df)
+
+
+def test_resolution_handles_authority_form_file_uris(spark, tmp_path):
+    """Round-14 advisor find: naive prefix-stripping turned the
+    authority form ``file://localhost/tmp/zone`` into the RELATIVE
+    string ``localhost/tmp/zone``, so the os.path pointer probe missed,
+    the zone silently read as PLAIN (a root read unions every snapshot
+    with a spurious ``v`` column) and every ensure_plain_zone writer
+    guard was bypassed. Empty/localhost authority now parses to the
+    local path; a foreign authority goes to the Hadoop branch and fails
+    LOUD (Wrong FS), never silently-plain."""
+    from iot_data_pipeline_spark.sources.matview import ensure_plain_zone
+
+    zone = str(tmp_path / "auth_zone")
+    write_parquet(spark.createDataFrame([Row(id=1)]), zone, atomic=True)
+    for form in (zone, f"file:{zone}", f"file://{zone}", f"file://localhost{zone}"):
+        assert resolve_snapshot_dir(spark, form) == f"{form}/v=0", form
+        with pytest.raises(ValueError, match="atomically-published"):
+            ensure_plain_zone(spark, form, "test_writer")
+    with pytest.raises(Exception, match="Wrong FS|otherhost"):
+        resolve_snapshot_dir(spark, f"file://otherhost{zone}")
 
 
 def test_backfill_composes_with_atomic_zones(spark, tmp_path):

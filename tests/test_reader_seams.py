@@ -1355,3 +1355,69 @@ def test_explicit_files_schema_cache_and_loud_fallback(spark, tmp_path):
         assert sorted(r["x"] for r in df4.collect()) == [1, 2]
     msgs = [str(x.message) for x in w if x.category is RuntimeWarning]
     assert any("partition-type parity" in m for m in msgs)
+
+
+def test_stale_schema_cache_reinfers_on_type_flipping_spelling(
+    spark, tmp_path
+):
+    """Round-14 ADVICE closed: the schema cache's documented staleness
+    had a SILENT-NULL failure mode -- a directory added after the
+    cached inference with a spelling the cached type cannot hold
+    (cached INT for ``a``, new dir ``a=1x``) cast to NULL, where an
+    uncached read re-infers STRING. The pruned read now revalidates
+    the subset's spellings against the cached types and re-infers once
+    when one cannot cast; a probe-vs-Spark disagreement is memoized so
+    it costs one extra listing total, not one per read."""
+    from iot_data_pipeline_spark.sources import readers as R
+
+    root = str(tmp_path / "flip_tbl")
+    os.makedirs(f"{root}/a=1")
+    t = pa.table({"x": pa.array([1, 2], pa.int64())})
+    pq.write_table(t, f"{root}/a=1/p.parquet")
+    R.clear_lake_schema_cache()
+    df = R._read_explicit_files(spark, root, [f"{root}/a=1/p.parquet"])
+    assert dict(df.dtypes)["a"] == "int"  # cache now holds INT for a
+
+    # the staleness event: a NEW directory with a non-integer spelling
+    os.makedirs(f"{root}/a=1x")
+    pq.write_table(t, f"{root}/a=1x/p.parquet")
+    df2 = R._read_explicit_files(
+        spark, root, [f"{root}/a=1/p.parquet", f"{root}/a=1x/p.parquet"]
+    )
+    assert dict(df2.dtypes)["a"] == "string"
+    got = sorted((r["a"], r["x"]) for r in df2.collect())
+    assert got == [("1", 1), ("1", 2), ("1x", 1), ("1x", 2)]  # no NULLs
+    # and the refreshed cache entry types the whole table STRING
+    assert isinstance(R._LAKE_SCHEMA_CACHE[root]["a"], T.StringType)
+
+    # memo: the same flip-triggering spelling does not re-list again --
+    # poison the cache back to INT and mark the spelling as already
+    # revalidated; the read must TRUST the (poisoned) cache, proving no
+    # second inference pass fired
+    R._LAKE_SCHEMA_CACHE[root] = {"x": T.LongType(), "a": T.IntegerType()}
+    df3 = R._read_explicit_files(
+        spark, root, [f"{root}/a=1/p.parquet", f"{root}/a=1x/p.parquet"]
+    )
+    assert dict(df3.dtypes)["a"] == "int"  # cache trusted: memo hit
+    R.clear_lake_schema_cache()
+
+
+def test_spelling_castability_probe():
+    """Unit band for the conservative driver-side cast probe."""
+    from iot_data_pipeline_spark.sources.readers import _spelling_casts
+
+    assert _spelling_casts("42", T.IntegerType())
+    assert not _spelling_casts("1x", T.IntegerType())
+    assert not _spelling_casts("1.5", T.LongType())  # Spark toInt: null
+    assert _spelling_casts("1.5", T.DoubleType())
+    assert _spelling_casts("1.5", T.DecimalType(10, 2))
+    assert not _spelling_casts("abc", T.DecimalType(10, 2))
+    assert _spelling_casts("2026-01-01", T.DateType())
+    assert not _spelling_casts("01/02/2026", T.DateType())
+    # hive percent-encoding decodes before probing
+    assert _spelling_casts("2026-01-01 00%3A00%3A00", T.TimestampType())
+    assert _spelling_casts("__HIVE_DEFAULT_PARTITION__", T.IntegerType())
+    assert _spelling_casts("anything", T.StringType())
+    assert _spelling_casts("anything", None)  # unknown column: trust
+    # exotic cached types are explicit intent, never re-inferred
+    assert _spelling_casts("zzz", T.BinaryType())
