@@ -33,12 +33,38 @@ def _guard_zone_write(spark: SparkSession, out_path: str, op: str) -> None:
         )
 
 
+def expire_snapshots(
+    spark: SparkSession,
+    zone: str,
+    keep_last: int = 2,
+    keep_age_s: float | None = None,
+) -> list[int]:
+    """Snapshot retention for atomically-published zones -- the
+    maintenance janitor that makes ``atomic=True`` sustainable.
+
+    Every atomic refresh adds a FULL copy of the zone; before round 14
+    nothing in the pipeline ever reclaimed them, so at 100 TB a nightly
+    refresh doubles storage daily until someone hand-calls vacuum. This
+    entry point composes with the maintenance writers (or runs on its
+    own schedule): a version survives if it is among the newest
+    ``keep_last`` published versions OR younger than ``keep_age_s``
+    seconds -- deletion requires falling outside both, so sizing
+    ``keep_age_s`` above the longest query keeps every directory a
+    live plan can still reference. Default keeps the current AND
+    previous snapshot (in-flight readers planned just before the last
+    refresh stay servable). Returns the versions removed."""
+    from iot_data_pipeline_spark.sources.matview import vacuum_snapshots
+
+    return vacuum_snapshots(spark, zone, keep=keep_last, keep_age_s=keep_age_s)
+
+
 def compact_parquet(
     spark: SparkSession,
     path: str,
     out_path: str,
     target_file_bytes: int = 128 * 1024 * 1024,
     atomic: bool = False,
+    keep_snapshots: int | None = None,
 ) -> int:
     """Rewrite a parquet directory into ~``target_file_bytes`` files.
 
@@ -78,7 +104,14 @@ def compact_parquet(
     df = spark.read.parquet(src).repartition(n_files)
     if atomic:
         publish_snapshot(spark, out_path, df)
+        if keep_snapshots is not None:
+            expire_snapshots(spark, out_path, keep_last=keep_snapshots)
         return n_files
+    if keep_snapshots is not None:
+        raise ValueError(
+            "compact_parquet: keep_snapshots is a retention knob for "
+            "atomic publishes; pass atomic=True"
+        )
     _guard_zone_write(spark, out_path, "compact_parquet")
     df.write.mode("overwrite").parquet(out_path)
     return n_files
@@ -90,6 +123,7 @@ def rewrite_sorted(
     layout_cols: list[str],
     n_files: int | None = None,
     atomic: bool = False,
+    keep_snapshots: int | None = None,
 ) -> None:
     """Rewrite with rows clustered by ``layout_cols`` inside each file
     (``sortWithinPartitions`` -- a local sort, NO global shuffle).
@@ -107,7 +141,16 @@ def rewrite_sorted(
         from iot_data_pipeline_spark.sources.matview import publish_snapshot
 
         publish_snapshot(df.sparkSession, out_path, out)
+        if keep_snapshots is not None:
+            expire_snapshots(
+                df.sparkSession, out_path, keep_last=keep_snapshots
+            )
         return
+    if keep_snapshots is not None:
+        raise ValueError(
+            "rewrite_sorted: keep_snapshots is a retention knob for "
+            "atomic publishes; pass atomic=True"
+        )
     _guard_zone_write(df.sparkSession, out_path, "rewrite_sorted")
     out.write.mode("overwrite").parquet(out_path)
 
@@ -145,6 +188,7 @@ def rewrite_zordered(
     n_files: int = 8,
     bits: int = 16,
     atomic: bool = False,
+    keep_snapshots: int | None = None,
 ) -> None:
     """Rewrite clustered on a multi-column Z-curve: range-partition and
     sort by the interleaved Z-value so EVERY layout column's per-file
@@ -169,7 +213,16 @@ def rewrite_zordered(
         from iot_data_pipeline_spark.sources.matview import publish_snapshot
 
         publish_snapshot(df.sparkSession, out_path, out)
+        if keep_snapshots is not None:
+            expire_snapshots(
+                df.sparkSession, out_path, keep_last=keep_snapshots
+            )
         return
+    if keep_snapshots is not None:
+        raise ValueError(
+            "rewrite_zordered: keep_snapshots is a retention knob for "
+            "atomic publishes; pass atomic=True"
+        )
     _guard_zone_write(df.sparkSession, out_path, "rewrite_zordered")
     out.write.mode("overwrite").parquet(out_path)
 

@@ -47,6 +47,28 @@ from pyspark.sql import DataFrame, SparkSession
 _POINTER = "_current"
 
 
+class ConcurrentPublishError(RuntimeError):
+    """A second publisher raced the same refresh slot (round-14: the
+    slot is claimed by exclusive create, so the loser fails HERE --
+    loud, before wasting the snapshot write -- instead of
+    last-writer-winning the pointer and silently dropping the other
+    refresh)."""
+
+
+def _local_form(path: str) -> str | None:
+    """The os-path form of ``path`` when it is local (plain,
+    ``file:``, ``file://``, ``file://localhost``), else None (remote
+    scheme or foreign authority: use the Hadoop FileSystem API)."""
+    from urllib.parse import unquote, urlsplit
+
+    if path.startswith("file:"):
+        parts = urlsplit(path)
+        if parts.netloc in ("", "localhost"):
+            return unquote(parts.path)
+        return None
+    return None if "://" in path else path
+
+
 def _parse_pointer(zone: str, text: str) -> int | None:
     """Version number from pointer-file text; None for an empty file.
     Garbage content fails LOUD naming the zone -- the pointer publish is
@@ -103,24 +125,17 @@ def resolve_snapshot_dir(spark: SparkSession, zone: str) -> str | None:
     read); remote schemes go through the Hadoop FileSystem API.
     """
     import os
-    from urllib.parse import unquote, urlsplit
 
     z = zone.rstrip("/")
-    local = None
-    if z.startswith("file:"):
-        # Proper URI parse (round-14 advisor find): naive prefix
-        # stripping turned the authority form 'file://host/tmp/zone'
-        # into the RELATIVE string 'host/tmp/zone', so the os.path
-        # pointer probe missed, the zone read as plain, and every
-        # ensure_plain_zone guard silently bypassed. Empty/localhost
-        # authority is the local filesystem; any other authority goes
-        # through the Hadoop FileSystem branch (which fails loud on
-        # schemes it cannot serve, never silently-plain).
-        parts = urlsplit(z)
-        if parts.netloc in ("", "localhost"):
-            local = unquote(parts.path)
-    elif "://" not in z:
-        local = z
+    # Proper URI parse (round-14 advisor find): naive prefix stripping
+    # turned the authority form 'file://host/tmp/zone' into the
+    # RELATIVE string 'host/tmp/zone', so the os.path pointer probe
+    # missed, the zone read as plain, and every ensure_plain_zone
+    # guard silently bypassed. Empty/localhost authority is the local
+    # filesystem; any other authority goes through the Hadoop
+    # FileSystem branch (which fails loud on schemes it cannot serve,
+    # never silently-plain).
+    local = _local_form(z)
     if local is not None:
         ptr = os.path.join(local, _POINTER)
         if not os.path.isfile(ptr):
@@ -148,6 +163,128 @@ def ensure_plain_zone(spark: SparkSession, path: str, op: str) -> None:
         )
 
 
+def _claim_path(zone: str, version: int) -> str:
+    return f"{zone.rstrip('/')}/_claim.v={version}"
+
+
+def _claim_slot(spark: SparkSession, zone: str, version: int) -> None:
+    """Exclusively claim refresh slot ``v=<version>`` of ``zone`` by
+    creating a tiny ``_claim.v=<N>`` marker with create-if-absent
+    semantics (``os.O_EXCL`` locally, ``FileSystem.create(path,
+    overwrite=false)`` remotely -- atomic on HDFS). An existing marker
+    means another publisher is refreshing the same slot right now, or
+    crashed mid-refresh: either way this publisher fails LOUD before
+    writing anything, never last-writer-wins. The marker is removed on
+    success and on in-process failure; only a hard crash leaves it,
+    and the error text carries the remediation."""
+    import datetime
+    import os
+
+    path = _claim_path(zone, version)
+    content = (
+        f"pid={os.getpid()} "
+        f"at={datetime.datetime.now(datetime.timezone.utc).isoformat()}"
+    )
+
+    def _conflict(existing: str) -> ConcurrentPublishError:
+        return ConcurrentPublishError(
+            f"zone {zone!r}: refresh slot v={version} is already "
+            f"claimed ({existing.strip() or 'no claim metadata'}). "
+            "Another publisher is refreshing this zone concurrently "
+            "(serialize refreshes: one publisher per zone), or a "
+            "previous publisher crashed mid-refresh. If no refresh is "
+            f"in flight, remove the stale claim with release_claim() "
+            f"or delete {path!r} and retry."
+        )
+
+    local = _local_form(path)
+    if local is not None:
+        # first publish of a brand-new zone: the claim precedes the
+        # snapshot write, so the zone directory may not exist yet
+        os.makedirs(os.path.dirname(local), exist_ok=True)
+        try:
+            fd = os.open(local, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            try:
+                with open(local, encoding="utf-8") as fh:
+                    existing = fh.read()
+            except OSError:
+                existing = ""
+            raise _conflict(existing) from None
+        with os.fdopen(fd, "w", encoding="utf-8") as fh:
+            fh.write(content)
+        return
+    fs, p, jvm = _jpath(spark, path)
+    try:
+        out = fs.create(p, False)  # overwrite=false: atomic on HDFS
+    except Exception as e:
+        if not fs.exists(p):
+            raise  # a real IO failure, not a lost race
+        existing = ""
+        try:
+            stream = fs.open(p)
+            try:
+                existing = jvm.org.apache.commons.io.IOUtils.toString(
+                    stream, "UTF-8"
+                )
+            finally:
+                stream.close()
+        except Exception:  # noqa: BLE001 -- claim read is best-effort
+            pass
+        raise _conflict(existing) from e
+    try:
+        out.write(bytearray(content, "utf-8"))
+    finally:
+        out.close()
+
+
+def release_claim(
+    spark: SparkSession, zone: str, version: int | None = None
+) -> list[int]:
+    """Remove refresh-slot claim marker(s) left by a CRASHED publisher
+    (operator remediation; a live publisher cleans up after itself).
+    With ``version=None`` removes every claim on the zone. Returns the
+    versions whose claims were removed."""
+    import os
+    import re
+
+    zone = zone.rstrip("/")
+    removed: list[int] = []
+    local = _local_form(zone)
+    if version is not None:
+        targets = [version]
+    elif local is not None:
+        targets = [
+            int(m.group(1))
+            for f in (os.listdir(local) if os.path.isdir(local) else [])
+            if (m := re.fullmatch(r"_claim\.v=(\d+)", f))
+        ]
+    else:
+        fs, p, _ = _jpath(spark, zone)
+        targets = []
+        if fs.exists(p):
+            for status in fs.listStatus(p):
+                m = re.fullmatch(
+                    r"_claim\.v=(\d+)", status.getPath().getName()
+                )
+                if m:
+                    targets.append(int(m.group(1)))
+    for v in targets:
+        path = _claim_path(zone, v)
+        plocal = _local_form(path)
+        if plocal is not None:
+            try:
+                os.remove(plocal)
+                removed.append(v)
+            except FileNotFoundError:
+                pass
+        else:
+            fs, p, _ = _jpath(spark, path)
+            if fs.delete(p, False):
+                removed.append(v)
+    return sorted(removed)
+
+
 def publish_snapshot(
     spark: SparkSession,
     zone: str,
@@ -165,11 +302,19 @@ def publish_snapshot(
     mid-write and assert exactly that). Publication is the pointer
     swap -- one tiny-file overwrite-rename.
 
-    One PUBLISHER per zone (the write_parquet contract): two concurrent
-    publishers both read the same ``prev`` and race on the same ``v=N+1``
-    slot -- the committer's shared-staging race makes one fail loud
-    (round-12 measurement), but last-writer-wins on the slot is still a
-    lost update. Serialize refreshes externally.
+    One PUBLISHER per zone (the write_parquet contract), and since
+    round 14 the contract is ENFORCED: the refresh slot ``v=N+1`` is
+    claimed by exclusive create of a ``_claim.v=<N+1>`` marker before
+    any data is written, so two concurrent publishers racing the same
+    slot have exactly one winner -- the loser raises
+    :class:`ConcurrentPublishError` immediately (no snapshot write, no
+    pointer touch, no silently-lost refresh). The claim is removed on
+    success and on in-process failure; a publisher that hard-crashes
+    (SIGKILL) leaves its claim behind, blocking further refreshes LOUD
+    until an operator confirms nothing is in flight and calls
+    :func:`release_claim`. A verify-after-swap re-reads the pointer at
+    the end and fails loud if a foreign writer (one bypassing the
+    claim protocol) moved it mid-publish.
 
     MIGRATING a plain zone (part files at the zone root) to atomic
     publish works in place: the first publish_snapshot writes ``v=0``
@@ -184,37 +329,56 @@ def publish_snapshot(
     zone = zone.rstrip("/")
     prev = current_snapshot_version(spark, zone)
     version = 0 if prev is None else prev + 1
-    writer = df.write.mode("overwrite")
-    if partition_by:
-        writer = writer.partitionBy(*partition_by)
-    writer.parquet(_snapshot_dir(zone, version))
-    fs, tmp, jvm = _jpath(spark, f"{zone}/{_POINTER}.tmp")
-    out = fs.create(tmp, True)
+    _claim_slot(spark, zone, version)  # loser of a race raises HERE
     try:
-        out.write(bytearray(str(version), "utf-8"))
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(_snapshot_dir(zone, version))
+        fs, tmp, jvm = _jpath(spark, f"{zone}/{_POINTER}.tmp")
+        out = fs.create(tmp, True)
+        try:
+            out.write(bytearray(str(version), "utf-8"))
+        finally:
+            out.close()
+        final = jvm.org.apache.hadoop.fs.Path(f"{zone}/{_POINTER}")
+        # Atomic replace via FileContext.rename(OVERWRITE): a plain
+        # delete-then-rename opens a window where a concurrent reader
+        # finds NO pointer and fails instead of serving the previous
+        # snapshot -- exactly the contract this module advertises.
+        # FileContext's overwrite rename is atomic on HDFS and local
+        # filesystems; object stores without atomic rename fall back to
+        # the tiny-file delete+rename window below.
+        try:
+            ren_cls = getattr(jvm, "org.apache.hadoop.fs.Options$Rename")
+            # FileContext.rename is varargs: py4j needs a Java array
+            opts = spark.sparkContext._gateway.new_array(ren_cls, 1)
+            opts[0] = ren_cls.OVERWRITE
+            fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+                final.toUri(), spark._jsc.hadoopConfiguration()
+            )
+            fc.rename(tmp, final, opts)
+        except Exception:
+            fs.delete(final, False)
+            if not fs.rename(tmp, final):
+                raise IOError(
+                    f"could not publish pointer for zone {zone!r}"
+                )
+        # Verify-after-swap: the claim serializes publishers that honor
+        # the protocol; this catches the one that does not (a foreign
+        # writer stomping the pointer mid-publish) -- fail loud, never
+        # let the stomp pass as a successful refresh.
+        after = current_snapshot_version(spark, zone)
+        if after != version:
+            raise ConcurrentPublishError(
+                f"zone {zone!r}: pointer verify after publish reads "
+                f"v={after}, expected v={version} -- a foreign writer "
+                "moved the pointer mid-publish (bypassing the claim "
+                "protocol); inspect the zone before trusting either "
+                "refresh."
+            )
     finally:
-        out.close()
-    final = jvm.org.apache.hadoop.fs.Path(f"{zone}/{_POINTER}")
-    # Atomic replace via FileContext.rename(OVERWRITE): a plain
-    # delete-then-rename opens a window where a concurrent reader finds
-    # NO pointer and fails instead of serving the previous snapshot --
-    # exactly the contract this module advertises. FileContext's
-    # overwrite rename is atomic on HDFS and local filesystems; object
-    # stores without atomic rename fall back to the tiny-file
-    # delete+rename window below.
-    try:
-        ren_cls = getattr(jvm, "org.apache.hadoop.fs.Options$Rename")
-        # FileContext.rename is varargs: py4j needs an explicit Java array
-        opts = spark.sparkContext._gateway.new_array(ren_cls, 1)
-        opts[0] = ren_cls.OVERWRITE
-        fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
-            final.toUri(), spark._jsc.hadoopConfiguration()
-        )
-        fc.rename(tmp, final, opts)
-    except Exception:
-        fs.delete(final, False)
-        if not fs.rename(tmp, final):
-            raise IOError(f"could not publish pointer for zone {zone!r}")
+        release_claim(spark, zone, version)
     return version
 
 
@@ -232,20 +396,45 @@ def snapshot_versions(spark: SparkSession, zone: str) -> list[int]:
 
 
 def vacuum_snapshots(
-    spark: SparkSession, zone: str, keep: int = 1
+    spark: SparkSession,
+    zone: str,
+    keep: int = 1,
+    keep_age_s: float | None = None,
 ) -> list[int]:
-    """Delete snapshot directories older than the newest ``keep``
-    published versions (orphans ABOVE the pointer are kept -- they may
-    be an in-flight refresh). Returns the versions removed."""
+    """Delete snapshot directories outside the retention window:
+    a version survives if it is among the newest ``keep`` published
+    versions OR (when ``keep_age_s`` is given) its snapshot directory
+    is younger than ``keep_age_s`` seconds -- both knobs are KEEP
+    conditions; deletion requires falling outside both. Orphans ABOVE
+    the pointer are always kept (they may be an in-flight refresh).
+    Returns the versions removed.
+
+    The age test reads the version directory's modification time --
+    the moment its last data file landed, i.e. effectively its publish
+    time. A keep-age window protects in-flight readers: a reader plans
+    against the pointer once and then lists an immutable directory, so
+    any vacuum with ``keep_age_s`` longer than the longest query keeps
+    every directory a live plan can still reference (the
+    read-during-vacuum probe in tests/test_atomic_publish.py freezes
+    what happens WITHOUT that margin: the reader fails loud, never
+    serves partial rows)."""
+    import time
+
     cur = current_snapshot_version(spark, zone)
     if cur is None:
         return []
     removed = []
+    now_ms = time.time() * 1000.0
     for v in snapshot_versions(spark, zone):
-        if v <= cur - keep:
-            fs, p, _ = _jpath(spark, _snapshot_dir(zone, v))
-            fs.delete(p, True)
-            removed.append(v)
+        if v > cur - keep:
+            continue  # within keep-N (also every orphan above the pointer)
+        fs, p, _ = _jpath(spark, _snapshot_dir(zone, v))
+        if keep_age_s is not None:
+            age_ms = now_ms - fs.getFileStatus(p).getModificationTime()
+            if age_ms < keep_age_s * 1000.0:
+                continue  # younger than the retention age
+        fs.delete(p, True)
+        removed.append(v)
     return removed
 
 
@@ -282,8 +471,15 @@ def list_versions(spark: SparkSession, root: str, name: str) -> list[int]:
     return snapshot_versions(spark, _view_root(root, name))
 
 
-def vacuum(spark: SparkSession, root: str, name: str, keep: int = 1) -> list[int]:
-    """Delete snapshot directories older than the newest ``keep`` published
-    versions (orphans above the pointer are kept -- they may be an
-    in-flight refresh). Returns the versions removed."""
-    return vacuum_snapshots(spark, _view_root(root, name), keep)
+def vacuum(
+    spark: SparkSession,
+    root: str,
+    name: str,
+    keep: int = 1,
+    keep_age_s: float | None = None,
+) -> list[int]:
+    """Delete snapshot directories outside the retention window (see
+    :func:`vacuum_snapshots` for the keep-N / keep-age semantics;
+    orphans above the pointer are kept -- they may be an in-flight
+    refresh). Returns the versions removed."""
+    return vacuum_snapshots(spark, _view_root(root, name), keep, keep_age_s)

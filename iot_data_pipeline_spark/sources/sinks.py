@@ -90,6 +90,7 @@ def write_parquet(
     mode: str = "overwrite",
     partition_by: tuple[str, ...] = (),
     atomic: bool = False,
+    keep_snapshots: int | None = None,
 ) -> None:
     """Parquet sink, optionally hive-partitioned (B4).
 
@@ -152,6 +153,11 @@ def write_parquet(
       divergence to remember if a DuckDB twin ever reads a partitioned
       zone keyed by values that need escaping.
     """
+    if keep_snapshots is not None and not atomic:
+        raise ValueError(
+            "write_parquet: keep_snapshots is a retention knob for "
+            "atomic publishes; pass atomic=True"
+        )
     if atomic:
         if mode != "overwrite":
             raise ValueError(
@@ -164,6 +170,18 @@ def write_parquet(
         publish_snapshot(
             df.sparkSession, path, df, partition_by=tuple(partition_by)
         )
+        if keep_snapshots is not None:
+            # Retention (round 14): without it every refresh adds a
+            # full zone copy FOREVER -- at 100 TB a nightly refresh
+            # doubles storage daily. keep_snapshots=N keeps the newest
+            # N published versions; size N (or use
+            # maintenance.expire_snapshots with a keep-age window) so
+            # the longest in-flight reader's snapshot stays on disk.
+            from iot_data_pipeline_spark.sources.matview import (
+                vacuum_snapshots,
+            )
+
+            vacuum_snapshots(df.sparkSession, path, keep=keep_snapshots)
         return
     # Mirror guard (round 13): a NON-atomic write into a zone that has
     # a published snapshot pointer is always wrong -- an append lands at

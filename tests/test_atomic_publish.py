@@ -201,6 +201,149 @@ def test_sigkill_mid_publish_preserves_previous_zone(spark, tmp_path):
     # the kill landed: pointer untouched, previous snapshot intact
     assert current_snapshot_version(spark, zone) == 0
     assert _rows(read_table(spark, str(tmp_path / "z"), "t")) == _rows(old)
+    # round 14: the killed publisher's slot claim persists, so the next
+    # refresh is blocked LOUD (never a silent race with a maybe-alive
+    # publisher) until the operator confirms and releases it
+    from iot_data_pipeline_spark.sources.matview import (
+        ConcurrentPublishError,
+        release_claim,
+    )
+
+    retry = spark.createDataFrame([Row(id=1, val=2)])
+    with pytest.raises(ConcurrentPublishError, match="already claimed"):
+        write_parquet(retry, zone, atomic=True)
+    assert release_claim(spark, zone) == [1]
+    write_parquet(retry, zone, atomic=True)
+    assert current_snapshot_version(spark, zone) == 1
+    assert _rows(read_table(spark, str(tmp_path / "z"), "t")) == _rows(retry)
+
+
+def test_concurrent_publishers_one_fails_loud_no_lost_update(
+    spark, tmp_path
+):
+    """Round-14 verdict task 1 frozen: two publishers racing the same
+    ``v=N+1`` slot previously last-writer-won the pointer -- the
+    loser's refresh silently forgotten. The slot is now claimed by
+    exclusive create BEFORE any data write: exactly one publisher
+    wins; the other raises ConcurrentPublishError immediately (no
+    snapshot write, no pointer touch), and retrying after the winner
+    finishes lands in the next slot. Nothing is silently lost.
+
+    The in-flight publisher is a real second process (the SIGKILL
+    harness's slow-UDF child, left to run to completion); the loser is
+    this process, racing while the child holds the claim."""
+    from iot_data_pipeline_spark.sources.matview import (
+        ConcurrentPublishError,
+        publish_snapshot,
+    )
+
+    zone = str(tmp_path / "z" / "t.parquet")
+    old = spark.createDataFrame([Row(id=i, val=i) for i in range(3)])
+    write_parquet(old, zone, atomic=True)
+
+    script = str(tmp_path / "child.py")
+    with open(script, "w", encoding="utf-8") as fh:
+        fh.write(_KILL_CHILD)
+    env = dict(os.environ)
+    env["PYTHONPATH"] = "/root/repo" + (
+        os.pathsep + env["PYTHONPATH"] if env.get("PYTHONPATH") else ""
+    )
+    child = subprocess.Popen(
+        [sys.executable, script, zone],
+        cwd="/root/repo",
+        env=env,
+        stdout=subprocess.DEVNULL,
+        stderr=subprocess.DEVNULL,
+    )
+    try:
+        claim = os.path.join(zone, "_claim.v=1")
+        deadline = time.time() + 180
+        while time.time() < deadline:
+            if os.path.isfile(claim):
+                break
+            if child.poll() is not None:
+                pytest.fail("publisher exited before claiming v=1")
+            time.sleep(0.02)
+        else:
+            pytest.fail("publisher never claimed v=1 within 180s")
+        # the race: this process loses LOUD, before writing anything
+        mine = spark.createDataFrame([Row(id=99, val=99)])
+        with pytest.raises(ConcurrentPublishError, match="already claimed"):
+            publish_snapshot(spark, zone, mine)
+        # the loser wrote nothing into the contended slot and the
+        # pointer never moved (the child is still mid-write)
+        assert current_snapshot_version(spark, zone) == 0
+        assert child.poll() is None, "child died during the race"
+        assert child.wait(timeout=300) == 0
+    finally:
+        if child.poll() is None:
+            child.kill()
+    # the WINNER's refresh is published -- not lost to the loser
+    assert current_snapshot_version(spark, zone) == 1
+    assert read_table(spark, str(tmp_path / "z"), "t").count() == 4000
+    # and the loser's retry lands cleanly in the NEXT slot
+    mine = spark.createDataFrame([Row(id=99, val=99)])
+    assert publish_snapshot(spark, zone, mine) == 2
+    assert _rows(read_table(spark, str(tmp_path / "z"), "t")) == _rows(mine)
+
+
+def test_failed_refresh_releases_claim_and_verify_after_swap(
+    spark, tmp_path
+):
+    """Claim lifecycle seams: an in-process FAILED refresh releases its
+    claim (retries need no operator action -- only a hard crash leaves
+    residue), and a foreign writer stomping the pointer mid-publish is
+    caught by the verify-after-swap instead of reading back as a
+    successful refresh."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    from iot_data_pipeline_spark.sources import matview as mv
+
+    zone = str(tmp_path / "z" / "t.parquet")
+    write_parquet(spark.createDataFrame([Row(id=1)]), zone, atomic=True)
+
+    @F.udf(LongType())
+    def boom(x):
+        raise RuntimeError("refresh failed mid-write")
+
+    bad = spark.range(10).select(boom(F.col("id")).alias("id"))
+    with pytest.raises(Exception):
+        write_parquet(bad, zone, atomic=True)
+    assert not os.path.exists(os.path.join(zone, "_claim.v=1"))  # released
+    good = spark.createDataFrame([Row(id=2)])
+    assert mv.publish_snapshot(spark, zone, good) == 1  # no residue block
+
+    # foreign pointer stomp landing in the swap-to-verify window (a
+    # writer bypassing the claim protocol): inject the stomp just
+    # before the verify's genuine pointer re-read -- the verify must
+    # read the REAL file, see the foreign version, and fail loud
+    real_read = mv.current_snapshot_version
+    calls = {"n": 0}
+
+    def stomp_before_verify_read(spark_, zone_):
+        calls["n"] += 1
+        if calls["n"] == 2:  # 1 = prev read at entry, 2 = the verify
+            # a real foreign writer goes through the FS API and keeps
+            # the checksum consistent; drop the sidecar crc to match
+            try:
+                os.remove(os.path.join(zone, "._current.crc"))
+            except FileNotFoundError:
+                pass
+            with open(os.path.join(zone, "_current"), "w") as fh:
+                fh.write("7")  # the foreign stomp
+        return real_read(spark_, zone_)
+
+    mv.current_snapshot_version = stomp_before_verify_read
+    try:
+        with pytest.raises(
+            mv.ConcurrentPublishError, match="foreign writer"
+        ):
+            mv.publish_snapshot(spark, zone, spark.createDataFrame([Row(id=3)]))
+    finally:
+        mv.current_snapshot_version = real_read
+    # the loud failure left the foreign state visible, never masked
+    assert real_read(spark, zone) == 7
 
 
 def test_duck_oracle_resolves_atomic_zone(spark, sf_dir, tmp_path):
@@ -439,6 +582,114 @@ def test_backfill_composes_with_atomic_zones(spark, tmp_path):
         r["day"]: r["n"] for r in spark.read.parquet(dst).collect()
     }
     assert got == {"d1": 100, "d2": 5}
+
+
+def test_snapshot_retention_first_class(spark, tmp_path):
+    """Round-14 verdict task 2: retention is now a first-class knob
+    instead of a never-called vacuum. ``write_parquet(atomic=True,
+    keep_snapshots=N)`` reclaims old versions at publish time; the
+    maintenance janitor ``expire_snapshots`` adds the keep-age window
+    (a version survives if within keep-N OR younger than keep_age_s --
+    deletion requires falling outside both)."""
+    from iot_data_pipeline_spark.sources.maintenance import expire_snapshots
+
+    zone = str(tmp_path / "z" / "t.parquet")
+    for i in range(4):
+        df = spark.createDataFrame([Row(id=i)])
+        write_parquet(df, zone, atomic=True, keep_snapshots=2)
+    # retention ran at each publish: only the newest 2 versions remain
+    assert snapshot_versions(spark, zone) == [2, 3]
+    assert current_snapshot_version(spark, zone) == 3
+    assert _rows(read_table(spark, str(tmp_path / "z"), "t")) == [(3,)]
+
+    # keep-age keeps everything younger than the window even beyond
+    # keep-N...
+    assert expire_snapshots(spark, zone, keep_last=1, keep_age_s=3600) == []
+    assert snapshot_versions(spark, zone) == [2, 3]
+    # ...and a zero-age window defers entirely to keep-N
+    assert expire_snapshots(spark, zone, keep_last=1, keep_age_s=0) == [2]
+    assert snapshot_versions(spark, zone) == [3]
+
+    # the knob without atomic is a contract error, never silent
+    with pytest.raises(ValueError, match="keep_snapshots"):
+        write_parquet(
+            spark.createDataFrame([Row(id=9)]), zone, keep_snapshots=1
+        )
+
+
+def test_maintenance_writers_compose_with_retention(spark, tmp_path):
+    """compact_parquet/rewrite_sorted/rewrite_zordered(atomic=True,
+    keep_snapshots=N) publish the rewrite AND reclaim old versions in
+    one maintenance pass -- the in-place compaction loop no longer
+    accumulates a full zone copy per run."""
+    from iot_data_pipeline_spark.sources.maintenance import (
+        compact_parquet,
+        rewrite_sorted,
+        rewrite_zordered,
+    )
+
+    zone = str(tmp_path / "z" / "t.parquet")
+    df = spark.createDataFrame([Row(id=i, k=i % 3) for i in range(50)])
+    write_parquet(df, zone, atomic=True)
+    compact_parquet(spark, zone, zone, atomic=True, keep_snapshots=2)
+    rewrite_sorted(
+        read_table(spark, str(tmp_path / "z"), "t"),
+        zone,
+        ["id"],
+        atomic=True,
+        keep_snapshots=2,
+    )
+    rewrite_zordered(
+        read_table(spark, str(tmp_path / "z"), "t"),
+        zone,
+        ["id", "k"],
+        n_files=2,
+        atomic=True,
+        keep_snapshots=2,
+    )
+    assert snapshot_versions(spark, zone) == [2, 3]
+    assert sorted(r["id"] for r in read_table(spark, str(tmp_path / "z"), "t").collect()) == list(range(50))
+    for fn, kwargs in (
+        (compact_parquet, dict()),
+        (rewrite_sorted, dict(layout_cols=["id"])),
+    ):
+        with pytest.raises(ValueError, match="keep_snapshots"):
+            if fn is compact_parquet:
+                compact_parquet(spark, zone, zone, keep_snapshots=1)
+            else:
+                rewrite_sorted(df, zone, ["id"], keep_snapshots=1)
+
+
+def test_read_during_vacuum_window_is_loud_never_wrong(spark, tmp_path):
+    """Round-14 verdict task 2's probe: a reader PLANS against v=N
+    (pointer resolution happens once at plan time), a refresh publishes
+    v=N+1, and vacuum removes v=N while the reader's plan is still
+    live. The frozen contract is loud-or-right, never wrong: the
+    reader either serves its full snapshot or fails with the missing
+    file named -- it must never return a silently partial/empty
+    result. (Operationally: size expire_snapshots' keep_age_s above
+    the longest query to avoid the window entirely.)"""
+    zone = str(tmp_path / "z" / "t.parquet")
+    old = spark.createDataFrame([Row(id=i) for i in range(2000)])
+    write_parquet(old, zone, atomic=True)
+    in_flight = read_table(spark, str(tmp_path / "z"), "t")
+    assert in_flight.count() == 2000  # planned + executed against v=0
+    write_parquet(
+        spark.createDataFrame([Row(id=-1)]), zone, atomic=True
+    )
+    assert vacuum_snapshots(spark, zone, keep=1) == [0]
+    # Spark caches leaf-file listings per plan: the same DataFrame may
+    # legitimately still serve from cache (right), or re-scan and fail
+    # loud (FILE_NOT_EXIST). Both honor the contract; a partial/empty
+    # result violates it.
+    try:
+        rows = _rows(in_flight)
+    except Exception as e:
+        assert "FILE_NOT_EXIST" in str(e) or "does not exist" in str(e)
+    else:
+        assert rows == _rows(old), "read-during-vacuum served PARTIAL rows"
+    # a FRESH read resolves the live pointer and is always right
+    assert _rows(read_table(spark, str(tmp_path / "z"), "t")) == [(-1,)]
 
 
 def test_plain_write_into_atomic_zone_refused(spark, tmp_path):
