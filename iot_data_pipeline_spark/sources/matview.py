@@ -82,8 +82,7 @@ def _parse_pointer(zone: str, text: str) -> int | None:
             f"zone {zone!r}: snapshot pointer file {_POINTER!r} contains "
             f"{text[:40]!r}, not a version number -- the pointer publish "
             "is atomic, so this was written by something else; restore "
-            "it to the latest good version (see snapshot_versions) or "
-            "delete it to fall back to plain-directory reads"
+            "it to the latest good version (see snapshot_versions)"
         )
     return int(text)
 
@@ -116,6 +115,32 @@ def current_snapshot_version(spark: SparkSession, zone: str) -> int | None:
     return _parse_pointer(zone, text)
 
 
+def _has_snapshot_dirs(spark: SparkSession, zone: str, local: str | None) -> bool:
+    """Whether the zone root contains any ``v=<N>`` snapshot directory
+    (the shape only the atomic publisher creates -- the engine reserves
+    the top-level hive name ``v=<int>`` for it, see the module note)."""
+    import os
+    import re
+
+    if local is not None:
+        try:
+            entries = os.listdir(local)
+        except (FileNotFoundError, NotADirectoryError):
+            return False
+        return any(
+            re.fullmatch(r"v=\d+", e) and os.path.isdir(os.path.join(local, e))
+            for e in entries
+        )
+    fs, p, _ = _jpath(spark, zone)
+    if not fs.exists(p):
+        return False
+    for status in fs.listStatus(p):
+        base = status.getPath().getName()
+        if base.startswith("v=") and base[2:].isdigit() and status.isDirectory():
+            return True
+    return False
+
+
 def resolve_snapshot_dir(spark: SparkSession, zone: str) -> str | None:
     """The published snapshot directory for ``zone``, or None when the
     path is not a versioned zone (the plain-directory read applies).
@@ -123,8 +148,22 @@ def resolve_snapshot_dir(spark: SparkSession, zone: str) -> str | None:
     Local paths short-circuit through ``os.path`` (no py4j round-trip:
     this sits on the engine's read boundary and runs once per table
     read); remote schemes go through the Hadoop FileSystem API.
-    """
+
+    A MISSING pointer over a zone that nonetheless carries ``v=<N>``
+    snapshot directories is never treated as plain (round-14 probe,
+    measured as silent wrongness: the plain root read UNIONS every
+    version with a spurious ``v`` column -- stale and current rows
+    presented together as one table). That state is either the
+    no-pointer window of the delete+rename fallback on stores without
+    atomic rename (milliseconds -- a brief retry rides it out), a
+    publisher crashed before its FIRST pointer write, or an
+    operator-deleted pointer: after the retries it fails LOUD with the
+    restore recipe. Plain zones pay one extra root listing on this
+    path; the engine therefore reserves the top-level hive partition
+    name ``v=<int>`` across every zone it reads (rename a genuine
+    integer partition column ``v``)."""
     import os
+    import time
 
     z = zone.rstrip("/")
     # Proper URI parse (round-14 advisor find): naive prefix stripping
@@ -136,15 +175,60 @@ def resolve_snapshot_dir(spark: SparkSession, zone: str) -> str | None:
     # FileSystem branch (which fails loud on schemes it cannot serve,
     # never silently-plain).
     local = _local_form(z)
-    if local is not None:
-        ptr = os.path.join(local, _POINTER)
-        if not os.path.isfile(ptr):
+    delay = 0.02
+    for attempt in range(6):
+        if attempt:
+            time.sleep(delay)
+            delay *= 2
+        v = found = None
+        if local is not None:
+            ptr = os.path.join(local, _POINTER)
+            if os.path.isfile(ptr):
+                found = True
+                with open(ptr, encoding="utf-8") as fh:
+                    v = _parse_pointer(z, fh.read())
+        else:
+            fs, p, jvm = _jpath(spark, f"{z}/{_POINTER}")
+            if fs.exists(p):
+                found = True
+                stream = fs.open(p)
+                try:
+                    text = jvm.org.apache.commons.io.IOUtils.toString(
+                        stream, "UTF-8"
+                    )
+                finally:
+                    stream.close()
+                v = _parse_pointer(z, text)
+        if v is not None:
+            return _snapshot_dir(z, v)
+        if found:
+            # pointer present but EMPTY: a stable state, not a swap
+            # window -- plain read only when no snapshot dirs exist
+            # (the same silent-union hazard applies otherwise)
+            if _has_snapshot_dirs(spark, z, local):
+                raise IOError(
+                    f"zone {z!r}: the {_POINTER!r} pointer is EMPTY but "
+                    "snapshot directories (v=<N>) exist -- a plain read "
+                    "would silently union every version. Restore the "
+                    "pointer to the latest good version "
+                    "(snapshot_versions lists candidates), or remove "
+                    "the v=<N> directories to return the zone to plain "
+                    "layout."
+                )
             return None
-        with open(ptr, encoding="utf-8") as fh:
-            v = _parse_pointer(z, fh.read())
-        return None if v is None else _snapshot_dir(z, v)
-    v = current_snapshot_version(spark, z)
-    return None if v is None else _snapshot_dir(z, v)
+        if not _has_snapshot_dirs(spark, z, local):
+            return None  # genuinely plain (or absent): no snapshot shape
+    raise IOError(
+        f"zone {z!r} contains snapshot directories (v=<N>) but no "
+        f"{_POINTER!r} pointer after ~1s of retries. A plain read here "
+        "would silently UNION every version. This is either a "
+        "publisher crashed before its first pointer write, a deleted "
+        "pointer, or a reader racing a pointer swap on a store without "
+        "atomic rename. Restore the pointer to the latest good version "
+        "(snapshot_versions lists candidates; write its number into "
+        f"{z}/{_POINTER}), or remove the v=<N> directories to return "
+        "the zone to plain layout."
+    )
 
 
 def ensure_plain_zone(spark: SparkSession, path: str, op: str) -> None:
@@ -158,8 +242,9 @@ def ensure_plain_zone(spark: SparkSession, path: str, op: str) -> None:
             f"{op}: {path!r} is an atomically-published zone (_current "
             "pointer present); this writer manages a plain-layout zone "
             "and would corrupt or bypass the snapshots. Use a separate "
-            "directory, or vacuum + remove the pointer to convert the "
-            "zone back to plain layout first."
+            "directory, or convert the zone back to plain layout first "
+            "(move the current snapshot's files to the zone root, then "
+            "remove the v=<N> directories and the pointer)."
         )
 
 

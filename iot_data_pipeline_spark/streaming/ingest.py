@@ -310,6 +310,15 @@ def start_sensor_ingest(
     )
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # Re-check the zone layout EVERY batch (round-14 probe): the
+        # start-time guard cannot see an atomic publish that lands on
+        # the output zone MID-burst -- from that moment a plain append
+        # goes to the zone root where pointer-resolving readers never
+        # look, so every subsequent batch would be silently invisible.
+        # One tiny pointer probe per batch buys a loud failure instead;
+        # it runs before any write, so the failed batch never commits
+        # and retries stay clean.
+        ensure_plain_zone(spark, out_dir, "start_sensor_ingest micro-batch")
         # Like sources.readers.split_corrupt, but keeping the per-file
         # routing column on both channels.
         source = F.col("_source_file")

@@ -315,6 +315,25 @@ def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
         # otherwise union EVERY version and surface `v` as a column).
         ptr = _os.path.join(src, "_current")
         snapshot = False
+        if not _os.path.isfile(ptr) and _os.path.isdir(src):
+            # Engine parity (round-14 probe): a zone with v=<N>
+            # snapshot dirs but NO pointer is never read as plain --
+            # the union would silently mix every version. The engine's
+            # resolve_snapshot_dir retries then fails loud; the oracle
+            # fails loud immediately (fixtures are not mid-swap).
+            import re as _re2
+
+            if any(
+                _re2.fullmatch(r"v=\d+", e)
+                and _os.path.isdir(_os.path.join(src, e))
+                for e in _os.listdir(src)
+            ):
+                raise IOError(
+                    f"oracle view {t!r}: zone {src!r} has snapshot "
+                    "directories but no _current pointer -- a plain "
+                    "read would union every version (engine fails "
+                    "loud here too)"
+                )
         if _os.path.isfile(ptr):
             # Mirror matview._parse_pointer exactly (round-14 advisor
             # find): an EMPTY pointer means "not a versioned zone" --
@@ -333,6 +352,20 @@ def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
                     )
                 src = f"{src}/v={text}"
                 snapshot = True
+            else:
+                import re as _re3
+
+                if any(
+                    _re3.fullmatch(r"v=\d+", e)
+                    and _os.path.isdir(_os.path.join(src, e))
+                    for e in _os.listdir(src)
+                ):
+                    raise IOError(
+                        f"oracle view {t!r}: EMPTY _current pointer over "
+                        f"snapshot directories at {src!r} -- a plain "
+                        "read would union every version (engine fails "
+                        "loud here too)"
+                    )
         rel = f"'{src}'"
         snapshot_hive = False
         if _os.path.isdir(src):

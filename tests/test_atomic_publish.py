@@ -476,11 +476,15 @@ def test_corrupt_pointer_fails_loud_naming_the_zone(spark, tmp_path):
         read_table(spark, str(tmp_path / "z"), "t")
     with pytest.raises(ValueError, match="not a version number"):
         current_snapshot_version(spark, zone)
-    # empty pointer: treated as never-published; the plain-directory
-    # read sees the mixed layout instead (operator cleanup territory)
+    # empty pointer OVER SNAPSHOT DIRS (round 14): no longer a silent
+    # fall-back to the plain read -- that unioned every version; loud
+    # with the restore recipe instead. (An empty pointer on a zone
+    # with no v=<N> dirs still reads plain --
+    # test_duck_oracle_mirrors_pointer_parse_semantics.)
     with open(os.path.join(zone, "_current"), "w") as fh:
         fh.write("")
-    assert resolve_snapshot_dir(spark, zone) is None
+    with pytest.raises(IOError, match="EMPTY"):
+        resolve_snapshot_dir(spark, zone)
 
 
 def test_resolution_via_file_uri_and_evolving_reader(spark, tmp_path):
@@ -690,6 +694,88 @@ def test_read_during_vacuum_window_is_loud_never_wrong(spark, tmp_path):
         assert rows == _rows(old), "read-during-vacuum served PARTIAL rows"
     # a FRESH read resolves the live pointer and is always right
     assert _rows(read_table(spark, str(tmp_path / "z"), "t")) == [(-1,)]
+
+
+def test_pointerless_snapshot_zone_fails_loud_never_unions(
+    spark, tmp_path, sf_dir
+):
+    """Round-14 probe, measured as SILENT WRONGNESS before the fix: a
+    zone carrying v=<N> snapshot dirs but no ``_current`` pointer (a
+    publisher crashed before its first pointer write, an
+    operator-deleted pointer, or the no-pointer window of the
+    delete+rename fallback) read as PLAIN -- the root read unioned
+    EVERY version with a spurious ``v`` column, presenting stale and
+    current rows together as one table. Now: brief retry (the swap
+    window is milliseconds), then loud with the restore recipe. An
+    EMPTY pointer over snapshot dirs is the same hazard, loud
+    immediately; an empty pointer over a genuinely plain zone stays
+    plain (the documented legacy semantics)."""
+    import shutil
+
+    from iot_data_pipeline_spark.sources.readers import TABLES
+    from tests.oracle_harness import duck_connection
+
+    zone = str(tmp_path / "z" / "t.parquet")
+    write_parquet(spark.createDataFrame([Row(id=1)]), zone, atomic=True)
+    write_parquet(spark.createDataFrame([Row(id=2)]), zone, atomic=True)
+    os.remove(os.path.join(zone, "_current"))
+    with pytest.raises(IOError, match="no '_current' pointer"):
+        resolve_snapshot_dir(spark, zone)
+    with pytest.raises(IOError, match="no '_current' pointer"):
+        read_table(spark, str(tmp_path / "z"), "t")
+
+    # empty pointer over snapshot dirs: same union hazard, loud at once
+    open(os.path.join(zone, "_current"), "w").close()
+    with pytest.raises(IOError, match="EMPTY"):
+        resolve_snapshot_dir(spark, zone)
+
+    # the oracle views mirror both refusals (engine/oracle parity)
+    d = str(tmp_path / "sfdir")
+    os.makedirs(d)
+    for t in TABLES:
+        if t != "events":
+            shutil.copy(f"{sf_dir}/{t}.parquet", f"{d}/{t}.parquet")
+    ez = f"{d}/events.parquet"
+    write_parquet(spark.createDataFrame([Row(id=1)]), ez, atomic=True)
+    os.remove(os.path.join(ez, "_current"))
+    with pytest.raises(IOError, match="no _current pointer"):
+        duck_connection(d)
+    open(os.path.join(ez, "_current"), "w").close()
+    with pytest.raises(IOError, match="EMPTY"):
+        duck_connection(d)
+
+
+def test_resolve_rides_out_pointer_swap_window(spark, tmp_path):
+    """The delete+rename fallback (stores without atomic rename) opens
+    a millisecond no-pointer window; resolve_snapshot_dir's retry loop
+    must ride it out and serve old-or-new, never fail and never union.
+    Deterministic twin of the race: the pointer vanishes, a 'swap'
+    completes ~80ms later, and a resolve STARTED inside the window
+    succeeds."""
+    import threading
+
+    zone = str(tmp_path / "z" / "t.parquet")
+    write_parquet(spark.createDataFrame([Row(id=1)]), zone, atomic=True)
+    write_parquet(spark.createDataFrame([Row(id=2)]), zone, atomic=True)
+    ptr = os.path.join(zone, "_current")
+    crc = os.path.join(zone, "._current.crc")
+    os.remove(ptr)
+    if os.path.exists(crc):
+        os.remove(crc)  # keep the Hadoop checksum sidecar consistent
+
+    def finish_swap():
+        time.sleep(0.08)
+        with open(ptr, "w", encoding="utf-8") as fh:
+            fh.write("1")
+
+    t = threading.Thread(target=finish_swap)
+    t.start()
+    try:
+        got = resolve_snapshot_dir(spark, zone)
+    finally:
+        t.join()
+    assert got == f"{zone}/v=1"
+    assert _rows(read_table(spark, str(tmp_path / "z"), "t")) == [(2,)]
 
 
 def test_plain_write_into_atomic_zone_refused(spark, tmp_path):

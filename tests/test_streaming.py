@@ -483,6 +483,67 @@ def test_vanished_guard_writes_nothing_so_retry_never_duplicates(
         assert spark.read.parquet(out).count() == 5
 
 
+def test_atomic_publish_landing_mid_burst_fails_loud(
+    spark, tmp_path, monkeypatch
+):
+    """Round-14 probe (the streaming-sink x pointer-zone combination
+    the round-13 waves did not sweep): ``start_sensor_ingest`` guards
+    its output zone at START, but an ``atomic=True`` publish landing
+    on the same zone MID-burst creates the ``_current`` pointer after
+    that check -- from that moment every plain append lands at the
+    zone root where pointer-resolving readers never look (silently
+    invisible rows, measured). The guard now re-runs per micro-batch,
+    BEFORE any write: the first batch after the publish fails loud and
+    commits nothing."""
+    from iot_data_pipeline_spark.sources.sinks import write_parquet
+    from iot_data_pipeline_spark.streaming import ingest as ingest_mod
+
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    _write_file(raw, "f1.jsonl", _records(1, 2, 10.0))
+    import time
+
+    time.sleep(1.1)
+    _write_file(raw, "f2.jsonl", _records(2, 3, 20.0))
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    real_transform = ingest_mod.transform_sensor
+    state = {"published": False}
+
+    def publish_then_transform(df, config, dim=None):
+        # fires on batch 0's row-bearing frame: the atomic publish
+        # lands deterministically between batch 0 (f1) and batch 1 (f2)
+        if not state["published"] and df.limit(1).count() > 0:
+            state["published"] = True
+            write_parquet(
+                df.sparkSession.createDataFrame([(1,)], "id long"),
+                out,
+                atomic=True,
+            )
+        return real_transform(df, config, dim)
+
+    monkeypatch.setattr(ingest_mod, "transform_sensor", publish_then_transform)
+    with pytest.raises(Exception, match="atomically-published"):
+        run_ingest_available_now(
+            spark,
+            str(raw),
+            out,
+            ckpt,
+            config=PipelineConfig(fixed_clock=CLOCK),
+            max_files_per_trigger=1,
+        )
+    # batch 1 never committed and wrote nothing invisible: the zone
+    # serves exactly the published snapshot
+    from iot_data_pipeline_spark.sources.matview import resolve_snapshot_dir
+
+    snap = resolve_snapshot_dir(spark, out)
+    assert snap is not None
+    assert [r["id"] for r in spark.read.parquet(snap).collect()] == [1]
+    import os as _os
+
+    assert not _os.path.exists(_os.path.join(ckpt, "commits", "1"))
+
+
 def test_deleted_after_ingest_is_clean(spark, tmp_path):
     """Deleting an already-processed raw file between bursts is the
     legitimate cleanSource-style tidy-up: the next burst processes new
