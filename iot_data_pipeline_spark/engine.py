@@ -122,3 +122,28 @@ class Engine:
         from iot_data_pipeline_spark.sources.backfill import backfill
 
         return backfill(self.spark, src_path, dst_path, partition_col, derive, full=full)
+
+    def expire_snapshots(
+        self,
+        zone: str,
+        keep_last: int = 2,
+        keep_age_s: float | None = None,
+    ) -> list[int]:
+        """Snapshot retention for an atomically-published zone (round
+        14): keep the newest ``keep_last`` versions OR anything younger
+        than ``keep_age_s``; delete only outside both. Returns the
+        versions removed (sources/maintenance.py)."""
+        from iot_data_pipeline_spark.sources.maintenance import expire_snapshots
+
+        return expire_snapshots(
+            self.spark, zone, keep_last=keep_last, keep_age_s=keep_age_s
+        )
+
+    def release_claim(self, zone: str, version: int | None = None) -> list[int]:
+        """Operator remediation after a publisher CRASHED mid-refresh:
+        remove the stale slot claim(s) blocking further refreshes of
+        ``zone`` (sources/matview.py; a live publisher cleans up after
+        itself -- confirm nothing is in flight first)."""
+        from iot_data_pipeline_spark.sources.matview import release_claim
+
+        return release_claim(self.spark, zone, version)

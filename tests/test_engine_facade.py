@@ -98,6 +98,29 @@ def test_facade_materialized_view_roundtrip(spark, sf_dir, tmp_path):
     assert got.count() == agg.count()
 
 
+def test_facade_snapshot_lifecycle(spark, sf_dir, tmp_path):
+    """Round 14: the facade exposes the atomic-zone lifecycle ops a
+    reference user operating a refreshed zone needs -- retention
+    (expire_snapshots) and crash remediation (release_claim)."""
+    from iot_data_pipeline_spark.engine import Engine
+    from iot_data_pipeline_spark.sources.matview import (
+        _claim_slot,
+        snapshot_versions,
+    )
+    from iot_data_pipeline_spark.sources.sinks import write_parquet
+
+    eng = Engine(spark, sf_dir)
+    zone = str(tmp_path / "zone.parquet")
+    for i in range(3):
+        write_parquet(
+            spark.createDataFrame([(i,)], "id long"), zone, atomic=True
+        )
+    assert eng.expire_snapshots(zone, keep_last=1, keep_age_s=0) == [0, 1]
+    assert snapshot_versions(spark, zone) == [2]
+    _claim_slot(spark, zone, 3)  # a "crashed publisher's" residue
+    assert eng.release_claim(zone) == [3]
+
+
 def test_env_extra_conf_parsing():
     """SPARK_GRAFT_EXTRA_CONF drives the determinism sweeps (AQE off,
     shuffle.partitions=1, local[5]); the parser must take well-formed
