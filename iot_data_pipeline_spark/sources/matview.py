@@ -261,7 +261,17 @@ def _claim_slot(spark: SparkSession, zone: str, version: int) -> None:
     crashed mid-refresh: either way this publisher fails LOUD before
     writing anything, never last-writer-wins. The marker is removed on
     success and on in-process failure; only a hard crash leaves it,
-    and the error text carries the remediation."""
+    and the error text carries the remediation.
+
+    Object-store posture: classic S3 semantics give ``create(path,
+    overwrite=false)`` a small exists-then-create window (no exclusive
+    create primitive in the Hadoop S3A contract), so on such stores the
+    claim NARROWS the publisher race to that window instead of
+    eliminating it -- still strictly better than the unclaimed
+    last-writer-wins, and the verify-after-swap in publish_snapshot
+    backstops the pointer. Stores with conditional-put support (S3
+    If-None-Match via recent S3A, GCS preconditions, ABFS leases) get
+    the full exclusive-create guarantee through the same call."""
     import datetime
     import os
 

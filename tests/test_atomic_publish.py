@@ -778,6 +778,53 @@ def test_resolve_rides_out_pointer_swap_window(spark, tmp_path):
     assert _rows(read_table(spark, str(tmp_path / "z"), "t")) == [(2,)]
 
 
+def test_claim_edges_hostile_names_v0_race_dangling_pointer(
+    spark, tmp_path
+):
+    """Round-14 second-wave edge band on the claim/retention machinery:
+
+    - hostile zone names (space, unicode, literal percent) publish,
+      claim, and resolve cleanly through both the os-path and
+      Hadoop-path branches;
+    - the v=0 slot of a BRAND-NEW zone races like any other (a claim
+      held on a zone that has never published still fails the second
+      publisher loud);
+    - a pointer naming a hand-deleted snapshot fails LOUD
+      (PATH_NOT_FOUND naming the dir), never silently empty -- the
+      operator deleted the current version, not the engine."""
+    import shutil
+
+    from iot_data_pipeline_spark.sources.matview import (
+        ConcurrentPublishError,
+        _claim_slot,
+        publish_snapshot,
+        release_claim,
+    )
+
+    for name in ("my zone.parquet", "züne.parquet", "pct%20z.parquet"):
+        zone = str(tmp_path / name)
+        assert publish_snapshot(
+            spark, zone, spark.createDataFrame([Row(id=1)])
+        ) == 0
+        assert resolve_snapshot_dir(spark, zone).endswith("/v=0")
+
+    new_zone = str(tmp_path / "new.parquet")
+    _claim_slot(spark, new_zone, 0)
+    with pytest.raises(ConcurrentPublishError, match="already claimed"):
+        publish_snapshot(spark, new_zone, spark.createDataFrame([Row(id=1)]))
+    assert release_claim(spark, new_zone) == [0]
+    assert publish_snapshot(
+        spark, new_zone, spark.createDataFrame([Row(id=1)])
+    ) == 0
+
+    gone = str(tmp_path / "gone.parquet")
+    publish_snapshot(spark, gone, spark.createDataFrame([Row(id=1)]))
+    publish_snapshot(spark, gone, spark.createDataFrame([Row(id=2)]))
+    shutil.rmtree(f"{gone}/v=1")
+    with pytest.raises(Exception, match="PATH_NOT_FOUND|does not exist"):
+        read_table(spark, str(tmp_path), "gone").collect()
+
+
 def test_plain_write_into_atomic_zone_refused(spark, tmp_path):
     """Mirror of the backfill guard: a non-atomic write_parquet into a
     pointer-published zone is either an invisible append or a
