@@ -425,6 +425,26 @@ def publish_snapshot(
     prev = current_snapshot_version(spark, zone)
     version = 0 if prev is None else prev + 1
     _claim_slot(spark, zone, version)  # loser of a race raises HERE
+    # Claim-then-verify (round-14 second wave): a publisher whose
+    # ``prev`` read predates a COMPLETED competing publish can claim
+    # the competitor's already-published slot after its claim was
+    # released -- and would then overwrite the LIVE snapshot under the
+    # pointer (torn reads for everyone mid-write, the competitor's
+    # refresh silently replaced). The claim serializes only publishers
+    # in the same slot window; this re-read catches the stale-window
+    # one. If the pointer moved between the slot computation and the
+    # claim, the slot is already published: release and fail loud
+    # BEFORE any data write (a retry recomputes the next free slot).
+    cur = current_snapshot_version(spark, zone)
+    if cur != prev:
+        release_claim(spark, zone, version)
+        raise ConcurrentPublishError(
+            f"zone {zone!r}: refresh slot v={version} was already "
+            f"published by a concurrent publisher (pointer moved "
+            f"{prev}->{cur} between slot computation and claim); "
+            "writing would overwrite the LIVE snapshot. Retry to "
+            f"publish as v={(cur or 0) + 1}."
+        )
     try:
         writer = df.write.mode("overwrite")
         if partition_by:

@@ -323,7 +323,9 @@ def test_failed_refresh_releases_claim_and_verify_after_swap(
 
     def stomp_before_verify_read(spark_, zone_):
         calls["n"] += 1
-        if calls["n"] == 2:  # 1 = prev read at entry, 2 = the verify
+        # 1 = prev read at entry, 2 = post-claim verify (the stale-prev
+        # window check), 3 = the post-SWAP verify under test here
+        if calls["n"] == 3:
             # a real foreign writer goes through the FS API and keeps
             # the checksum consistent; drop the sidecar crc to match
             try:
@@ -776,6 +778,55 @@ def test_resolve_rides_out_pointer_swap_window(spark, tmp_path):
         t.join()
     assert got == f"{zone}/v=1"
     assert _rows(read_table(spark, str(tmp_path / "z"), "t")) == [(2,)]
+
+
+def test_stale_prev_publisher_cannot_overwrite_live_snapshot(
+    spark, tmp_path
+):
+    """Round-14 second-wave find on the round's own claim machinery:
+    publisher B reads ``prev`` = N, a competing publisher then runs to
+    COMPLETION (publishes v=N+1, releases its claim), and B's claim of
+    the now-free v=N+1 slot succeeds -- B would overwrite the LIVE
+    snapshot under the pointer (torn reads mid-write, the competitor's
+    refresh silently replaced). publish_snapshot now re-reads the
+    pointer after claiming and fails LOUD before any data write when
+    it moved; the retry lands in the next free slot. The interleaving
+    is injected deterministically: the full competing publish runs
+    inside B's claim step, between B's prev-read and B's claim."""
+    from iot_data_pipeline_spark.sources import matview as mv
+
+    zone = str(tmp_path / "z" / "t.parquet")
+    write_parquet(spark.createDataFrame([Row(id=0)]), zone, atomic=True)
+
+    real_claim = mv._claim_slot
+    competitor = spark.createDataFrame([Row(id=100)])
+    state = {"fired": False}
+
+    def competing_publish_then_claim(spark_, zone_, version_):
+        if not state["fired"]:
+            state["fired"] = True
+            # the competitor runs to completion in B's stale window
+            assert mv.publish_snapshot(spark_, zone_, competitor) == version_
+        real_claim(spark_, zone_, version_)
+
+    mv._claim_slot = competing_publish_then_claim
+    try:
+        with pytest.raises(
+            mv.ConcurrentPublishError, match="already published"
+        ):
+            mv.publish_snapshot(
+                spark, zone, spark.createDataFrame([Row(id=999)])
+            )
+    finally:
+        mv._claim_slot = real_claim
+    # B wrote NOTHING: the competitor's snapshot is intact and current
+    assert current_snapshot_version(spark, zone) == 1
+    assert _rows(read_table(spark, str(tmp_path / "z"), "t")) == [(100,)]
+    # B's loud abort released its claim: the retry publishes v=2
+    assert mv.publish_snapshot(
+        spark, zone, spark.createDataFrame([Row(id=999)])
+    ) == 2
+    assert _rows(read_table(spark, str(tmp_path / "z"), "t")) == [(999,)]
 
 
 def test_claim_edges_hostile_names_v0_race_dangling_pointer(
