@@ -545,11 +545,15 @@ def vacuum_snapshots(
             continue  # within keep-N (also every orphan above the pointer)
         fs, p, _ = _jpath(spark, _snapshot_dir(zone, v))
         if keep_age_s is not None:
-            age_ms = now_ms - fs.getFileStatus(p).getModificationTime()
+            try:
+                status = fs.getFileStatus(p)
+            except Exception:  # noqa: BLE001 -- a concurrent vacuum
+                continue  # already removed this version: goal achieved
+            age_ms = now_ms - status.getModificationTime()
             if age_ms < keep_age_s * 1000.0:
                 continue  # younger than the retention age
-        fs.delete(p, True)
-        removed.append(v)
+        if fs.delete(p, True):
+            removed.append(v)
     return removed
 
 
