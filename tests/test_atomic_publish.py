@@ -955,3 +955,53 @@ def test_plain_layout_writers_refuse_pointer_zones(spark, tmp_path):
         )
     with pytest.raises(ValueError, match="compact_rollup"):
         compact_rollup(spark, zone, ["id"], ["id"])
+
+
+def test_concurrent_vacuums_never_crash_and_report_actual_deletes(
+    spark, tmp_path, monkeypatch
+):
+    """Two janitors racing the same zone (the scheduler accident the
+    claim protocol closes for publishers): janitor B deletes a version
+    between janitor A's listing and A's age probe. Before the fix the
+    probe's getFileStatus raised mid-run; frozen now: an already-gone
+    version counts as goal-achieved (skipped, NOT reported), and only
+    an actual delete lands in the returned list.
+
+    The interleaving is simulated deterministically: vacuum's internal
+    listing is pinned to the stale pre-delete view, then the "other
+    janitor" removes one eligible version before vacuum probes it."""
+    import shutil
+
+    from iot_data_pipeline_spark.sources import matview
+
+    zone = str(tmp_path / "z" / "t.parquet")
+    for i in range(4):
+        write_parquet(spark.createDataFrame([Row(id=i)]), zone, atomic=True)
+    stale = snapshot_versions(spark, zone)  # [0, 1, 2, 3]
+    assert stale == [0, 1, 2, 3]
+    # janitor B wins the race on v=0 after A listed
+    shutil.rmtree(tmp_path / "z" / "t.parquet" / "v=0")
+    monkeypatch.setattr(
+        matview, "snapshot_versions", lambda _s, _z: list(stale)
+    )
+    # age-probe path (keep_age_s given): the vanished v=0 must be
+    # skipped silently, v=1/v=2 actually deleted, v=3 kept
+    assert matview.vacuum_snapshots(
+        spark, zone, keep=1, keep_age_s=0
+    ) == [1, 2]
+    monkeypatch.undo()
+    assert snapshot_versions(spark, zone) == [3]
+    assert _rows(read_table(spark, str(tmp_path / "z"), "t")) == [(3,)]
+
+    # delete-only path (no keep_age_s): fs.delete on a vanished dir
+    # returns False -- never reported as removed, never raises
+    for i in range(4, 7):
+        write_parquet(spark.createDataFrame([Row(id=i)]), zone, atomic=True)
+    stale2 = snapshot_versions(spark, zone)
+    shutil.rmtree(tmp_path / "z" / "t.parquet" / f"v={stale2[0]}")
+    monkeypatch.setattr(
+        matview, "snapshot_versions", lambda _s, _z: list(stale2)
+    )
+    removed = matview.vacuum_snapshots(spark, zone, keep=1)
+    assert stale2[0] not in removed
+    assert removed == stale2[1:-1]
