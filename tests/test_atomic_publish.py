@@ -616,6 +616,13 @@ def test_snapshot_retention_first_class(spark, tmp_path):
     assert expire_snapshots(spark, zone, keep_last=1, keep_age_s=0) == [2]
     assert snapshot_versions(spark, zone) == [3]
 
+    # a time-travel read pinned to a vacuumed version fails loud
+    # naming the missing path -- never a silently empty frame
+    from iot_data_pipeline_spark.sources import matview
+
+    with pytest.raises(Exception, match="v=2"):
+        matview.read(spark, str(tmp_path / "z"), "t", version=2).collect()
+
     # the knob without atomic is a contract error, never silent
     with pytest.raises(ValueError, match="keep_snapshots"):
         write_parquet(
