@@ -52,7 +52,9 @@ def expire_snapshots(
     ``keep_age_s`` above the longest query keeps every directory a
     live plan can still reference. Default keeps the current AND
     previous snapshot (in-flight readers planned just before the last
-    refresh stay servable). Returns the versions removed."""
+    refresh stay servable). ``keep_last`` must be >= 1 (keep=0 would
+    delete the CURRENT snapshot under a live pointer; vacuum_snapshots
+    raises ValueError). Returns the versions removed."""
     from iot_data_pipeline_spark.sources.matview import vacuum_snapshots
 
     return vacuum_snapshots(spark, zone, keep=keep_last, keep_age_s=keep_age_s)

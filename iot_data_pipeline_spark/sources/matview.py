@@ -185,8 +185,17 @@ def resolve_snapshot_dir(spark: SparkSession, zone: str) -> str | None:
             ptr = os.path.join(local, _POINTER)
             if os.path.isfile(ptr):
                 found = True
-                with open(ptr, encoding="utf-8") as fh:
-                    v = _parse_pointer(z, fh.read())
+                # The pointer can be deleted between the isfile probe and
+                # the open (the delete+rename fallback's no-pointer
+                # window, round-15 advisor find): treat a vanished file
+                # as pointer-absent for THIS attempt and let the retry
+                # loop -- which exists for exactly that window -- handle
+                # it, instead of leaking an uncaught FileNotFoundError.
+                try:
+                    with open(ptr, encoding="utf-8") as fh:
+                        v = _parse_pointer(z, fh.read())
+                except FileNotFoundError:
+                    found = None
         else:
             fs, p, jvm = _jpath(spark, f"{z}/{_POINTER}")
             if fs.exists(p):
@@ -535,6 +544,18 @@ def vacuum_snapshots(
     serves partial rows)."""
     import time
 
+    # Lower-bound the retention knob (round-15 advisor find): keep=0
+    # makes `v > cur - keep` false for v == cur, deleting the CURRENT
+    # snapshot under a live pointer -- every subsequent read of the
+    # zone then fails with PATH_NOT_FOUND. All retention entry points
+    # (write_parquet keep_snapshots, expire_snapshots keep_last,
+    # vacuum/vacuum_snapshots keep) funnel through here.
+    if keep < 1:
+        raise ValueError(
+            f"retention keep={keep!r} would delete the CURRENT published "
+            "snapshot under a live pointer; the minimum is 1 (keep the "
+            "published version)"
+        )
     cur = current_snapshot_version(spark, zone)
     if cur is None:
         return []

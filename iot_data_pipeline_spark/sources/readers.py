@@ -559,6 +559,7 @@ def _spelling_casts(value: str, dtype: T.DataType | None) -> bool:
     timestamp/string) are trusted: a cached exotic type means explicit
     schema intent, not inference gone stale."""
     import datetime
+    import re
     from decimal import Decimal, InvalidOperation
     from urllib.parse import unquote
 
@@ -567,19 +568,40 @@ def _spelling_casts(value: str, dtype: T.DataType | None) -> bool:
         return True  # the null spelling: NULL under every typing
     if dtype is None or isinstance(dtype, T.StringType):
         return True
+    # Strict spellings only (round-15 advisor find): Python's parsers are
+    # MORE permissive than Spark's CAST for some forms -- int('1_0'),
+    # int(' 42'), float('inf'), and (py3.11+) date.fromisoformat
+    # ('20260101') all parse while Spark casts them to NULL -- so a
+    # type-flipping spelling in those shapes slipped past the probe and
+    # reproduced exactly the silent-NULL partition values the
+    # revalidation exists to catch. Rejecting a castable spelling is
+    # always safe (False just re-runs whole-table inference), so every
+    # numeric/temporal branch gates on a regex strictly no more
+    # permissive than Spark's cast before the Python parse.
     try:
         if isinstance(
             dtype, (T.IntegerType, T.LongType, T.ShortType, T.ByteType)
         ):
+            if not re.fullmatch(r"[+-]?\d+", v):
+                return False
             int(v)
-        elif isinstance(dtype, (T.DoubleType, T.FloatType)):
-            float(v)
-        elif isinstance(dtype, T.DecimalType):
-            Decimal(v)
+        elif isinstance(dtype, (T.DoubleType, T.FloatType, T.DecimalType)):
+            # plain decimal/scientific notation only: no underscores, no
+            # whitespace padding, no inf/nan spellings
+            if not re.fullmatch(r"[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?", v):
+                return False
+            if isinstance(dtype, T.DecimalType):
+                Decimal(v)
+            else:
+                float(v)
         elif isinstance(dtype, T.DateType):
-            datetime.date.fromisoformat(v.strip())
+            if not re.fullmatch(r"\d{4}-\d{2}-\d{2}", v):
+                return False  # dashed ISO form only (no '20260101')
+            datetime.date.fromisoformat(v)
         elif isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
-            datetime.datetime.fromisoformat(v.strip())
+            if not re.match(r"\d{4}-\d{2}-\d{2}([ T]|$)", v):
+                return False  # dashed date prefix, no whitespace padding
+            datetime.datetime.fromisoformat(v)
         elif isinstance(dtype, T.BooleanType):
             if v.strip().lower() not in ("true", "false", "0", "1"):
                 return False

@@ -323,6 +323,17 @@ def start_sensor_ingest(
         # routing column on both channels.
         source = F.col("_source_file")
         parent = batch_df.cache()
+        # Materialize the cache NOW (round-15, advisor find): the
+        # vanished-file guard below probes source-file existence, and
+        # with a lazy cache those probes ran before any Spark job had
+        # actually READ the files -- a file deleted after the probe but
+        # before the write's read was silently tolerated
+        # (ignoreMissingFiles is forced on) and its rows lost. Counting
+        # the cached frame completes every source read first, so a file
+        # deleted afterwards still has its rows in the cache; the scan
+        # is not extra work, it is the same read the output write would
+        # have paid (which now hits the cache instead).
+        parent.count()
         data_cols = [c for c in parent.columns if c not in (CORRUPT_COL, "_source_file")]
         all_null = F.lit(True)
         for c in data_cols:

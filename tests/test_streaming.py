@@ -428,13 +428,20 @@ def test_vanished_guard_writes_nothing_so_retry_never_duplicates(
 
     Two loud failure shapes are both correct here: the guard's own
     "vanished mid-burst" raise, or FAILED_READ_FILE.FILE_NOT_EXIST from
-    the guard's row probe when the deletion lands after the batch's
+    the batch materialization when the deletion lands after the batch's
     file index was resolved (Spark throws instead of tolerating in that
     sub-window). Under the pre-fix ordering either one fired AFTER the
-    appends -- this test's count==0 assertion fails on that ordering."""
+    appends -- this test's count==0 assertion fails on that ordering.
+
+    (Round 15 moved the batch materialization BEFORE the guard -- the
+    advisor's probe-vs-read window -- so the deletion here is injected
+    at the per-batch zone-layout check, which still runs before any
+    read; a deletion landing after the read is now tolerated WITHOUT
+    loss, frozen separately in
+    test_deletion_after_read_tolerated_without_loss.)"""
     import os as _os
 
-    from iot_data_pipeline_spark.streaming import ingest as ingest_mod
+    from iot_data_pipeline_spark.sources import matview as matview_mod
 
     raw = tmp_path / "raw"
     raw.mkdir()
@@ -442,19 +449,20 @@ def test_vanished_guard_writes_nothing_so_retry_never_duplicates(
     _write_file(raw, "f2.jsonl", _records(2, 3, 20.0))
     out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
 
-    real_lister = ingest_mod._batch_source_files
+    real_guard = matview_mod.ensure_plain_zone
     state = {"deleted": False}
 
-    def delete_f2_then_list(spark_, ckpt_, batch_id):
+    def delete_f2_then_guard(spark_, path_, op_):
         # Fires in the window the guard defends: the batch's offsets are
-        # checkpointed (f2 is listed) but its data hasn't been read yet.
-        if not state["deleted"]:
+        # checkpointed (f2 is listed) but its data hasn't been read yet
+        # (the per-batch layout check runs before the materialization).
+        if "micro-batch" in op_ and not state["deleted"]:
             _os.remove(raw / "f2.jsonl")
             state["deleted"] = True
-        return real_lister(spark_, ckpt_, batch_id)
+        return real_guard(spark_, path_, op_)
 
     monkeypatch.setattr(
-        ingest_mod, "_batch_source_files", delete_f2_then_list
+        matview_mod, "ensure_plain_zone", delete_f2_then_guard
     )
     with pytest.raises(
         Exception, match="vanished mid-burst|FILE_NOT_EXIST"
@@ -466,7 +474,7 @@ def test_vanished_guard_writes_nothing_so_retry_never_duplicates(
             ckpt,
             config=PipelineConfig(fixed_clock=CLOCK),
         )
-    monkeypatch.setattr(ingest_mod, "_batch_source_files", real_lister)
+    monkeypatch.setattr(matview_mod, "ensure_plain_zone", real_guard)
     # the failed batch wrote NOTHING: f1's 2 surviving rows are not in
     # the zone (only the 0-row schema seed is), so a retry cannot dup
     assert spark.read.parquet(out).count() == 0
@@ -481,6 +489,57 @@ def test_vanished_guard_writes_nothing_so_retry_never_duplicates(
             on_replaced="ignore",  # the restore bumps f2's mtime
         )
         assert spark.read.parquet(out).count() == 5
+
+
+def test_deletion_after_read_tolerated_without_loss(
+    spark, tmp_path, monkeypatch
+):
+    """Round-15 advisor find, the closing half of the vanished-file
+    story: the guard's existence probes used to run before any Spark
+    job had READ the batch's files, so a file deleted after the probe
+    but before the write's actual read was silently tolerated
+    (ignoreMissingFiles is forced on) and its rows lost. The batch is
+    now materialized into the cache BEFORE the probes -- a file deleted
+    after that point still has its rows in the cache, so the guard
+    classifies it deleted-after-read (rows survived), the batch commits
+    every row, and nothing is lost. This test injects the deletion at
+    the guard's file-listing step -- strictly after the materialization
+    -- and asserts the burst completes with ALL rows present."""
+    import os as _os
+
+    from iot_data_pipeline_spark.streaming import ingest as ingest_mod
+
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    _write_file(raw, "f1.jsonl", _records(1, 2, 10.0))
+    _write_file(raw, "f2.jsonl", _records(2, 3, 20.0))
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    real_lister = ingest_mod._batch_source_files
+    state = {"deleted": False}
+
+    def delete_f2_then_list(spark_, ckpt_, batch_id):
+        # runs after parent.count() materialized every source read: the
+        # deletion lands in the now-closed probe-vs-read window
+        if not state["deleted"]:
+            _os.remove(raw / "f2.jsonl")
+            state["deleted"] = True
+        return real_lister(spark_, ckpt_, batch_id)
+
+    monkeypatch.setattr(
+        ingest_mod, "_batch_source_files", delete_f2_then_list
+    )
+    run_ingest_available_now(
+        spark,
+        str(raw),
+        out,
+        ckpt,
+        config=PipelineConfig(fixed_clock=CLOCK),
+    )
+    assert state["deleted"]  # the injection actually fired
+    # no loss and no failure: f2's rows were read before the deletion,
+    # so the batch committed all 5 rows exactly once
+    assert spark.read.parquet(out).count() == 5
 
 
 def test_atomic_publish_landing_mid_burst_fails_loud(
