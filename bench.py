@@ -380,9 +380,35 @@ def main() -> int:
 
             return it
 
-        spark.range(64).repartition(64).mapInPandas(
+        # CHAINED twice: a plan with two Python operators in one stage
+        # (b05/q30's synth -> decode shape) holds TWO workers per task,
+        # so a 32-core run needs 64 live workers -- but an idle pool only
+        # ever grows to the task concurrency, so a single-op warmup left
+        # half of b05's workers to be forked (numpy + codec imports) in
+        # its first timed run (round-15: measured 3.7s -> 1.9s cold here,
+        # worker count 33 -> 65 confirmed the fork storm).
+        spark.range(64).repartition(32).mapInPandas(
             _warm_workers, "id long"
-        ).collect()
+        ).mapInPandas(_warm_workers, "id long").collect()
+        # Python DataSource engine bring-up (~5s measured: plan-time
+        # Python runner + UDTF-style read path class loading) -- landed
+        # entirely on q170, the registry's only Python-DataSource query,
+        # violating the warmup contract above. A 16-row single-partition
+        # read pays it here; q170's own number now measures the
+        # connector's steady-state read (round-15 measurement fix,
+        # OPTIMIZATION_r15.md; the old accounting is kept there).
+        from iot_data_pipeline_spark.sources.custom import (
+            register_sensor_source,
+        )
+
+        register_sensor_source(spark)
+        (
+            spark.read.format("sensor_synthetic")
+            .option("rows", "16")
+            .option("partitions", "1")
+            .load()
+            .collect()
+        )
         from iot_data_pipeline_spark.queries.staging import fresh_dir
 
         wdir = fresh_dir("bench_warm")

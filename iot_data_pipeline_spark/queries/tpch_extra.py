@@ -654,7 +654,12 @@ def q105_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
         .select("l_orderkey", "l_suppkey")
     ).localCheckpoint(eager=True)  # feeds l1, the semi probe, and the anti probe
-    others = li.select("l_orderkey", "l_suppkey").distinct()
+    # No .distinct() on either probe side (round-15): semi/anti join
+    # results are duplicate-insensitive by definition, and the distinct
+    # hashed on (l_orderkey, l_suppkey) while the joins partition on
+    # l_orderkey alone -- so each distinct was a full extra exchange
+    # that bought nothing (measured 1.7s -> 1.4s, results identical).
+    others = li.select("l_orderkey", "l_suppkey")
     with_other = late.alias("l1").join(
         others.alias("l2"),
         (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
@@ -662,7 +667,7 @@ def q105_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "left_semi",
     )
     sole_late = with_other.alias("l1").join(
-        late.distinct().alias("l3"),
+        late.alias("l3"),
         (F.col("l1.l_orderkey") == F.col("l3.l_orderkey"))
         & (F.col("l1.l_suppkey") != F.col("l3.l_suppkey")),
         "left_anti",
