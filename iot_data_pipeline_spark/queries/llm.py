@@ -98,6 +98,22 @@ def _corpus_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.unionByName(dup)
 
 
+def _spread_rows(df: DataFrame) -> DataFrame:
+    """Round-robin a small media-synth driver frame across every core.
+
+    The media queries feed a 100-200-row doc_id slice into a Python
+    synth -> decode kernel whose cost is per ROW (pure-Python codec
+    work), but the slice inherits the documents SCAN's partitioning --
+    one parquet file at bench scale means ONE partition, serializing
+    the entire kernel on a single core (round-15: q188 measured
+    4.2s -> 1.9s from this change alone). ``defaultParallelism`` (=
+    cores in local mode, executors x cores on a cluster) keeps the
+    spread scale-adaptive instead of pinning a local core count; the
+    exchange moves only 8-byte ids, never media bytes (guide section
+    2.3 -- the payload is synthesized AFTER the shuffle)."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
 def _shingle_hashes(corpus: DataFrame, distinct: bool = True) -> DataFrame:
     """(doc_id, lang, h) with h = portable hash of each 3-token shingle.
 
@@ -1658,7 +1674,7 @@ def q113_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     import pyspark.sql.types as T
 
-    media = docs.select("doc_id").mapInPandas(
+    media = _spread_rows(docs.select("doc_id")).mapInPandas(
         synth, schema=T.StructType(
             [
                 T.StructField("media_id", T.LongType()),
@@ -1847,7 +1863,7 @@ def q124_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     import pyspark.sql.types as T
 
-    media = docs.select("doc_id").mapInPandas(
+    media = _spread_rows(docs.select("doc_id")).mapInPandas(
         synth,
         schema=T.StructType(
             [
@@ -1950,7 +1966,7 @@ def q187_flac_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     import pyspark.sql.types as T
 
-    media = docs.select("doc_id").mapInPandas(
+    media = _spread_rows(docs.select("doc_id")).mapInPandas(
         synth,
         schema=T.StructType(
             [
@@ -2042,7 +2058,7 @@ def q130_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     import pyspark.sql.types as T
 
-    media = docs.select("doc_id").mapInPandas(
+    media = _spread_rows(docs.select("doc_id")).mapInPandas(
         synth,
         schema=T.StructType(
             [
@@ -2146,7 +2162,7 @@ def q185_progressive_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     import pyspark.sql.types as T
 
-    media = docs.select("doc_id").mapInPandas(
+    media = _spread_rows(docs.select("doc_id")).mapInPandas(
         synth,
         schema=T.StructType(
             [
@@ -2429,7 +2445,7 @@ def q133_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     import pyspark.sql.types as T
 
-    media = docs.select("doc_id").mapInPandas(
+    media = _spread_rows(docs.select("doc_id")).mapInPandas(
         synth,
         schema=T.StructType(
             [
@@ -2532,7 +2548,7 @@ def q134_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     import pyspark.sql.types as T
 
-    media = docs.select("doc_id").mapInPandas(
+    media = _spread_rows(docs.select("doc_id")).mapInPandas(
         synth,
         schema=T.StructType(
             [
@@ -2652,7 +2668,7 @@ def q135_y4m_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     import pyspark.sql.types as T
 
-    media = docs.select("doc_id").mapInPandas(
+    media = _spread_rows(docs.select("doc_id")).mapInPandas(
         synth,
         schema=T.StructType(
             [
@@ -2766,7 +2782,7 @@ def q188_mjpeg_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     import pyspark.sql.types as T
 
-    media = docs.select("doc_id").mapInPandas(
+    media = _spread_rows(docs.select("doc_id")).mapInPandas(
         synth,
         schema=T.StructType(
             [
@@ -4050,7 +4066,7 @@ def q151_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     import pyspark.sql.types as T
 
-    media = docs.select("doc_id").mapInPandas(
+    media = _spread_rows(docs.select("doc_id")).mapInPandas(
         synth,
         schema=T.StructType(
             [
@@ -4140,7 +4156,7 @@ def q186_adam7_palette_png(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     import pyspark.sql.types as T
 
-    media = docs.select("doc_id").mapInPandas(
+    media = _spread_rows(docs.select("doc_id")).mapInPandas(
         synth,
         schema=T.StructType(
             [
@@ -4517,7 +4533,7 @@ def q159_audio_spectral_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows, columns=["doc_id", "dc_mag", "nyquist_mag", "n_samples"]
             )
 
-    out = docs.select("doc_id").mapInPandas(
+    out = _spread_rows(docs.select("doc_id")).mapInPandas(
         kernel,
         schema=T.StructType(
             [
@@ -4607,7 +4623,7 @@ def q160_media_dead_letter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     import pyspark.sql.types as T
 
-    media = docs.select("doc_id").mapInPandas(
+    media = _spread_rows(docs.select("doc_id")).mapInPandas(
         synth,
         schema=T.StructType(
             [
@@ -4713,7 +4729,7 @@ def q161_gif_animation_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                 columns=["doc_id", "frame_idx", "mean_gray", "n_frames_total"],
             )
 
-    out = docs.select("doc_id").mapInPandas(
+    out = _spread_rows(docs.select("doc_id")).mapInPandas(
         kernel,
         schema=T.StructType(
             [
@@ -4997,7 +5013,7 @@ def q190_interior_dft_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ],
             )
 
-    out = docs.select("doc_id").mapInPandas(
+    out = _spread_rows(docs.select("doc_id")).mapInPandas(
         kernel,
         schema=T.StructType(
             [
