@@ -221,7 +221,9 @@ def bench_extras():
         # per-consumer -- persist() pins the embedded frame so the Python
         # stage executes exactly once (the timing includes that
         # materialization; everything downstream is JVM-only).
-        emb = mlp_encode(rag_chunks(spark, sf_dir)).persist()
+        from iot_data_pipeline_spark.transient import transient_persist
+
+        emb = transient_persist(mlp_encode(rag_chunks(spark, sf_dir)))
         return rag_retrieve(emb)
 
     def b_skew_join(spark, sf_dir):
@@ -339,6 +341,7 @@ def bench_extras():
 def main() -> int:
     from iot_data_pipeline_spark.queries import REGISTRY
     from iot_data_pipeline_spark.session import build_session
+    from iot_data_pipeline_spark.transient import release_transient_caches
 
     spark = build_session("bench")
 
@@ -552,7 +555,10 @@ def main() -> int:
         # Drop Python-side refs promptly so the JVM ContextCleaner can
         # reclaim localCheckpoint RDDs / broadcasts between queries --
         # without this the session accumulates executor blocks over 150
-        # queries and the tail of the run measurably degrades.
+        # queries and the tail of the run measurably degrades. The
+        # transient release (round-15) covers what GC cannot: persist()ed
+        # intermediates are pinned in CacheManager until unpersisted.
+        release_transient_caches()
         gc.collect()
 
     summary = {

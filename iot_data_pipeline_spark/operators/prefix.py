@@ -21,6 +21,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from iot_data_pipeline_spark.transient import transient_persist
+
 
 def global_running_sum(
     df: DataFrame,
@@ -48,7 +50,7 @@ def global_running_sum(
     )
     # one window pass feeds both the per-partition totals and the final
     # join; persisted (not checkpointed) so the plan stays inspectable.
-    local = local.persist()
+    local = transient_persist(local)
 
     # one row per partition: its total + non-null count; prefix them
     # driver-side (P values). The count distinguishes the two NULL
@@ -126,7 +128,7 @@ def global_fill_forward(
     local = parted.withColumn("_pid", F.spark_partition_id()).withColumn(
         "_lf", F.last(value_col, ignorenulls=True).over(w_local)
     )
-    local = local.persist()  # one pass feeds the boundary agg AND the join
+    local = transient_persist(local)  # one pass feeds the boundary agg AND the join
 
     # each partition's final fill value = _lf on its last row in order
     bounds = {
@@ -196,7 +198,7 @@ def global_ranks(
         .withColumn("_ldr", F.dense_rank().over(w_local))
         .withColumn("_lrn", F.row_number().over(w_full))
     )
-    local = local.persist()
+    local = transient_persist(local)
     stats = {
         r["_pid"]: (r["_n"], r["_d"])
         for r in local.groupBy("_pid")
@@ -277,7 +279,7 @@ def global_scan(
             .withColumn("_ldr", F.dense_rank().over(w))
             .withColumn("_lrn", F.row_number().over(w))
         )
-    local = local.persist()
+    local = transient_persist(local)
 
     aggs = [F.count(F.lit(1)).alias("_n")]
     aggs += [F.sum(src).alias(f"_t_{out}") for out, src in sums.items()]

@@ -23,6 +23,8 @@ from dataclasses import dataclass
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from iot_data_pipeline_spark.transient import transient_persist
+
 VIOLATIONS_COL = "violations"
 
 
@@ -61,7 +63,11 @@ def expect_split(
     """(clean, quarantined): clean rows drop the violations column;
     quarantined rows keep it for the dead-letter sink. One evaluation
     pass feeds both outputs."""
-    marked = with_violations(df, rules).cache()
+    # transient (round-15): registered so batch drivers can unpersist
+    # after the consuming query's action -- a bare .cache() here pinned
+    # one CacheManager entry per expect_split call for the session's
+    # lifetime (guide section 5)
+    marked = transient_persist(with_violations(df, rules))
     clean = marked.filter(F.size(VIOLATIONS_COL) == 0).drop(VIOLATIONS_COL)
     quarantined = marked.filter(F.size(VIOLATIONS_COL) > 0)
     return clean, quarantined

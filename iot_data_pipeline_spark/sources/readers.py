@@ -1195,7 +1195,14 @@ def split_corrupt(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN), and the cache
     also makes the one-pass parse serve both output frames.
     """
-    df = df.cache()
+    # transient (round-15): registered so batch drivers can unpersist
+    # after the consuming query's action -- a bare .cache() here pinned
+    # one CacheManager entry per corrupt-split read for the session's
+    # lifetime (guide section 5). The cache itself stays mandatory (see
+    # the docstring paragraph above).
+    from iot_data_pipeline_spark.transient import transient_persist
+
+    df = transient_persist(df)
     data_cols = [c for c in df.columns if c != CORRUPT_COL]
     all_null = F.lit(True)
     for c in data_cols:

@@ -530,6 +530,13 @@ def main() -> int:
             problems = [f"EXCEPTION: {type(e).__name__}: {str(e)[:400]}"]
         dt = time.perf_counter() - t0
         timings.append((dt, name))
+        # release per-query transient persists (round-15): 205 queries
+        # in one session otherwise accumulate pinned CacheManager entries
+        from iot_data_pipeline_spark.transient import (
+            release_transient_caches,
+        )
+
+        release_transient_caches()
         status = "PASS" if not problems else "FAIL"
         if problems:
             failed += 1
