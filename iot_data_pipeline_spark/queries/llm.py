@@ -133,6 +133,15 @@ def _shingle_hashes(corpus: DataFrame, distinct: bool = True) -> DataFrame:
       ``distinct=False`` callers (MinHash) skip even that: min() is
       multiset-invariant.
     """
+    # Spread the corpus before tokenizing (round-15): the documents scan
+    # is ONE task at bench scale (single parquet row group -- a row
+    # group is the atomic read unit, so files.minPartitionNum cannot
+    # split it; measured no-op), serializing the whole tokenize ->
+    # shingle -> hash map stage on one core. The exchange moves raw doc
+    # rows once, before the explode multiplies them (guide section 3.3:
+    # explode after, not before, the move). At corpus scale the scan has
+    # thousands of splits and defaultParallelism is a no-op floor.
+    corpus = _spread_rows(corpus)
     toked = corpus.select("doc_id", "lang", F.split("text", " ").alias("toks"))
     # explicit >= 3 guard: Spark's sequence(1, 0) AUTO-DESCENDS to
     # [1, 0], so the greatest() clamp alone still indexed past the array
