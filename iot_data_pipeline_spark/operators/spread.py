@@ -1,0 +1,26 @@
+"""Round-robin a small driver frame across every core (round-15).
+
+Several query families feed a one-task scan (at bench scale each base
+table is a single parquet row group -- the atomic read unit, so a
+scan-split floor like ``spark.sql.files.minPartitionNum`` cannot divide
+it; measured as a no-op) into per-row-expensive map work: media
+synth/decode kernels, shingle/n-gram explodes, hash fingerprints. That
+serializes the whole map stage on one core. ``spread_rows`` moves the
+narrow pre-explode rows exactly once (guide section 3.3: explode after,
+not before, the move); ``defaultParallelism`` (= cores locally,
+executors x cores on a cluster) keeps the spread scale-adaptive, and on
+a real many-split scan it is a cheap no-op floor relative to the work
+it precedes.
+
+Applied per query where the map stage measurably dominates -- not in
+the reader, where it would tax every cheap aggregate with an exchange
+and perturb pinned plan shapes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def spread_rows(df: DataFrame) -> DataFrame:
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)

@@ -18,6 +18,8 @@ import math
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from iot_data_pipeline_spark.operators.spread import spread_rows
+
 from iot_data_pipeline_spark.queries.base import ORACLE_FINITE, finite_or_null
 from iot_data_pipeline_spark.queries.registry import declared
 from iot_data_pipeline_spark.sources.readers import read_table
@@ -155,7 +157,7 @@ def q44_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero shuffles, so it costs one pass at any scale. The 3-gram list is
     built once from a hoisted `split` (interpreted HOF lambdas don't share
     subexpressions; see _shingle_hashes in queries/llm.py)."""
-    docs = read_table(spark, sf_dir, "documents")
+    docs = spread_rows(read_table(spark, sf_dir, "documents"))
     toked = docs.select("doc_id", F.split("text", " ").alias("toks"))
     # explicit >= 3 guard: sequence(1, 0) AUTO-DESCENDS to [1, 0] in
     # Spark, so the greatest() clamp alone still indexed past the array

@@ -98,20 +98,9 @@ def _corpus_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.unionByName(dup)
 
 
-def _spread_rows(df: DataFrame) -> DataFrame:
-    """Round-robin a small media-synth driver frame across every core.
-
-    The media queries feed a 100-200-row doc_id slice into a Python
-    synth -> decode kernel whose cost is per ROW (pure-Python codec
-    work), but the slice inherits the documents SCAN's partitioning --
-    one parquet file at bench scale means ONE partition, serializing
-    the entire kernel on a single core (round-15: q188 measured
-    4.2s -> 1.9s from this change alone). ``defaultParallelism`` (=
-    cores in local mode, executors x cores on a cluster) keeps the
-    spread scale-adaptive instead of pinning a local core count; the
-    exchange moves only 8-byte ids, never media bytes (guide section
-    2.3 -- the payload is synthesized AFTER the shuffle)."""
-    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+from iot_data_pipeline_spark.operators.spread import (  # noqa: E402
+    spread_rows as _spread_rows,
+)
 
 
 def _shingle_hashes(corpus: DataFrame, distinct: bool = True) -> DataFrame:
@@ -777,7 +766,7 @@ def q29_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     NULL documents are excluded on both sides: a fingerprint of nothing
     is meaningless, and a NULL in the output bigint would flip the whole
     pandas-fetched column to float64 on compare (round-7 NULL fixture)."""
-    docs = read_table(spark, sf_dir, "documents").filter(
+    docs = _spread_rows(read_table(spark, sf_dir, "documents")).filter(
         F.col("text").isNotNull()
     )
     token_hashes = F.transform(F.split("text", " "), lambda t: portable_hash(t))
@@ -1437,7 +1426,10 @@ def q109_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     size. The training side pays one shuffle total (the per-doc distinct);
     the final count groups an already-small hit set. Hash collisions
     (~2^30 space) are deterministic and identical in both engines."""
-    docs = read_table(spark, sf_dir, "documents")
+    # spread before the 8-gram explode (round-15): the one-task scan
+    # serialized the gram build + hash on a single core -- measured
+    # 2.8s -> 1.0s, results identical (same rationale as _shingle_hashes)
+    docs = _spread_rows(read_table(spark, sf_dir, "documents"))
     toks = F.split("text", " ")
 
     def grams(df: DataFrame, keep_doc: bool) -> DataFrame:
