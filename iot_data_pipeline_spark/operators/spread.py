@@ -15,6 +15,14 @@ it precedes.
 Applied per query where the map stage measurably dominates -- not in
 the reader, where it would tax every cheap aggregate with an exchange
 and perturb pinned plan shapes.
+
+The under-parallelism guard is what makes this a FLOOR and not a scale
+hazard: ``repartition(n)`` is a full shuffle into exactly n partitions,
+so applied unconditionally it would funnel a many-thousand-split corpus
+scan down to cores-many partitions and move every payload byte. The
+spread therefore no-ops whenever the input already has at least
+``defaultParallelism`` partitions -- i.e. everywhere except the
+under-split small-scan case it exists for.
 """
 
 from __future__ import annotations
@@ -23,4 +31,7 @@ from pyspark.sql import DataFrame
 
 
 def spread_rows(df: DataFrame) -> DataFrame:
-    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    n = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= n:
+        return df
+    return df.repartition(n)

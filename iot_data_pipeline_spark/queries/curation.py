@@ -15,7 +15,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from iot_data_pipeline_spark.operators.spread import spread_rows
 
 from iot_data_pipeline_spark.queries.registry import declared
 from iot_data_pipeline_spark.sources.readers import read_table
@@ -142,7 +141,7 @@ def q115_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-source audit is partial-aggregate friendly. At 100 TB you'd salt
     the boilerplate-paragraph hot keys (AQE skew-join handles it here).
     """
-    docs = spread_rows(read_table(spark, sf_dir, "documents"))
+    docs = read_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", "source", F.split("text", " ").alias("t"))
     paras = toks.select(
         "doc_id",
@@ -390,7 +389,7 @@ def q118_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     (partitionBy doc_id), so no global sort; the fingerprint set shrinks
     the token stream by ~1/w before any cross-doc work.
     """
-    docs = spread_rows(read_table(spark, sf_dir, "documents")).filter(F.col("doc_id") % 2 == 0)
+    docs = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 2 == 0)
     toks = docs.select("doc_id", F.split("text", " ").alias("t")).filter(
         F.size("t") >= WINNOW_K
     )

@@ -122,15 +122,6 @@ def _shingle_hashes(corpus: DataFrame, distinct: bool = True) -> DataFrame:
       ``distinct=False`` callers (MinHash) skip even that: min() is
       multiset-invariant.
     """
-    # Spread the corpus before tokenizing (round-15): the documents scan
-    # is ONE task at bench scale (single parquet row group -- a row
-    # group is the atomic read unit, so files.minPartitionNum cannot
-    # split it; measured no-op), serializing the whole tokenize ->
-    # shingle -> hash map stage on one core. The exchange moves raw doc
-    # rows once, before the explode multiplies them (guide section 3.3:
-    # explode after, not before, the move). At corpus scale the scan has
-    # thousands of splits and defaultParallelism is a no-op floor.
-    corpus = _spread_rows(corpus)
     toked = corpus.select("doc_id", "lang", F.split("text", " ").alias("toks"))
     # explicit >= 3 guard: Spark's sequence(1, 0) AUTO-DESCENDS to
     # [1, 0], so the greatest() clamp alone still indexed past the array
@@ -1675,7 +1666,7 @@ def q113_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     import pyspark.sql.types as T
 
-    media = _spread_rows(docs.select("doc_id")).mapInPandas(
+    media = docs.select("doc_id").mapInPandas(
         synth, schema=T.StructType(
             [
                 T.StructField("media_id", T.LongType()),
@@ -1864,7 +1855,7 @@ def q124_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     import pyspark.sql.types as T
 
-    media = _spread_rows(docs.select("doc_id")).mapInPandas(
+    media = docs.select("doc_id").mapInPandas(
         synth,
         schema=T.StructType(
             [
@@ -1967,7 +1958,7 @@ def q187_flac_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     import pyspark.sql.types as T
 
-    media = _spread_rows(docs.select("doc_id")).mapInPandas(
+    media = docs.select("doc_id").mapInPandas(
         synth,
         schema=T.StructType(
             [
@@ -2059,7 +2050,7 @@ def q130_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     import pyspark.sql.types as T
 
-    media = _spread_rows(docs.select("doc_id")).mapInPandas(
+    media = docs.select("doc_id").mapInPandas(
         synth,
         schema=T.StructType(
             [
@@ -2163,7 +2154,7 @@ def q185_progressive_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     import pyspark.sql.types as T
 
-    media = _spread_rows(docs.select("doc_id")).mapInPandas(
+    media = docs.select("doc_id").mapInPandas(
         synth,
         schema=T.StructType(
             [
@@ -2446,7 +2437,7 @@ def q133_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     import pyspark.sql.types as T
 
-    media = _spread_rows(docs.select("doc_id")).mapInPandas(
+    media = docs.select("doc_id").mapInPandas(
         synth,
         schema=T.StructType(
             [
@@ -2549,7 +2540,7 @@ def q134_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     import pyspark.sql.types as T
 
-    media = _spread_rows(docs.select("doc_id")).mapInPandas(
+    media = docs.select("doc_id").mapInPandas(
         synth,
         schema=T.StructType(
             [
@@ -2669,7 +2660,7 @@ def q135_y4m_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     import pyspark.sql.types as T
 
-    media = _spread_rows(docs.select("doc_id")).mapInPandas(
+    media = docs.select("doc_id").mapInPandas(
         synth,
         schema=T.StructType(
             [
@@ -4067,7 +4058,7 @@ def q151_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     import pyspark.sql.types as T
 
-    media = _spread_rows(docs.select("doc_id")).mapInPandas(
+    media = docs.select("doc_id").mapInPandas(
         synth,
         schema=T.StructType(
             [
@@ -4157,7 +4148,7 @@ def q186_adam7_palette_png(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     import pyspark.sql.types as T
 
-    media = _spread_rows(docs.select("doc_id")).mapInPandas(
+    media = docs.select("doc_id").mapInPandas(
         synth,
         schema=T.StructType(
             [
@@ -4534,7 +4525,7 @@ def q159_audio_spectral_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows, columns=["doc_id", "dc_mag", "nyquist_mag", "n_samples"]
             )
 
-    out = _spread_rows(docs.select("doc_id")).mapInPandas(
+    out = docs.select("doc_id").mapInPandas(
         kernel,
         schema=T.StructType(
             [
@@ -4624,7 +4615,7 @@ def q160_media_dead_letter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     import pyspark.sql.types as T
 
-    media = _spread_rows(docs.select("doc_id")).mapInPandas(
+    media = docs.select("doc_id").mapInPandas(
         synth,
         schema=T.StructType(
             [
@@ -4730,7 +4721,7 @@ def q161_gif_animation_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                 columns=["doc_id", "frame_idx", "mean_gray", "n_frames_total"],
             )
 
-    out = _spread_rows(docs.select("doc_id")).mapInPandas(
+    out = docs.select("doc_id").mapInPandas(
         kernel,
         schema=T.StructType(
             [
@@ -5014,7 +5005,7 @@ def q190_interior_dft_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ],
             )
 
-    out = _spread_rows(docs.select("doc_id")).mapInPandas(
+    out = docs.select("doc_id").mapInPandas(
         kernel,
         schema=T.StructType(
             [
