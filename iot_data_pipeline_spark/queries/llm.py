@@ -25,9 +25,11 @@ from iot_data_pipeline_spark.functions.hashing import (
     PORTABLE_MOD as MOD,
     portable_hash,
 )
+from iot_data_pipeline_spark.operators.spread import spread_rows as _spread_rows
 from iot_data_pipeline_spark.queries.registry import declared
 from iot_data_pipeline_spark.queries.base import ORACLE_FINITE, valid_embeddings
 from iot_data_pipeline_spark.sources.readers import read_table
+from iot_data_pipeline_spark.transient import transient_persist
 
 N_MINHASH = 16
 N_BANDS = 4  # 4 bands x 4 rows
@@ -96,11 +98,6 @@ def _corpus_near(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
     )
     return docs.unionByName(dup)
-
-
-from iot_data_pipeline_spark.operators.spread import (  # noqa: E402
-    spread_rows as _spread_rows,
-)
 
 
 def _shingle_hashes(corpus: DataFrame, distinct: bool = True) -> DataFrame:
@@ -3405,7 +3402,19 @@ def q145_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     arrays and intersects JVM-side -- per-pair cost bounded by shingle
     count, zero Python.
     """
-    tok = _shingle_hashes(_corpus_near(spark, sf_dir), distinct=True)
+    # Round-16 (guide sections 2.4/5): the shingle pipeline used to be
+    # recomputed by EVERY consumer subtree -- the document-frequency
+    # aggregate, both prefix self-join sides and both docset verify sides
+    # each re-scanned and re-exploded the corpus (five scan+explode
+    # subtrees, plans/r15/q145_prefix_filter_join_before.txt). A transient
+    # persist of the DIGEST-level (doc_id, lang, h) frame -- 8-byte hashes
+    # only, never shingle text, the same scale contract q115's plan pin
+    # enforces -- lets all consumers share one cached subtree; the spread
+    # parallelizes the single cache build across cores (the corpus scans
+    # as one task at bench scale, spread.py rationale).
+    tok = transient_persist(
+        _shingle_hashes(_spread_rows(_corpus_near(spark, sf_dir)), distinct=True)
+    )
     dfreq = tok.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
     w_doc = Window.partitionBy("doc_id").orderBy("df", "h")
     w_n = Window.partitionBy("doc_id")

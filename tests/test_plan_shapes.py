@@ -342,6 +342,37 @@ def test_q115_paragraph_dedup_shuffles_digests_not_text(spark, sf_dir):
         assert "text#" not in head, head
 
 
+def test_q145_prefix_join_shares_one_shingle_subtree(spark, sf_dir):
+    # round-16: the shingle pipeline must be computed ONCE and shared --
+    # before the fix every consumer subtree (dfreq aggregate, both prefix
+    # self-join sides, both docset verify sides) re-scanned and re-exploded
+    # the corpus (plans/r15/q145_prefix_filter_join_before.txt: 5 parallel
+    # scan+explode subtrees -- a 5x corpus recompute at 100 TB). The
+    # digest-level (doc_id, lang, h) frame is transient-persisted, so the
+    # plan must show a single InMemoryRelation feeding every consumer.
+    plan = formatted_plan(q("q145_prefix_filter_join", spark, sf_dir))
+    import re
+
+    assert "InMemoryTableScan" in plan, plan[:2000]
+    # every consumer prints its own InMemoryRelation wrapper, but the
+    # cached plan inside is shared: all parquet scans (and the shingle
+    # Generate) must collapse to the same node ids -- the base corpus scan
+    # and its filtered near-dup twin, nothing else.
+    scan_ids = set(re.findall(r"Scan parquet\s+\((\d+)\)", plan))
+    assert len(scan_ids) == 2, f"expected 2 shared corpus scans: {scan_ids}"
+    gen_ids = set(re.findall(r"Generate\s+\((\d+)\)", plan))
+    assert len(gen_ids) == 1, f"expected ONE shared shingle explode: {gen_ids}"
+    # q115's scale rule, adapted: every hash/range exchange moves 8-byte
+    # digests, never shingle/document text. The one text-carrying exchange
+    # allowed is the guarded round-robin spread INSIDE the cached build
+    # (spread_rows no-ops once a real corpus scan is already split, so it
+    # cannot become a payload funnel at scale -- spread.py's guard).
+    for seg in plan.split("Exchange")[1:]:
+        head = seg[:200]  # the partitioning spec line
+        if "text#" in head:
+            assert "RoundRobinPartitioning" in head, head
+
+
 def test_q117_packing_avoids_global_window(spark, sf_dir):
     # the global running sum must run as the two-phase range scan, never a
     # single-partition window over the whole corpus.

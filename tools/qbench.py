@@ -18,6 +18,7 @@ def main() -> int:
     names = sys.argv[3:]
     from iot_data_pipeline_spark.queries import REGISTRY
     from iot_data_pipeline_spark.session import build_session
+    from iot_data_pipeline_spark.transient import release_transient_caches
 
     spark = build_session("qbench")
 
@@ -36,6 +37,10 @@ def main() -> int:
             t0 = time.perf_counter()
             run_to_noop(fn(spark, sf_dir))
             times.append(round(time.perf_counter() - t0, 3))
+            # bench.py releases per-query transient persists outside the
+            # timed region; repeats here must match that lifecycle or a
+            # transient_persist query re-pins a new frame every rep
+            release_transient_caches()
         out[name] = {"min": min(times), "all": times}
         print(json.dumps({name: out[name]}), flush=True)
     print("RESULT " + json.dumps(out), flush=True)
