@@ -594,9 +594,13 @@ def main() -> int:
     except OSError as exc:
         print(f"# BENCH_detail.json write failed: {exc}", flush=True)
     print(json.dumps(summary))
-    # Compact trailer: the full summary line above can exceed a tail-capture
-    # window (round-2 verdict: the driver kept ~2 KB and the totals were cut
-    # off), so re-emit just the headline numbers last.
+    # Trailer: the driver parses the LAST JSON line in full, but its ~2 KB
+    # tail capture truncates the FIRST summary line (round-2 verdict), and
+    # round-15's PERF comparison came up empty because the per-query map
+    # lived only in that truncated first line + BENCH_detail.json. The
+    # trailer therefore re-emits the headline numbers AND the "queries"
+    # map (round-16, additions-only -- nothing removed or renamed), so a
+    # full parse of the final line always carries per-query data.
     trailer = {
         "metric": summary["metric"],
         "value": summary["value"],
@@ -607,6 +611,7 @@ def main() -> int:
     }
     if PIPELINE_STATS:
         trailer["pipeline_throughput"] = dict(PIPELINE_STATS)
+    trailer["queries"] = per_query
     print(json.dumps(trailer))
     return 0
 

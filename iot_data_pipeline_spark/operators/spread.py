@@ -32,6 +32,12 @@ from pyspark.sql import DataFrame
 
 def spread_rows(df: DataFrame) -> DataFrame:
     n = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= n:
+    # Partition probe via the frame's own (cached, lazily reused)
+    # QueryExecution: ``df.rdd`` compiled a SEPARATE to-Python-RDD plan of
+    # the whole upstream subtree on every call -- pure driver overhead,
+    # paid even when the spread no-ops (round-15 ADVICE). The callers all
+    # sit directly on scan-shaped subtrees, so the probe never has an
+    # AQE exchange to materialize.
+    if df._jdf.queryExecution().toRdd().getNumPartitions() >= n:
         return df
     return df.repartition(n)

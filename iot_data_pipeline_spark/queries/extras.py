@@ -153,10 +153,14 @@ def q43_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q44_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition filter: fraction of duplicated 3-grams and
     duplicated tokens per document, plus the keep/drop decision at a 0.2
-    threshold. Entirely per-row array arithmetic inside the scan stage --
-    zero shuffles, so it costs one pass at any scale. The 3-gram list is
-    built once from a hoisted `split` (interpreted HOF lambdas don't share
-    subexpressions; see _shingle_hashes in queries/llm.py)."""
+    threshold. Entirely per-row array arithmetic, so the compute is one
+    pass at any scale; the only exchanges are the declared-output orderBy
+    and the spread_rows floor below, which round-robins an under-split
+    small scan across cores before the per-row work and no-ops once a
+    real corpus scan already has >= defaultParallelism splits
+    (operators/spread.py). The 3-gram list is built once from a hoisted
+    `split` (interpreted HOF lambdas don't share subexpressions; see
+    _shingle_hashes in queries/llm.py)."""
     docs = spread_rows(read_table(spark, sf_dir, "documents"))
     toked = docs.select("doc_id", F.split("text", " ").alias("toks"))
     # explicit >= 3 guard: sequence(1, 0) AUTO-DESCENDS to [1, 0] in

@@ -1207,8 +1207,19 @@ def split_corrupt(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     all_null = F.lit(True)
     for c in data_cols:
         all_null = all_null & F.col(c).isNull()
+    # ``bad`` must stay executable WITHOUT the cache: a plan referencing
+    # ONLY the corrupt column of a raw JSON scan is refused outright
+    # (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN), so a caller
+    # that first executes ``bad`` after release_transient_caches() died on
+    # an AnalysisException (round-15 ADVICE, reproduced). The coalesce
+    # keeps a genuine data-column reference in the projection -- the
+    # filter guarantees the corrupt column is non-null, so the fallback
+    # branch never evaluates and the output is byte-identical -- while
+    # blocking the corrupt-only column pruning that triggers the refusal.
     bad = df.filter(F.col(CORRUPT_COL).isNotNull()).select(
-        F.col(CORRUPT_COL).alias("raw_line")
+        F.coalesce(
+            F.col(CORRUPT_COL), F.to_json(F.struct(*data_cols))
+        ).alias("raw_line")
     )
     good = df.filter(F.col(CORRUPT_COL).isNull() & ~all_null).select(*data_cols)
     return good, bad

@@ -59,3 +59,31 @@ def test_release_unpins_expect_split_cache(spark):
 def test_release_survives_double_call(spark):
     release_transient_caches()
     assert release_transient_caches() == 0
+
+
+def test_split_corrupt_bad_frame_executes_after_release(spark, tmp_path):
+    # round-15 ADVICE (medium): a corrupt-only projection of a raw JSON
+    # scan is refused (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_
+    # COLUMN), so ``bad`` FIRST executed after release_transient_caches()
+    # raised an AnalysisException -- the one transient site whose release
+    # was not recompute-safe. The coalesce guard in split_corrupt keeps a
+    # data-column reference in the plan; both frames must now execute and
+    # re-execute identically in every release ordering.
+    from iot_data_pipeline_spark.sources.readers import read_jsonl, split_corrupt
+
+    p = tmp_path / "mixed.jsonl"
+    p.write_text(
+        '{"device_id":"d1","temperature":1.0,"humidity":2.0,'
+        '"timestamp":"2026-01-01T00:00:00Z"}\n'
+        "not json at all\n"
+        '"bare string"\n'
+    )
+    release_transient_caches()
+    good, bad = split_corrupt(read_jsonl(spark, str(p)))
+    release_transient_caches()  # release BEFORE first execution
+    first = sorted(r["raw_line"] for r in bad.collect())
+    assert first == ['"bare string"', "not json at all"]
+    assert good.count() == 1
+    # and the already-executed frames survive a second release + re-run
+    release_transient_caches()
+    assert sorted(r["raw_line"] for r in bad.collect()) == first
