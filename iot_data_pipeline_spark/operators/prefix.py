@@ -7,12 +7,17 @@ two-phase scan:
 
 1. range-repartition by the order key (so partition i holds keys < keys
    of partition i+1), local cumulative sum inside each partition;
-2. collect ONE row per partition (its total), prefix-sum those P values
-   driver-side, broadcast the offsets back and add.
+2. reduce ONE row per partition (its total), exclusive-prefix-sum those
+   P rows with a window over the tiny totals frame (one task orders P
+   rows -- P = partition count, never data-sized), broadcast the offsets
+   back and add.
 
-Data moves once (the range shuffle); the driver handles P values, not N
-rows. This is how a 100 TB sweep-line / running-balance query stays
-parallel.
+Data moves once (the range shuffle); the cross-partition bookkeeping is
+P rows, not N, and since round-16 it stays in-plan -- no driver collect
+and no createDataFrame re-ship (each was a per-call driver
+synchronization point, and the Py4J local-relation serde bring-up cost
+~3 s on whichever query ran a prefix operator first). This is how a
+100 TB sweep-line / running-balance query stays parallel.
 """
 
 from __future__ import annotations
@@ -52,40 +57,38 @@ def global_running_sum(
     # join; persisted (not checkpointed) so the plan stays inspectable.
     local = transient_persist(local)
 
-    # one row per partition: its total + non-null count; prefix them
-    # driver-side (P values). The count distinguishes the two NULL
-    # ``_local_sum`` cases SQL's sum-ignores-nulls contract separates: a
-    # row before ANY non-null globally keeps NULL, but a row whose
-    # partition merely hasn't seen a local non-null yet must carry the
-    # prior partitions' offset (found by the seeded boundary fuzz:
-    # all-NULL partitions returned NULL mid-stream instead of the carry).
-    stats = {
-        r["_pid"]: (r["_t"], r["_n"])
-        for r in local.groupBy("_pid")
-        .agg(F.sum(value_col).alias("_t"), F.count(value_col).alias("_n"))
-        .collect()
-    }
-    offsets, acc, prior_n = {}, 0, {}
-    seen_nonnull = 0
-    for p in sorted(stats):
-        offsets[p] = acc
-        prior_n[p] = seen_nonnull
-        acc += stats[p][0] or 0
-        seen_nonnull += stats[p][1]
-    spark = df.sparkSession
+    # one row per partition: its total + non-null count; prefix-sum those
+    # P values IN-PLAN with a window over the tiny totals frame
+    # (round-16). The previous shape collected the P totals to the
+    # driver, prefix-summed in Python and re-shipped them through
+    # createDataFrame -- two extra driver synchronization points per
+    # call, plus the Py4J local-relation serde bring-up (~3 s, measured)
+    # charged to whichever query ran the operator first. The window is
+    # the same "the driver-scale work is P values" contract executed
+    # where the data already is: ONE task orders P rows (P = partition
+    # count, never data-sized), and the sum-over-preceding-rows frame is
+    # exactly the exclusive prefix sum the Python loop computed.
+    # The count distinguishes the two NULL ``_local_sum`` cases SQL's
+    # sum-ignores-nulls contract separates: a row before ANY non-null
+    # globally keeps NULL, but a row whose partition merely hasn't seen
+    # a local non-null yet must carry the prior partitions' offset
+    # (found by the seeded boundary fuzz: all-NULL partitions returned
+    # NULL mid-stream instead of the carry).
+    totals = local.groupBy("_pid").agg(
+        F.sum(value_col).alias("_t"), F.count(value_col).alias("_n")
+    )
     # preserve the sum's type: integral inputs keep exact LONG arithmetic
     # (token counts, row counts); everything else rides as double
     integral = dict(df.dtypes)[value_col] in ("tinyint", "smallint", "int", "bigint")
-    if integral:
-        off_df = spark.createDataFrame(
-            [(p, int(o), prior_n[p]) for p, o in offsets.items()],
-            "_pid int, _off long, _prior_n long",
-        )
-    else:
-        off_df = spark.createDataFrame(
-            [(p, float(o), prior_n[p]) for p, o in offsets.items()],
-            "_pid int, _off double, _prior_n long",
-        )
+    target = "long" if integral else "double"
+    w_prev = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    off_df = totals.select(
+        "_pid",
+        F.coalesce(F.sum("_t").over(w_prev).cast(target), F.lit(0).cast(target)).alias(
+            "_off"
+        ),
+        F.coalesce(F.sum("_n").over(w_prev), F.lit(0)).cast("long").alias("_prior_n"),
+    )
     out = (
         F.when(
             F.col("_local_sum").isNotNull(),
@@ -114,9 +117,10 @@ def global_fill_forward(
 
     Same two-phase shape as :func:`global_running_sum`: range-partition on
     the order key, fill forward locally, then carry each partition's final
-    non-null value across the boundary -- the driver forward-fills P
-    boundary values and broadcasts them back. This is the distributed
-    sweep-line primitive behind global as-of joins and gap-filling.
+    non-null value across the boundary -- the P boundary values are
+    forward-filled in-plan over the tiny bounds frame and broadcast back.
+    This is the distributed sweep-line primitive behind global as-of
+    joins and gap-filling.
     """
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     parted = df.repartitionByRange(n, *[F.col(c) for c in order_cols])
@@ -130,22 +134,17 @@ def global_fill_forward(
     )
     local = transient_persist(local)  # one pass feeds the boundary agg AND the join
 
-    # each partition's final fill value = _lf on its last row in order
-    bounds = {
-        r["_pid"]: r["_b"]
-        for r in local.groupBy("_pid")
-        .agg(F.max_by("_lf", F.struct(*[F.col(c) for c in order_cols])).alias("_b"))
-        .collect()
-    }
-    carry, last = {}, None
-    for p in sorted(bounds):
-        carry[p] = last  # value flowing IN from partitions before p
-        if bounds[p] is not None:
-            last = bounds[p]
-    spark = df.sparkSession
-    fill_type = dict(df.dtypes)[value_col]
-    off_df = spark.createDataFrame(
-        [(p, c) for p, c in carry.items()], f"_pid int, _carry {fill_type}"
+    # each partition's final fill value = _lf on its last row in order;
+    # the carry flowing INTO partition p = last non-null boundary among
+    # partitions before p. Computed IN-PLAN over the P-row bounds frame
+    # (round-16, same shape as global_running_sum's offsets): one task
+    # orders P rows -- no driver collect, no createDataFrame round trip.
+    bounds = local.groupBy("_pid").agg(
+        F.max_by("_lf", F.struct(*[F.col(c) for c in order_cols])).alias("_b")
+    )
+    w_prev = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    off_df = bounds.select(
+        "_pid", F.last("_b", ignorenulls=True).over(w_prev).alias("_carry")
     )
     return (
         local.join(F.broadcast(off_df), "_pid")
@@ -171,8 +170,9 @@ def global_ranks(
     range bounds, so all equal values land on one side). Local ranks are
     therefore exact within each partition, and the global value is
     local + a per-partition offset (rows before, for rank/row_number;
-    distinct keys before, for dense_rank) -- P offsets, driver-prefixed,
-    broadcast back. NTILE is pure arithmetic on (row_number, total).
+    distinct keys before, for dense_rank) -- P offsets, prefix-summed
+    in-plan, broadcast back. NTILE is pure arithmetic on
+    (row_number, total).
 
     ``tiebreak_cols`` (ascending) extend the ordering for ``row_number``
     and ``ntile`` ONLY: rank/dense_rank still tie on ``order_cols``. This
@@ -199,25 +199,24 @@ def global_ranks(
         .withColumn("_lrn", F.row_number().over(w_full))
     )
     local = transient_persist(local)
-    stats = {
-        r["_pid"]: (r["_n"], r["_d"])
-        for r in local.groupBy("_pid")
-        .agg(
-            F.count(F.lit(1)).alias("_n"),
-            F.countDistinct(key).alias("_d"),
-        )
-        .collect()
-    }
-    offsets, rows_acc, dist_acc = {}, 0, 0
-    for p in sorted(stats):
-        offsets[p] = (rows_acc, dist_acc)
-        rows_acc += stats[p][0]
-        dist_acc += stats[p][1]
-    total = rows_acc
-    spark = df.sparkSession
-    off_df = spark.createDataFrame(
-        [(p, r, d) for p, (r, d) in offsets.items()],
-        "_pid int, _roff long, _doff long",
+    # P-row offsets computed IN-PLAN (round-16, same shape as
+    # global_running_sum): rows-before and distinct-keys-before are
+    # exclusive prefix sums over the per-partition stats frame, and the
+    # grand total (for NTILE) is the same sums over ALL partitions -- one
+    # task orders P rows; no driver collect, no createDataFrame.
+    stats_df = local.groupBy("_pid").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.countDistinct(key).alias("_d"),
+    )
+    w_prev = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    w_all = Window.orderBy("_pid").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    off_df = stats_df.select(
+        "_pid",
+        F.coalesce(F.sum("_n").over(w_prev), F.lit(0)).cast("long").alias("_roff"),
+        F.coalesce(F.sum("_d").over(w_prev), F.lit(0)).cast("long").alias("_doff"),
+        F.sum("_n").over(w_all).cast("long").alias("_total"),
     )
     out = (
         local.join(F.broadcast(off_df), "_pid")
@@ -227,15 +226,18 @@ def global_ranks(
         .drop("_pid", "_lrk", "_ldr", "_lrn", "_roff", "_doff")
     )
     if ntile is not None:
-        # NTILE(k): first (total % k) tiles hold ceil(total/k) rows
-        base, rem = total // ntile, total % ntile
+        # NTILE(k): first (total % k) tiles hold ceil(total/k) rows --
+        # identical arithmetic to the previous driver-literal form, with
+        # total riding in as the broadcast _total column
+        base = F.floor(F.col("_total") / ntile)
+        rem = F.col("_total") % ntile
         rn = F.col("row_number")
         big = base + 1
-        tile = F.when(
-            rn <= F.lit(big * rem), F.ceil(rn / F.lit(big))
-        ).otherwise(F.lit(rem) + F.ceil((rn - F.lit(big * rem)) / F.lit(max(base, 1))))
+        tile = F.when(rn <= big * rem, F.ceil(rn / big)).otherwise(
+            rem + F.ceil((rn - big * rem) / F.greatest(base, F.lit(1)))
+        )
         out = out.withColumn("ntile", tile.cast("int"))
-    return out
+    return out.drop("_total")
 
 
 def global_scan(
@@ -258,8 +260,8 @@ def global_scan(
     should use this instead.
 
     ``total_cols`` (output name -> ``sum_cols`` key) attaches each GRAND
-    total as a literal column: the two-phase scan already reduces the
-    per-partition totals at the driver, so callers needing "share of
+    total as a broadcast constant column: the two-phase scan already
+    reduces the per-partition totals, so callers needing "share of
     total" get it for free instead of re-aggregating the input (which
     would re-scan the whole upstream plan).
     """
@@ -291,58 +293,52 @@ def global_scan(
         aggs.append(
             F.countDistinct(F.struct(*[F.col(c) for c in order_cols])).alias("_d")
         )
-    stats = {r["_pid"]: r.asDict() for r in local.groupBy("_pid").agg(*aggs).collect()}
+    stats_df = local.groupBy("_pid").agg(*aggs)
 
-    offsets, rows_acc, dist_acc = {}, 0, 0
-    # per-column integrality (same contract as global_running_sum): integral
-    # value columns accumulate through exact Python int and ship LONG
-    # offsets/literals; floating columns stay double throughout -- so the
-    # output schema depends only on the input dtype, never on whether a
-    # particular total happens to be integral-valued.
+    # P-row offsets computed IN-PLAN (round-16, same shape as
+    # global_running_sum): every offset is an exclusive prefix sum over
+    # the per-partition stats frame and every grand total the same sum
+    # over ALL partitions -- one task orders P rows; no driver collect,
+    # no createDataFrame round trip.
+    # per-column integrality (same contract as global_running_sum):
+    # integral value columns ride as exact LONG offsets/totals; floating
+    # columns stay double throughout -- so the output schema depends only
+    # on the input dtype, never on whether a particular total happens to
+    # be integral-valued.
     dtypes = dict(df.dtypes)
     integral = {
         out: dtypes[src] in ("tinyint", "smallint", "int", "bigint")
         for out, src in sums.items()
     }
-    sum_acc = {out: (0 if integral[out] else 0.0) for out in sums}
-    nn_acc = {out: 0 for out in sums}
-    for p in sorted(stats):
-        offsets[p] = {
-            "_roff": rows_acc,
-            "_doff": dist_acc,
-            **{f"_off_{out}": sum_acc[out] for out in sums},
-            **{f"_pn_{out}": nn_acc[out] for out in sums},
-        }
-        rows_acc += stats[p]["_n"]
-        dist_acc += stats[p].get("_d", 0)
-        for out in sums:
-            sum_acc[out] += stats[p][f"_t_{out}"] or 0
-            nn_acc[out] += stats[p][f"_nn_{out}"]
-    total = rows_acc
-    spark = df.sparkSession
-    schema = "_pid int, _roff long, _doff long" + "".join(
-        f", _off_{out} {'long' if integral[out] else 'double'}, _pn_{out} long"
-        for out in sums
+    w_prev = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    w_all = Window.orderBy("_pid").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
-    off_df = spark.createDataFrame(
-        [
-            (
-                p,
-                o["_roff"],
-                o["_doff"],
-                *[
-                    x
-                    for out in sums
-                    for x in (
-                        (int if integral[out] else float)(o[f"_off_{out}"]),
-                        o[f"_pn_{out}"],
-                    )
-                ],
-            )
-            for p, o in offsets.items()
-        ],
-        schema,
-    )
+    off_cols = [
+        F.col("_pid"),
+        F.coalesce(F.sum("_n").over(w_prev), F.lit(0)).cast("long").alias("_roff"),
+        F.sum("_n").over(w_all).cast("long").alias("_total"),
+    ]
+    if ranks or ntile is not None:
+        off_cols.append(
+            F.coalesce(F.sum("_d").over(w_prev), F.lit(0)).cast("long").alias("_doff")
+        )
+    else:
+        off_cols.append(F.lit(0).cast("long").alias("_doff"))
+    for out in sums:
+        t = "long" if integral[out] else "double"
+        off_cols += [
+            F.coalesce(F.sum(f"_t_{out}").over(w_prev).cast(t), F.lit(0).cast(t)).alias(
+                f"_off_{out}"
+            ),
+            F.coalesce(F.sum(f"_nn_{out}").over(w_prev), F.lit(0))
+            .cast("long")
+            .alias(f"_pn_{out}"),
+            F.coalesce(F.sum(f"_t_{out}").over(w_all).cast(t), F.lit(0).cast(t)).alias(
+                f"_tot_{out}"
+            ),
+        ]
+    off_df = stats_df.select(*off_cols)
     out_df = local.join(F.broadcast(off_df), "_pid")
     for out in sums:
         cum = (
@@ -364,12 +360,11 @@ def global_scan(
             .drop("_lrk", "_ldr", "_lrn")
         )
         if ntile is not None:
-            base, rem = total // ntile, total % ntile
+            base = F.floor(F.col("_total") / ntile)
+            rem = F.col("_total") % ntile
             rn, big = F.col("row_number"), base + 1
-            tile = F.when(
-                rn <= F.lit(big * rem), F.ceil(rn / F.lit(big))
-            ).otherwise(
-                F.lit(rem) + F.ceil((rn - F.lit(big * rem)) / F.lit(max(base, 1)))
+            tile = F.when(rn <= big * rem, F.ceil(rn / big)).otherwise(
+                rem + F.ceil((rn - big * rem) / F.greatest(base, F.lit(1)))
             )
             out_df = out_df.withColumn("ntile", tile.cast("int"))
         if not ranks:
@@ -377,11 +372,11 @@ def global_scan(
     for out, key in (total_cols or {}).items():
         if key not in sums:
             raise ValueError(f"total_cols key {key!r} not in sum_cols")
-        grand = sum_acc[key]
-        # literal type follows the value column's dtype, not the value:
-        # integral columns accumulated through int (exact past 2^53) and
-        # emit LONG; floating columns always emit DOUBLE even when the
-        # grand total happens to be integral-valued.
-        lit = F.lit(int(grand)) if integral[key] else F.lit(float(grand))
-        out_df = out_df.withColumn(out, lit)
-    return out_df.drop("_pid", "_roff", "_doff")
+        # the grand total rides out of the P-row offsets frame as the
+        # broadcast _tot column; its type follows the value column's
+        # dtype (LONG for integral inputs, DOUBLE otherwise), never the
+        # value -- same schema contract as the old driver-side literal.
+        out_df = out_df.withColumn(out, F.col(f"_tot_{key}"))
+    return out_df.drop(
+        "_pid", "_roff", "_doff", "_total", *[f"_tot_{o}" for o in sums]
+    )

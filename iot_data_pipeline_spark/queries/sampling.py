@@ -162,9 +162,10 @@ def q50_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    # the grand total rides out of the scan's own driver-side reduce as
-    # a literal -- re-aggregating `counts` here would re-explode the
-    # whole corpus a second time (measured 2x the query cost at sf0.01).
+    # the grand total rides out of the scan's own P-row offsets frame as
+    # a broadcast constant -- re-aggregating `counts` here would
+    # re-explode the whole corpus a second time (measured 2x the query
+    # cost at sf0.01).
     ranked = global_scan(
         counts,
         ["cnt", "token"],
