@@ -69,6 +69,45 @@ def _run(spark, raw_dir, tmp_path):
     return out, ckpt
 
 
+def test_max_files_per_trigger_batches(spark, raw_dir, tmp_path):
+    """max_files_per_trigger=1 must yield one micro-batch PER FILE (the
+    reference's one-task-per-file Lambda contract, kept as an explicit
+    engine capability after q182's bench probe moved to single-batch
+    draining in round 16) -- and the per-batch boundary must not change
+    the output: results equal the unbatched run's."""
+    out = tmp_path / "out_mft"
+    ckpt = tmp_path / "ckpt_mft"
+    run_ingest_available_now(
+        spark,
+        str(raw_dir),
+        str(out),
+        str(ckpt),
+        config=PipelineConfig(fixed_clock=CLOCK),
+        timeout_s=120,
+        max_files_per_trigger=1,
+    )
+    # one offsets-log entry per data micro-batch: 2 files -> batches 0,1
+    offsets = sorted(
+        p.name for p in (ckpt / "offsets").iterdir() if not p.name.startswith(".")
+    )
+    assert offsets == ["0", "1"], offsets
+    got = (
+        spark.read.parquet(str(out))
+        .select("device_id", "temperature", "temp_fahrenheit", "source_file")
+        .orderBy("device_id", "temperature")
+        .collect()
+    )
+    out2, _ = _run(spark, raw_dir, tmp_path)  # unbatched drain
+    want = (
+        spark.read.parquet(str(out2))
+        .select("device_id", "temperature", "temp_fahrenheit", "source_file")
+        .orderBy("device_id", "temperature")
+        .collect()
+    )
+    assert got == want
+    assert len(got) == 5
+
+
 def test_streaming_equals_batch(spark, raw_dir, tmp_path):
     out, _ = _run(spark, raw_dir, tmp_path)
     got = (
