@@ -416,6 +416,7 @@ def _multifile_band_names():
     return sorted(n for n in names if n in REGISTRY)
 
 
+@pytest.mark.recert
 @pytest.mark.parametrize("name", _multifile_band_names())
 def test_round_sum_band_survives_multifile_layout(
     spark, multifile_layout_duck, multifile_layout_dir, name
@@ -817,6 +818,7 @@ def _relational_query_names():
     return RELATIONAL_QUERIES
 
 
+@pytest.mark.recert
 @pytest.mark.parametrize("name", _relational_query_names())
 def test_queries_survive_degenerate_relational(
     spark, degenerate_relational_duck, degenerate_relational_dir, name
@@ -906,6 +908,7 @@ def _null_doc_event_query_names():
     return DOC_QUERIES + EVENT_QUERIES
 
 
+@pytest.mark.recert
 @pytest.mark.parametrize("name", _null_doc_event_query_names())
 def test_queries_survive_null_docs_and_events(
     spark, null_doc_event_duck, null_doc_event_dir, name
