@@ -433,7 +433,25 @@ def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 
 def compare_query(spark, con, name: str, sf_dir: str) -> list[str]:
-    """Returns a list of mismatch descriptions (empty = pass)."""
+    """Returns a list of mismatch descriptions (empty = pass).
+
+    Releases per-query transient persists on the way out (round-16),
+    matching the bench/CLI-harness lifecycle: pytest calls this directly
+    for ~1,400 oracle/band tests in ONE session, and without the release
+    every transient-persisting query left its CacheManager entry pinned
+    -- a later plan-shape test then saw a foreign InMemoryRelation
+    substituted into its explain (the q145 plan pin caught exactly
+    that), and the session accumulated dead cached plans without bound.
+    """
+    from iot_data_pipeline_spark.transient import release_transient_caches
+
+    try:
+        return _compare_query_inner(spark, con, name, sf_dir)
+    finally:
+        release_transient_caches()
+
+
+def _compare_query_inner(spark, con, name: str, sf_dir: str) -> list[str]:
     from iot_data_pipeline_spark.queries import REGISTRY
 
     dq = REGISTRY[name]

@@ -350,6 +350,11 @@ def test_q145_prefix_join_shares_one_shingle_subtree(spark, sf_dir):
     # scan+explode subtrees -- a 5x corpus recompute at 100 TB). The
     # digest-level (doc_id, lang, h) frame is transient-persisted, so the
     # plan must show a single InMemoryRelation feeding every consumer.
+    from iot_data_pipeline_spark.transient import release_transient_caches
+
+    release_transient_caches()  # a foreign live cache of the same subtree
+    # (e.g. an earlier test's un-released persist) would substitute into
+    # this explain and break the node-id accounting below
     plan = formatted_plan(q("q145_prefix_filter_join", spark, sf_dir))
     import re
 
